@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 scripts/check_oracle.py <sfDir> <outDir>
+
+Reads each <outDir>/<name> parquet result written by graft.Verify, runs the
+matching SQL from <outDir>/oracle_sql.json in DuckDB over the sfDir tables,
+and compares values column-by-column (columns sorted by name, rows sorted by
+all columns) — mirroring the described driver compare so mismatches surface
+before the round gate runs.
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            # strip tz + unify ns/us so Spark-UTC vs DuckDB-naive compare
+            try:
+                df[c] = pd.to_datetime(df[c], utc=True).dt.tz_localize(None)
+            except Exception:
+                pass
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) or
+                              type(v).__name__ == "ndarray" else v)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    if (a is None or (isinstance(a, float) and math.isnan(a))) and \
+       (b is None or (isinstance(b, float) and math.isnan(b))):
+        return True
+    return a == b
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+
+    n_pass = n_fail = n_skip = 0
+    for name in sorted(os.listdir(out_dir)):
+        res_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(res_dir):
+            continue
+        files = glob.glob(os.path.join(res_dir, "*.parquet"))
+        if not files:
+            print(f"[FAIL] {name}: no parquet output")
+            n_fail += 1
+            continue
+        got = pd.concat([pd.read_parquet(p) for p in sorted(files)],
+                        ignore_index=True)
+        if name not in oracle:
+            print(f"[skip] {name}: no oracle sql ({len(got)} rows)")
+            n_skip += 1
+            continue
+        try:
+            want = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"[FAIL] {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        g, w = normalize(got), normalize(want)
+        if list(g.columns) != list(w.columns):
+            print(f"[FAIL] {name}: columns {list(g.columns)} != {list(w.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(w):
+            print(f"[FAIL] {name}: rows {len(g)} != {len(w)}")
+            n_fail += 1
+            continue
+        bad = None
+        for c in g.columns:
+            gv, wv = g[c].tolist(), w[c].tolist()
+            for i, (x, y) in enumerate(zip(gv, wv)):
+                if not values_equal(x, y):
+                    bad = (c, i, x, y)
+                    break
+            if bad:
+                break
+        if bad:
+            c, i, x, y = bad
+            print(f"[FAIL] {name}: col {c} row {i}: spark={x!r} oracle={y!r}")
+            n_fail += 1
+        else:
+            print(f"[ok]   {name}: {len(g)} rows")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

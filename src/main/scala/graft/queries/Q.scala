@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Helpers that make Spark results bit-identical to the DuckDB oracle.
+  *
+  * Double summation is order-dependent and Spark's partial/final aggregation
+  * order differs from DuckDB's, so every SUM/AVG of doubles is routed through
+  * exact DECIMAL arithmetic (deterministic in both engines), then cast back
+  * to DOUBLE for a stable output schema. Per-row double arithmetic
+  * (`a * (1 - b)`) is IEEE-deterministic and needs no special handling; the
+  * testdata's money-like columns hold exact 2-decimal values, so the decimal
+  * casts are lossless. Products of 2-decimal values are computed entirely in
+  * decimal (money * oneMinus(...)): casting the double product instead would
+  * hit true decimal ties (x.xxxx50) where Spark (exact-expansion HALF_UP)
+  * and DuckDB (double-multiply + llround) can disagree.
+  *
+  * Oracle-side equivalents used in the SQL strings:
+  *   money(x)    == CAST(x AS DECIMAL(14,2))
+  *   frac(x)     == CAST(x AS DECIMAL(5,2))
+  *   oneMinus(x) == CAST(1.0 - x AS DECIMAL(5,2))
+  *   onePlus(x)  == CAST(1.0 + x AS DECIMAL(5,2))
+  *   dsum(x)     == CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)
+  *   dsum4(x)    == CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)
+  *   davg(x)     == CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+  */
+object Q {
+  /** Exact decimal view of a 2-decimal money column. */
+  def money(c: Column): Column = c.cast("decimal(14,2)")
+
+  /** Exact decimal view of a small 2-decimal fraction (discount/tax). */
+  def frac(c: Column): Column = c.cast("decimal(5,2)")
+
+  /** (1 - x) as exact decimal; x is a 2-decimal fraction. */
+  def oneMinus(c: Column): Column = (lit(1.0) - c).cast("decimal(5,2)")
+
+  /** (1 + x) as exact decimal; x is a 2-decimal fraction. */
+  def onePlus(c: Column): Column = (lit(1.0) + c).cast("decimal(5,2)")
+
+  /** Exact sum of a 2-decimal double column. */
+  def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Sum of an arbitrary double column through a 4-decimal snap.
+    * (Boundary collisions need the double to sit within ~1e-11 of a .00005
+    * boundary — vanishing for non-decimal-valued data like o_totalprice.) */
+  def dsum4(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Deterministic average: exact decimal sum, one double division. */
+  def davg(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double") / count(lit(1))
+}

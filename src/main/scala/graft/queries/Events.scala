@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Time-series / event-stream query pack over the `events` table.
+  *
+  * This generalizes the reference's hourly price-trend analytics
+  * (/root/reference/README.md:43-45 — time-bucketed aggregation per entity)
+  * and its freshness semantics (/root/reference/include/soda/checks.yml:7-9)
+  * to arbitrary event streams: bucketing, sliding windows, sessionization,
+  * as-of lookups, JSON payload extraction.
+  *
+  * Nanosecond note: the parquet `ts` column is TIMESTAMP(NANOS), which Spark
+  * reads only as a raw long via spark.sql.legacy.parquet.nanosAsLong (set in
+  * [[graft.Tables.events]]). We keep the long-ns value as the ordering key —
+  * bit-identical to DuckDB's TIMESTAMP_NS ordering — and derive
+  * second-truncated timestamps for output, so both engines agree exactly.
+  * Output timestamps are emitted as formatted strings (Spark writes
+  * UTC-instant parquet, DuckDB naive — strings sidestep the representation
+  * gap).
+  *
+  * Scale notes: every query here groups or windows by (user, time) style
+  * keys — one shuffle each, no driver-side state. Sessionization is the
+  * classic lag+cumsum linear-scan-per-key pattern: a single shuffle by
+  * user_id, then sorted within partitions; at 100 TB this is the layout a
+  * time-partitioned event lake already has.
+  */
+object Events {
+  import Q._
+
+  private val fmtPattern = "yyyy-MM-dd HH:mm:ss"
+  /** epoch-seconds (long) → formatted second-truncated string.
+    * All ns→s conversion happens through SQL `div` (exact integer division;
+    * a double round-trip would lose precision — ns values exceed 2^53). */
+  private def fmtS(c: Column): Column =
+    date_format(timestamp_seconds(c), fmtPattern)
+
+  private def withDerived(df: DataFrame): DataFrame = df
+    .withColumn("epoch_s", expr("ts div 1000000000"))
+    .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+
+  // --- q24: hourly trend per event type (the Metabase dashboard shape) ----
+  def q24(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    withDerived(Tables.events(s, d))
+      .groupBy($"event_type",
+        date_format(date_trunc("hour", $"ts_us"), fmtPattern).as("hour_start"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum($"value").as("sum_value"),
+        davg($"value").as("avg_value"))
+      .orderBy($"event_type", $"hour_start")
+  }
+  val q24Sql: String =
+    """SELECT event_type,
+      |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+      |FROM events
+      |GROUP BY event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+      |ORDER BY event_type, hour_start""".stripMargin
+
+  // --- q25: tumbling 5-minute windows (batch form of streaming window) ---
+  def q25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    withDerived(Tables.events(s, d))
+      .groupBy(window($"ts_us", "5 minutes").getField("start").as("wstart_ts"))
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .select(date_format($"wstart_ts", fmtPattern).as("wstart"),
+        $"n_events", $"sum_value")
+      .orderBy($"wstart")
+  }
+  val q25Sql: String =
+    """SELECT
+      |  strftime(date_trunc('minute', ts) - (CAST(minute(ts) AS INT) % 5) * INTERVAL 1 MINUTE,
+      |           '%Y-%m-%d %H:%M:%S') AS wstart,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY wstart""".stripMargin
+
+  // --- q26: sliding windows — 10-minute window, 5-minute slide -----------
+  // Each event lands in exactly two windows; Spark's window() generator
+  // expands them, the oracle unnests the same two starts.
+  def q26(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    withDerived(Tables.events(s, d))
+      .groupBy(window($"ts_us", "10 minutes", "5 minutes")
+        .getField("start").as("wstart_ts"))
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .select(date_format($"wstart_ts", fmtPattern).as("wstart"),
+        $"n_events", $"sum_value")
+      .orderBy($"wstart")
+  }
+  val q26Sql: String =
+    """WITH buckets AS (
+      |  SELECT value,
+      |    date_trunc('minute', ts) - (CAST(minute(ts) AS INT) % 5) * INTERVAL 1 MINUTE AS b0
+      |  FROM events
+      |), expanded AS (
+      |  SELECT value, unnest([b0, b0 - INTERVAL 5 MINUTE]) AS wstart_ts FROM buckets
+      |)
+      |SELECT strftime(wstart_ts, '%Y-%m-%d %H:%M:%S') AS wstart,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM expanded
+      |GROUP BY 1
+      |ORDER BY wstart""".stripMargin
+
+  // --- q27: sessionization — 30-minute inactivity gap ---------------------
+  // lag + cumulative sum per user: one shuffle on user_id, linear in-partition
+  // scan. This is the batch twin of streaming session_window().
+  def q27(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    withDerived(Tables.events(s, d))
+      .withColumn("new_session",
+        when(($"epoch_s" - lag($"epoch_s", 1).over(wOrd)) > 1800 ||
+          lag($"epoch_s", 1).over(wOrd).isNull, 1).otherwise(0))
+      .withColumn("session_id",
+        sum($"new_session").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        fmtS(min($"epoch_s")).as("session_start"),
+        fmtS(max($"epoch_s")).as("session_end"),
+        (max($"epoch_s") - min($"epoch_s")).as("duration_s"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"user_id", $"session_id")
+  }
+  val q27Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s,
+      |    CASE WHEN CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+      |           - LAG(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) OVER w > 1800
+      |           OR LAG(ts) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(date_trunc('second', max(ts)), '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  MAX(epoch_s) - MIN(epoch_s) AS duration_s,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // --- q28: JSON payload extraction (A2/A4 scalar-function family) --------
+  def q28(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    withDerived(Tables.events(s, d))
+      .withColumn("k_val", get_json_object($"props", "$.k").cast("int"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"k_val").as("sum_k"),
+        sum(when($"k_val" >= 50, 1).otherwise(0)).as("n_big_k"),
+        max($"k_val").as("max_k"))
+      .orderBy($"event_type")
+  }
+  val q28Sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+      |  SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+      |      THEN 1 ELSE 0 END) AS n_big_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // --- q29: as-of lookup — latest signup at-or-before each purchase -------
+  // The time-series point lookup the reference's domain implies (price as of
+  // time T). Implemented without a range join: last(ignoreNulls) over an
+  // event-time window — one shuffle on the key, linear scan, no explosion.
+  def q29(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"type_rank", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withDerived(Tables.events(s, d))
+      .withColumn("type_rank", when($"event_type" === "signup", 0).otherwise(1))
+      .withColumn("signup_epoch",
+        last(when($"event_type" === "signup", $"epoch_s"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id",
+        fmtS($"epoch_s").as("purchase_time"),
+        fmtS($"signup_epoch").as("last_signup_time"))
+      .orderBy($"event_id")
+  }
+  val q29Sql: String =
+    """SELECT event_id, user_id,
+      |  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS purchase_time,
+      |  strftime(date_trunc('second', last_signup), '%Y-%m-%d %H:%M:%S') AS last_signup_time
+      |FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id
+      |            ORDER BY ts, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
+      |  FROM events)
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
+  // --- q30: per-user stream summary with min_by/max_by --------------------
+  def q30(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    withDerived(Tables.events(s, d))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"event_type").as("n_types"),
+        min_by($"event_type", $"ts").as("first_type"),
+        max_by($"event_type", $"ts").as("last_type"),
+        fmtS(min($"epoch_s")).as("first_seen"),
+        fmtS(max($"epoch_s")).as("last_seen"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"user_id")
+  }
+  val q30Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT event_type) AS n_types,
+      |  min_by(event_type, ts) AS first_type,
+      |  max_by(event_type, ts) AS last_type,
+      |  strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS first_seen,
+      |  strftime(date_trunc('second', max(ts)), '%Y-%m-%d %H:%M:%S') AS last_seen,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q24_hourly_trend", q24 _, Some(q24Sql)),
+    ("q25_tumbling_window", q25 _, Some(q25Sql)),
+    ("q26_sliding_window", q26 _, Some(q26Sql)),
+    ("q27_sessionize", q27 _, Some(q27Sql)),
+    ("q28_json_extract", q28 _, Some(q28Sql)),
+    ("q29_asof_lookup", q29 _, Some(q29Sql)),
+    ("q30_user_summary", q30 _, Some(q30Sql)))
+}

@@ -1,0 +1,50 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Idempotent insert-if-absent sink (reference operator A8).
+  *
+  * The reference loads with `INSERT ... ON CONFLICT (crypto_id,
+  * extracted_at) DO NOTHING` in one transaction
+  * (/root/reference/dags/crypto-etl-pipeline-psql.py:85-98). Vanilla Spark
+  * sinks have no ON CONFLICT, so the idiomatic equivalent is
+  * **left-anti-join then append**: new rows are those whose key has no match
+  * in the existing table. Atomicity comes from the file-commit protocol of
+  * the write job; concurrency control is single-writer per table (the
+  * reference's linear DAG gives the same discipline — SURVEY.md §7 risk 1).
+  *
+  * Scale: the anti join shuffles both sides on the key — at 100 TB the
+  * existing side should be partition-pruned first (prune to the key range /
+  * date partitions the batch can touch, then anti-join); incoming batches
+  * are tiny relative to the table and AQE turns the probe into a broadcast.
+  */
+object Upsert {
+
+  /** Pure form: rows of `incoming` whose `keys` are absent from `existing`,
+    * deduplicated within the batch (first occurrence wins, matching
+    * ON CONFLICT DO NOTHING applied row-by-row). */
+  def newRows(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.dropDuplicates(keys)
+      .join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** existing ∪ new — the post-upsert table contents. */
+  def apply(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    existing.unionByName(newRows(existing, incoming, keys))
+
+  /** Materializing form against a parquet table path: reads current state,
+    * anti-joins, appends only the new rows. Serialized per table by
+    * convention (single-writer). */
+  def intoParquet(spark: SparkSession, incoming: DataFrame, tablePath: String,
+      keys: Seq[String]): Long = {
+    val existing =
+      try spark.read.parquet(tablePath)
+      catch { case _: Exception => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema) }
+    val fresh = newRows(existing, incoming, keys).cache()
+    val n = fresh.count()
+    if (n > 0) fresh.write.mode("append").parquet(tablePath)
+    fresh.unpersist()
+    n
+  }
+}

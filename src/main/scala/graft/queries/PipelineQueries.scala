@@ -1,0 +1,101 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.etl.{Ingest, QualityGate, Upsert}
+
+/** Oracle-checked queries exercising the Tier-A pipeline operators
+  * (SURVEY.md §2.A): the JSON pivot, the idempotent upsert, and the
+  * quality gate. The crypto fixture payload is the exact CoinGecko shape
+  * the reference parses (FIXTURES.md §1.1); its oracle is a VALUES list.
+  */
+object PipelineQueries {
+  import Q._
+
+  /** FIXTURES.md §1.1 payload — one extra currency to prove projection
+    * keeps only usd, values chosen exactly representable in 2 decimals. */
+  val fixtureJson: String =
+    """{"bitcoin": {"usd": 67210.0}, "ethereum": {"usd": 3245.12, "eur": 3001.9},
+      | "tether": {"usd": 0.99}, "solana": {"usd": 152.33}}""".stripMargin
+  val fixtureTs: Timestamp = Timestamp.valueOf("2024-01-15 12:00:00")
+
+  // --- q31: pivot + stamp + double-apply upsert (idempotency) -------------
+  // The full transform/load math of the reference on its own payload shape:
+  // map→rows explode (A4), projection (A5), batch timestamp (A6), and the
+  // ON-CONFLICT-DO-NOTHING equivalence (A8): applying the same batch twice
+  // leaves exactly one row per key.
+  def q31(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val batch = Ingest.pivotPrices(s, fixtureJson, fixtureTs)
+    val empty = batch.limit(0)
+    val once = Upsert(empty, batch, Seq("crypto_id", "extracted_at"))
+    val twice = Upsert(once, batch, Seq("crypto_id", "extracted_at"))
+    twice.select($"crypto_id", $"price_usd",
+      date_format($"extracted_at", "yyyy-MM-dd HH:mm:ss").as("extracted_at"))
+      .orderBy($"crypto_id")
+  }
+  val q31Sql: String =
+    """SELECT crypto_id, CAST(price_usd AS DOUBLE) AS price_usd, extracted_at
+      |FROM (VALUES
+      |  ('bitcoin', 67210.0, '2024-01-15 12:00:00'),
+      |  ('ethereum', 3245.12, '2024-01-15 12:00:00'),
+      |  ('solana', 152.33, '2024-01-15 12:00:00'),
+      |  ('tether', 0.99, '2024-01-15 12:00:00'))
+      |  AS t(crypto_id, price_usd, extracted_at)
+      |ORDER BY crypto_id""".stripMargin
+
+  // --- q32: upsert against real data — anti-join set algebra --------------
+  // existing = events with id%3=0, incoming = id%2=0; the upserted table
+  // must equal the set {id%3=0 ∪ id%2=0}, which the oracle states directly.
+  def q32(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"event_id", $"event_type", $"value")
+    val existing = ev.filter($"event_id" % 3 === 0)
+    val incoming = ev.filter($"event_id" % 2 === 0)
+    Upsert(existing, incoming, Seq("event_id"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"), dsum($"value").as("sum_value"))
+      .orderBy($"event_type")
+  }
+  val q32Sql: String =
+    """SELECT event_type, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE event_id % 3 = 0 OR event_id % 2 = 0
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // --- q33: quality-gate metrics (A9 min-domain + A10 freshness) ----------
+  // One aggregation pass computes every gate metric; `now` is pinned so the
+  // staleness ladder is reproducible. Events end 2024-01-30 23:26; with
+  // now = 2024-02-01 00:00 the table is ~24h stale → status 'fail' (>6h),
+  // exercising the severity ladder's top rung.
+  val gateNow: Timestamp = Timestamp.valueOf("2024-02-01 00:00:00")
+  def q33(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .withColumn("epoch_s", expr("ts div 1000000000"))
+    QualityGate.metricsDf(ev, gateNow, $"value", $"epoch_s")
+  }
+  val q33Sql: String =
+    """SELECT min_value, n_rows, max_ts,
+      |  CAST(FLOOR((1706745600 - max_epoch_s) / 3600.0) AS BIGINT) AS hours_stale,
+      |  CASE WHEN min_value < 0
+      |         OR CAST(FLOOR((1706745600 - max_epoch_s) / 3600.0) AS BIGINT) > 6 THEN 'fail'
+      |       WHEN CAST(FLOOR((1706745600 - max_epoch_s) / 3600.0) AS BIGINT) > 2 THEN 'warn'
+      |       ELSE 'pass' END AS status
+      |FROM (
+      |  SELECT MIN(value) AS min_value, COUNT(*) AS n_rows,
+      |    strftime(date_trunc('second', MAX(ts)), '%Y-%m-%d %H:%M:%S') AS max_ts,
+      |    MAX(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS max_epoch_s
+      |  FROM events)""".stripMargin
+
+  def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q31_crypto_pipeline", q31 _, Some(q31Sql)),
+    ("q32_upsert_idempotent", q32 _, Some(q32Sql)),
+    ("q33_quality_gate", q33 _, Some(q33Sql)))
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl._
+
+class EtlSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val ts = Timestamp.valueOf("2024-01-15 12:00:00")
+
+  test("pivot transposes the CoinGecko map shape and keeps only usd") {
+    val df = Ingest.pivotPrices(spark,
+      """{"bitcoin":{"usd":67210.0},"ethereum":{"usd":3245.12,"eur":1.0}}""", ts)
+    val rows = df.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(rows == Map("bitcoin" -> 67210.0, "ethereum" -> 3245.12))
+    assert(df.columns.toSeq == Seq("crypto_id", "price_usd", "extracted_at"))
+  }
+
+  test("pivot raises on empty payload (reference :45-46 semantics)") {
+    intercept[IllegalArgumentException] {
+      Ingest.pivotPrices(spark, "{}", ts)
+    }
+  }
+
+  test("upsert is idempotent: same batch twice leaves one row per key") {
+    val batch = Ingest.pivotPrices(spark,
+      """{"bitcoin":{"usd":1.0},"tether":{"usd":0.99}}""", ts)
+    val once = Upsert(batch.limit(0), batch, Schemas.priceKeys)
+    val twice = Upsert(once, batch, Schemas.priceKeys)
+    assert(once.count() == 2 && twice.count() == 2)
+  }
+
+  test("upsert keeps existing row on key conflict (DO NOTHING, not UPDATE)") {
+    import spark.implicits._
+    val existing = Seq(("bitcoin", 1.0, ts)).toDF("crypto_id", "price_usd", "extracted_at")
+    val incoming = Seq(("bitcoin", 999.0, ts), ("solana", 2.0, ts))
+      .toDF("crypto_id", "price_usd", "extracted_at")
+    val after = Upsert(existing, incoming, Schemas.priceKeys)
+    val m = after.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m == Map("bitcoin" -> 1.0, "solana" -> 2.0))
+  }
+
+  test("gate severity ladder: pass / warn (>2h) / fail (>6h) / negative / dup") {
+    import spark.implicits._
+    def table(price: Double, ageHours: Int) = {
+      val t = new Timestamp(ts.getTime - ageHours * 3600000L)
+      Seq(("bitcoin", price, t)).toDF("crypto_id", "price_usd", "extracted_at")
+    }
+    assert(QualityGate.evaluate(table(1.0, 1), ts) == QualityGate.Pass)
+    // exactly 2h is not stale (warn is strictly greater-than, checks.yml:8)
+    assert(QualityGate.evaluate(table(1.0, 2), ts) == QualityGate.Pass)
+    assert(QualityGate.evaluate(table(1.0, 3), ts).isInstanceOf[QualityGate.Warn])
+    assert(QualityGate.evaluate(table(1.0, 6), ts).isInstanceOf[QualityGate.Warn])
+    assert(QualityGate.evaluate(table(1.0, 7), ts).isInstanceOf[QualityGate.Fail])
+    assert(QualityGate.evaluate(table(-0.0001, 1), ts).isInstanceOf[QualityGate.Fail])
+    val dup = table(1.0, 1).union(table(2.0, 1))
+    assert(QualityGate.evaluate(dup, ts).isInstanceOf[QualityGate.Fail])
+    intercept[IllegalStateException] { QualityGate.enforce(table(1.0, 7), ts) }
+  }
+
+  test("end-to-end pipeline run writes, gates, and replays idempotently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipe").toString + "/t"
+    val json = """{"bitcoin":{"usd":67210.0},"tether":{"usd":0.99}}"""
+    val now = new Timestamp(ts.getTime + 3600000L)
+    val r1 = Pipeline.run(spark, json, ts, dir, now)
+    assert(r1.rowsInserted == 2 && r1.gate == QualityGate.Pass)
+    val r2 = Pipeline.run(spark, json, ts, dir, now) // replay, same batch ts
+    assert(r2.rowsInserted == 0 && r2.table.count() == 2)
+  }
+
+  test("pre-flight retries then gives up (A1 sensor semantics)") {
+    var calls = 0
+    val ok = Ingest.preflight(() => { calls += 1; calls >= 3 },
+      attempts = 6, delayMillis = 0L)
+    assert(ok && calls == 3)
+    assert(!Ingest.preflight(() => false, attempts = 2, delayMillis = 0L))
+  }
+}

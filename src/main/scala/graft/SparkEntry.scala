@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   private def packs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Relational.pack ++ Events.pack ++ PipelineQueries.pack
+    Relational.pack ++ Events.pack ++ PipelineQueries.pack ++ Text.pack ++
+      Vectors.pack
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

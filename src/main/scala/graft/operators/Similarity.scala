@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+
+/** Approximate & exact nearest-neighbor search over embedding columns.
+  *
+  * Scale design:
+  *  - Brute force is the baseline: broadcast the (small) query set against
+  *    the corpus — an embarrassingly parallel scan, no shuffle until the
+  *    final per-query top-k. Ranks are taken over rounded similarity with
+  *    an id tiebreak so results are reproducible across engines/runs.
+  *  - The IVF variant is the scale path: k-means-style cells (here: the
+  *    corpus' own label attribute or LSH buckets as the coarse quantizer),
+  *    queries probe only nprobe cells → the scan shrinks by |cells|/nprobe.
+  *    At 100 TB the corpus would be written bucketed by cell id, making the
+  *    probe a partition-pruned read instead of a full scan.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (query_id, neighbor_id, rank, sim). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosineSimilarity(col("q_emb"), col("c_emb")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** IVF-style ANN: coarse cells from per-cell centroids, queries probe the
+    * `nprobe` nearest cells, exact rerank inside probed cells only.
+    *
+    * @param cellCol an existing coarse-cell assignment on the corpus (for
+    *                real IVF: a k-means cell id; any clustering works)
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, cellCol: Column,
+      k: Int, nprobe: Int): DataFrame = {
+    val cells = corpus.select(cellCol.as("cell"), col("embedding").as("emb"))
+    // centroid per cell: per-dimension mean
+    val centroids = cells
+      .select(col("cell"), posexplode(asDouble(col("emb"))).as(Seq("pos", "v")))
+      .groupBy("cell", "pos").agg(avg("v").as("cv"))
+      .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("cv"))))
+        .getField("cv").as("centroid"))
+
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosineSimilarity(col("q_emb"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+
+    val corpusCells = corpus.select(cellCol.as("cell"),
+      col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val scored = corpusCells.join(broadcast(probes), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosineSimilarity(col("q_emb"), col("c_emb")), 6))
+    scored.withColumn("rank", row_number().over(
+      Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** Cosine-LSH candidate pairs within the corpus, exact-reranked to
+    * similarity ≥ threshold. Multi-table banding (numTables independent
+    * signatures of planesPerTable hyperplanes each): a pair is a candidate
+    * if it collides in ANY table, so recall for a pair with angular
+    * agreement p is 1-(1-p^planesPerTable)^numTables — tune tables up for
+    * recall, planes up for precision. Candidates shuffle on (table,
+    * bucket); vectors never pairwise-compare unless they collide. */
+  def lshSimilarPairs(corpus: DataFrame, threshold: Double,
+      numTables: Int = 8, planesPerTable: Int = 4): DataFrame = {
+    val planes = numTables * planesPerTable
+    val sig = corpus.select(col("vec_id"), col("embedding"),
+      hyperplaneSignature(col("embedding"), planes).as("sig"))
+    val tables = sig.select(col("vec_id"), col("embedding"),
+      posexplode(transform(sequence(lit(0), lit(numTables - 1)),
+        t => signatureKey(slice(col("sig"), t * planesPerTable + 1,
+          lit(planesPerTable))))).as(Seq("table_id", "bucket")))
+    tables.as("a").join(tables.as("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.embedding").as("e_a"), col("b.embedding").as("e_b"))
+      .distinct()
+      .withColumn("sim", round(cosineSimilarity(col("e_a"), col("e_b")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+  }
+}

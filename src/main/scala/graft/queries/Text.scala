@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** Text-analysis + deduplication pack over the `documents` table — the
+  * training-data-pipeline operators (SURVEY.md §2 Tier B north-star rows):
+  * token statistics, quality scoring, language ID, exact dedup by
+  * fingerprint, n-gram frequencies, and MinHash-LSH near-dup pairs.
+  *
+  * Every operator shares one canonical normalization (TextFunctions), so
+  * the DuckDB oracle can state the same logic verbatim. All of it is
+  * per-row expression work plus one groupBy/join — linear scans that
+  * partition freely at 100 TB.
+  */
+object Text {
+
+  // --- q40: token statistics ----------------------------------------------
+  def q40(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("toks", tokens($"text"))
+      .select($"doc_id", $"lang", $"source",
+        size($"toks").as("n_tokens"),
+        size(array_distinct($"toks")).as("n_distinct"),
+        (size(array_distinct($"toks")) * lit(1.0) / size($"toks")).as("ttr"),
+        length(normalizeText($"text")).as("n_chars_norm"),
+        ceil(length(normalizeText($"text")) / 3.5).cast("long").as("n_tokens_bpeish"))
+      .orderBy($"doc_id")
+  }
+  val q40Sql: String =
+    """SELECT doc_id, lang, source,
+      |  len(t) AS n_tokens,
+      |  len(list_distinct(t)) AS n_distinct,
+      |  len(list_distinct(t)) * 1.0 / len(t) AS ttr,
+      |  length(norm) AS n_chars_norm,
+      |  CAST(CEIL(length(norm) / 3.5) AS BIGINT) AS n_tokens_bpeish
+      |FROM (
+      |  SELECT doc_id, lang, source, norm, string_split(norm, ' ') AS t
+      |  FROM (SELECT doc_id, lang, source,
+      |          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  // --- q41: quality scoring -----------------------------------------------
+  // Length/stopword/repetition heuristics à la C4/Gopher filtering rules;
+  // one deterministic double formula, identical in the oracle.
+  def q41(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    Tables.documents(s, d)
+      .withColumn("toks", tokens($"text"))
+      .withColumn("n_tokens", size($"toks"))
+      .withColumn("stop_ratio",
+        size(filter($"toks", t => t.isInCollection(stop))) * lit(1.0) / $"n_tokens")
+      .withColumn("ttr",
+        size(array_distinct($"toks")) * lit(1.0) / $"n_tokens")
+      .withColumn("len_score",
+        least($"n_tokens" * lit(1.0) / 64.0, lit(1.0)))
+      .withColumn("quality_score",
+        round($"len_score" * 0.4 + $"ttr" * 0.4 + least($"stop_ratio" * 4.0, lit(1.0)) * 0.2, 6))
+      .filter($"n_tokens" > 0)
+      .select($"doc_id", $"n_tokens", round($"stop_ratio", 6).as("stop_ratio"),
+        round($"ttr", 6).as("ttr"), $"quality_score")
+      .orderBy($"doc_id")
+  }
+  val q41Sql: String =
+    """SELECT doc_id, n_tokens,
+      |  ROUND(stop_ratio, 6) AS stop_ratio,
+      |  ROUND(ttr, 6) AS ttr,
+      |  ROUND(len_score * 0.4 + ttr * 0.4 + LEAST(stop_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
+      |FROM (
+      |  SELECT doc_id, len(t) AS n_tokens,
+      |    len(list_filter(t, x -> x IN ('the','a','of','and','in','to'))) * 1.0 / len(t) AS stop_ratio,
+      |    len(list_distinct(t)) * 1.0 / len(t) AS ttr,
+      |    LEAST(len(t) * 1.0 / 64.0, 1.0) AS len_score
+      |  FROM (SELECT doc_id,
+      |          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |        FROM documents)
+      |  WHERE len(t) > 0)
+      |ORDER BY doc_id""".stripMargin
+
+  // --- q42: language identification (marker-word heuristic) ---------------
+  // Deterministic n-gram/stopword heuristic: score each candidate language
+  // by marker-token hits, argmax with a fixed precedence. Confusion matrix
+  // (actual lang label × prediction) keeps the output compact.
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "les", "et", "une"))
+
+  def q42(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val withToks = Tables.documents(s, d).withColumn("toks", tokens($"text"))
+    val scored = markers.foldLeft(withToks) { case (df, (l, ws)) =>
+      df.withColumn(s"s_$l", size(filter($"toks", t => t.isInCollection(ws))))
+    }
+    scored
+      .withColumn("lang_pred",
+        when($"s_en" >= $"s_es" && $"s_en" >= $"s_de" && $"s_en" >= $"s_fr", "en")
+          .when($"s_es" >= $"s_de" && $"s_es" >= $"s_fr", "es")
+          .when($"s_de" >= $"s_fr", "de")
+          .otherwise("fr"))
+      .groupBy($"lang", $"lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"lang_pred")
+  }
+  val q42Sql: String =
+    """SELECT lang, lang_pred, COUNT(*) AS n_docs
+      |FROM (
+      |  SELECT lang,
+      |    CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+      |         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+      |         WHEN s_de >= s_fr THEN 'de'
+      |         ELSE 'fr' END AS lang_pred
+      |  FROM (
+      |    SELECT lang,
+      |      len(list_filter(t, x -> x IN ('the','a','and','of'))) AS s_en,
+      |      len(list_filter(t, x -> x IN ('el','la','de','y'))) AS s_es,
+      |      len(list_filter(t, x -> x IN ('der','die','und','das'))) AS s_de,
+      |      len(list_filter(t, x -> x IN ('le','les','et','une'))) AS s_fr
+      |    FROM (SELECT lang,
+      |            string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |          FROM documents)))
+      |GROUP BY lang, lang_pred
+      |ORDER BY lang, lang_pred""".stripMargin
+
+  // --- q43: exact dedup via md5 fingerprint -------------------------------
+  def q43(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.exact(Tables.documents(s, d), $"text", $"doc_id")
+      .filter($"keep")
+      .select($"doc_id", $"fp", $"n_copies")
+      .orderBy($"doc_id")
+  }
+  val q43Sql: String =
+    """SELECT doc_id, fp, n_copies FROM (
+      |  SELECT doc_id, fp,
+      |    COUNT(*) OVER (PARTITION BY fp) AS n_copies,
+      |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |  FROM (SELECT doc_id,
+      |          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |        FROM documents))
+      |WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
+  // --- q44: corpus bigram frequencies, top 50 -----------------------------
+  def q44(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("toks", tokens($"text"))
+      .filter(size($"toks") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"toks") - 1),
+        i => concat_ws(" ", slice($"toks", i, lit(2))))).as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bigram")
+      .limit(50)
+  }
+  val q44Sql: String =
+    """SELECT bigram, COUNT(*) AS n
+      |FROM (
+      |  SELECT unnest(list_transform(range(1, len(t)),
+      |    i -> t[i] || ' ' || t[i+1])) AS bigram
+      |  FROM (SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |        FROM documents)
+      |  WHERE len(t) >= 2)
+      |GROUP BY bigram
+      |ORDER BY n DESC, bigram
+      |LIMIT 50""".stripMargin
+
+  // --- q45: MinHash-LSH near-duplicate pairs ------------------------------
+  // The LSH candidate set is verified with exact Jaccard, and recall at
+  // threshold 0.6 is 1 - O(1e-7) (Dedup.nearDuplicatePairs) — so the
+  // output matches a brute-force all-pairs SQL oracle.
+  def q45(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.nearDuplicatePairs(Tables.documents(s, d), "doc_id", "text",
+      k = 3, threshold = 0.6)
+      .orderBy($"doc_a", $"doc_b")
+  }
+  val q45Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM (SELECT doc_id,
+      |          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |        FROM documents)
+      |  WHERE len(t) >= 3
+      |)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.s, b.s)) * 1.0
+      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --- q46: SimHash near-dup pairs (rows-only: sketch is Spark-hash-based)
+  def q46(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q40_token_stats", q40 _, Some(q40Sql)),
+    ("q41_quality_score", q41 _, Some(q41Sql)),
+    ("q42_lang_id", q42 _, Some(q42Sql)),
+    ("q43_dedup_exact", q43 _, Some(q43Sql)),
+    ("q44_bigram_freq", q44 _, Some(q44Sql)),
+    ("q45_neardup_minhash", q45 _, Some(q45Sql)),
+    ("q46_neardup_simhash", q46 _, None))
+}

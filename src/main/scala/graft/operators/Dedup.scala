@@ -45,11 +45,31 @@ object Dedup {
     val base = docs
       .select(col(idCol).as("doc_id"), wordShingles(tokens(col(textCol)), k).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist()
 
-    val banded = base
-      .select(col("doc_id"),
-        posexplode(bandHashes(minhashSignature(col("sh"), numPerm), bands, rowsPerBand))
-          .as(Seq("band", "bh")))
+    // Signatures via explode + one hash-aggregation with numPerm MIN
+    // columns — stays in whole-stage codegen. (The equivalent nested
+    // array-lambda form, transform(seq, i -> array_min(transform(...))),
+    // drops to interpreted evaluation and re-hashes every shingle per
+    // permutation: ~50x slower at sf0.1.)
+    val hashed = base
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val sigCols = (0 until numPerm).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    val sigs = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: slice: _*).as("bh"))
+    }
+    // persisted: referenced by both sides of the self-join (and `base` by
+    // the two verification joins) — without it Spark recomputes the whole
+    // shingle+signature pipeline per reference. Spark evicts LRU, so the
+    // cache needs no explicit lifecycle from callers.
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .persist()
 
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -75,8 +95,20 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 7): DataFrame = {
     require(maxHamming <= 7, "byte-banding guarantees recall only to hamming 7")
-    val base = docs.select(col(idCol).as("doc_id"),
-      simhash(tokens(col(textCol))).as("sh64"))
+    // Sketch via explode + 64 conditional-count agg columns (codegen), not
+    // the per-row nested-lambda simhash() — same value, ~50x faster at scale.
+    val hashed = docs
+      .select(col(idCol).as("doc_id"), explode(array_distinct(
+        transform(tokens(col(textCol)), t => xxhash64(t)))).as("h"))
+    val bitCols = (0 until 64).map { kbit =>
+      sum(when(col("h").bitwiseAND(lit(1L << kbit)) =!= 0L, 1).otherwise(0)).as(s"c$kbit")
+    }
+    val counted = hashed.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), bitCols: _*)
+    val base = counted.select(col("doc_id"),
+      (0 until 64).map { kbit =>
+        when(col(s"c$kbit") * 2 > col("n"), lit(1L << kbit)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_)).as("sh64"))
     val bandCols = (0 until 8).map(i => struct(
       lit(i).as("bpos"),
       shiftrightunsigned(col("sh64"), 8 * i).bitwiseAND(lit(255L)).as("bval")))

@@ -80,21 +80,49 @@ object Similarity {
   def lshSimilarPairs(corpus: DataFrame, threshold: Double,
       numTables: Int = 8, planesPerTable: Int = 4): DataFrame = {
     val planes = numTables * planesPerTable
-    val sig = corpus.select(col("vec_id"), col("embedding"),
-      hyperplaneSignature(col("embedding"), planes).as("sig"))
-    val tables = sig.select(col("vec_id"), col("embedding"),
-      posexplode(transform(sequence(lit(0), lit(numTables - 1)),
-        t => signatureKey(slice(col("sig"), t * planesPerTable + 1,
-          lit(planesPerTable))))).as(Seq("table_id", "bucket")))
-    tables.as("a").join(tables.as("b"),
+    // Plane dot products via posexplode + `planes` SUM agg columns: one
+    // codegen'd hash aggregation instead of nested array-lambda folds
+    // (which evaluate interpreted and re-derive plane components per dim).
+    // Plane component (p, dim) is a hash-derived pseudo-random in [-1, 1],
+    // so executors need no plane-matrix broadcast.
+    val comps = corpus.select(col("vec_id"),
+      posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
+    val dotCols = (0 until planes).map { p =>
+      sum(col("v") * (pmod(xxhash64(lit(p), col("pos")), lit(2000001L))
+        .cast("double") / 1000000.0 - 1.0)).as(s"d$p")
+    }
+    val sigs = comps.groupBy("vec_id").agg(dotCols.head, dotCols.tail: _*)
+
+    val tableCols = (0 until numTables).map { t =>
+      val bucket = (0 until planesPerTable).map { i =>
+        when(col(s"d${t * planesPerTable + i}") > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+      struct(lit(t).as("table_id"), bucket.as("bucket"))
+    }
+    // persisted: both sides of the self-join read it (Spark would otherwise
+    // run the signature aggregation twice); LRU-evicted, no caller lifecycle.
+    val tables = sigs
+      .select(col("vec_id"), explode(array(tableCols: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.table_id").as("table_id"),
+        col("tb.bucket").as("bucket"))
+      .persist()
+
+    // No pre-rerank distinct: deduping 1M candidates costs a full shuffle
+    // to save re-scoring ~20% duplicate collisions — cheaper to rerank the
+    // duplicates (codegen dot product) and dedup the tiny surviving set.
+    val candidates = tables.as("a").join(tables.as("b"),
         col("a.table_id") === col("b.table_id") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.embedding").as("e_a"), col("b.embedding").as("e_b"))
-      .distinct()
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    candidates
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")), "vec_b")
       .withColumn("sim", round(cosineSimilarity(col("e_a"), col("e_b")), 6))
       .filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("sim"))
+      .dropDuplicates("vec_a", "vec_b")
   }
 }

@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression for dense-vector dot products.
+  *
+  * The built-in composition `aggregate(zip_with(a, b, *), 0d, +)` is a
+  * higher-order function — HOFs are CodegenFallback, so every row pays
+  * interpreted evaluation plus boxing per element. This expression stays
+  * inside whole-stage codegen with a primitive double loop: ~10-50x faster
+  * on similarity rerank paths (millions of 64-dim dot products).
+  *
+  * Mixed lengths take the shorter prefix (callers align dimensions).
+  * Inputs must already be array<double> — use VectorFunctions.asDouble;
+  * no implicit coercion is declared (AbstractDataType is private[sql]).
+  */
+case class DotProductDouble(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int graft_n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double graft_s = 0.0;
+         |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
+         |  graft_s += $a.getDouble(graft_i) * $b.getDouble(graft_i);
+         |}
+         |${ev.value} = graft_s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotProductDouble = copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Column API for the native dot product; inputs must already be
+    * array<double> (see VectorFunctions.asDouble). */
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductDouble(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Make `dot_product(a, b)` callable from spark.sql text. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProductDouble(exprs.head, exprs(1)), "built-in")
+}

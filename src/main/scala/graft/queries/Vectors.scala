@@ -96,10 +96,13 @@ object Vectors {
   }
 
   // --- q54: cosine-LSH similar pairs (rows-only) --------------------------
+  // Random embeddings have no cluster structure, so bucket pruning is
+  // recall-bounded here (see SimilaritySpec for recall on structured data);
+  // 5-plane tables keep the demo's candidate volume ~6x below all-pairs.
   def q54(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Similarity.lshSimilarPairs(Tables.embeddings(s, d), threshold = 0.3,
-      numTables = 8, planesPerTable = 4)
+      numTables = 6, planesPerTable = 5)
       .orderBy($"vec_a", $"vec_b")
   }
 

@@ -88,4 +88,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((0L, 2L)), "near-dup within radius expected")
     assert(!pairs.contains((0L, 3L)) && !pairs.contains((1L, 3L)))
   }
+
+  test("native dot_product expression equals the built-in fold bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val pairs = emb.select(col("embedding").as("ea"))
+      .crossJoin(emb.select(col("embedding").as("eb")))
+    val maxDiff = pairs.select(abs(
+      VectorFunctions.dotProduct(col("ea"), col("eb")) -
+        VectorFunctions.dotProductFold(col("ea"), col("eb"))).as("d"))
+      .agg(max(col("d"))).head().getDouble(0)
+    assert(maxDiff == 0.0, s"codegen vs fold diverged by $maxDiff")
+  }
+
+  test("dot_product is callable from SQL after registration") {
+    graft.plans.VectorExpressions.register(spark)
+    val v = spark.sql(
+      "SELECT dot_product(CAST(array(1.0,2.0,3.0) AS ARRAY<DOUBLE>), " +
+        "CAST(array(4.0,5.0,6.0) AS ARRAY<DOUBLE>)) AS d").head().getDouble(0)
+    assert(v == 32.0)
+  }
 }

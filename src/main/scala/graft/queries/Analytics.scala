@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Final analytics surface pieces: statistical aggregates, the SQL-text
+  * entry point (the Metabase equivalent, SURVEY.md §3.3), the reference's
+  * own dashboard query on a generated crypto_prices series, and sketch
+  * aggregates.
+  */
+object Analytics {
+  import Q._
+
+  // --- q60: statistical aggregates ----------------------------------------
+  // Variance/stddev from exact decimal sums (sum, sum of squares), final
+  // arithmetic in double — deterministic in both engines, unlike the
+  // built-in stddev whose partial-merge order varies. Sample variance:
+  // (ssq - sum²/n) / (n-1).
+  def q60(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_q"),
+        sum(($"l_quantity".cast("decimal(18,2)") * $"l_quantity".cast("decimal(18,2)")))
+          .cast("double").as("ssq_q"),
+        min($"l_quantity").as("min_q"), max($"l_quantity").as("max_q"))
+      .select($"l_returnflag", $"n", $"min_q", $"max_q",
+        ($"sum_q" / $"n").as("mean_q"),
+        round((($"ssq_q" - $"sum_q" * $"sum_q" / $"n") / ($"n" - 1)), 6).as("var_q"),
+        round(sqrt(($"ssq_q" - $"sum_q" * $"sum_q" / $"n") / ($"n" - 1)), 6).as("stddev_q"))
+      .orderBy($"l_returnflag")
+  }
+  val q60Sql: String =
+    """SELECT l_returnflag, n, min_q, max_q,
+      |  sum_q / n AS mean_q,
+      |  ROUND((ssq_q - sum_q * sum_q / n) / (n - 1), 6) AS var_q,
+      |  ROUND(sqrt((ssq_q - sum_q * sum_q / n) / (n - 1)), 6) AS stddev_q
+      |FROM (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_q,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ssq_q,
+      |    MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q
+      |  FROM lineitem GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
+  // --- q61: SQL-text entry point over registered views ---------------------
+  // Ad-hoc SQL like Metabase issues against the warehouse
+  // (/root/reference/README.md:98-106): register every table as a view and
+  // run a textual query through Catalyst.
+  val q61Text: String =
+    """SELECT c_mktsegment, o_orderstatus,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |GROUP BY c_mktsegment, o_orderstatus
+      |ORDER BY c_mktsegment, o_orderstatus""".stripMargin
+  def q61(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(q61Text)
+  }
+
+  // --- q62: the reference's dashboard on a generated crypto series ---------
+  // Hourly price trend + hour-over-hour delta (README.md:43-45) over a
+  // deterministic 4-coin x 72-hour crypto_prices series generated in-engine
+  // (sequence+explode) and in the oracle (generate_series) from the same
+  // closed-form price. Exercises the full Tier-A data model end-to-end.
+  def q62(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val coins = Seq("bitcoin", "ethereum", "solana", "tether").zipWithIndex
+      .map { case (c, i) => (c, i) }.toDF("crypto_id", "coin_idx")
+    val series = coins
+      .select($"crypto_id", $"coin_idx",
+        explode(sequence(lit(0), lit(71))).as("h"))
+      .select($"crypto_id",
+        date_format(timestamp_seconds(
+          unix_timestamp(to_timestamp(lit("2024-01-01 00:00:00"))) + $"h" * 3600L),
+          "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        // single integer expression divided once by 10.0: both engines round
+        // to double exactly once, so values are bit-identical (two-step
+        // double addition could differ by 1 ulp between engines)
+        ((lit(1000) * ($"coin_idx" + 1) +
+          (($"h" * 31 + $"coin_idx" * 7) % 100)) / lit(10.0)).as("price_usd"),
+        $"h", $"coin_idx")
+    val w = Window.partitionBy($"crypto_id").orderBy($"h")
+    series.select($"crypto_id", $"hour_ts", $"price_usd",
+      ($"price_usd" - lag($"price_usd", 1).over(w)).as("delta_prev_hour"),
+      round(avg($"price_usd").over(w.rowsBetween(-5, 0)), 6).as("ma6"))
+      .orderBy($"crypto_id", $"hour_ts")
+  }
+  val q62Sql: String =
+    """WITH series AS (
+      |  SELECT crypto_id, coin_idx, h,
+      |    strftime(TIMESTAMP '2024-01-01 00:00:00' + h * INTERVAL 1 HOUR,
+      |             '%Y-%m-%d %H:%M:%S') AS hour_ts,
+      |    (1000 * (coin_idx + 1) + (h * 31 + coin_idx * 7) % 100) / CAST(10.0 AS DOUBLE) AS price_usd
+      |  FROM (VALUES ('bitcoin', 0), ('ethereum', 1), ('solana', 2), ('tether', 3))
+      |    AS coins(crypto_id, coin_idx),
+      |    (SELECT unnest(range(0, 72)) AS h)
+      |)
+      |SELECT crypto_id, hour_ts, price_usd,
+      |  price_usd - LAG(price_usd, 1) OVER w AS delta_prev_hour,
+      |  ROUND(AVG(price_usd) OVER (w ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 6) AS ma6
+      |FROM series
+      |WINDOW w AS (PARTITION BY crypto_id ORDER BY h)
+      |ORDER BY crypto_id, hour_ts""".stripMargin
+
+  // --- q63: approximate distinct (HLL sketch; rows-only) -------------------
+  // approx_count_distinct's HLL differs from DuckDB's implementation, so
+  // this is rows-only; AnalyticsSpec bounds its error against the exact
+  // count instead.
+  def q63(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("exact_parts"),
+        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
+      .orderBy($"l_returnflag")
+  }
+
+  def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q60_stat_aggs", q60 _, Some(q60Sql)),
+    ("q61_sql_entry", q61 _, Some(q61Text)),
+    ("q62_crypto_trend", q62 _, Some(q62Sql)),
+    ("q63_approx_distinct", q63 _, None))
+}

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface — the unbounded-time-series form of the
+  * reference's hourly poll (SURVEY.md §1.1: the "stream" is a cron-batched
+  * hourly extract; logically it is an event-time stream, so the engine
+  * exposes the same aggregations as streaming queries).
+  *
+  * - [[hourlyTrend]] is the streaming twin of queries.Events.q24 (the
+  *   dashboard aggregation) with an event-time watermark — the A10
+  *   freshness gate generalized: late data beyond the watermark is dropped
+  *   rather than silently skewing closed buckets.
+  * - [[sessionWindows]] is the streaming twin of q27 sessionization using
+  *   the built-in session_window.
+  * - [[userRunningCounts]] shows the custom-state escape hatch
+  *   (mapGroupsWithState) for logic windows can't express.
+  *
+  * All run with file sources + `Trigger.AvailableNow` (the faithful
+  * re-expression of the reference's catchup=False cron batch,
+  * dags/crypto-etl-pipeline-psql.py:136-138) and scale by partitioning on
+  * the group keys exactly like their batch twins.
+  */
+object Streams {
+
+  /** Streaming events source over a parquet directory. Schema is pinned
+    * from a batch read (streaming requires an explicit schema; ts arrives
+    * as long nanos, see Tables.events). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the testdata table is a single parquet file; the file stream source
+    // needs a directory, so stream the parent with a glob filter
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-hour windows per event type with a 2-hour watermark. */
+  def hourlyTrend(events: DataFrame): DataFrame = events
+    .withWatermark("ts_us", "2 hours")
+    .groupBy(window(col("ts_us"), "1 hour").as("w"), col("event_type"))
+    .agg(count(lit(1)).as("n_events"),
+      sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+      col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Event-time session windows (30-minute gap) per user. */
+  def sessionWindows(events: DataFrame): DataFrame = events
+    .withWatermark("ts_us", "2 hours")
+    .groupBy(session_window(col("ts_us"), "30 minutes").as("sw"), col("user_id"))
+    .agg(count(lit(1)).as("n_events"))
+    .select(col("user_id"),
+      date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+      col("n_events"))
+
+  /** Custom keyed state: running event count + last-seen type per user.
+    * The mapGroupsWithState escape hatch for semantics that windows cannot
+    * express (cross-batch accumulators, custom timeouts). */
+  final case class UserState(n: Long, lastType: String)
+  final case class UserUpdate(user_id: Long, n_events: Long, last_type: String)
+
+  def userRunningCounts(spark: SparkSession, events: DataFrame): Dataset[UserUpdate] = {
+    import spark.implicits._
+    events.select(col("user_id").as[Long], col("event_type").as[String],
+        col("ts").as[Long])
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserUpdate](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserState]) =>
+          val sorted = rows.toSeq.sortBy(_._3)
+          val prev = state.getOption.getOrElse(UserState(0L, ""))
+          val next = UserState(prev.n + sorted.size,
+            sorted.lastOption.map(_._2).getOrElse(prev.lastType))
+          state.update(next)
+          UserUpdate(uid, next.n, next.lastType)
+      }
+  }
+
+  /** Run a streaming DataFrame to completion against the backlog (one
+    * AvailableNow pass), materialized in a memory sink; returns the sink
+    * contents. Complete mode so closed-and-open windows are all visible —
+    * batch-equivalence tests compare against the batch twin. */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  def runDatasetToMemory[T](spark: SparkSession, ds: Dataset[T], name: String,
+      mode: OutputMode): DataFrame = runToMemory(spark, ds.toDF(), name, mode)
+}

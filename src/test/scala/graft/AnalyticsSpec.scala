@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct lands within its rsd bound of the exact count") {
+    val rows = queries.Analytics.q63(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val approx = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.10,
+        s"approx $approx vs exact $exact for ${r.getString(0)}")
+    }
+  }
+
+  test("SQL-text entry point answers ad-hoc queries over registered views") {
+    val df = queries.Analytics.q61(spark, sf)
+    assert(df.count() > 0)
+    // and arbitrary follow-up SQL works against the same catalog state
+    val n = spark.sql("SELECT COUNT(*) AS n FROM lineitem").head().getLong(0)
+    assert(n > 0)
+  }
+
+  test("crypto trend series: 4 coins x 72 hours, deltas sum to net move") {
+    val rows = queries.Analytics.q62(spark, sf).collect()
+    assert(rows.length == 288)
+    val perCoin = rows.groupBy(_.getString(0))
+    assert(perCoin.keySet == Set("bitcoin", "ethereum", "solana", "tether"))
+    perCoin.foreach { case (_, rs) =>
+      assert(rs.head.isNullAt(3), "first hour has no previous-hour delta")
+      val deltas = rs.drop(1).map(_.getDouble(3)).sum
+      val net = rs.last.getDouble(2) - rs.head.getDouble(2)
+      assert(math.abs(deltas - net) < 1e-9)
+    }
+  }
+}

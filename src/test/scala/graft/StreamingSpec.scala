@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming hourly trend equals the batch dashboard aggregation") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.hourlyTrend(Streams.eventsStream(spark, sf)), "trend_stream")
+      .select("hour_start", "event_type", "n_events", "sum_value")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = queries.Events.q24(spark, sf)
+      .select(col("hour_start"), col("event_type"), col("n_events"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed == batch,
+      s"stream/batch divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+  }
+
+  test("streaming session windows cover every user with plausible sessions") {
+    val sessions = Streams.runToMemory(spark,
+      Streams.sessionWindows(Streams.eventsStream(spark, sf)), "session_stream")
+    val perUser = sessions.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(perUser.size == users, "every user must have at least one session")
+    assert(perUser.values.forall(_ >= 1))
+    // session count per user must match the batch sessionizer's
+    val batchSessions = queries.Events.q27(spark, sf)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perUser == batchSessions,
+      "streaming session_window and batch lag+cumsum sessionizer disagree")
+  }
+
+  test("mapGroupsWithState accumulates per-user counts across the stream") {
+    val updates = Streams.runDatasetToMemory(spark,
+      Streams.userRunningCounts(spark, Streams.eventsStream(spark, sf)),
+      "user_state_stream", OutputMode.Update())
+    // final state per user = total events for that user
+    val finalCounts = updates.groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Tables.events(spark, sf).groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalCounts == expected)
+  }
+}

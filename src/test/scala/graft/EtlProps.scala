@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import graft.etl.{Schemas, Upsert}
+import graft.operators.Dedup
+
+/** Property-based checks (SURVEY.md §5.3): upsert idempotency and dedup
+  * invariants over arbitrary generated batches. */
+object EtlProps extends Properties("graft.etl") {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+  private val rowGen: Gen[(String, Double, Timestamp)] = for {
+    coin <- Gen.oneOf("bitcoin", "ethereum", "tether", "solana", "doge")
+    price <- Gen.choose(0, 100000).map(_ / 100.0)
+    hour <- Gen.choose(0, 5)
+  } yield (coin, price, new Timestamp(t0 + hour * 3600000L))
+
+  private val batchGen: Gen[List[(String, Double, Timestamp)]] =
+    Gen.listOfN(12, rowGen)
+
+  property("upsert is idempotent: applying a batch twice equals once") =
+    forAll(batchGen) { batch =>
+      import spark.implicits._
+      val df = batch.toDF("crypto_id", "price_usd", "extracted_at")
+      val once = Upsert(df.limit(0), df, Schemas.priceKeys)
+      val twice = Upsert(once, df, Schemas.priceKeys)
+      once.count() == twice.count() &&
+        once.count() == batch.map(r => (r._1, r._3)).distinct.size
+    }
+
+  property("upsert never replaces an existing key's value") =
+    forAll(batchGen, batchGen) { (a, b) =>
+      import spark.implicits._
+      val ex = a.toDF("crypto_id", "price_usd", "extracted_at")
+        .dropDuplicates(Schemas.priceKeys)
+      val inc = b.toDF("crypto_id", "price_usd", "extracted_at")
+      val after = Upsert(ex, inc, Schemas.priceKeys)
+      val exMap = ex.collect().map(r => (r.getString(0), r.getTimestamp(2)) -> r.getDouble(1)).toMap
+      after.collect().forall { r =>
+        exMap.get((r.getString(0), r.getTimestamp(2)))
+          .forall(_ == r.getDouble(1))
+      }
+    }
+
+  private val textGen: Gen[List[String]] = Gen.listOfN(8,
+    Gen.listOfN(6, Gen.oneOf("spark", "data", "merge", "join", "scan", "row"))
+      .map(_.mkString(" ")))
+
+  property("exact dedup keeps exactly one representative per distinct text") =
+    forAll(textGen) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val kept = Dedup.exact(docs, $"text", $"doc_id").filter($"keep")
+      kept.count() == texts.map(_.trim.toLowerCase.replaceAll("\\s+", " ")).distinct.size
+    }
+}

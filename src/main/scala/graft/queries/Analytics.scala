@@ -121,9 +121,87 @@ object Analytics {
       .orderBy($"l_returnflag")
   }
 
+  // --- q64: scalar + correlated subqueries, HAVING -------------------------
+  // Parts priced above the global average whose brand's average size beats
+  // the part's own size; brands kept only when they retain > 3 such parts.
+  // Spark side states the same semantics with joins against aggregated
+  // frames (the plan Catalyst would decorrelate the SQL into anyway).
+  def q64(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.part(s, d)
+    val globalAvg = p.agg(
+      (sum($"p_retailprice".cast("decimal(18,4)")).cast("double") / count(lit(1)))
+        .as("g"))
+    val brandAvgSize = p.groupBy($"p_brand".as("b_brand"))
+      .agg((sum($"p_size".cast("decimal(18,2)")).cast("double") / count(lit(1)))
+        .as("brand_avg_size"))
+    p.crossJoin(globalAvg)
+      .filter($"p_retailprice" > $"g")
+      .join(brandAvgSize, $"p_brand" === $"b_brand")
+      .filter($"brand_avg_size" > $"p_size")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_parts"), dsum($"p_retailprice").as("sum_price"))
+      .filter($"n_parts" > 3)
+      .orderBy($"p_brand")
+  }
+  val q64Sql: String =
+    """SELECT p_brand, COUNT(*) AS n_parts,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM part p
+      |WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) FROM part)
+      |  AND (SELECT CAST(SUM(CAST(p2.p_size AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |       FROM part p2 WHERE p2.p_brand = p.p_brand) > p_size
+      |GROUP BY p_brand
+      |HAVING COUNT(*) > 3
+      |ORDER BY p_brand""".stripMargin
+
+  // --- q65: IN / NOT IN subqueries ----------------------------------------
+  def q65(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bigOrders = Tables.orders(s, d).filter($"o_totalprice" > 400000)
+      .select($"o_custkey")
+    val c = Tables.customer(s, d)
+    c.join(bigOrders, $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_big_spenders"), dsum($"c_acctbal").as("sum_bal"))
+      .orderBy($"c_mktsegment")
+  }
+  val q65Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_big_spenders,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // --- q66: exact percentiles / median ------------------------------------
+  // Both engines interpolate continuous quantiles with the same
+  // p*(n-1)-position definition; round(6) absorbs last-bit noise.
+  def q66(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 6).as("p99"))
+      .orderBy($"o_orderpriority")
+  }
+  val q66Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+      |  ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q60_stat_aggs", q60 _, Some(q60Sql)),
     ("q61_sql_entry", q61 _, Some(q61Text)),
     ("q62_crypto_trend", q62 _, Some(q62Sql)),
-    ("q63_approx_distinct", q63 _, None))
+    ("q63_approx_distinct", q63 _, None),
+    ("q64_subqueries", q64 _, Some(q64Sql)),
+    ("q65_in_subquery", q65 _, Some(q65Sql)),
+    ("q66_percentiles", q66 _, Some(q66Sql)))
 }

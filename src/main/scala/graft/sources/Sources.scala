@@ -1,0 +1,69 @@
+package graft.sources
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+import graft.etl.Upsert
+
+/** Source/sink surface (SURVEY.md §2 Tier B "Scans/sources" row): parquet,
+  * CSV, JSON-lines, and the JDBC parity path for the reference's Postgres
+  * warehouse. Schemas are always explicit — inference is a correctness
+  * hazard in production paths (SURVEY.md §1.2) and costs an extra pass.
+  */
+object Sources {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(path)
+
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .json(path)
+
+  def writeParquet(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).parquet(path)
+
+  def writeCsv(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(path)
+
+  def writeJsonLines(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .json(path)
+
+  /** JDBC read with predicate pushdown left to Spark's JDBC source
+    * (`PushedFilters` reach the remote WHERE clause). Postgres-parity path;
+    * not exercised in this container (no database), the API mirrors the
+    * parquet loaders so swapping storage is a one-line change. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      props: Properties = new Properties()): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  /** The reference's `INSERT ... ON CONFLICT DO NOTHING` load
+    * (/root/reference/dags/crypto-etl-pipeline-psql.py:85-98) against a
+    * JDBC warehouse: anti-join the batch against current keys, then a
+    * batched append (Spark's JDBC writer uses addBatch/executeBatch —
+    * the same executemany shape as the reference). Single-writer per table,
+    * like the reference's linear DAG. Not live-tested here (no database);
+    * the anti-join core is the unit/oracle-tested [[Upsert]]. */
+  def jdbcInsertIfAbsent(spark: SparkSession, incoming: DataFrame, url: String,
+      table: String, keys: Seq[String], props: Properties = new Properties(),
+      batchSize: Int = 1000): Unit = {
+    val existing = spark.read.jdbc(url, table, props)
+    val fresh = Upsert.newRows(existing, incoming, keys)
+    fresh.write.mode(SaveMode.Append)
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, table, props)
+  }
+}

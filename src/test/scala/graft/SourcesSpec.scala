@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Sources
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  test("csv round-trip preserves rows and schema") {
+    val df = queries.Relational.q01(spark, "/root/testdata/sf0.001")
+    val path = tmp("graft_csv")
+    Sources.writeCsv(df, path)
+    val back = Sources.readCsv(spark, path, df.schema)
+    // file sources surface everything nullable; compare names + types
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().toSet == df.collect().toSet)
+  }
+
+  test("json-lines round-trip preserves rows") {
+    val df = queries.Relational.q14(spark, "/root/testdata/sf0.001")
+    val path = tmp("graft_json")
+    Sources.writeJsonLines(df, path)
+    val back = Sources.readJsonLines(spark, path, df.schema)
+    assert(back.collect().toSet == df.collect().toSet)
+  }
+
+  test("parquet round-trip preserves rows") {
+    val df = queries.Relational.q12(spark, "/root/testdata/sf0.001")
+    val path = tmp("graft_parq")
+    Sources.writeParquet(df, path)
+    assert(Sources.readParquet(spark, path).collect().toSet == df.collect().toSet)
+  }
+}

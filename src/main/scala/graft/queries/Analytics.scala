@@ -196,6 +196,72 @@ object Analytics {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // --- q67: GROUPING SETS (SQL text through both engines) ------------------
+  val q67Text: String =
+    """SELECT
+      |  CASE WHEN GROUPING(c_mktsegment) = 1 THEN '(all)' ELSE c_mktsegment END AS segment,
+      |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)' ELSE o_orderstatus END AS status,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus), (c_mktsegment), (o_orderstatus))
+      |ORDER BY segment, status""".stripMargin
+  def q67(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(q67Text)
+  }
+
+  // --- q68: array functions over tokenized documents -----------------------
+  def q68(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.tokens
+    Tables.documents(s, d)
+      .filter($"doc_id" < 100)
+      .withColumn("toks", tokens($"text"))
+      .select($"doc_id",
+        concat_ws(",", slice($"toks", 1, 3)).as("first3"),
+        concat_ws(",", slice(array_sort($"toks"), 1, 3)).as("sorted3"),
+        concat_ws(",", slice(reverse($"toks"), 1, 3)).as("last3_rev"),
+        array_contains($"toks", "spark").as("has_spark"),
+        array_max($"toks").as("max_tok"),
+        array_position($"toks", "data").cast("long").as("first_data_pos"))
+      .orderBy($"doc_id")
+  }
+  val q68Sql: String =
+    """SELECT doc_id,
+      |  array_to_string(t[1:3], ',') AS first3,
+      |  array_to_string(list_sort(t)[1:3], ',') AS sorted3,
+      |  array_to_string(list_reverse(t)[1:3], ',') AS last3_rev,
+      |  list_contains(t, 'spark') AS has_spark,
+      |  list_aggregate(t, 'max') AS max_tok,
+      |  CAST(COALESCE(list_position(t, 'data'), 0) AS BIGINT) AS first_data_pos
+      |FROM (SELECT doc_id,
+      |        string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |      FROM documents)
+      |WHERE doc_id < 100
+      |ORDER BY doc_id""".stripMargin
+
+  // --- q69: map functions over JSON payloads -------------------------------
+  def q69(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .filter($"event_id" < 300)
+      .withColumn("m", from_json($"props", org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
+      .select($"event_id",
+        concat_ws(",", map_keys($"m")).as("keys_csv"),
+        size($"m").as("n_keys"),
+        element_at($"m", "k").as("k_val"))
+      .orderBy($"event_id")
+  }
+  val q69Sql: String =
+    """SELECT event_id,
+      |  array_to_string(json_keys(props), ',') AS keys_csv,
+      |  CAST(len(json_keys(props)) AS INT) AS n_keys,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+      |FROM events
+      |WHERE event_id < 300
+      |ORDER BY event_id""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q60_stat_aggs", q60 _, Some(q60Sql)),
     ("q61_sql_entry", q61 _, Some(q61Text)),
@@ -203,5 +269,8 @@ object Analytics {
     ("q63_approx_distinct", q63 _, None),
     ("q64_subqueries", q64 _, Some(q64Sql)),
     ("q65_in_subquery", q65 _, Some(q65Sql)),
-    ("q66_percentiles", q66 _, Some(q66Sql)))
+    ("q66_percentiles", q66 _, Some(q66Sql)),
+    ("q67_grouping_sets", q67 _, Some(q67Text)),
+    ("q68_array_funcs", q68 _, Some(q68Sql)),
+    ("q69_map_funcs", q69 _, Some(q69Sql)))
 }

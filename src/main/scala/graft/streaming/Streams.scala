@@ -97,4 +97,23 @@ object Streams {
 
   def runDatasetToMemory[T](spark: SparkSession, ds: Dataset[T], name: String,
       mode: OutputMode): DataFrame = runToMemory(spark, ds.toDF(), name, mode)
+
+  /** Streaming insert-if-absent sink: each micro-batch goes through the
+    * same anti-join upsert as the batch pipeline (A8), making the sink
+    * idempotent — exactly-once results even when a batch replays after a
+    * checkpoint recovery. This is the foreachBatch pattern the Tier-B
+    * "Sinks" row calls for. Blocks until the AvailableNow backlog drains. */
+  def upsertSink(stream: DataFrame, tablePath: String, keys: Seq[String],
+      checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.etl.Upsert.intoParquet(batch.sparkSession, batch, tablePath, keys)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

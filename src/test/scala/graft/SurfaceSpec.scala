@@ -1,0 +1,89 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.file.Files
+
+import com.sun.net.httpserver.HttpServer
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.{Http, Ingest, Warehouse}
+import graft.functions.Aggregators
+import graft.streaming.Streams
+
+/** Coverage for the remaining Tier-A/B surface: HTTP sensor+extract against
+  * a local server, catalog DDL, the streaming upsert sink, and the typed
+  * Aggregator UDAF. */
+class SurfaceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("HTTP sensor + extract against a live local endpoint (A1/A2)") {
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    val payload = """{"bitcoin": {"usd": 67210.0}, "tether": {"usd": 0.99}}"""
+    server.createContext("/ping", ex => {
+      val body = """{"gecko_says":"(V3) To the Moon!"}""".getBytes
+      ex.sendResponseHeaders(200, body.length); ex.getResponseBody.write(body); ex.close()
+    })
+    server.createContext("/price", ex => {
+      val body = payload.getBytes
+      ex.sendResponseHeaders(200, body.length); ex.getResponseBody.write(body); ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://localhost:${server.getAddress.getPort}"
+      assert(Http.available(s"$base/ping", "gecko"), "sensor predicate must pass")
+      assert(!Http.available(s"$base/ping", "absent-marker"))
+      assert(!Http.available(s"http://localhost:1/nope", "x"), "conn refused = unavailable")
+      val (code, body) = Http.get(s"$base/price")
+      assert(code == 200)
+      val ts = java.sql.Timestamp.valueOf("2024-01-15 12:00:00")
+      val rows = Ingest.pivotPrices(spark, body, ts).collect()
+      assert(rows.map(_.getString(0)).sorted.toSeq == Seq("bitcoin", "tether"))
+    } finally server.stop(0)
+  }
+
+  test("warehouse DDL: ensure is idempotent, catalog and path views agree (A3)") {
+    val loc = Files.createTempDirectory("graft_wh").toString + "/crypto_prices"
+    Warehouse.dropTable(spark, "crypto_prices_t")
+    Warehouse.ensureTable(spark, "crypto_prices_t", loc)
+    Warehouse.ensureTable(spark, "crypto_prices_t", loc) // IF NOT EXISTS
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-15 12:00:00")
+    Seq(("bitcoin", 1.0, ts)).toDF("crypto_id", "price_usd", "extracted_at")
+      .write.mode("append").parquet(loc)
+    spark.sql("REFRESH TABLE crypto_prices_t")
+    assert(Warehouse.table(spark, "crypto_prices_t").count() == 1)
+    assert(spark.sql("SELECT max(price_usd) FROM crypto_prices_t").head().getDouble(0) == 1.0)
+    Warehouse.dropTable(spark, "crypto_prices_t")
+  }
+
+  test("streaming upsert sink is idempotent across checkpoint replays") {
+    val dir = Files.createTempDirectory("graft_sink").toString
+    val table = s"$dir/table"
+    def run(ckpt: String): Unit = Streams.upsertSink(
+      Streams.eventsStream(spark, "/root/testdata/sf0.001")
+        .select(col("event_id"), col("event_type"), col("value")),
+      table, Seq("event_id"), s"$dir/$ckpt")
+    run("ckpt1")
+    val n1 = spark.read.parquet(table).count()
+    // fresh checkpoint forces the whole backlog to replay — the sink's
+    // anti-join must make the second pass a no-op
+    run("ckpt2")
+    val n2 = spark.read.parquet(table).count()
+    val expected = Tables.events(spark, "/root/testdata/sf0.001").count()
+    assert(n1 == expected && n2 == expected)
+  }
+
+  test("typed Aggregator UDAF: weighted_mean from SQL") {
+    Aggregators.register(spark)
+    import spark.implicits._
+    Seq((10.0, 1.0), (20.0, 3.0)).toDF("v", "w").createOrReplaceTempView("wm_in")
+    val got = spark.sql("SELECT weighted_mean(v, w) AS wm FROM wm_in").head().getDouble(0)
+    assert(math.abs(got - 17.5) < 1e-12)
+  }
+}

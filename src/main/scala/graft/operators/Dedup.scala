@@ -86,6 +86,37 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Winnowing fingerprint sketch (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
+    * per document, hash every k-token shingle (md5-prefix, so the oracle
+    * can state the identical hash), then keep the minimum hash of each
+    * sliding window of `w` consecutive shingles. Guarantees any shared run
+    * of ≥ w+k-1 tokens between two documents shares a fingerprint, at
+    * ~1/w the full shingle-set size. Returns distinct (doc_id, fp).
+    *
+    * Plumbing is posexplode + a windowed MIN — one shuffle on doc_id, all
+    * codegen; the window hash is a hex string so MIN is lexicographic in
+    * both engines. */
+  def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    val shingled = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(wordShingles2(tokens(col(textCol)), k)).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"), substring(md5(col("s")), 1, 16).as("h"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    shingled
+      .select(col("doc_id"), min(col("h")).over(byDoc).as("fp"))
+      .distinct()
+  }
+
+  /** Ordered (non-distinct) k-shingles — winnowing needs positional runs,
+    * unlike the set-based MinHash path. */
+  private def wordShingles2(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
   /** SimHash near-dup pairs (idA < idB) within `maxHamming` bits.
     * Candidates by banding the 64-bit sketch into its 8 bytes: two sketches
     * within hamming ≤ 7 must agree on at least one whole byte (pigeonhole),

@@ -209,6 +209,35 @@ object Text {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  // --- q47: winnowing fingerprint sketches (rolling-hash fingerprinting) --
+  def q47(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.winnowingFingerprints(Tables.documents(s, d), "doc_id", "text", k = 4, w = 4)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("sketch_size"),
+        min($"fp").as("min_fp"), max($"fp").as("max_fp"))
+      .orderBy($"doc_id")
+  }
+  val q47Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, i AS pos,
+      |    substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]), 1, 16) AS h
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i
+      |        FROM toks WHERE len(t) >= 4)
+      |), wm AS (
+      |  SELECT doc_id,
+      |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      |  FROM sh
+      |)
+      |SELECT doc_id, COUNT(DISTINCT fp) AS sketch_size,
+      |  MIN(fp) AS min_fp, MAX(fp) AS max_fp
+      |FROM wm GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_token_stats", q40 _, Some(q40Sql)),
     ("q41_quality_score", q41 _, Some(q41Sql)),
@@ -216,5 +245,6 @@ object Text {
     ("q43_dedup_exact", q43 _, Some(q43Sql)),
     ("q44_bigram_freq", q44 _, Some(q44Sql)),
     ("q45_neardup_minhash", q45 _, Some(q45Sql)),
-    ("q46_neardup_simhash", q46 _, None))
+    ("q46_neardup_simhash", q46 _, None),
+    ("q47_winnowing", q47 _, Some(q47Sql)))
 }

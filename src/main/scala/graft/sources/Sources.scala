@@ -42,6 +42,18 @@ object Sources {
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .json(path)
 
+  /** Bucketed managed table: co-locates data by join key so repeated joins
+    * and aggregations on that key run with NO shuffle exchange — the lake
+    * layout the scale design assumes for fact-fact joins (orderkey,
+    * user_id). Sorted within buckets, so sort-merge joins also skip the
+    * sort. SourcesSpec proves the exchange-free join plan. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** JDBC read with predicate pushdown left to Spark's JDBC source
     * (`PushedFilters` reach the remote WHERE clause). Postgres-parity path;
     * not exercised in this container (no database), the API mirrors the

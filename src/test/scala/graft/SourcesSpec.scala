@@ -42,4 +42,28 @@ class SourcesSpec extends AnyFunSuite {
     Sources.writeParquet(df, path)
     assert(Sources.readParquet(spark, path).collect().toSet == df.collect().toSet)
   }
+
+  test("bucketed tables join without a shuffle exchange") {
+    import org.apache.spark.sql.functions.col
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+    val l = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    Sources.writeBucketed(o, "orders_b", "o_orderkey", 4)
+    Sources.writeBucketed(l.select(col("l_orderkey"), col("l_quantity")),
+      "lineitem_b", "l_orderkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+      assert(joined.count() == l.count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
 }

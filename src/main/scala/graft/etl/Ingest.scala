@@ -40,6 +40,14 @@ object Ingest {
     parsed
   }
 
+  /** Typed API boundary (SURVEY.md §1.3): the same pivot as a
+    * Dataset[CryptoPrice] for consumers that want compile-time fields. */
+  def pivotPricesTyped(spark: SparkSession, rawJson: String,
+      extractedAt: Timestamp): org.apache.spark.sql.Dataset[CryptoPrice] = {
+    import spark.implicits._
+    pivotPrices(spark, rawJson, extractedAt).as[CryptoPrice]
+  }
+
   /** File-source variant for tests and batch replay: a directory/file of
     * JSON payload lines. At scale this is the shape of an ingest landing
     * zone — one payload per poll, parallel parse on executors. */

@@ -86,4 +86,28 @@ class SurfaceSpec extends AnyFunSuite {
     val got = spark.sql("SELECT weighted_mean(v, w) AS wm FROM wm_in").head().getDouble(0)
     assert(math.abs(got - 17.5) < 1e-12)
   }
+
+  test("salted join equals the plain join on skewed keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // hot key: 0 owns 90% of the large side
+    val large = (0 until 2000).map(i => (if (i < 1800) 0L else i.toLong % 50, i.toLong))
+      .toDF("k", "row_id")
+    val small = (0 until 50).map(i => (i.toLong, s"dim_$i")).toDF("k", "attr")
+    val plain = large.join(small, "k").select("k", "row_id", "attr")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val salted = graft.operators.Skew.saltedJoin(large, small, "k", "row_id", 8)
+      .select("k", "row_id", "attr")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("typed Dataset API: pivot yields Dataset[CryptoPrice]") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-15 12:00:00")
+    val ds = Ingest.pivotPricesTyped(spark,
+      """{"bitcoin":{"usd":67210.0}}""", ts)
+    val row: graft.etl.CryptoPrice = ds.head()
+    assert(row.crypto_id == "bitcoin" && row.price_usd == 67210.0 &&
+      row.extracted_at == ts)
+  }
 }

@@ -98,6 +98,15 @@ object Streams {
   def runDatasetToMemory[T](spark: SparkSession, ds: Dataset[T], name: String,
       mode: OutputMode): DataFrame = runToMemory(spark, ds.toDF(), name, mode)
 
+  /** Stateful streaming dedup: drop repeated keys arriving within the
+    * watermark horizon (the bounded-state form of exact dedup for streams —
+    * state for a key is released once the watermark passes it, so memory is
+    * proportional to the horizon, not the stream). */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame = events
+    .withWatermark("ts_us", watermark)
+    .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Streaming insert-if-absent sink: each micro-batch goes through the
     * same anti-join upsert as the batch pipeline (A8), making the sink
     * idempotent — exactly-once results even when a batch replays after a

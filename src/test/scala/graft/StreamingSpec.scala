@@ -58,4 +58,24 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(finalCounts == expected)
   }
+
+  test("dropDuplicatesWithinWatermark removes replayed events") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // a directory holding the same events file twice = a stream with every
+    // record duplicated
+    val dir = Files.createTempDirectory("graft_dup").toString
+    val src = Paths.get(s"$sf/events.parquet")
+    Files.copy(src, Paths.get(s"$dir/events_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(src, Paths.get(s"$dir/events_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+    val deduped = Streams.runToMemory(spark,
+      Streams.dedupWithinWatermark(stream, Seq("event_id")),
+      "dedup_stream", org.apache.spark.sql.streaming.OutputMode.Append())
+    val expected = Tables.events(spark, sf).count()
+    assert(deduped.count() == expected,
+      s"expected $expected distinct events, got ${deduped.count()}")
+  }
 }

@@ -48,15 +48,19 @@ object Vectors {
       .groupBy($"label")
       .agg(count(lit(1)).as("n_vecs"),
         max(size($"embedding")).as("dim"),
-        (sum($"norm".cast("decimal(18,9)")).cast("double") / count(lit(1)))
+        // round(6): the decimal(18,9) snap of arbitrary doubles can differ
+        // between engines by one last-digit unit near rounding boundaries
+        // (Spark rounds the exact binary expansion, DuckDB multiply+llround)
+        // — the final rounding gives ~1e5x margin over that noise.
+        round(sum($"norm".cast("decimal(18,9)")).cast("double") / count(lit(1)), 6)
           .as("avg_norm"))
       .orderBy($"label")
   }
   val q51Sql: String =
     """SELECT label, COUNT(*) AS n_vecs,
       |  MAX(len(embedding)) AS dim,
-      |  CAST(SUM(CAST(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-      |    AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_norm
+      |  ROUND(CAST(SUM(CAST(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      |    AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS avg_norm
       |FROM embeddings
       |GROUP BY label
       |ORDER BY label""".stripMargin
@@ -69,13 +73,14 @@ object Vectors {
     Tables.embeddings(s, d)
       .select($"label", posexplode(asDouble($"embedding")).as(Seq("pos", "v")))
       .groupBy($"label", $"pos")
-      .agg((sum($"v".cast("decimal(18,9)")).cast("double") / count(lit(1)))
+      // round(6) margin over decimal-snap boundary noise — see q51 note
+      .agg(round(sum($"v".cast("decimal(18,9)")).cast("double") / count(lit(1)), 6)
         .as("centroid_v"))
       .orderBy($"label", $"pos")
   }
   val q52Sql: String =
     """SELECT label, pos,
-      |  CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid_v
+      |  ROUND(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS centroid_v
       |FROM (
       |  SELECT label,
       |    unnest(range(0, len(embedding))) AS pos,

@@ -41,10 +41,16 @@ object Q {
   /** Exact sum of a 2-decimal double column. */
   def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
-  /** Sum of an arbitrary double column through a 4-decimal snap.
-    * (Boundary collisions need the double to sit within ~1e-11 of a .00005
-    * boundary — vanishing for non-decimal-valued data like o_totalprice.) */
-  def dsum4(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+  /** Sum of an arbitrary (non-2-decimal) double column: 4-decimal snap for
+    * exact cross-engine summation, then a 2-decimal round of the total.
+    * The snap alone is not safe for arbitrary doubles — Spark rounds the
+    * exact binary expansion while DuckDB multiplies by 1e4 and llrounds,
+    * and for magnitudes ~1e5 they disagree on ~1 value in 3e6 (observed
+    * live in the centroid query at sf0.1). The final round gives ~50x
+    * margin over a single-flip error (1e-4 vs the 0.005 grid).
+    * Oracle form: ROUND(CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE), 2) */
+  def dsum4(c: Column): Column =
+    round(sum(c.cast("decimal(18,4)")).cast("double"), 2)
 
   /** Deterministic average: exact decimal sum, one double division. */
   def davg(c: Column): Column =

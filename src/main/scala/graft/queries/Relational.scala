@@ -231,7 +231,7 @@ object Relational {
   }
   val q08Sql: String =
     """SELECT c_custkey, c_name, c_mktsegment, COUNT(o_orderkey) AS n_orders,
-      |  CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS sum_spent
+      |  ROUND(CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_spent
       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_custkey, c_name, c_mktsegment
       |ORDER BY c_custkey""".stripMargin
@@ -365,7 +365,7 @@ object Relational {
       |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)' ELSE o_orderstatus END AS status,
       |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)' ELSE o_orderpriority END AS priority,
       |  COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
       |FROM orders
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
@@ -615,8 +615,8 @@ object Relational {
   }
   val q22Sql: String =
     """SELECT tier, status_label, COUNT(*) AS n,
-      |  CAST(SUM(CAST(floor_price AS DECIMAL(18,4))) AS DOUBLE) AS sum_floor,
-      |  CAST(SUM(CAST(cap_price AS DECIMAL(18,4))) AS DOUBLE) AS sum_cap
+      |  ROUND(CAST(SUM(CAST(floor_price AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_floor,
+      |  ROUND(CAST(SUM(CAST(cap_price AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_cap
       |FROM (
       |  SELECT o_orderkey,
       |    CASE WHEN o_totalprice > 300000 THEN 'high'

@@ -71,6 +71,40 @@ object QualityGate {
       case r => r
     }
 
+  /** Zero-extra-pass gate: metrics ride along the main action via
+    * `df.observe` (a CollectMetrics node in the same plan), so the gate
+    * costs nothing beyond the write/aggregation the pipeline already runs —
+    * the Soda re-scan of the reference
+    * (dags/crypto-etl-pipeline-psql.py:109-130) collapses into the load
+    * itself. Usage: attach, run your action on the returned frame, then
+    * [[observedResult]]. */
+  def attachObservation(df: DataFrame, valueCol: String = "price_usd",
+      tsCol: String = "extracted_at"): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs,
+      min(col(valueCol)).as("min_value"),
+      max(col(tsCol)).as("max_ts"),
+      count(lit(1)).as("n_rows"))
+    (observed, obs)
+  }
+
+  /** Evaluate the severity ladder from a completed observation (the
+    * duplicate-key check needs its own aggregation and is not part of the
+    * ride-along metrics). */
+  def observedResult(obs: org.apache.spark.sql.Observation, now: Timestamp,
+      warnAfterHours: Long = 2, failAfterHours: Long = 6): GateResult = {
+    val m = obs.get
+    val n = m("n_rows").asInstanceOf[Long]
+    if (n == 0L) return Fail("empty table")
+    val minV = Option(m("min_value")).map(_.asInstanceOf[Double])
+    if (minV.exists(_ < 0)) return Fail(s"min = ${minV.get} < 0")
+    val staleHours = Option(m("max_ts")).map(_.asInstanceOf[Timestamp])
+      .map(ts => (now.getTime - ts.getTime) / 3600000L).getOrElse(Long.MaxValue)
+    if (staleHours > failAfterHours) Fail(s"stale: ${staleHours}h > ${failAfterHours}h")
+    else if (staleHours > warnAfterHours) Warn(s"stale: ${staleHours}h > ${warnAfterHours}h")
+    else Pass
+  }
+
   /** The gate metrics as a one-row DataFrame — the oracle-checkable form,
     * and the shape a `df.observe()` listener would record in streaming. */
   def metricsDf(df: DataFrame, now: Timestamp, valueCol: Column, tsEpochS: Column,

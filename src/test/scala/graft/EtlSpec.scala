@@ -83,4 +83,24 @@ class EtlSpec extends AnyFunSuite {
     assert(ok && calls == 3)
     assert(!Ingest.preflight(() => false, attempts = 2, delayMillis = 0L))
   }
+
+  test("observe()-based gate matches the aggregation gate, zero extra pass") {
+    import spark.implicits._
+    def table(price: Double, ageHours: Int) = {
+      val t = new Timestamp(ts.getTime - ageHours * 3600000L)
+      Seq(("bitcoin", price, t)).toDF("crypto_id", "price_usd", "extracted_at")
+    }
+    for ((df, expectWarnOrFail) <- Seq(
+        (table(1.0, 1), "pass"), (table(1.0, 3), "warn"),
+        (table(1.0, 7), "fail"), (table(-1.0, 1), "fail"))) {
+      val (observed, obs) = QualityGate.attachObservation(df)
+      observed.write.format("noop").mode("overwrite").save() // the main action
+      val got = QualityGate.observedResult(obs, ts) match {
+        case QualityGate.Pass => "pass"
+        case _: QualityGate.Warn => "warn"
+        case _: QualityGate.Fail => "fail"
+      }
+      assert(got == expectWarnOrFail)
+    }
+  }
 }

@@ -46,11 +46,12 @@ object QualityGate {
   def evaluate(df: DataFrame, now: Timestamp,
       valueCol: String = "price_usd", tsCol: String = "extracted_at",
       keys: Seq[String] = Schemas.priceKeys,
-      warnAfterHours: Long = 2, failAfterHours: Long = 6): GateResult = {
+      warnAfterHours: Long = 2, failAfterHours: Long = 6,
+      failBelowValue: Double = 0.0): GateResult = {
     val m = ag(df, valueCol, tsCol, keys)
     if (m.rowCount == 0L) return Fail("empty table")
-    if (m.minPrice.exists(_ < 0))
-      return Fail(s"min($valueCol) = ${m.minPrice.get} < 0")
+    if (m.minPrice.exists(_ < failBelowValue))
+      return Fail(s"min($valueCol) = ${m.minPrice.get} < $failBelowValue")
     if (m.duplicateKeys > 0)
       return Fail(s"${m.duplicateKeys} duplicate (${keys.mkString(",")}) keys")
     val staleHours = m.maxExtractedAt

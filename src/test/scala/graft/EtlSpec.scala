@@ -103,4 +103,31 @@ class EtlSpec extends AnyFunSuite {
       assert(got == expectWarnOrFail)
     }
   }
+
+  test("declarative check config: parses the reference dialect and drives the gate") {
+    import spark.implicits._
+    val yaml =
+      """checks for crypto_prices:
+        |  # price can never be negative
+        |  - min(price_usd):
+        |      fail: when < 0
+        |
+        |  # freshness: data may not be older than 2 hours
+        |  - freshness(extracted_at):
+        |      warn: when > 2h
+        |      fail: when > 6h
+        |""".stripMargin
+    val spec = QualityConfig.parse(yaml)
+    assert(spec.table == "crypto_prices")
+    assert(spec.minRule.contains(QualityConfig.MinRule("price_usd", 0.0)))
+    assert(spec.freshness.contains(QualityConfig.FreshnessRule("extracted_at", 2L, 6L)))
+    def table(price: Double, ageHours: Int) = {
+      val t = new Timestamp(ts.getTime - ageHours * 3600000L)
+      Seq(("bitcoin", price, t)).toDF("crypto_id", "price_usd", "extracted_at")
+    }
+    assert(QualityConfig.evaluate(table(1.0, 1), spec, ts) == QualityGate.Pass)
+    assert(QualityConfig.evaluate(table(1.0, 3), spec, ts).isInstanceOf[QualityGate.Warn])
+    assert(QualityConfig.evaluate(table(-0.5, 1), spec, ts).isInstanceOf[QualityGate.Fail])
+    intercept[IllegalArgumentException] { QualityConfig.parse("checks for t:\n  - bogus(x):") }
+  }
 }

@@ -42,21 +42,29 @@ object Dedup {
       k: Int = 3, threshold: Double = 0.6,
       numPerm: Int = 64, bands: Int = 32): DataFrame = {
     val rowsPerBand = numPerm / bands
-    val base = docs
-      .select(col(idCol).as("doc_id"), wordShingles(tokens(col(textCol)), k).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // Shingling via posexplode + lead() windows, hashed per row, distinct at
+    // row level. The array-valued form (transform + slice + array_distinct
+    // per doc) is interpreted and array_distinct alone is O(tokens²) string
+    // compares per doc — ~13s at sf0.1 vs <2s for this pipeline. Jaccard
+    // verification runs on the 64-bit shingle hashes (collision odds within
+    // a pair's union ~1e-59 — far below any other error source).
+    val tokRows = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val withLeads = (1 until k).foldLeft(tokRows)((df, i) =>
+      df.withColumn(s"t$i", lead(col("tok"), i).over(wOrd)))
+    val shingleCols = col("tok") +: (1 until k).map(i => col(s"t$i"))
+    val shingleRows = withLeads
+      .filter(col(s"t${k - 1}").isNotNull)
+      .select(col("doc_id"), xxhash64(concat_ws(" ", shingleCols: _*)).as("h"))
+      .distinct()
       .persist()
 
-    // Signatures via explode + one hash-aggregation with numPerm MIN
-    // columns — stays in whole-stage codegen. (The equivalent nested
-    // array-lambda form, transform(seq, i -> array_min(transform(...))),
-    // drops to interpreted evaluation and re-hashes every shingle per
-    // permutation: ~50x slower at sf0.1.)
-    val hashed = base
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    // Signatures via one hash-aggregation with numPerm MIN columns — stays
+    // in whole-stage codegen.
     val sigCols = (0 until numPerm).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
-    val sigs = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sigs = shingleRows.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val base = shingleRows.groupBy("doc_id").agg(collect_list(col("h")).as("sh"))
 
     val bandCols = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
@@ -98,24 +106,24 @@ object Dedup {
     * both engines. */
   def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4): DataFrame = {
-    val shingled = docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(wordShingles2(tokens(col(textCol)), k)).as(Seq("pos", "s")))
-      .select(col("doc_id"), col("pos"), substring(md5(col("s")), 1, 16).as("h"))
+    // positional shingles via posexplode + lead() (codegen) — winnowing
+    // needs ordered runs, so no distinct until after the window minimum
+    val tokRows = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val withLeads = (1 until k).foldLeft(tokRows)((df, i) =>
+      df.withColumn(s"t$i", lead(col("tok"), i).over(wOrd)))
+    val shingleCols = col("tok") +: (1 until k).map(i => col(s"t$i"))
+    val shingled = withLeads
+      .filter(col(s"t${k - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        substring(md5(concat_ws(" ", shingleCols: _*)), 1, 16).as("h"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(w - 1), 0)
     shingled
       .select(col("doc_id"), min(col("h")).over(byDoc).as("fp"))
       .distinct()
   }
-
-  /** Ordered (non-distinct) k-shingles — winnowing needs positional runs,
-    * unlike the set-based MinHash path. */
-  private def wordShingles2(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
-      transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
-      .otherwise(array().cast("array<string>"))
 
   /** SimHash near-dup pairs (idA < idB) within `maxHamming` bits.
     * Candidates by banding the 64-bit sketch into its 8 bytes: two sketches
@@ -127,10 +135,13 @@ object Dedup {
       maxHamming: Int = 7): DataFrame = {
     require(maxHamming <= 7, "byte-banding guarantees recall only to hamming 7")
     // Sketch via explode + 64 conditional-count agg columns (codegen), not
-    // the per-row nested-lambda simhash() — same value, ~50x faster at scale.
+    // the per-row nested-lambda simhash() — same value, ~50x faster at
+    // scale. Token dedup happens at row level (array_distinct on a per-doc
+    // array is O(tokens²) interpreted compares).
     val hashed = docs
-      .select(col(idCol).as("doc_id"), explode(array_distinct(
-        transform(tokens(col(textCol)), t => xxhash64(t)))).as("h"))
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .distinct()
     val bitCols = (0 until 64).map { kbit =>
       sum(when(col("h").bitwiseAND(lit(1L << kbit)) =!= 0L, 1).otherwise(0)).as(s"c$kbit")
     }

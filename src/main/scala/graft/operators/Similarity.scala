@@ -23,11 +23,16 @@ object Similarity {
   /** Exact top-k cosine neighbors for each query vector.
     * Output: (query_id, neighbor_id, rank, sim). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    // norms precomputed per vector (not per pair): sim needs 1 dot product
+    // instead of 3, and sqrt(dot(v,v)) is the same double either way.
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      l2Norm(col("embedding")).as("q_norm"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      l2Norm(col("embedding")).as("c_norm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosineSimilarity(col("q_emb"), col("c_emb")), 6))
+      .withColumn("sim", round(
+        dotProduct(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -116,11 +121,15 @@ object Similarity {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
 
-    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val emb = corpus.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
     candidates
-      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")), "vec_a")
-      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")), "vec_b")
-      .withColumn("sim", round(cosineSimilarity(col("e_a"), col("e_b")), 6))
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"),
+        col("nrm").as("n_a")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"),
+        col("nrm").as("n_b")), "vec_b")
+      .withColumn("sim", round(
+        dotProduct(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6))
       .filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("sim"))
       .dropDuplicates("vec_a", "vec_b")

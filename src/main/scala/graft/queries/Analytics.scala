@@ -262,6 +262,66 @@ object Analytics {
       |WHERE event_id < 300
       |ORDER BY event_id""".stripMargin
 
+  // --- q70: disjunctive multi-column predicates (TPC-H Q19 shape) ----------
+  // OR across conjunctive clauses referencing join columns — exercises
+  // predicate normalization/pushdown beyond simple conjunctions.
+  def q70(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    l.join(p, $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 15) &&
+          $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(1, 25) &&
+          $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#34" && $"p_size".between(1, 35) &&
+          $"l_quantity".between(20, 30)))
+      .agg(sum(money($"l_extendedprice") * oneMinus($"l_discount"))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+  val q70Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // --- q71: cohort retention over the event stream -------------------------
+  // Users cohorted by first-seen day; per (cohort, days-since) count of
+  // distinct active users — the classic retention triangle, built from a
+  // per-user min() self-aggregation joined back to activity.
+  def q71(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .withColumn("day", expr("ts div 86400000000000"))
+    val firstSeen = ev.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    ev.join(firstSeen, "user_id")
+      .groupBy($"cohort_day", ($"day" - $"cohort_day").as("days_since"))
+      .agg(countDistinct($"user_id").as("active_users"),
+        count(lit(1)).as("n_events"))
+      .filter($"days_since" <= 7)
+      .orderBy($"cohort_day", $"days_since")
+  }
+  val q71Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(epoch(date_trunc('second', ts)) / 86400.0) AS BIGINT) AS day
+      |  FROM events
+      |), first_seen AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id
+      |)
+      |SELECT cohort_day, day - cohort_day AS days_since,
+      |  COUNT(DISTINCT ev.user_id) AS active_users,
+      |  COUNT(*) AS n_events
+      |FROM ev JOIN first_seen ON ev.user_id = first_seen.user_id
+      |WHERE day - cohort_day <= 7
+      |GROUP BY cohort_day, day - cohort_day
+      |ORDER BY cohort_day, days_since""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q60_stat_aggs", q60 _, Some(q60Sql)),
     ("q61_sql_entry", q61 _, Some(q61Text)),
@@ -272,5 +332,7 @@ object Analytics {
     ("q66_percentiles", q66 _, Some(q66Sql)),
     ("q67_grouping_sets", q67 _, Some(q67Text)),
     ("q68_array_funcs", q68 _, Some(q68Sql)),
-    ("q69_map_funcs", q69 _, Some(q69Sql)))
+    ("q69_map_funcs", q69 _, Some(q69Sql)),
+    ("q70_disjunctive_preds", q70 _, Some(q70Sql)),
+    ("q71_cohort_retention", q71 _, Some(q71Sql)))
 }

@@ -82,6 +82,15 @@ def main():
             n_fail += 1
             continue
         g, w = normalize(got), normalize(want)
+        # Dtype KIND agreement matters: the driver hash-compares raw values,
+        # so e.g. DuckDB HUGEINT (SUM of INTEGER) surfacing as float64
+        # against Spark's int64 passes == but fails the driver's hash
+        # (round-1 q27/q28). Width-only differences (int32 vs int64) are
+        # demonstrably tolerated by the driver — warn only on kind changes.
+        for c in g.columns:
+            if c in w.columns and g[c].dtype.kind != w[c].dtype.kind:
+                print(f"[WARN] {name}: col {c} dtype spark={g[c].dtype} "
+                      f"oracle={w[c].dtype} — likely driver hash mismatch")
         if list(g.columns) != list(w.columns):
             print(f"[FAIL] {name}: columns {list(g.columns)} != {list(w.columns)}")
             n_fail += 1

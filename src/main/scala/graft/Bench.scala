@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
   * per-query numbers. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -27,25 +28,35 @@ object Bench {
     // contention windows. Two defenses: best-of-two inline, then an
     // end-of-run re-measurement of outliers (> max(3x median, 5s)) — by
     // then the contention window that inflated them has usually passed.
+    // A query that throws must surface as a failure (-1), not as a fast
+    // "success" timing — the -1 sentinel is the bench JSON's only failure
+    // signal.
     def once(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] query failed: ${e.getMessage}")
+        -1.0
+      }
     }
+    def better(a: Double, b: Double): Double =
+      if (a < 0) b else if (b < 0) a else math.min(a, b)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val firstPass = ordered.map { case (name, fn) =>
       val first = once(fn)
-      (name, fn, if (first < 20.0) math.min(first, once(fn)) else first)
+      (name, fn, if (first >= 0 && first < 20.0) better(first, once(fn)) else first)
     }
-    val med = firstPass.map(_._3).sorted.apply(firstPass.size / 2)
+    val okTimes = firstPass.map(_._3).filter(_ >= 0).sorted
+    val med = if (okTimes.nonEmpty) okTimes(okTimes.size / 2) else 0.0
     val results = firstPass.map { case (name, fn, t) =>
-      name -> (if (t > math.max(3 * med, 5.0)) math.min(t, once(fn)) else t)
+      name -> (if (t > math.max(3 * med, 5.0)) better(t, once(fn)) else t)
     }
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 /** Dev utility: time queries (args = names) or dump plans (-plan name). */
 object QTime {
   def main(args: Array[String]): Unit = {
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

@@ -5,6 +5,9 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // Pin the JVM default zone too: driver-side java.sql.Timestamp
+    // construction must agree with the UTC-pinned Spark session.
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -37,14 +37,21 @@ object Upsert {
     * convention (single-writer). */
   def intoParquet(spark: SparkSession, incoming: DataFrame, tablePath: String,
       keys: Seq[String]): Long = {
+    // Treat ONLY path-not-found as "empty table" — a corrupt/unreadable
+    // existing table must abort, not silently re-append the whole batch.
     val existing =
       try spark.read.parquet(tablePath)
-      catch { case _: Exception => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema) }
-    val fresh = newRows(existing, incoming, keys).cache()
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema)
+      }
+    // localCheckpoint truncates the plan lineage BEFORE the append: a
+    // cache()-only approach can recompute evicted partitions mid-write,
+    // re-reading tablePath while it is being appended to (double insert).
+    val fresh = newRows(existing, incoming, keys).localCheckpoint(eager = true)
     val n = fresh.count()
     if (n > 0) fresh.write.mode("append").parquet(tablePath)
-    fresh.unpersist()
     n
   }
 }

@@ -58,22 +58,25 @@ object AsOfJoin {
       .orderBy(col("__asof_ts"), col("__asof_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
 
-    val carried = payload.foldLeft(
-      unioned.withColumn("__asof_matchts",
-        last(when(col("__asof_side") === 0, col("__asof_rts")), ignoreNulls = true).over(w))
-    ) { (df, p) =>
-      df.withColumn(s"__c_$p",
-        last(when(col("__asof_side") === 0, col(s"__p_$p")), ignoreNulls = true).over(w))
-    }
+    // Carry ONE struct of (match ts + all payload fields) per right row.
+    // The struct itself is never null for a right row even when payload
+    // fields are, so null payload values are preserved — and every output
+    // column unpacks from the SAME matched right row (per-column carries
+    // could mix fields from different right rows when some are null).
+    val matchStruct = struct(
+      (col("__asof_rts").as("__rts") +:
+        payload.map(p => col(s"__p_$p").as(s"__p_$p"))): _*)
+    val carried = unioned.withColumn("__asof_match",
+      last(when(col("__asof_side") === 0, matchStruct), ignoreNulls = true).over(w))
 
     val withinTol = tolerance match {
-      case Some(tol) => col("__asof_ts") - col("__asof_matchts") <= tol
-      case None => lit(true)
+      case Some(tol) => col("__asof_ts") - col("__asof_match.__rts") <= tol
+      case None => col("__asof_match").isNotNull
     }
 
     val result = payload.foldLeft(carried.filter(col("__asof_side") === 1)) {
-      (df, p) => df.withColumn(p, when(withinTol, col(s"__c_$p")))
-    }.withColumn(s"matched_$rightTs", when(withinTol, col("__asof_matchts")))
+      (df, p) => df.withColumn(p, when(withinTol, col(s"__asof_match.__p_$p")))
+    }.withColumn(s"matched_$rightTs", when(withinTol, col("__asof_match.__rts")))
 
     result.select((leftCols ++ payload ++ Seq(s"matched_$rightTs")).map(col): _*)
   }

@@ -142,8 +142,11 @@ object Events {
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |), sessions AS (
-      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  -- CAST: DuckDB window SUM(INTEGER) yields HUGEINT (int128); the
+      |  -- driver hash-compares raw values, so int64 vs int128 mismatches
+      |  -- even when numerically equal. Spark emits BIGINT here.
+      |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM flagged
       |)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -169,9 +172,9 @@ object Events {
   }
   val q28Sql: String =
     """SELECT event_type, COUNT(*) AS n_events,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
-      |  SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
-      |      THEN 1 ELSE 0 END) AS n_big_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+      |  CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_big_k,
       |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
       |FROM events
       |GROUP BY event_type

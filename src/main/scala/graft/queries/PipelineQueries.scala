@@ -20,7 +20,11 @@ object PipelineQueries {
   val fixtureJson: String =
     """{"bitcoin": {"usd": 67210.0}, "ethereum": {"usd": 3245.12, "eur": 3001.9},
       | "tether": {"usd": 0.99}, "solana": {"usd": 152.33}}""".stripMargin
-  val fixtureTs: Timestamp = Timestamp.valueOf("2024-01-15 12:00:00")
+  /** 2024-01-15 12:00:00 UTC. Built from the explicit epoch —
+    * Timestamp.valueOf would parse in the JVM default timezone and diverge
+    * from the UTC-pinned session (and the oracle's literal) on non-UTC
+    * hosts. */
+  val fixtureTs: Timestamp = new Timestamp(1705320000L * 1000)
 
   // --- q31: pivot + stamp + double-apply upsert (idempotency) -------------
   // The full transform/load math of the reference on its own payload shape:
@@ -74,7 +78,9 @@ object PipelineQueries {
   // staleness ladder is reproducible. Events end 2024-01-30 23:26; with
   // now = 2024-02-01 00:00 the table is ~24h stale → status 'fail' (>6h),
   // exercising the severity ladder's top rung.
-  val gateNow: Timestamp = Timestamp.valueOf("2024-02-01 00:00:00")
+  /** 2024-02-01 00:00:00 UTC — same epoch the oracle hardcodes (1706745600);
+    * explicit-epoch construction keeps it JVM-timezone-independent. */
+  val gateNow: Timestamp = new Timestamp(1706745600L * 1000)
   def q33(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, d)

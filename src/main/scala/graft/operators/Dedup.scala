@@ -126,32 +126,40 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs (idA < idB) within `maxHamming` bits.
-    * Candidates by banding the 64-bit sketch into its 8 bytes: two sketches
-    * within hamming ≤ 7 must agree on at least one whole byte (pigeonhole),
+    * Candidates by banding the 56-bit sketch into its 7 bytes: two sketches
+    * within hamming ≤ 6 must agree on at least one whole byte (pigeonhole),
     * so joining on (byteIndex, byteValue) has guaranteed recall for the
     * default radius. Byte extraction uses literal shifts unrolled in Scala
-    * (the shift builtins only take literal amounts). */
+    * (the shift builtins only take literal amounts).
+    *
+    * The token hash is a 56-bit md5 prefix — engine-portable (md5 produces
+    * the same hex in Spark and any SQL oracle, and 14 hex chars parse into
+    * a positive 56-bit int on both sides), so the whole sketch is exactly
+    * reproducible by the DuckDB correctness oracle. All downstream logic is
+    * exact integer arithmetic: bit majorities, byte bands, XOR popcount. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 7): DataFrame = {
-    require(maxHamming <= 7, "byte-banding guarantees recall only to hamming 7")
-    // Sketch via explode + 64 conditional-count agg columns (codegen), not
+      maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 6, "byte-banding guarantees recall only to hamming 6")
+    val nBits = 56
+    // Sketch via explode + 56 conditional-count agg columns (codegen), not
     // the per-row nested-lambda simhash() — same value, ~50x faster at
     // scale. Token dedup happens at row level (array_distinct on a per-doc
     // array is O(tokens²) interpreted compares).
     val hashed = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 14), 16, 10).cast("long").as("h"))
       .distinct()
-    val bitCols = (0 until 64).map { kbit =>
+    val bitCols = (0 until nBits).map { kbit =>
       sum(when(col("h").bitwiseAND(lit(1L << kbit)) =!= 0L, 1).otherwise(0)).as(s"c$kbit")
     }
     val counted = hashed.groupBy("doc_id")
       .agg(count(lit(1)).as("n"), bitCols: _*)
     val base = counted.select(col("doc_id"),
-      (0 until 64).map { kbit =>
+      (0 until nBits).map { kbit =>
         when(col(s"c$kbit") * 2 > col("n"), lit(1L << kbit)).otherwise(lit(0L))
       }.reduce(_.bitwiseOR(_)).as("sh64"))
-    val bandCols = (0 until 8).map(i => struct(
+    val bandCols = (0 until 7).map(i => struct(
       lit(i).as("bpos"),
       shiftrightunsigned(col("sh64"), 8 * i).bitwiseAND(lit(255L)).as("bval")))
     val banded = base.select(col("doc_id"), col("sh64"),

@@ -49,16 +49,21 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, cellCol: Column,
       k: Int, nprobe: Int): DataFrame = {
     val cells = corpus.select(cellCol.as("cell"), col("embedding").as("emb"))
-    // centroid per cell: per-dimension mean
+    // Centroid per cell: per-dimension mean, decimal-routed and rounded so
+    // the probe ranking is deterministic across engines and partitionings
+    // (a plain double avg's partial-merge order varies run to run).
     val centroids = cells
       .select(col("cell"), posexplode(asDouble(col("emb"))).as(Seq("pos", "v")))
-      .groupBy("cell", "pos").agg(avg("v").as("cv"))
+      .groupBy("cell", "pos")
+      .agg(round(sum(col("v").cast("decimal(18,9)")).cast("double") / count(lit(1)), 6)
+        .as("cv"))
       .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("cv"))))
         .getField("cv").as("centroid"))
 
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("csim", cosineSimilarity(col("q_emb"), col("centroid")))
+      // round(6) + cell tie-break: reproducible probe choice (see q53 oracle)
+      .withColumn("csim", round(cosineSimilarity(col("q_emb"), col("centroid")), 6))
       .withColumn("crank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell"))))
       .filter(col("crank") <= nprobe)
@@ -88,13 +93,18 @@ object Similarity {
     // Plane dot products via posexplode + `planes` SUM agg columns: one
     // codegen'd hash aggregation instead of nested array-lambda folds
     // (which evaluate interpreted and re-derive plane components per dim).
-    // Plane component (p, dim) is a hash-derived pseudo-random in [-1, 1],
-    // so executors need no plane-matrix broadcast.
+    // Plane component (p, dim) is an integer Weyl-style mixer in
+    // [-1024, 1024] — exact integer arithmetic any SQL engine reproduces,
+    // so the DuckDB oracle can restate the buckets verbatim; executors need
+    // no plane-matrix broadcast. The per-plane sums are decimal-routed:
+    // partial-agg order varies across engines (and runs), and a sign flip
+    // on a near-zero dot product would change a bucket.
     val comps = corpus.select(col("vec_id"),
       posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
     val dotCols = (0 until planes).map { p =>
-      sum(col("v") * (pmod(xxhash64(lit(p), col("pos")), lit(2000001L))
-        .cast("double") / 1000000.0 - 1.0)).as(s"d$p")
+      val comp = ((col("pos") * 7919 + lit(p * 1000003)) * lit(2654435761L) % 2049L
+        - 1024L).cast("double")
+      sum((col("v") * comp).cast("decimal(28,12)")).as(s"d$p")
     }
     val sigs = comps.groupBy("vec_id").agg(dotCols.head, dotCols.tail: _*)
 

@@ -108,18 +108,32 @@ object Analytics {
       |WINDOW w AS (PARTITION BY crypto_id ORDER BY h)
       |ORDER BY crypto_id, hour_ts""".stripMargin
 
-  // --- q63: approximate distinct (HLL sketch; rows-only) -------------------
-  // approx_count_distinct's HLL differs from DuckDB's implementation, so
-  // this is rows-only; AnalyticsSpec bounds its error against the exact
-  // count instead.
+  // --- q63: approximate distinct (HLL sketch) ------------------------------
+  // approx_count_distinct's HLL register values differ from DuckDB's
+  // implementation, so the raw estimate can't hash-match — instead the
+  // hashed output carries the exact count plus a boolean stating the HLL
+  // estimate landed within 3x the requested 2% relative error. HLL merges
+  // are max-based and therefore deterministic regardless of partitioning,
+  // so the flag is stable; the oracle asserts it is TRUE. AnalyticsSpec
+  // additionally bounds the numeric error.
   def q63(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, d)
       .groupBy($"l_returnflag")
       .agg(countDistinct($"l_partkey").as("exact_parts"),
         approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
+      .select($"l_returnflag", $"exact_parts",
+        (abs($"approx_parts" - $"exact_parts") <=
+          $"exact_parts" * lit(0.06)).as("approx_within_6pct"))
       .orderBy($"l_returnflag")
   }
+  val q63Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS approx_within_6pct
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   // --- q64: scalar + correlated subqueries, HAVING -------------------------
   // Parts priced above the global average whose brand's average size beats
@@ -326,7 +340,7 @@ object Analytics {
     ("q60_stat_aggs", q60 _, Some(q60Sql)),
     ("q61_sql_entry", q61 _, Some(q61Text)),
     ("q62_crypto_trend", q62 _, Some(q62Sql)),
-    ("q63_approx_distinct", q63 _, None),
+    ("q63_approx_distinct", q63 _, Some(q63Sql)),
     ("q64_subqueries", q64 _, Some(q64Sql)),
     ("q65_in_subquery", q65 _, Some(q65Sql)),
     ("q66_percentiles", q66 _, Some(q66Sql)),

@@ -202,12 +202,38 @@ object Text {
       |WHERE jaccard >= 0.6
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  // --- q46: SimHash near-dup pairs (rows-only: sketch is Spark-hash-based)
+  // --- q46: SimHash near-dup pairs ----------------------------------------
+  // The 56-bit sketch is md5-derived (portable), and byte banding has
+  // guaranteed recall at hamming ≤ 6 (pigeonhole over 7 bands), so the LSH
+  // output equals a brute-force all-pairs scan — which is exactly what the
+  // oracle states.
   def q46(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
       .orderBy($"doc_a", $"doc_b")
   }
+  val q46Sql: String =
+    """WITH th AS (
+      |  SELECT DISTINCT doc_id, ('0x' || substr(md5(tok), 1, 14))::BIGINT AS h
+      |  FROM (SELECT doc_id,
+      |          unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+      |        FROM documents)
+      |), bits AS (
+      |  SELECT doc_id, kbit,
+      |    SUM(CASE WHEN (h >> kbit) & 1 = 1 THEN 1 ELSE 0 END) AS c,
+      |    COUNT(*) AS n
+      |  FROM th, (SELECT unnest(range(0, 56)) AS kbit) k
+      |  GROUP BY doc_id, kbit
+      |), sk AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN 2 * c > n THEN (CAST(1 AS BIGINT) << kbit) ELSE 0 END) AS BIGINT) AS sh
+      |  FROM bits GROUP BY doc_id
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+      |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   // --- q47: winnowing fingerprint sketches (rolling-hash fingerprinting) --
   def q47(s: SparkSession, d: String): DataFrame = {
@@ -245,6 +271,6 @@ object Text {
     ("q43_dedup_exact", q43 _, Some(q43Sql)),
     ("q44_bigram_freq", q44 _, Some(q44Sql)),
     ("q45_neardup_minhash", q45 _, Some(q45Sql)),
-    ("q46_neardup_simhash", q46 _, None),
+    ("q46_neardup_simhash", q46 _, Some(q46Sql)),
     ("q47_winnowing", q47 _, Some(q47Sql)))
 }

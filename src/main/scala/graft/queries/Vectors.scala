@@ -10,10 +10,12 @@ import graft.operators.{Multimodal, Similarity}
   * (SURVEY.md §2 Tier B north-star rows).
   *
   * q50 (brute-force ANN baseline) and the stats/centroid queries are
-  * oracle-checked against DuckDB list arithmetic; the IVF and LSH variants
+  * oracle-checked against DuckDB list arithmetic. The IVF and LSH variants
   * are the scale path (probed cells / hashed buckets instead of full
-  * scans) and are validated against the brute-force baseline in tests
-  * rather than SQL (their pruning uses Spark-internal hashes).
+  * scans); their pruning decisions are built from portable arithmetic
+  * (rounded decimal centroids, integer-mixer hyperplanes), so the oracle
+  * reproduces the approximate search exactly — recall vs brute force is
+  * asserted separately in SimilaritySpec.
   */
 object Vectors {
   import Q._
@@ -89,20 +91,59 @@ object Vectors {
       |GROUP BY label, pos
       |ORDER BY label, pos""".stripMargin
 
-  // --- q53: IVF approximate nearest neighbors (scale path; rows-only) -----
+  // --- q53: IVF approximate nearest neighbors (scale path) ----------------
   // Coarse cells = label attribute (stand-in for k-means cells), probe 3 of
-  // 10 cells → ~70% of the corpus never scanned. Recall vs q50 is asserted
-  // in VectorSpec.
+  // 10 cells → ~70% of the corpus never scanned. The probe choice is fully
+  // deterministic (decimal-routed rounded centroids, rounded csim with cell
+  // tie-break), so the oracle restates the same probed-cells search — this
+  // checks the APPROXIMATE semantics exactly, not recall vs brute force
+  // (recall is SimilaritySpec's job).
   def q53(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     Similarity.ivfTopK(emb.filter($"vec_id" < 8), emb, $"label", k = 5, nprobe = 3)
       .orderBy($"query_id", $"rank")
   }
+  private val cosSql = (a: String, b: String) =>
+    s"""list_inner_product($a, $b)
+       |      / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))""".stripMargin
+  val q53Sql: String =
+    s"""WITH cent AS (
+      |  SELECT label AS cell, pos,
+      |    ROUND(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS cv
+      |  FROM (SELECT label, unnest(range(0, len(embedding))) AS pos,
+      |               unnest(embedding::DOUBLE[]) AS v
+      |        FROM embeddings)
+      |  GROUP BY label, pos
+      |), centv AS (
+      |  SELECT cell, list(cv ORDER BY pos) AS centroid FROM cent GROUP BY cell
+      |), probes AS (
+      |  SELECT query_id, cell FROM (
+      |    SELECT q.vec_id AS query_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        ROUND(${cosSql("q.embedding::DOUBLE[]", "c.centroid")}, 6) DESC, c.cell) AS crank
+      |    FROM embeddings q, centv c WHERE q.vec_id < 8)
+      |  WHERE crank <= 3
+      |), scored AS (
+      |  SELECT p.query_id, e.vec_id AS neighbor_id,
+      |    ROUND(${cosSql("q.embedding::DOUBLE[]", "e.embedding::DOUBLE[]")}, 6) AS sim
+      |  FROM probes p
+      |  JOIN embeddings e ON e.label = p.cell
+      |  JOIN embeddings q ON q.vec_id = p.query_id
+      |  WHERE e.vec_id <> p.query_id
+      |)
+      |SELECT query_id, neighbor_id, rank, sim FROM (
+      |  SELECT query_id, neighbor_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
 
-  // --- q54: cosine-LSH similar pairs (rows-only) --------------------------
-  // Random embeddings have no cluster structure, so bucket pruning is
-  // recall-bounded here (see SimilaritySpec for recall on structured data);
+  // --- q54: cosine-LSH similar pairs --------------------------------------
+  // Plane components are an integer mixer (portable) and plane dot products
+  // are decimal-routed, so the oracle reproduces the exact buckets, the
+  // exact candidate set, and the exact rerank — the APPROXIMATE search is
+  // checked verbatim, recall on structured data stays in SimilaritySpec.
   // 5-plane tables keep the demo's candidate volume ~6x below all-pairs.
   def q54(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -110,6 +151,34 @@ object Vectors {
       numTables = 6, planesPerTable = 5)
       .orderBy($"vec_a", $"vec_b")
   }
+  val q54Sql: String =
+    s"""WITH comps AS (
+      |  SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+      |         unnest(embedding::DOUBLE[]) AS v
+      |  FROM embeddings
+      |), dots AS (
+      |  SELECT vec_id, p,
+      |    SUM(CAST(v * ((pos * 7919 + p * 1000003) * 2654435761 % 2049 - 1024)
+      |        AS DECIMAL(28,12))) AS d
+      |  FROM comps, (SELECT unnest(range(0, 30)) AS p) pl
+      |  GROUP BY vec_id, p
+      |), buckets AS (
+      |  SELECT vec_id, p // 5 AS table_id,
+      |    CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << (p % 5)) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id, p // 5
+      |), cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM buckets a JOIN buckets b
+      |    ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |), scored AS (
+      |  SELECT c.vec_a, c.vec_b,
+      |    ROUND(${cosSql("ea.embedding::DOUBLE[]", "eb.embedding::DOUBLE[]")}, 6) AS sim
+      |  FROM cand c
+      |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+      |  JOIN embeddings eb ON eb.vec_id = c.vec_b
+      |)
+      |SELECT vec_a, vec_b, sim FROM scored WHERE sim >= 0.3
+      |ORDER BY vec_a, vec_b""".stripMargin
 
   // --- q55: multimodal payload decode (mapPartitions stub) ----------------
   def q55(s: SparkSession, d: String): DataFrame = {
@@ -131,7 +200,7 @@ object Vectors {
     ("q50_knn_bruteforce", q50 _, Some(q50Sql)),
     ("q51_vector_stats", q51 _, Some(q51Sql)),
     ("q52_centroids", q52 _, Some(q52Sql)),
-    ("q53_knn_ivf", q53 _, None),
-    ("q54_lsh_pairs", q54 _, None),
+    ("q53_knn_ivf", q53 _, Some(q53Sql)),
+    ("q54_lsh_pairs", q54 _, Some(q54Sql)),
     ("q55_multimodal_decode", q55 _, Some(q55Sql)))
 }

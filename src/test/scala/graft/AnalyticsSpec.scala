@@ -14,14 +14,24 @@ class AnalyticsSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("approx_count_distinct lands within its rsd bound of the exact count") {
-    val rows = queries.Analytics.q63(spark, sf).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
+    // numeric error bound on the raw aggregates (q63's hashed output only
+    // carries the within-bound flag, which must be uniformly true)
+    import org.apache.spark.sql.functions._
+    val raw = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+      .collect()
+    assert(raw.nonEmpty)
+    raw.foreach { r =>
       val exact = r.getLong(1).toDouble
       val approx = r.getLong(2).toDouble
       assert(math.abs(approx - exact) / exact <= 0.10,
         s"approx $approx vs exact $exact for ${r.getString(0)}")
     }
+    val flags = queries.Analytics.q63(spark, sf).collect()
+    assert(flags.nonEmpty && flags.forall(_.getBoolean(2)),
+      "q63 within-bound flag must be true for every group")
   }
 
   test("SQL-text entry point answers ad-hoc queries over registered views") {

@@ -82,7 +82,7 @@ class SimilaritySpec extends AnyFunSuite {
       (2L, base + "lambda mu"),
       (3L, "unrelated totally disjoint vocabulary tokens entirely other")
     ).toDF("doc_id", "text")
-    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 7)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(pairs.get((0L, 1L)).contains(0), "identical docs must be hamming 0")
     assert(pairs.contains((0L, 2L)), "near-dup within radius expected")

@@ -162,17 +162,23 @@ object Dedup {
     val bandCols = (0 until 7).map(i => struct(
       lit(i).as("bpos"),
       shiftrightunsigned(col("sh64"), 8 * i).bitwiseAND(lit(255L)).as("bval")))
+    // persisted: both sides of the self-join read it — without it Spark
+    // recomputes the token-hash + 56-column sketch aggregation per side
+    // (~2x the whole operator's cost). LRU-evicted, no caller lifecycle.
     val banded = base.select(col("doc_id"), col("sh64"),
       explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("sh64"),
         col("band.bpos").as("bpos"), col("band.bval").as("bval"))
+      .persist()
     banded.as("a")
       .join(banded.as("b"),
         col("a.bpos") === col("b.bpos") && col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the pair-dedup shuffle: single-byte buckets collide
+      // by chance, so candidates outnumber survivors ~100x
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

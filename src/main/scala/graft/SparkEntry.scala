@@ -13,7 +13,7 @@ object SparkEntry {
 
   private def packs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Relational.pack ++ Events.pack ++ PipelineQueries.pack ++ Text.pack ++
-      Vectors.pack ++ Analytics.pack
+      Vectors.pack ++ Analytics.pack ++ Extended.pack
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

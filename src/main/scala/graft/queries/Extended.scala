@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Extended relational surface: reshaping (pivot/unpivot), bivariate
+  * statistics, histogramming, deterministic sampling, banded range joins,
+  * and ordered array aggregation.
+  *
+  * These generalize the reference's Metabase/Postgres ad-hoc surface
+  * (/root/reference/README.md:98-106 — "any SQL over the warehouse"):
+  * pivoting is exactly the dashboard's series-per-coin reshaping, sampling
+  * and histograms are the standard exploratory queries a warehouse serves.
+  * All oracle conventions follow Q.scala (decimal routing, deterministic
+  * ORDER BY, portable integer/md5 arithmetic).
+  *
+  * Scale notes: pivot compiles to one hash aggregation with conditional
+  * branches (no extra shuffle vs a plain groupBy); unpivot is a generator
+  * (rows × k, no shuffle); the deterministic sample is a pushed-down-able
+  * filter (no shuffle, unlike TABLESAMPLE it is reproducible across
+  * engines); the range join rides its equi key (orderkey) through one
+  * shuffle with the band predicate evaluated as a residual.
+  */
+object Extended {
+  import Q._
+
+  // --- q72: pivot — order counts/revenue per priority × status ------------
+  def q72(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val statuses = Seq("F", "O", "P")
+    val pivoted = Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", statuses)
+      .agg(count(lit(1)).as("n"), sum(money($"o_totalprice")).as("revd"))
+    val cols = $"o_orderpriority" +: statuses.flatMap { st =>
+      Seq(coalesce(col(s"${st}_n"), lit(0L)).as(s"${st.toLowerCase}_n"),
+        col(s"${st}_revd").cast("double").as(s"${st.toLowerCase}_rev"))
+    }
+    pivoted.select(cols: _*).orderBy($"o_orderpriority")
+  }
+  val q72Sql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_n,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE) AS f_rev,
+      |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_n,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE) AS o_rev,
+      |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_n,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE) AS p_rev
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // --- q73: unpivot/melt — wide part metrics to long form -----------------
+  def q73(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, d)
+      .unpivot(
+        ids = Array($"p_partkey"),
+        values = Array($"p_size".cast("double").as("p_size"), $"p_retailprice"),
+        variableColumnName = "metric",
+        valueColumnName = "v")
+      .groupBy($"metric")
+      .agg(count(lit(1)).as("n"), dsum($"v").as("total"))
+      .orderBy($"metric")
+  }
+  val q73Sql: String =
+    """SELECT metric, COUNT(*) AS n,
+      |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM (
+      |  SELECT 'p_size' AS metric, CAST(p_size AS DOUBLE) AS v FROM part
+      |  UNION ALL
+      |  SELECT 'p_retailprice', p_retailprice FROM part)
+      |GROUP BY metric
+      |ORDER BY metric""".stripMargin
+
+  // --- q74: bivariate statistics — covariance + correlation ----------------
+  // Closed forms over exact decimal sums (q60's stddev pattern): the
+  // built-in corr/covar merge double partials in partition order and can't
+  // hash-match an oracle; ExtendedSpec asserts the built-ins agree with
+  // these to 1e-6.
+  def q74(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(money($"l_quantity")).cast("double").as("sx"),
+        sum(money($"l_extendedprice")).cast("double").as("sy"),
+        sum(money($"l_quantity") * money($"l_extendedprice")).cast("double").as("sxy"),
+        sum(money($"l_quantity") * money($"l_quantity")).cast("double").as("sxx"),
+        sum(money($"l_extendedprice") * money($"l_extendedprice")).cast("double").as("syy"))
+      .select($"l_returnflag", $"n".cast("long").as("n_rows"),
+        round(($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1), 6).as("covar_samp"),
+        round(($"sxy" - $"sx" * $"sy" / $"n") / $"n", 6).as("covar_pop"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")), 6)
+          .as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+  val q74Sql: String =
+    """SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |  ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp,
+      |  ROUND((sxy - sx * sy / n) / n, 6) AS covar_pop,
+      |  ROUND((n * sxy - sx * sy)
+      |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price
+      |FROM (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
+  // --- q75: histogram via width_bucket ------------------------------------
+  // Spark's width_bucket built-in; DuckDB lacks it, so the oracle states
+  // the same bucket arithmetic (lo=0, hi=600000, 12 buckets of 50000).
+  // Bucket boundaries are exactly representable doubles, so the division
+  // is portable.
+  def q75(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .withColumn("bucket",
+        expr("width_bucket(o_totalprice, 0.0, 600000.0, 12)"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_orders"), dsum4($"o_totalprice").as("rev"))
+      .orderBy($"bucket")
+  }
+  val q75Sql: String =
+    """SELECT
+      |  CASE WHEN o_totalprice >= 600000.0 THEN 13
+      |       WHEN o_totalprice < 0.0 THEN 0
+      |       ELSE CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) + 1 END AS bucket,
+      |  COUNT(*) AS n_orders,
+      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS rev
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
+  // --- q76: deterministic hash sampling ------------------------------------
+  // TABLESAMPLE is engine- and seed-specific; an md5-mod filter gives a
+  // reproducible ~1/16 sample both engines select identically — at scale
+  // this pushes down as an ordinary filter and needs no shuffle or
+  // sort-based reservoir.
+  def q76(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .filter(conv(substring(md5($"o_orderkey".cast("string")), 1, 4), 16, 10)
+        .cast("long") % 16 === 0)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_sampled"), dsum4($"o_totalprice").as("rev"))
+      .orderBy($"o_orderstatus")
+  }
+  val q76Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_sampled,
+      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS rev
+      |FROM orders
+      |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT % 16 = 0
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  // --- q77: banded range join — ship lag distribution ----------------------
+  // Equi key (orderkey) carries the shuffle; the time-range predicate is a
+  // residual on the matched pairs, then lag is banded into 15-day buckets.
+  def q77(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    l.join(o, $"l_orderkey" === $"o_orderkey" &&
+        $"l_shipdate" >= $"o_orderdate" &&
+        $"l_shipdate" <= $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+      .withColumn("lag_days",
+        expr("(unix_timestamp(l_shipdate) - unix_timestamp(o_orderdate)) div 86400"))
+      .withColumn("lag_band", expr("lag_days div 15"))
+      .groupBy($"lag_band")
+      .agg(count(lit(1)).as("n_items"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"lag_band")
+  }
+  val q77Sql: String =
+    """SELECT CAST(epoch(l_shipdate) - epoch(o_orderdate) AS BIGINT) // 86400 // 15 AS lag_band,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= o_orderdate
+      |  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+      |GROUP BY 1
+      |ORDER BY lag_band""".stripMargin
+
+  // --- q78: ordered array aggregation — top-3 order totals per priority ---
+  def q78(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(slice(sort_array(collect_list(money($"o_totalprice")), asc = false),
+        1, 3).cast("array<double>").as("top3"))
+      .orderBy($"o_orderpriority")
+  }
+  val q78Sql: String =
+    """SELECT o_orderpriority,
+      |  (list(CAST(o_totalprice AS DECIMAL(14,2))
+      |        ORDER BY CAST(o_totalprice AS DECIMAL(14,2)) DESC))[1:3]::DOUBLE[] AS top3
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q72_pivot", q72 _, Some(q72Sql)),
+    ("q73_unpivot", q73 _, Some(q73Sql)),
+    ("q74_corr_covar", q74 _, Some(q74Sql)),
+    ("q75_histogram", q75 _, Some(q75Sql)),
+    ("q76_hash_sample", q76 _, Some(q76Sql)),
+    ("q77_range_band_join", q77 _, Some(q77Sql)),
+    ("q78_sorted_array_agg", q78 _, Some(q78Sql)))
+}

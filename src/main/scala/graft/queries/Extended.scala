@@ -204,6 +204,27 @@ object Extended {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // --- q80: salted skew join ------------------------------------------------
+  // customer⋈nation is the classic hot-dimension shape (25 nation keys over
+  // every customer row). Skew.saltedJoin splits each key into 8 salts —
+  // results are provably identical to the plain join the oracle states,
+  // which is exactly what makes the operator oracle-checkable.
+  def q80(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d).withColumnRenamed("c_nationkey", "nationkey")
+    val nat = Tables.nation(s, d).withColumnRenamed("n_nationkey", "nationkey")
+    graft.operators.Skew.saltedJoin(cust, nat, "nationkey", "c_custkey", 8)
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_customers"), dsum4($"c_acctbal").as("sum_acctbal"))
+      .orderBy($"n_name")
+  }
+  val q80Sql: String =
+    """SELECT n_name, COUNT(*) AS n_customers,
+      |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q72_pivot", q72 _, Some(q72Sql)),
     ("q73_unpivot", q73 _, Some(q73Sql)),
@@ -211,5 +232,6 @@ object Extended {
     ("q75_histogram", q75 _, Some(q75Sql)),
     ("q76_hash_sample", q76 _, Some(q76Sql)),
     ("q77_range_band_join", q77 _, Some(q77Sql)),
-    ("q78_sorted_array_agg", q78 _, Some(q78Sql)))
+    ("q78_sorted_array_agg", q78 _, Some(q78Sql)),
+    ("q80_salted_join", q80 _, Some(q80Sql)))
 }

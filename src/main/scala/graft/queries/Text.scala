@@ -264,6 +264,51 @@ object Text {
       |  MIN(fp) AS min_fp, MAX(fp) AS max_fp
       |FROM wm GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- q79: TF-IDF — top-5 terms per document ------------------------------
+  // tf from one (doc, term) aggregation, df from a term-level reduce of the
+  // same frame, idf = ln(N/df) with N as an in-plan scalar. The ranking
+  // orders by the ROUNDED score (both engines' ln can differ in the last
+  // bit; sub-1e-6 differences collapse into the term tie-break). Two
+  // shuffles total — (doc,term) then term — both on bounded-cardinality
+  // keys; at 100 TB this is the canonical map-side-combine pipeline.
+  def q79(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val tc = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      .persist()
+    val df = tc.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tc.join(df, "tok").crossJoin(n)
+      .withColumn("tfidf",
+        round($"tf" * log($"n_docs".cast("double") / $"df"), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tfidf".desc, $"tok")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"doc_id", $"rank", $"tok", $"tf", $"df", $"tfidf")
+      .orderBy($"doc_id", $"rank")
+  }
+  val q79Sql: String =
+    """WITH tc AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf
+      |  FROM (SELECT doc_id,
+      |          unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY doc_id, tok
+      |), dfreq AS (
+      |  SELECT tok, COUNT(*) AS df FROM tc GROUP BY tok
+      |), scored AS (
+      |  SELECT tc.doc_id, tc.tok, tc.tf, dfreq.df,
+      |    ROUND(tc.tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / dfreq.df), 6) AS tfidf
+      |  FROM tc JOIN dfreq ON tc.tok = dfreq.tok
+      |)
+      |SELECT doc_id, rank, tok, tf, df, tfidf FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5
+      |ORDER BY doc_id, rank""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_token_stats", q40 _, Some(q40Sql)),
     ("q41_quality_score", q41 _, Some(q41Sql)),
@@ -272,5 +317,6 @@ object Text {
     ("q44_bigram_freq", q44 _, Some(q44Sql)),
     ("q45_neardup_minhash", q45 _, Some(q45Sql)),
     ("q46_neardup_simhash", q46 _, Some(q46Sql)),
-    ("q47_winnowing", q47 _, Some(q47Sql)))
+    ("q47_winnowing", q47 _, Some(q47Sql)),
+    ("q79_tfidf", q79 _, Some(q79Sql)))
 }

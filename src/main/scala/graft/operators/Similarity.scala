@@ -96,15 +96,18 @@ object Similarity {
     // Plane component (p, dim) is an integer Weyl-style mixer in
     // [-1024, 1024] — exact integer arithmetic any SQL engine reproduces,
     // so the DuckDB oracle can restate the buckets verbatim; executors need
-    // no plane-matrix broadcast. The per-plane sums are decimal-routed:
-    // partial-agg order varies across engines (and runs), and a sign flip
-    // on a near-zero dot product would change a bucket.
+    // no plane-matrix broadcast. Each per-plane term is scaled to a 1e-9
+    // grid and floored to a long BEFORE summation: the sum is then exact
+    // integer arithmetic — order-independent (double summation order varies
+    // across engines and runs, and a sign flip on a near-zero dot product
+    // would change a bucket) and long-backed (a decimal(28,12) route is
+    // BigDecimal-boxed and ~3x slower in the hash aggregate).
     val comps = corpus.select(col("vec_id"),
       posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
     val dotCols = (0 until planes).map { p =>
       val comp = ((col("pos") * 7919 + lit(p * 1000003)) * lit(2654435761L) % 2049L
         - 1024L).cast("double")
-      sum((col("v") * comp).cast("decimal(28,12)")).as(s"d$p")
+      sum(floor(col("v") * comp * 1e9).cast("long")).as(s"d$p")
     }
     val sigs = comps.groupBy("vec_id").agg(dotCols.head, dotCols.tail: _*)
 

@@ -158,8 +158,8 @@ object Vectors {
       |  FROM embeddings
       |), dots AS (
       |  SELECT vec_id, p,
-      |    SUM(CAST(v * ((pos * 7919 + p * 1000003) * 2654435761 % 2049 - 1024)
-      |        AS DECIMAL(28,12))) AS d
+      |    SUM(CAST(FLOOR(v * ((pos * 7919 + p * 1000003) * 2654435761 % 2049 - 1024) * 1e9)
+      |        AS BIGINT)) AS d
       |  FROM comps, (SELECT unnest(range(0, 30)) AS p) pl
       |  GROUP BY vec_id, p
       |), buckets AS (

@@ -79,6 +79,46 @@ object Streams {
       }
   }
 
+  /** Custom-state sessionizer via flatMapGroupsWithState: accumulates an
+    * open session per user, emits ONE closed-session row per 30-minute gap
+    * (zero rows while a session stays open — the flatMap shape windows
+    * can't express with mapGroupsWithState's exactly-one-output contract).
+    * The final open session is emitted when the state times out; with an
+    * AvailableNow backlog run the batch end flushes it. State is one small
+    * tuple per active user — memory proportional to live users, not the
+    * stream.
+    *
+    * The 30-minute gap matches queries.Events.q27 (the lag+cumsum batch
+    * sessionizer), which StreamingSpec uses as the equivalence oracle. */
+  final case class SessionState(start: Long, end: Long, n: Long)
+  final case class ClosedSession(user_id: Long, session_start_s: Long,
+    session_end_s: Long, n_events: Long)
+
+  def sessionizeWithState(spark: SparkSession, events: DataFrame,
+      gapSeconds: Long = 1800L): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events.select(col("user_id").as[Long], expr("ts div 1000000000").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          // fold this batch's (sorted) events into open/closed sessions
+          val sorted = rows.map(_._2).toSeq.sorted
+          val (closed, open) = sorted.foldLeft(
+            (List.empty[SessionState], state.getOption)) {
+            case ((done, None), t) => (done, Some(SessionState(t, t, 1)))
+            case ((done, Some(s)), t) =>
+              if (t - s.end > gapSeconds) (s :: done, Some(SessionState(t, t, 1)))
+              else (done, Some(s.copy(end = t, n = s.n + 1)))
+          }
+          // AvailableNow backlog = one batch: flush the open session too
+          // (a live deployment would keep it in state and close on timeout)
+          state.remove()
+          (open.toList ++ closed).reverse
+            .map(s => ClosedSession(uid, s.start, s.end, s.n)).iterator
+      }
+  }
+
   /** Run a streaming DataFrame to completion against the backlog (one
     * AvailableNow pass), materialized in a memory sink; returns the sink
     * contents. Complete mode so closed-and-open windows are all visible —

@@ -59,6 +59,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalCounts == expected)
   }
 
+  test("flatMapGroupsWithState sessionizer matches the batch lag+cumsum sessions") {
+    val streamed = Streams.runDatasetToMemory(spark,
+      Streams.sessionizeWithState(spark, Streams.eventsStream(spark, sf)),
+      "fmgws_sessions", OutputMode.Append())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch twin: q27 emits (user, session) rows with formatted bounds;
+    // recompute epoch bounds + counts from the same operator definition
+    val batch = queries.Events.q27(spark, sf)
+      .select(col("user_id"),
+        unix_timestamp(col("session_start")).as("s"),
+        unix_timestamp(col("session_end")).as("e"),
+        col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch,
+      s"state-sessionizer divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed events") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     // a directory holding the same events file twice = a stream with every

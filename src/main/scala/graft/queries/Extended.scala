@@ -225,6 +225,28 @@ object Extended {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  // --- q81: bloom-pruned semi join ------------------------------------------
+  // Lineitems of high-value orders: the bloom filter prunes the lineitem
+  // side before the shuffle; the exact semi join removes false positives,
+  // so the result equals the plain IN-subquery the oracle states.
+  def q81(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hot = Tables.orders(s, d).filter($"o_totalprice" > 400000.0)
+    graft.operators.BloomPrune.bloomSemiJoin(
+      Tables.lineitem(s, d), hot.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "l_orderkey", expectedItems = 100000L)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+  val q81Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q72_pivot", q72 _, Some(q72Sql)),
     ("q73_unpivot", q73 _, Some(q73Sql)),
@@ -233,5 +255,6 @@ object Extended {
     ("q76_hash_sample", q76 _, Some(q76Sql)),
     ("q77_range_band_join", q77 _, Some(q77Sql)),
     ("q78_sorted_array_agg", q78 _, Some(q78Sql)),
-    ("q80_salted_join", q80 _, Some(q80Sql)))
+    ("q80_salted_join", q80 _, Some(q80Sql)),
+    ("q81_bloom_semi_join", q81 _, Some(q81Sql)))
 }

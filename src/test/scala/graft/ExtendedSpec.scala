@@ -71,6 +71,24 @@ class ExtendedSpec extends AnyFunSuite {
     assert(histo == Tables.orders(spark, sf).count())
   }
 
+  test("bloom semi join equals the plain semi join and actually prunes") {
+    val large = Tables.lineitem(spark, sf)
+    val hot = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 400000.0)
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val bloomed = operators.BloomPrune.bloomSemiJoin(large, hot, "l_orderkey", 10000L)
+    val plain = large.join(hot.select(col("l_orderkey")).distinct(),
+      Seq("l_orderkey"), "left_semi")
+    assert(bloomed.count() == plain.count())
+    // the pre-filter itself must pass ~selectivity + fpp of rows, not all
+    val bf = hot.stat.bloomFilter("l_orderkey", 10000L, 0.01)
+    val bc = spark.sparkContext.broadcast(bf)
+    val probe = udf((k: Long) => bc.value.mightContainLong(k))
+    val kept = large.filter(probe(col("l_orderkey"))).count().toDouble
+    assert(kept < large.count() * 0.5,
+      s"bloom kept $kept of ${large.count()} rows — not pruning")
+  }
+
   test("range-band join only emits lags within [0, 60] days") {
     val bands = queries.Extended.q77(spark, sf).collect().map(_.getLong(0))
     assert(bands.nonEmpty && bands.forall(b => b >= 0 && b <= 4))

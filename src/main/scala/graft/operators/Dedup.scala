@@ -125,6 +125,46 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-duplicate pair graph by iterative
+    * min-label propagation: each doc adopts the smallest doc_id reachable
+    * through pair edges; the component minimum becomes the canonical
+    * document (the row a dedup pipeline keeps). Returns
+    * (doc_id, cluster_rep, is_canonical) for every doc in ≥ 1 pair.
+    *
+    * Convergence is bounded by component diameter — near-dup clusters are
+    * small, so a handful of joins; each iteration localCheckpoints so the
+    * plan doesn't grow with the loop (the classic iterative-DataFrame
+    * trap). At 100 TB this is a few shuffles on doc_id per round over the
+    * PAIR set (≪ corpus): the corpus-scale work already happened in the
+    * LSH candidate stage.
+    */
+  def clusterPairs(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val nbrRep = edges
+        .join(labels.select(col("doc_id").as("dst"), col("rep").as("cand")), "dst")
+        .select(col("src").as("doc_id"), col("cand").as("rep"))
+      val updated = labels.unionByName(nbrRep)
+        .groupBy("doc_id").agg(min(col("rep")).as("rep"))
+        .localCheckpoint(true)
+      converged = updated.join(labels.withColumnRenamed("rep", "prev"), "doc_id")
+        .filter(col("rep") < col("prev")).isEmpty
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("rep").as("cluster_rep"),
+      (col("doc_id") === col("rep")).as("is_canonical"))
+  }
+
   /** SimHash near-dup pairs (idA < idB) within `maxHamming` bits.
     * Candidates by banding the 56-bit sketch into its 7 bytes: two sketches
     * within hamming ≤ 6 must agree on at least one whole byte (pigeonhole),

@@ -309,6 +309,45 @@ object Text {
       |WHERE rank <= 5
       |ORDER BY doc_id, rank""".stripMargin
 
+  // --- q82: near-dup clustering + canonical selection -----------------------
+  // Connected components over the q45 pair graph (min-label propagation);
+  // the component minimum is the kept document. The oracle states the same
+  // closure with a recursive CTE over the same brute-force pair set.
+  def q82(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.nearDuplicatePairs(Tables.documents(s, d), "doc_id", "text",
+      k = 3, threshold = 0.6)
+    Dedup.clusterPairs(pairs).orderBy($"doc_id")
+  }
+  val q82Sql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM (SELECT doc_id,
+      |          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |        FROM documents)
+      |  WHERE len(t) >= 3
+      |), pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |      len(list_intersect(a.s, b.s)) * 1.0
+      |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |  WHERE jaccard >= 0.6
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |), reach AS (
+      |  SELECT src AS doc_id, dst AS r FROM edges
+      |  UNION
+      |  SELECT reach.doc_id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+      |)
+      |SELECT doc_id, cluster_rep, doc_id = cluster_rep AS is_canonical FROM (
+      |  SELECT doc_id, LEAST(doc_id, MIN(r)) AS cluster_rep
+      |  FROM reach GROUP BY doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_token_stats", q40 _, Some(q40Sql)),
     ("q41_quality_score", q41 _, Some(q41Sql)),
@@ -318,5 +357,6 @@ object Text {
     ("q45_neardup_minhash", q45 _, Some(q45Sql)),
     ("q46_neardup_simhash", q46 _, Some(q46Sql)),
     ("q47_winnowing", q47 _, Some(q47Sql)),
-    ("q79_tfidf", q79 _, Some(q79Sql)))
+    ("q79_tfidf", q79 _, Some(q79Sql)),
+    ("q82_dedup_clusters", q82 _, Some(q82Sql)))
 }

@@ -89,6 +89,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 3L)) && !pairs.contains((1L, 3L)))
   }
 
+  test("near-dup clustering: components merge transitively, reps are minima") {
+    import spark.implicits._
+    // pair graph: 1-2, 2-3 (one component), 5-6 (another); 9 isolated (absent)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterPairs(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (5L, 5L, true), (6L, 5L, false)))
+  }
+
   test("native dot_product expression equals the built-in fold bit-for-bit") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions

@@ -54,6 +54,16 @@ object Sources {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Hive-style partitioned write: one directory per `partitionCol` value.
+    * The time-partitioned lake layout the 100 TB design assumes for the
+    * events table — a date/hour filter then prunes whole partitions at
+    * planning time (PartitionFilters in the scan, zero I/O for untouched
+    * days), which is what keeps full-history tables queryable. SourcesSpec
+    * proves the pruned plan reads only the matching partition. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCol).parquet(path)
+
   /** JDBC read with predicate pushdown left to Spark's JDBC source
     * (`PushedFilters` reach the remote WHERE clause). Postgres-parity path;
     * not exercised in this container (no database), the API mirrors the

@@ -43,6 +43,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(Sources.readParquet(spark, path).collect().toSet == df.collect().toSet)
   }
 
+  test("partitioned write prunes untouched partitions at planning time") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("day", date_format(expr("timestamp_micros(ts div 1000)"), "yyyy-MM-dd"))
+    val path = tmp("graft_part")
+    Sources.writePartitioned(ev, path, "day")
+    val days = ev.select("day").distinct().count()
+    assert(days > 1, "need multiple partitions to prove pruning")
+    val one = ev.select(max(col("day"))).head().getString(0)
+    val pruned = Sources.readParquet(spark, path).filter(col("day") === one)
+    // partition filter must reach the scan: only 1 of `days` directories read
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("day#"),
+      s"partition filter missing from scan:\n$scan")
+    assert(pruned.count() == ev.filter(col("day") === one).count())
+    val allFiles = pruned.queryExecution.executedPlan.collectLeaves().head match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters).length
+      case _ => -1
+    }
+    assert(allFiles == 1, s"expected 1 pruned partition, scan lists $allFiles")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import org.apache.spark.sql.functions.col
     val o = Tables.orders(spark, "/root/testdata/sf0.001")

@@ -17,28 +17,27 @@ object QTime {
     }
     if (args.headOption.contains("-q45stages")) {
       import graft.functions.TextFunctions._
+      val k = 3
       val docs = Tables.documents(spark, d)
-      val base = docs.select(col("doc_id"), wordShingles(tokens(col("text")), 3).as("sh"))
-        .filter(size(col("sh")) > 0).persist()
-      time("base count")(base.count())
-      val hashed = base.select(col("doc_id"), explode(col("sh")).as("s"))
-        .select(col("doc_id"), xxhash64(col("s")).as("h"))
-      time("hashed count")(hashed.count())
+      val tokRows = docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val withLeads = (1 until k).foldLeft(tokRows)((df, i) =>
+        df.withColumn(s"t$i", lead(col("tok"), i).over(wOrd)))
+      val shingleCols = col("tok") +: (1 until k).map(i => col(s"t$i"))
+      val shingleRows = withLeads
+        .filter(col(s"t${k - 1}").isNotNull)
+        .select(col("doc_id"), xxhash64(concat_ws(" ", shingleCols: _*)).as("h"))
+      time("shingleRows count")(println("n=" + shingleRows.count()))
       val sigCols = (0 until 64).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
-      val sigs = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      time("sigs count")(sigs.count())
-      val bandCols = (0 until 32).map { b =>
-        val slice = (0 until 2).map(r => col(s"m${b * 2 + r}"))
-        struct(lit(b).as("band"), xxhash64(lit(b) +: slice: _*).as("bh"))
-      }
-      val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh")).persist()
-      time("banded count")(banded.count())
-      val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-      time("candidates")(println("n_cand=" + cand.count()))
+      val sigsOnly = shingleRows.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      time("sigs-only (codegen)")(sigsOnly.count())
+      val setOnly = shingleRows.groupBy("doc_id").agg(collect_set(col("h")).as("sh"))
+      time("collect_set-only")(setOnly.count())
+      val combined = shingleRows.groupBy("doc_id")
+        .agg(collect_set(col("h")).as("sh"), sigCols: _*)
+      time("combined agg")(combined.count())
       val full = operators.Dedup.nearDuplicatePairs(docs, "doc_id", "text", 3, 0.6)
       time("full q45")(full.count())
     } else if (args.headOption.contains("-plan")) {

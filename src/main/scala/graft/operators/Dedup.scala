@@ -42,12 +42,16 @@ object Dedup {
       k: Int = 3, threshold: Double = 0.6,
       numPerm: Int = 64, bands: Int = 32): DataFrame = {
     val rowsPerBand = numPerm / bands
-    // Shingling via posexplode + lead() windows, hashed per row, distinct at
-    // row level. The array-valued form (transform + slice + array_distinct
-    // per doc) is interpreted and array_distinct alone is O(tokens²) string
-    // compares per doc — ~13s at sf0.1 vs <2s for this pipeline. Jaccard
-    // verification runs on the 64-bit shingle hashes (collision odds within
-    // a pair's union ~1e-59 — far below any other error source).
+    // Shingling via posexplode + lead() windows, hashed to 64 bits per row
+    // so only longs travel. Stays fully codegen'd; the array-valued
+    // alternatives are 3-20x slower here (array_distinct is O(tokens²)
+    // interpreted string compares, and a transform() lambda is an
+    // interpreted HOF at ~ms/doc). Duplicate shingles are absorbed by the
+    // single aggregation below: MIN is duplicate-blind and collect_set
+    // dedups inside the agg hash map, so no separate distinct() shuffle is
+    // needed. Jaccard verification runs on the shingle hashes (collision
+    // odds within a pair's union ~1e-59 — far below any other error
+    // source).
     val tokRows = docs.select(col(idCol).as("doc_id"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -57,27 +61,25 @@ object Dedup {
     val shingleRows = withLeads
       .filter(col(s"t${k - 1}").isNotNull)
       .select(col("doc_id"), xxhash64(concat_ws(" ", shingleCols: _*)).as("h"))
-      .distinct()
-      .persist()
 
-    // Signatures via one hash-aggregation with numPerm MIN columns — stays
-    // in whole-stage codegen.
+    // ONE hash-aggregation produces both the MinHash signature (numPerm MIN
+    // columns — codegen) and the exact shingle-hash set for verification:
+    // one shuffle on doc_id carries the whole sketch state. persisted: the
+    // banding self-join and both verification joins read it — without the
+    // cache Spark recomputes the shingle scan per reference. LRU-evicted,
+    // no caller lifecycle.
     val sigCols = (0 until numPerm).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
-    val sigs = shingleRows.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    val base = shingleRows.groupBy("doc_id").agg(collect_list(col("h")).as("sh"))
+    val sketches = shingleRows.groupBy("doc_id")
+      .agg(collect_set(col("h")).as("sh"), sigCols: _*)
+      .persist()
 
     val bandCols = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(lit(b) +: slice: _*).as("bh"))
     }
-    // persisted: referenced by both sides of the self-join (and `base` by
-    // the two verification joins) — without it Spark recomputes the whole
-    // shingle+signature pipeline per reference. Spark evicts LRU, so the
-    // cache needs no explicit lifecycle from callers.
-    val banded = sigs
+    val banded = sketches
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      .persist()
 
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -86,6 +88,11 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
+    // Candidate pairs ≪ corpus, so the sketch side of the verification
+    // joins is the big one — keep candidates on the stream side and let
+    // AQE broadcast; at true 100 TB scale `sh` re-attaches via shuffle
+    // joins on doc_id, still proportional to |candidates|.
+    val base = sketches.select(col("doc_id"), col("sh"))
     candidates
       .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")

@@ -153,6 +153,15 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("rep", col("doc_id"))
       .localCheckpoint(true)
+    // Labels only ever decrease under min-propagation, so the exact integer
+    // sum of reps is strictly monotone until convergence — comparing sums
+    // detects the fixpoint without a per-iteration join against the
+    // previous labels.
+    def repSum(df: DataFrame): Long = {
+      val v = df.agg(sum(col("rep"))).head
+      if (v.isNullAt(0)) 0L else v.getLong(0) // null sum = empty pair graph
+    }
+    var prevSum = repSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -162,8 +171,9 @@ object Dedup {
       val updated = labels.unionByName(nbrRep)
         .groupBy("doc_id").agg(min(col("rep")).as("rep"))
         .localCheckpoint(true)
-      converged = updated.join(labels.withColumnRenamed("rep", "prev"), "doc_id")
-        .filter(col("rep") < col("prev")).isEmpty
+      val curSum = repSum(updated)
+      converged = curSum == prevSum
+      prevSum = curSum
       labels = updated
       iter += 1
     }

@@ -42,25 +42,12 @@ object Dedup {
       k: Int = 3, threshold: Double = 0.6,
       numPerm: Int = 64, bands: Int = 32): DataFrame = {
     val rowsPerBand = numPerm / bands
-    // Shingling via posexplode + lead() windows, hashed to 64 bits per row
-    // so only longs travel. Stays fully codegen'd; the array-valued
-    // alternatives are 3-20x slower here (array_distinct is O(tokens²)
-    // interpreted string compares, and a transform() lambda is an
-    // interpreted HOF at ~ms/doc). Duplicate shingles are absorbed by the
-    // single aggregation below: MIN is duplicate-blind and collect_set
-    // dedups inside the agg hash map, so no separate distinct() shuffle is
-    // needed. Jaccard verification runs on the shingle hashes (collision
-    // odds within a pair's union ~1e-59 — far below any other error
-    // source).
-    val tokRows = docs.select(col(idCol).as("doc_id"),
-      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val withLeads = (1 until k).foldLeft(tokRows)((df, i) =>
-      df.withColumn(s"t$i", lead(col("tok"), i).over(wOrd)))
-    val shingleCols = col("tok") +: (1 until k).map(i => col(s"t$i"))
-    val shingleRows = withLeads
-      .filter(col(s"t${k - 1}").isNotNull)
-      .select(col("doc_id"), xxhash64(concat_ws(" ", shingleCols: _*)).as("h"))
+    // Duplicate shingles are absorbed by the single aggregation below: MIN
+    // is duplicate-blind and collect_set dedups inside the agg hash map, so
+    // no separate distinct() shuffle is needed. Jaccard verification runs
+    // on the shingle hashes (collision odds within a pair's union ~1e-59 —
+    // far below any other error source).
+    val shingleRows = shingleHashRows(docs, idCol, textCol, k)
 
     // ONE hash-aggregation produces both the MinHash signature (numPerm MIN
     // columns — codegen) and the exact shingle-hash set for verification:
@@ -97,6 +84,77 @@ object Dedup {
       .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Word-n-gram shingles hashed to 64 bits, one row per (doc, shingle)
+    * occurrence. Shingling via posexplode + lead() windows — fully
+    * codegen'd; the array-valued alternatives are 3-20x slower
+    * (array_distinct is O(tokens²) interpreted string compares, and a
+    * transform() lambda is an interpreted HOF at ~ms/doc). Only longs
+    * travel downstream. */
+  private def shingleHashRows(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tokRows = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val withLeads = (1 until k).foldLeft(tokRows)((df, i) =>
+      df.withColumn(s"t$i", lead(col("tok"), i).over(wOrd)))
+    val shingleCols = col("tok") +: (1 until k).map(i => col(s"t$i"))
+    withLeads
+      .filter(col(s"t${k - 1}").isNotNull)
+      .select(col("doc_id"), xxhash64(concat_ws(" ", shingleCols: _*)).as("h"))
+  }
+
+  /** Exact word-n-gram Jaccard similarity join via prefix filtering
+    * (the PPJoin family, Xiao et al., WWW 2008): documents are candidates
+    * only if they share a shingle in each other's rarest-first prefix.
+    *
+    * Unlike MinHash-LSH banding (probabilistic recall), prefix filtering is
+    * LOSSLESS: jaccard(a,b) ≥ t implies an overlap of at least ⌈t·|s|⌉ per
+    * set, so each set must hit its (|s| − ⌈t·|s|⌉ + 1)-prefix of any global
+    * gram order — recall is a theorem, not a probability, which is what
+    * makes the operator exactly checkable against a brute-force oracle.
+    *
+    * Scale shape: shingles travel as 64-bit hashes; the global order is
+    * (corpus frequency, hash), so prefixes hold each document's RAREST
+    * shingles and the candidate self-join on a prefix shingle has posting
+    * lists of the low-frequency tail, not the head (word shingles are
+    * near-unique across documents — char grams would be far too dense for
+    * this filter). The size predicate t·|a| ≤ |b| ≤ |a|/t (also lossless)
+    * prunes before the pair dedup. All joins shuffle on shingle/doc keys —
+    * no broadcast of the corpus.
+    */
+  def ngramJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val grams = shingleHashRows(docs, idCol, textCol, n)
+      .withColumnRenamed("h", "g")
+      .distinct()
+      .persist()
+
+    val gramFreq = grams.groupBy("g").agg(count(lit(1)).as("gf"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val ranked = grams.join(gramFreq, "g")
+      .withColumn("sz", count(lit(1)).over(wDoc))
+      .withColumn("rn", row_number().over(wDoc.orderBy(col("gf"), col("g"))))
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("doc_id"), col("g"), col("sz"))
+
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.sz") >= col("a.sz") * threshold &&
+          col("a.sz") >= col("b.sz") * threshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val sets = grams.groupBy("doc_id").agg(collect_set(col("g")).as("gs"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b")
+      .withColumn("jaccard", jaccard(col("gs_a"), col("gs_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

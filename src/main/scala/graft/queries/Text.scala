@@ -348,6 +348,74 @@ object Text {
       |  FROM reach GROUP BY doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // --- q83: word-n-gram Jaccard similarity join (prefix filtering) ---------
+  // Lossless PPJoin-style prefix filter (Dedup.ngramJaccardJoin) — recall
+  // is a theorem, so the brute-force all-pairs oracle matches exactly. The
+  // jaccard value itself is a ratio of small ints (exact in IEEE double on
+  // both engines), so no decimal routing is needed. Same similarity
+  // semantics as q45's MinHash-LSH route — two independent algorithms,
+  // both checked against the same brute-force answer.
+  def q83(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.ngramJaccardJoin(Tables.documents(s, d), "doc_id", "text",
+      n = 3, threshold = 0.6)
+      .orderBy($"doc_a", $"doc_b")
+  }
+  val q83Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM (SELECT doc_id,
+      |          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |        FROM documents)
+      |  WHERE len(t) >= 3
+      |)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.s, b.s)) * 1.0
+      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |    AND len(b.s) >= 0.6 * len(a.s) AND len(a.s) >= 0.6 * len(b.s))
+      |WHERE jaccard >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --- q84: BPE-ish regex tokenization stats --------------------------------
+  // GPT-2-style space-prefixed segmentation, restated with an RE2-safe
+  // pattern (no lookahead — Java regex and DuckDB's RE2 only agree on
+  // leftmost behavior when the alternatives' character classes are
+  // disjoint, which they are over the single-spaced normalized text).
+  private val bpePattern = " ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"
+  def q84(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", normalizeText($"text").as("norm"))
+      .select($"doc_id",
+        regexp_extract_all($"norm", lit(bpePattern), lit(0)).as("bpe"),
+        size(split($"norm", " ")).as("n_ws_tokens"),
+        length($"norm").as("n_chars"))
+      .select($"doc_id",
+        size($"bpe").as("n_bpe_tokens"),
+        size(array_distinct($"bpe")).as("n_bpe_distinct"),
+        aggregate($"bpe", lit(0), (acc, t) => acc + length(t)).as("bpe_chars"),
+        $"n_ws_tokens", $"n_chars")
+      .orderBy($"doc_id")
+  }
+  val q84Sql: String =
+    """SELECT doc_id,
+      |  len(bpe) AS n_bpe_tokens,
+      |  len(list_distinct(bpe)) AS n_bpe_distinct,
+      |  CAST(list_sum(list_transform(bpe, t -> length(t))) AS INT) AS bpe_chars,
+      |  len(string_split(norm, ' ')) AS n_ws_tokens,
+      |  length(norm) AS n_chars
+      |FROM (
+      |  SELECT doc_id, norm,
+      |    regexp_extract_all(norm, ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+') AS bpe
+      |  FROM (SELECT doc_id,
+      |          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_token_stats", q40 _, Some(q40Sql)),
     ("q41_quality_score", q41 _, Some(q41Sql)),
@@ -358,5 +426,7 @@ object Text {
     ("q46_neardup_simhash", q46 _, Some(q46Sql)),
     ("q47_winnowing", q47 _, Some(q47Sql)),
     ("q79_tfidf", q79 _, Some(q79Sql)),
-    ("q82_dedup_clusters", q82 _, Some(q82Sql)))
+    ("q82_dedup_clusters", q82 _, Some(q82Sql)),
+    ("q83_ngram_jaccard", q83 _, Some(q83Sql)),
+    ("q84_bpe_tokens", q84 _, Some(q84Sql)))
 }

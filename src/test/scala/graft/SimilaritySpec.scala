@@ -99,6 +99,20 @@ class SimilaritySpec extends AnyFunSuite {
       (5L, 5L, true), (6L, 5L, false)))
   }
 
+  test("prefix-filtered jaccard join equals the minhash-LSH route exactly") {
+    // Two independent algorithms over the same similarity semantics: the
+    // lossless PPJoin-style prefix filter and the probabilistic (but
+    // recall-saturated) MinHash-LSH banding must return the same pairs with
+    // the same jaccard values on the shared corpus.
+    val docs = Tables.documents(spark, sf)
+    val viaPrefix = Dedup.ngramJaccardJoin(docs, "doc_id", "text", 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaMinhash = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaPrefix.nonEmpty)
+    assert(viaPrefix == viaMinhash)
+  }
+
   test("native dot_product expression equals the built-in fold bit-for-bit") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions

@@ -196,11 +196,54 @@ object Vectors {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // --- q85: frame sampling + per-frame features (video-pipeline shape) -----
+  // mapPartitions generator (1 doc → ≤4 frames) followed by declarative
+  // feature math; the deterministic stub slices/fingerprints make the whole
+  // pipeline restatable as SQL over the source text (ASCII corpus: byte
+  // ranges == char ranges).
+  def q85(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frames = Multimodal.frameSampleStub(s,
+      Multimodal.attachPayload(Tables.documents(s, d)), nFrames = 4).toDF()
+    Multimodal.frameFeatures(frames, nFeatures = 2)
+      .orderBy($"doc_id", $"frame_idx")
+  }
+  val q85Sql: String =
+    """SELECT doc_id, frame_idx, frame_len, frame_md5,
+      |  (frame_len * 1 + frame_idx * 31 + doc_id * 17) * 2654435761 % 1000 / 1000.0 AS feat_0,
+      |  (frame_len * 2 + frame_idx * 31 + doc_id * 17) * 2654435761 % 1000 / 1000.0 AS feat_1
+      |FROM (
+      |  SELECT doc_id, f AS frame_idx,
+      |    (f + 1) * strlen(text) // 4 - f * strlen(text) // 4 AS frame_len,
+      |    md5(substr(text, f * strlen(text) // 4 + 1,
+      |        (f + 1) * strlen(text) // 4 - f * strlen(text) // 4)) AS frame_md5
+      |  FROM documents, (SELECT unnest(range(0, 4)) AS f) fr
+      |  WHERE (f + 1) * strlen(text) // 4 > f * strlen(text) // 4)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // --- q86: resize/crop fingerprints (declarative media transforms) --------
+  def q86(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.resizeStub(
+      Multimodal.attachPayload(Tables.documents(s, d)), cropBytes = 256)
+      .orderBy($"doc_id")
+  }
+  val q86Sql: String =
+    """SELECT doc_id,
+      |  CAST(strlen(text) AS INT) AS byte_len,
+      |  md5(substr(text, 1, 256)) AS crop_md5,
+      |  md5(regexp_replace(text, '(.).', '\1', 'g')) AS half_md5,
+      |  CAST(strlen(regexp_replace(text, '(.).', '\1', 'g')) AS INT) AS half_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q50_knn_bruteforce", q50 _, Some(q50Sql)),
     ("q51_vector_stats", q51 _, Some(q51Sql)),
     ("q52_centroids", q52 _, Some(q52Sql)),
     ("q53_knn_ivf", q53 _, Some(q53Sql)),
     ("q54_lsh_pairs", q54 _, Some(q54Sql)),
-    ("q55_multimodal_decode", q55 _, Some(q55Sql)))
+    ("q55_multimodal_decode", q55 _, Some(q55Sql)),
+    ("q85_frame_features", q85 _, Some(q85Sql)),
+    ("q86_media_resize", q86 _, Some(q86Sql)))
 }

@@ -66,4 +66,29 @@ object EtlProps extends Properties("graft.etl") {
       val kept = Dedup.exact(docs, $"text", $"doc_id").filter($"keep")
       kept.count() == texts.map(_.trim.toLowerCase.replaceAll("\\s+", " ")).distinct.size
     }
+
+  property("prefix-filtered jaccard join is lossless vs brute force") =
+    forAll(textGen) { texts =>
+      import spark.implicits._
+      // brute-force word-3-gram jaccard on the driver
+      def shingles(t: String): Set[String] = {
+        val toks = t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+        toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }
+      val expected = (for {
+        (a, i) <- texts.zipWithIndex
+        (b, j) <- texts.zipWithIndex
+        if i < j
+        sa = shingles(a); sb = shingles(b)
+        if sa.nonEmpty && sb.nonEmpty
+        inter = (sa & sb).size
+        jac = inter.toDouble / (sa.size + sb.size - inter)
+        if jac >= 0.6
+      } yield (i.toLong, j.toLong)).toSet
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.ngramJaccardJoin(docs, "doc_id", "text", 3, 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got == expected
+    }
 }

@@ -66,6 +66,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(allFiles == 1, s"expected 1 pruned partition, scan lists $allFiles")
   }
 
+  test("http-json DSv2 source: one partition per url, executor-side fetch") {
+    import com.sun.net.httpserver.HttpServer
+    import java.net.InetSocketAddress
+    import org.apache.spark.sql.functions._
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    def serve(path: String, body: String): Unit =
+      server.createContext(path, exchange => {
+        val bytes = body.getBytes("UTF-8")
+        exchange.sendResponseHeaders(200, bytes.length)
+        exchange.getResponseBody.write(bytes)
+        exchange.close()
+      })
+    serve("/btc", """{"bitcoin": {"usd": 67000.5}}""")
+    serve("/eth", """{"ethereum": {"usd": 3500.25}}""")
+    server.start()
+    val base = s"http://localhost:${server.getAddress.getPort}"
+    try {
+      val df = spark.read.format("http-json")
+        .option("urls", s"$base/btc,$base/eth,$base/missing")
+        .option("timeoutSeconds", "10")
+        .load()
+      assert(df.rdd.getNumPartitions == 3, "one input partition per url")
+      val rows = df.collect().map(r => (r.getString(0), r.getInt(1))).toMap
+      assert(rows(s"$base/btc") == 200 && rows(s"$base/eth") == 200)
+      assert(rows(s"$base/missing") == 404, "404 is data, not a task failure")
+      // the landing-zone body feeds the same declarative pivot as files
+      val prices = df.filter(col("status") === 200)
+        .select(explode(from_json(col("body"),
+          "map<string, struct<usd: double>>",
+          Map.empty[String, String])).as(Seq("crypto_id", "v")))
+        .select(col("crypto_id"), col("v.usd").as("price_usd"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      assert(prices == Map("bitcoin" -> 67000.5, "ethereum" -> 3500.25))
+    } finally server.stop(0)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import org.apache.spark.sql.functions.col
     val o = Tables.orders(spark, "/root/testdata/sf0.001")

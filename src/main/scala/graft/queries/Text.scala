@@ -319,8 +319,11 @@ object Text {
       k = 3, threshold = 0.6)
     Dedup.clusterPairs(pairs).orderBy($"doc_id")
   }
+  // MATERIALIZED hints: without them DuckDB re-inlines the brute-force
+  // pair join into every recursion step of `reach` (quadratic work per
+  // iteration — the sf0.1 check ran 45+ min; materialized it's minutes).
   val q82Sql: String =
-    """WITH RECURSIVE sh AS (
+    """WITH RECURSIVE sh AS MATERIALIZED (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, len(t) - 1),
       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
@@ -328,14 +331,14 @@ object Text {
       |          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
       |        FROM documents)
       |  WHERE len(t) >= 3
-      |), pairs AS (
+      |), pairs AS MATERIALIZED (
       |  SELECT doc_a, doc_b FROM (
       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |      len(list_intersect(a.s, b.s)) * 1.0
       |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
       |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       |  WHERE jaccard >= 0.6
-      |), edges AS (
+      |), edges AS MATERIALIZED (
       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
       |  UNION ALL SELECT doc_b, doc_a FROM pairs
       |), reach AS (

@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.{Encoders => SEncoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /** Structured Streaming surface — the unbounded-time-series form of the
   * reference's hourly poll (SURVEY.md §1.1: the "stream" is a cron-batched
@@ -77,6 +78,39 @@ object Streams {
           state.update(next)
           UserUpdate(uid, next.n, next.lastType)
       }
+  }
+
+  /** The same running-counts state logic on Spark 4's transformWithState —
+    * the successor API to (flat)mapGroupsWithState: state is declared as
+    * named typed handles (ValueState/ListState/MapState) with optional TTL,
+    * timers replace GroupStateTimeout, and the RocksDB state store is
+    * required (set `spark.sql.streaming.stateStore.providerClass` to the
+    * RocksDB provider). At scale the win is granular state: one key's
+    * update touches its state entries, not a monolithic per-key blob. */
+  final class RunningCountsProcessor
+      extends StatefulProcessor[Long, (Long, String, Long), UserUpdate] {
+    @transient private var st: ValueState[UserState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserState]("user",
+        SEncoders.product[UserState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String, Long)],
+        timerValues: TimerValues): Iterator[UserUpdate] = {
+      val sorted = rows.toSeq.sortBy(_._3)
+      val prev = if (st.exists()) st.get() else UserState(0L, "")
+      val next = UserState(prev.n + sorted.size,
+        sorted.lastOption.map(_._2).getOrElse(prev.lastType))
+      st.update(next)
+      Iterator.single(UserUpdate(key, next.n, next.lastType))
+    }
+  }
+
+  def userRunningCountsTws(spark: SparkSession, events: DataFrame): Dataset[UserUpdate] = {
+    import spark.implicits._
+    events.select(col("user_id").as[Long], col("event_type").as[String],
+        col("ts").as[Long])
+      .groupByKey(_._1)
+      .transformWithState(new RunningCountsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Custom-state sessionizer via flatMapGroupsWithState: accumulates an

@@ -59,6 +59,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalCounts == expected)
   }
 
+  test("transformWithState (StatefulProcessor + RocksDB) matches mapGroupsWithState") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val updates = Streams.runDatasetToMemory(spark,
+        Streams.userRunningCountsTws(spark, Streams.eventsStream(spark, sf)),
+        "user_tws_stream", OutputMode.Update())
+      val finalCounts = updates.groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = Tables.events(spark, sf).groupBy(col("user_id")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(finalCounts == expected)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("flatMapGroupsWithState sessionizer matches the batch lag+cumsum sessions") {
     val streamed = Streams.runDatasetToMemory(spark,
       Streams.sessionizeWithState(spark, Streams.eventsStream(spark, sf)),

@@ -336,6 +336,39 @@ object Analytics {
       |GROUP BY cohort_day, day - cohort_day
       |ORDER BY cohort_day, days_since""".stripMargin
 
+  // --- q87: approximate percentile (GK sketch scale path) ------------------
+  // Like q63's HLL pattern: the sketch's raw estimate can't hash-match a
+  // different engine, so the hashed output carries the exact median plus a
+  // boolean self-check that the approx value's empirical rank is within the
+  // requested error. Greenwald-Khanna guarantees rank error ≤ ε·N for ANY
+  // merge order, so the flag is partitioning-independent; the margin adds
+  // 1/N slack for ties at the returned value. One sketch pass + one rank
+  // probe — both linear scans, no sort of the full column (the exact
+  // percentile column is the oracle's job; at 100 TB only the sketch path
+  // runs).
+  def q87(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val approx = li.groupBy($"l_returnflag")
+      .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("ap"),
+        count(lit(1)).as("n"))
+    li.join(approx, "l_returnflag")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("exact_p50"),
+        (abs(sum(when($"l_extendedprice" <= $"ap", 1L).otherwise(0L)) /
+          first($"n").cast("double") - 0.5) <=
+          lit(0.001) + lit(2.0) / first($"n")).as("approx_rank_ok"))
+      .orderBy($"l_returnflag")
+  }
+  val q87Sql: String =
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+      |  TRUE AS approx_rank_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q60_stat_aggs", q60 _, Some(q60Sql)),
     ("q61_sql_entry", q61 _, Some(q61Text)),
@@ -348,5 +381,6 @@ object Analytics {
     ("q68_array_funcs", q68 _, Some(q68Sql)),
     ("q69_map_funcs", q69 _, Some(q69Sql)),
     ("q70_disjunctive_preds", q70 _, Some(q70Sql)),
-    ("q71_cohort_retention", q71 _, Some(q71Sql)))
+    ("q71_cohort_retention", q71 _, Some(q71Sql)),
+    ("q87_approx_percentile", q87 _, Some(q87Sql)))
 }

@@ -419,6 +419,72 @@ object Text {
       |        FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  // --- q88: sequence packing (concat-and-chunk into fixed token bins) ------
+  // The training-data packing step: documents are concatenated in a
+  // deterministic order and cut every C tokens; each doc's bin span falls
+  // out of a running token-count window. Partitioned by source — the
+  // scalable shape (per-stream cumsum; a single global ordered window would
+  // serialize at 100 TB; cross-partition offsets would come from a tiny
+  // per-partition-totals prefix sum instead).
+  def q88(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val C = 2048
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select($"source", $"doc_id", size(tokens($"text")).as("n_tokens"))
+      .withColumn("start_off", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .select($"source", $"doc_id", $"n_tokens", $"start_off",
+        ($"start_off" / C).cast("long").as("start_bin"),
+        (($"start_off" + $"n_tokens" - 1) / C).cast("long").as("end_bin"))
+      .filter($"n_tokens" > 0)
+      .orderBy($"source", $"doc_id")
+  }
+  val q88Sql: String =
+    """SELECT source, doc_id, n_tokens, start_off,
+      |  start_off // 2048 AS start_bin,
+      |  (start_off + n_tokens - 1) // 2048 AS end_bin
+      |FROM (
+      |  SELECT source, doc_id, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+      |  FROM (SELECT source, doc_id,
+      |          len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS n_tokens
+      |        FROM documents))
+      |WHERE n_tokens > 0
+      |ORDER BY source, doc_id""".stripMargin
+
+  // --- q89: deterministic stratified train/val/test split -------------------
+  // Portable-hash split (md5 prefix mod 100, the q76 sampling trick) with
+  // per-source validation rates — reproducible on any engine, no seed, no
+  // shuffle beyond the final count. The split column is what a training
+  // pipeline partitions its output by.
+  def q89(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bucket = conv(substring(md5(concat_ws("|", $"source", $"doc_id")), 1, 14), 16, 10)
+      .cast("long") % 100
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(bucket < 10, "test")
+          .when(bucket < when($"source" === "src0", 30).otherwise(20), "val")
+          .otherwise("train"))
+      .groupBy($"source", $"split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"source", $"split")
+  }
+  val q89Sql: String =
+    """SELECT source, split, COUNT(*) AS n_docs
+      |FROM (
+      |  SELECT source,
+      |    CASE WHEN b < 10 THEN 'test'
+      |         WHEN b < (CASE WHEN source = 'src0' THEN 30 ELSE 20 END) THEN 'val'
+      |         ELSE 'train' END AS split
+      |  FROM (SELECT source, doc_id,
+      |          ('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 AS b
+      |        FROM documents))
+      |GROUP BY source, split
+      |ORDER BY source, split""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_token_stats", q40 _, Some(q40Sql)),
     ("q41_quality_score", q41 _, Some(q41Sql)),
@@ -431,5 +497,7 @@ object Text {
     ("q79_tfidf", q79 _, Some(q79Sql)),
     ("q82_dedup_clusters", q82 _, Some(q82Sql)),
     ("q83_ngram_jaccard", q83 _, Some(q83Sql)),
-    ("q84_bpe_tokens", q84 _, Some(q84Sql)))
+    ("q84_bpe_tokens", q84 _, Some(q84Sql)),
+    ("q88_sequence_packing", q88 _, Some(q88Sql)),
+    ("q89_stratified_split", q89 _, Some(q89Sql)))
 }

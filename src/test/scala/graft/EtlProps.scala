@@ -67,6 +67,21 @@ object EtlProps extends Properties("graft.etl") {
       kept.count() == texts.map(_.trim.toLowerCase.replaceAll("\\s+", " ")).distinct.size
     }
 
+  property("winnowing: docs sharing a run of >= w+k-1 tokens share a fingerprint") =
+    forAll(textGen, textGen) { (as, bs) =>
+      import spark.implicits._
+      // plant a shared 7-token run (w=4, k=4 → w+k-1 = 7) in two docs
+      val shared = "alpha beta gamma delta epsilon zeta eta"
+      val docA = as.headOption.getOrElse("x") + " " + shared
+      val docB = shared + " " + bs.headOption.getOrElse("y")
+      val docs = Seq((0L, docA), (1L, docB)).toDF("doc_id", "text")
+      val fps = Dedup.winnowingFingerprints(docs, "doc_id", "text", k = 4, w = 4)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val a = fps.filter(_._1 == 0L).map(_._2).toSet
+      val b = fps.filter(_._1 == 1L).map(_._2).toSet
+      (a & b).nonEmpty
+    }
+
   property("prefix-filtered jaccard join is lossless vs brute force") =
     forAll(textGen) { texts =>
       import spark.implicits._

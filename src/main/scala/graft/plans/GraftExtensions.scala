@@ -22,5 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductDouble].getName, "dot_product"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProductDouble(exprs.head, exprs(1))))
+    // domain rewrite: jaccard >= t filters gain lossless O(1) size bounds
+    // ahead of the O(|a|+|b|) intersection (see JaccardSizeBoundRule)
+    ext.injectOptimizerRule(_ => JaccardSizeBoundRule)
   }
 }

@@ -133,4 +133,53 @@ class SimilaritySpec extends AnyFunSuite {
         "CAST(array(4.0,5.0,6.0) AS ARRAY<DOUBLE>)) AS d").head().getDouble(0)
     assert(v == 32.0)
   }
+
+  test("JaccardSizeBoundRule injects lossless size bounds ahead of the intersection") {
+    import graft.functions.TextFunctions.jaccard
+    import org.apache.spark.sql.functions.col
+    // extensions-enabled session: getOrCreate() would return the existing
+    // session (ignoring the extensions conf), so clear the default/active
+    // session first — the new one shares the SparkContext but gets its own
+    // extensions — and restore afterwards.
+    spark // force init
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext =
+      try SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      finally {
+        SparkSession.setDefaultSession(spark)
+        SparkSession.setActiveSession(spark)
+      }
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    import org.apache.spark.sql.functions.split
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // parquet-backed plan (a LocalRelation would be constant-folded away)
+    def query(s: SparkSession) = s.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("s1"),
+        split(col("source"), "r").as("s2"))
+      .filter(jaccard(col("s1"), col("s2")) >= 0.5)
+    val filtered = query(ext)
+    val nConj = filtered.queryExecution.optimizedPlan.collect {
+      case f: LFilter => conjuncts(f.condition).size
+    }.sum
+    val baseline = query(spark)
+    val nConjBase = baseline.queryExecution.optimizedPlan.collect {
+      case f: LFilter => conjuncts(f.condition).size
+    }.sum
+    assert(nConj == nConjBase + 2,
+      s"expected 2 added size-bound conjuncts ($nConjBase -> $nConj):\n" +
+        filtered.queryExecution.optimizedPlan)
+    // lossless: identical rows with and without the rewrite
+    assert(filtered.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      baseline.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
 }

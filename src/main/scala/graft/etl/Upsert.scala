@@ -54,4 +54,34 @@ object Upsert {
     if (n > 0) fresh.write.mode("append").parquet(tablePath)
     n
   }
+
+  /** Partition-pruned upsert against a date/key-partitioned table — the
+    * 100 TB form of [[intoParquet]]: the existing side is read ONLY for the
+    * partitions the incoming batch can touch, so the anti-join probes a few
+    * partitions' worth of keys instead of the whole table. The batch's
+    * partition values are collected on the driver (an hourly batch touches
+    * 1-2 partitions; this is a handful of scalars, not data), turned into
+    * an `isin` filter that planning-time partition pruning eliminates
+    * directories with, and the append writes through the same partition
+    * layout. `partitionCol` must be one of `keys` (or functionally derived
+    * from them) or absence checks would be incomplete.
+    */
+  def intoPartitionedParquet(spark: SparkSession, incoming: DataFrame,
+      tablePath: String, keys: Seq[String], partitionCol: String): Long = {
+    require(keys.contains(partitionCol),
+      s"partition column $partitionCol must be part of the upsert key")
+    val touched = incoming.select(col(partitionCol)).distinct().collect()
+      .map(_.get(0)).toSeq
+    val existing =
+      try spark.read.parquet(tablePath).filter(col(partitionCol).isin(touched: _*))
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema)
+      }
+    val fresh = newRows(existing, incoming, keys).localCheckpoint(eager = true)
+    val n = fresh.count()
+    if (n > 0) fresh.write.mode("append").partitionBy(partitionCol).parquet(tablePath)
+    n
+  }
 }

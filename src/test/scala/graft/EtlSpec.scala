@@ -48,6 +48,39 @@ class EtlSpec extends AnyFunSuite {
     assert(m == Map("bitcoin" -> 1.0, "solana" -> 2.0))
   }
 
+  test("partitioned upsert prunes the existing side to touched partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_pup").toString + "/t"
+    val keys = Seq("crypto_id", "day")
+    val seed = Seq(
+      ("bitcoin", "2024-01-01", 1.0), ("bitcoin", "2024-01-02", 2.0),
+      ("bitcoin", "2024-01-03", 3.0), ("tether", "2024-01-01", 0.99))
+      .toDF("crypto_id", "day", "price_usd")
+    assert(Upsert.intoPartitionedParquet(spark, seed, dir, keys, "day") == 4)
+    // batch touches ONLY day 2024-01-02: one dup key + one new key
+    val batch = Seq(
+      ("bitcoin", "2024-01-02", 999.0), ("solana", "2024-01-02", 5.0))
+      .toDF("crypto_id", "day", "price_usd")
+    assert(Upsert.intoPartitionedParquet(spark, batch, dir, keys, "day") == 1)
+    assert(Upsert.intoPartitionedParquet(spark, batch, dir, keys, "day") == 0) // replay
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 5)
+    val btc2 = after.filter(col("crypto_id") === "bitcoin" && col("day") === "2024-01-02")
+      .head().getAs[Double]("price_usd")
+    assert(btc2 == 2.0, "DO NOTHING semantics: existing row survives")
+    // planning-time pruning: the isin filter the upsert applies must list
+    // exactly ONE of the three day= directories
+    val prunedScan = spark.read.parquet(dir).filter(col("day").isin("2024-01-02"))
+    val files = prunedScan.queryExecution.executedPlan.collectLeaves().head match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .map(_.values.toString).distinct.length
+      case _ => -1
+    }
+    assert(files == 1, s"expected 1 pruned partition, scan lists $files")
+  }
+
   test("gate severity ladder: pass / warn (>2h) / fail (>6h) / negative / dup") {
     import spark.implicits._
     def table(price: Double, ageHours: Int) = {

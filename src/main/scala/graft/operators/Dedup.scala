@@ -16,7 +16,9 @@ import graft.functions.TextFunctions._
   *    Signatures (64 longs) travel through the shuffle, not documents; the
   *    shingle arrays are re-attached only to surviving candidate pairs.
   *  - Pathological buckets (boilerplate colliding everywhere) would skew a
-  *    band bucket; cap bucket size or salt the band key at extreme scale.
+  *    band bucket; at extreme scale swap the naive band self-join for
+  *    [[Skew.skewSafeBucketPairs]] — exact pairs with per-shuffle-key work
+  *    capped at chunkSize².
   */
 object Dedup {
 

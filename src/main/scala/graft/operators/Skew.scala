@@ -33,4 +33,48 @@ object Skew {
       .withColumn("__salt", explode(sequence(lit(0L), lit(saltFactor - 1L))))
     saltedLarge.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Skew-safe unordered-pair generation within buckets — the exact fix for
+    * the oversized-LSH-bucket hazard (boilerplate documents colliding into
+    * one band bucket would put that bucket's O(B²) pair work on ONE reducer
+    * in a naive bucket self-join).
+    *
+    * Fragment-replicate scheme: rows are chunked inside each bucket
+    * (row_number order by id, `chunkSize` rows per chunk); the left side
+    * replicates each row to every chunk-pair cell (own, t >= own), the
+    * right side to (s <= own, own), and the join key becomes
+    * (bucket, cl, cr) — so each shuffle key carries at most chunkSize²
+    * candidate work regardless of bucket size. Chunking by id order makes
+    * cross-chunk pairs come out id-ordered for free; only the diagonal
+    * cells need the id_a < id_b filter, and every pair is produced exactly
+    * once (no distinct needed). Replication overhead is ~B/chunkSize rows
+    * per side — 1/chunkSize of the inherent pair work, not a blowup.
+    *
+    * Returns (id_a, id_b) with id_a < id_b, identical to the naive
+    * per-bucket self-join (SurfaceSpec proves equality on a pathological
+    * bucket).
+    */
+  def skewSafeBucketPairs(rows: DataFrame, bucketCols: Seq[String],
+      idCol: String, chunkSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byBucket = Window.partitionBy(bucketCols.map(col): _*)
+    val withChunk = rows
+      .withColumn("__rn", row_number().over(byBucket.orderBy(col(idCol))))
+      .withColumn("__chunk", ((col("__rn") - 1) / chunkSize).cast("int"))
+    val maxChunk = withChunk
+      .groupBy(bucketCols.map(col): _*)
+      .agg(max(col("__chunk")).as("__maxc"))
+    val keyed = withChunk.join(maxChunk, bucketCols)
+    val left = keyed
+      .withColumn("__cr", explode(sequence(col("__chunk"), col("__maxc"))))
+      .select((bucketCols.map(col) :+ col("__chunk").as("__cl") :+ col("__cr") :+
+        col(idCol).as("id_a")): _*)
+    val right = keyed
+      .withColumn("__cl", explode(sequence(lit(0), col("__chunk"))))
+      .select((bucketCols.map(col) :+ col("__cl") :+ col("__chunk").as("__cr") :+
+        col(idCol).as("id_b")): _*)
+    left.join(right, bucketCols ++ Seq("__cl", "__cr"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+  }
 }

@@ -102,6 +102,28 @@ class SurfaceSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("skew-safe bucket pairs equal the naive self-join on a pathological bucket") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // one boilerplate bucket holding 60% of rows, plus normal buckets
+    val rows = ((0 until 300).map(i => ("hot", i.toLong)) ++
+      (300 until 500).map(i => (s"b${i % 20}", i.toLong)))
+      .toDF("bucket", "doc_id")
+    val naive = rows.as("a").join(rows.as("b"),
+      col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val safe = graft.operators.Skew
+      .skewSafeBucketPairs(rows, Seq("bucket"), "doc_id", chunkSize = 50)
+    val got = safe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, s"pair sets differ: ${got.size} vs ${naive.size}")
+    // the shuffle key is extended by the chunk-pair cell, so the hot
+    // bucket's O(B^2) work spreads over its 6x7/2 cells
+    val plan = safe.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__cl") && plan.contains("__cr"),
+      s"chunk-cell keys missing from join:\n$plan")
+  }
+
   test("typed Dataset API: pivot yields Dataset[CryptoPrice]") {
     val ts = java.sql.Timestamp.valueOf("2024-01-15 12:00:00")
     val ds = Ingest.pivotPricesTyped(spark,

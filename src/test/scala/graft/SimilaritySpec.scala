@@ -113,6 +113,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaPrefix == viaMinhash)
   }
 
+  test("IVF probe over a cell-partitioned corpus is a partition-pruned read") {
+    import org.apache.spark.sql.functions.col
+    // the 100 TB layout: corpus written partitioned by coarse cell, so an
+    // nprobe-cell search touches only those directories
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/t"
+    Tables.embeddings(spark, sf).write.partitionBy("label").parquet(dir)
+    val nCells = Tables.embeddings(spark, sf).select("label").distinct().count()
+    assert(nCells > 3)
+    val probes = Seq(0, 1, 2).map(_.toLong)
+    val probed = spark.read.parquet(dir).filter(col("label").isin(probes: _*))
+    val scanned = probed.queryExecution.executedPlan.collectLeaves().head match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .map(_.values.toString).distinct.length
+      case _ => -1
+    }
+    assert(scanned == probes.size,
+      s"expected ${probes.size} probed cells, scan lists $scanned of $nCells")
+    // and the probed subset is exactly those cells' vectors
+    assert(probed.count() ==
+      Tables.embeddings(spark, sf).filter(col("label").isin(probes: _*)).count())
+  }
+
   test("native dot_product expression equals the built-in fold bit-for-bit") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions

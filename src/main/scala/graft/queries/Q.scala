@@ -24,6 +24,19 @@ import org.apache.spark.sql.functions._
   *   dsum(x)     == CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)
   *   dsum4(x)    == CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)
   *   davg(x)     == CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+  *
+  * Further conventions proven out across the packs:
+  *  - Oracle integer SUMs (plain and windowed) must be CAST to BIGINT —
+  *    DuckDB widens to HUGEINT, which lands as float64 in the driver's
+  *    compare and kind-mismatches Spark's int64 (int32-vs-int64 width
+  *    diffs are tolerated, kind diffs are not).
+  *  - Sketch estimates that cannot match across engines (HLL, GK
+  *    percentile) hash the EXACT value plus a theorem-backed within-bound
+  *    boolean (q63/q87) instead of the estimate.
+  *  - Oracle CTEs referenced inside recursive CTEs need AS MATERIALIZED or
+  *    DuckDB re-evaluates them every iteration (q82).
+  *  - Ratios of small integers (jaccard, rank fractions) are IEEE-exact in
+  *    both engines and need no decimal routing or rounding.
   */
 object Q {
   /** Exact decimal view of a 2-decimal money column. */

@@ -16,19 +16,10 @@ object QTime {
       println(f"STAGE $label: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
     }
     if (args.headOption.contains("-q45stages")) {
-      import graft.functions.TextFunctions._
-      val k = 3
       val docs = Tables.documents(spark, d)
-      val tokRows = docs.select(col("doc_id"),
-        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-      val wOrd = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-      val withLeads = (1 until k).foldLeft(tokRows)((df, i) =>
-        df.withColumn(s"t$i", lead(col("tok"), i).over(wOrd)))
-      val shingleCols = col("tok") +: (1 until k).map(i => col(s"t$i"))
-      val shingleRows = withLeads
-        .filter(col(s"t${k - 1}").isNotNull)
-        .select(col("doc_id"), xxhash64(concat_ws(" ", shingleCols: _*)).as("h"))
+      // the OPERATOR's shingle pipeline, not a copy — staged timings must
+      // measure what q45 actually runs
+      val shingleRows = operators.Dedup.shingleHashRows(docs, "doc_id", "text", 3)
       time("shingleRows count")(println("n=" + shingleRows.count()))
       val sigCols = (0 until 64).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
       val sigsOnly = shingleRows.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)

@@ -36,24 +36,9 @@ object Upsert {
     * anti-joins, appends only the new rows. Serialized per table by
     * convention (single-writer). */
   def intoParquet(spark: SparkSession, incoming: DataFrame, tablePath: String,
-      keys: Seq[String]): Long = {
-    // Treat ONLY path-not-found as "empty table" — a corrupt/unreadable
-    // existing table must abort, not silently re-append the whole batch.
-    val existing =
-      try spark.read.parquet(tablePath)
-      catch { case e: org.apache.spark.sql.AnalysisException
-          if e.getCondition == "PATH_NOT_FOUND" =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema)
-      }
-    // localCheckpoint truncates the plan lineage BEFORE the append: a
-    // cache()-only approach can recompute evicted partitions mid-write,
-    // re-reading tablePath while it is being appended to (double insert).
-    val fresh = newRows(existing, incoming, keys).localCheckpoint(eager = true)
-    val n = fresh.count()
-    if (n > 0) fresh.write.mode("append").parquet(tablePath)
-    n
-  }
+      keys: Seq[String]): Long =
+    antiJoinThenAppend(spark, incoming, tablePath, keys,
+      pruneExisting = identity, write = _.write.mode("append").parquet(tablePath))
 
   /** Partition-pruned upsert against a date/key-partitioned table — the
     * 100 TB form of [[intoParquet]]: the existing side is read ONLY for the
@@ -72,16 +57,30 @@ object Upsert {
       s"partition column $partitionCol must be part of the upsert key")
     val touched = incoming.select(col(partitionCol)).distinct().collect()
       .map(_.get(0)).toSeq
+    antiJoinThenAppend(spark, incoming, tablePath, keys,
+      pruneExisting = _.filter(col(partitionCol).isin(touched: _*)),
+      write = _.write.mode("append").partitionBy(partitionCol).parquet(tablePath))
+  }
+
+  private def antiJoinThenAppend(spark: SparkSession, incoming: DataFrame,
+      tablePath: String, keys: Seq[String],
+      pruneExisting: DataFrame => DataFrame,
+      write: DataFrame => Unit): Long = {
+    // Treat ONLY path-not-found as "empty table" — a corrupt/unreadable
+    // existing table must abort, not silently re-append the whole batch.
     val existing =
-      try spark.read.parquet(tablePath).filter(col(partitionCol).isin(touched: _*))
+      try pruneExisting(spark.read.parquet(tablePath))
       catch { case e: org.apache.spark.sql.AnalysisException
           if e.getCondition == "PATH_NOT_FOUND" =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema)
       }
+    // localCheckpoint truncates the plan lineage BEFORE the append: a
+    // cache()-only approach can recompute evicted partitions mid-write,
+    // re-reading tablePath while it is being appended to (double insert).
     val fresh = newRows(existing, incoming, keys).localCheckpoint(eager = true)
     val n = fresh.count()
-    if (n > 0) fresh.write.mode("append").partitionBy(partitionCol).parquet(tablePath)
+    if (n > 0) write(fresh)
     n
   }
 }

@@ -96,7 +96,7 @@ object Dedup {
     * (array_distinct is O(tokens²) interpreted string compares, and a
     * transform() lambda is an interpreted HOF at ~ms/doc). Only longs
     * travel downstream. */
-  private def shingleHashRows(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def shingleHashRows(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val tokRows = docs.select(col(idCol).as("doc_id"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
@@ -56,14 +56,26 @@ object JaccardSizeBoundRule extends Rule[LogicalPlan] {
     GreaterThanOrEqual(Cast(Size(a), DoubleType),
       Multiply(Literal(t, DoubleType), Cast(Size(b), DoubleType))))
 
+  /** The added bounds are IMPLIED by the jaccard conjunct, so conjoining
+    * them leaves the predicate's truth table unchanged — safe in a Filter
+    * and in ANY join type's condition (outer-join null-extension depends
+    * only on the condition's truth value, which is identical). */
+  private def augment(cond: Expression): Option[Expression] = {
+    val conjuncts = splitConjuncts(cond)
+    val additions = conjuncts.flatMap(jaccardGeq).flatMap {
+      case (a, b, t) => sizeBounds(a, b, t)
+    }.filterNot(add => conjuncts.exists(_.semanticEquals(add)))
+    if (additions.isEmpty) None else Some((additions :+ cond).reduce(And))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      val conjuncts = splitConjuncts(cond)
-      val additions = conjuncts.flatMap(jaccardGeq).flatMap {
-        case (a, b, t) => sizeBounds(a, b, t)
-      }.filterNot(add => conjuncts.exists(_.semanticEquals(add)))
-      if (additions.isEmpty) f
-      else Filter((additions :+ cond).reduce(And), child)
+      augment(cond).map(Filter(_, child)).getOrElse(f)
+    // PushDownPredicates merges a both-sides filter into the join condition
+    // before this rule sees a Filter — the similarity self-join path lands
+    // here, not in the Filter case.
+    case j @ Join(_, _, _, Some(cond), _) =>
+      augment(cond).map(c => j.copy(condition = Some(c))).getOrElse(j)
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

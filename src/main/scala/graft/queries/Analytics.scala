@@ -340,25 +340,31 @@ object Analytics {
   // Like q63's HLL pattern: the sketch's raw estimate can't hash-match a
   // different engine, so the hashed output carries the exact median plus a
   // boolean self-check that the approx value's empirical rank is within the
-  // requested error. Greenwald-Khanna guarantees rank error ≤ ε·N for ANY
-  // merge order, so the flag is partitioning-independent; the margin adds
-  // 1/N slack for ties at the returned value. One sketch pass + one rank
-  // probe — both linear scans, no sort of the full column (the exact
-  // percentile column is the oracle's job; at 100 TB only the sketch path
-  // runs).
+  // requested error. Greenwald-Khanna guarantees SOME rank of the returned
+  // element v — i.e. some position in [count(<v)+1, count(<=v)] — lies
+  // within ε·N of the target for ANY merge order, so the sound tie-proof
+  // check is two-sided: the interval's low end must not exceed (p+ε)N and
+  // its high end must reach (p-ε)N (a single count(<=v) would overcount
+  // duplicates of v and could flip the flag on tie-heavy data). 1/N slack
+  // absorbs the integer boundary. One sketch pass + one rank probe — both
+  // linear scans, no sort of the full column (the exact percentile column
+  // is the oracle's job; at 100 TB only the sketch path runs).
   def q87(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, d)
     val approx = li.groupBy($"l_returnflag")
       .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("ap"),
         count(lit(1)).as("n"))
+    val eps = 0.001
     li.join(approx, "l_returnflag")
       .groupBy($"l_returnflag")
       .agg(
         round(expr("percentile(l_extendedprice, 0.5)"), 6).as("exact_p50"),
-        (abs(sum(when($"l_extendedprice" <= $"ap", 1L).otherwise(0L)) /
-          first($"n").cast("double") - 0.5) <=
-          lit(0.001) + lit(2.0) / first($"n")).as("approx_rank_ok"))
+        (((sum(when($"l_extendedprice" < $"ap", 1L).otherwise(0L)) + lit(1L)) /
+            first($"n").cast("double") <= lit(0.5 + eps) + lit(1.0) / first($"n")) &&
+          (sum(when($"l_extendedprice" <= $"ap", 1L).otherwise(0L)) /
+            first($"n").cast("double") >= lit(0.5 - eps) - lit(1.0) / first($"n")))
+          .as("approx_rank_ok"))
       .orderBy($"l_returnflag")
   }
   val q87Sql: String =

@@ -40,9 +40,12 @@ class HttpJsonSource extends TableProvider with DataSourceRegister {
     HttpJsonSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val urls = Option(properties.get("urls")).getOrElse(
+    // getTable receives the ORIGINAL-cased keys (asCaseSensitiveMap), so
+    // re-wrap for the case-insensitive lookups options promise
+    val opts = new CaseInsensitiveStringMap(properties)
+    val urls = Option(opts.get("urls")).getOrElse(
       throw new IllegalArgumentException("http-json source requires an 'urls' option"))
-    val timeout = Option(properties.get("timeoutseconds")).map(_.toLong).getOrElse(30L)
+    val timeout = Option(opts.get("timeoutSeconds")).map(_.toLong).getOrElse(30L)
     new HttpJsonTable(urls.split(",").map(_.trim).filter(_.nonEmpty), timeout)
   }
 }
@@ -86,9 +89,16 @@ private[sources] class HttpPartitionReaderFactory(timeout: Long)
       override def next(): Boolean =
         if (done) false
         else {
+          // Only non-fatal fetch failures become data; interrupts (task
+          // kill/speculation) and fatal errors must still fail the task —
+          // folding them into a status-0 row would commit a fabricated
+          // result for a URL that another attempt fetches fine.
           val (status, body) =
             try graft.etl.Http.get(url, timeout)
-            catch { case _: Exception => (0, null) }
+            catch {
+              case e: InterruptedException => throw e
+              case scala.util.control.NonFatal(_) => (0, null)
+            }
           row = InternalRow(UTF8String.fromString(url), status,
             if (body == null) null else UTF8String.fromString(body))
           done = true

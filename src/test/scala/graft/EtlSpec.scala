@@ -72,12 +72,7 @@ class EtlSpec extends AnyFunSuite {
     // planning-time pruning: the isin filter the upsert applies must list
     // exactly ONE of the three day= directories
     val prunedScan = spark.read.parquet(dir).filter(col("day").isin("2024-01-02"))
-    val files = prunedScan.queryExecution.executedPlan.collectLeaves().head match {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
-          .map(_.values.toString).distinct.length
-      case _ => -1
-    }
+    val files = TestPlans.prunedPartitionCount(prunedScan)
     assert(files == 1, s"expected 1 pruned partition, scan lists $files")
   }
 

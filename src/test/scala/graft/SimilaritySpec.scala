@@ -123,12 +123,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nCells > 3)
     val probes = Seq(0, 1, 2).map(_.toLong)
     val probed = spark.read.parquet(dir).filter(col("label").isin(probes: _*))
-    val scanned = probed.queryExecution.executedPlan.collectLeaves().head match {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
-          .map(_.values.toString).distinct.length
-      case _ => -1
-    }
+    val scanned = TestPlans.prunedPartitionCount(probed)
     assert(scanned == probes.size,
       s"expected ${probes.size} probed cells, scan lists $scanned of $nCells")
     // and the probed subset is exactly those cells' vectors
@@ -204,5 +199,25 @@ class SimilaritySpec extends AnyFunSuite {
     // lossless: identical rows with and without the rewrite
     assert(filtered.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
       baseline.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+
+    // join path: a both-sides jaccard predicate gets merged into the Join
+    // condition by PushDownPredicates — the rule must fire there too
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    def joinQuery(s: SparkSession) = {
+      val docs = s.read.parquet(s"$sf/documents.parquet")
+      val a = docs.select(col("doc_id").as("id_a"), split(col("text"), " ").as("sa"))
+      val b = docs.select(col("doc_id").as("id_b"), split(col("text"), " ").as("sb"))
+      a.join(b, jaccard(col("sa"), col("sb")) >= 0.5 && col("id_a") < col("id_b"))
+    }
+    val joined = joinQuery(ext)
+    val joinConj = joined.queryExecution.optimizedPlan.collect {
+      case j: LJoin => j.condition.toSeq.flatMap(conjuncts).size
+    }.sum
+    val joinConjBase = joinQuery(spark).queryExecution.optimizedPlan.collect {
+      case j: LJoin => j.condition.toSeq.flatMap(conjuncts).size
+    }.sum
+    assert(joinConj == joinConjBase + 2,
+      s"expected 2 added bounds in join condition ($joinConjBase -> $joinConj)")
+    assert(joined.count() == joinQuery(spark).count())
   }
 }

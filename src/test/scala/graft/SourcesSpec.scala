@@ -58,11 +58,7 @@ class SourcesSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters") && scan.contains("day#"),
       s"partition filter missing from scan:\n$scan")
     assert(pruned.count() == ev.filter(col("day") === one).count())
-    val allFiles = pruned.queryExecution.executedPlan.collectLeaves().head match {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.relation.location.listFiles(f.partitionFilters, f.dataFilters).length
-      case _ => -1
-    }
+    val allFiles = TestPlans.prunedPartitionCount(pruned)
     assert(allFiles == 1, s"expected 1 pruned partition, scan lists $allFiles")
   }
 

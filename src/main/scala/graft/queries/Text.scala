@@ -485,6 +485,71 @@ object Text {
       |GROUP BY source, split
       |ORDER BY source, split""".stripMargin
 
+  // --- q90: count-min sketch heavy hitters ----------------------------------
+  // The streaming/mergeable heavy-hitters sketch: d=4 portable md5 hash
+  // rows x w=8192 buckets, counts from ONE (row, bucket) aggregation over
+  // token occurrences (map-side combinable, mergeable across partitions by
+  // construction — the 100 TB shape). The estimate min_i cms[i][h_i(tok)]
+  // is fully deterministic given the hash functions, so unlike HLL/GK the
+  // sketch VALUES hash-match the oracle, not just a bound flag. Output:
+  // top-20 exact tokens with their CMS estimates and the (always >= 0)
+  // overestimate.
+  def q90(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D = 4
+    val W = 8192L
+    def bucket(row: Int, tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(md5(concat(lit(row.toString), lit("|"), tok)), 1, 14), 16, 10)
+        .cast("long") % W
+    // both the sketch build and the exact top-k read the token stream;
+    // persist so the regex tokenize runs once
+    val toks = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("tok"))
+      .persist()
+    val cms = toks
+      .select(explode(array((0 until D).map(i =>
+        struct(lit(i).as("r"), bucket(i, $"tok").as("b"))): _*)).as("rb"))
+      .groupBy($"rb.r".as("r"), $"rb.b".as("b"))
+      .agg(count(lit(1)).as("c"))
+    val top = toks.groupBy($"tok").agg(count(lit(1)).as("exact_n"))
+      .orderBy($"exact_n".desc, $"tok").limit(20)
+    top
+      .select($"tok", $"exact_n",
+        explode(array((0 until D).map(i =>
+          struct(lit(i).as("r"), bucket(i, $"tok").as("b"))): _*)).as("rb"))
+      .join(cms, $"rb.r" === cms("r") && $"rb.b" === cms("b"))
+      .groupBy($"tok", $"exact_n")
+      .agg(min($"c").as("cms_est"))
+      .select($"tok", $"exact_n", $"cms_est",
+        ($"cms_est" - $"exact_n").as("overestimate"))
+      .orderBy($"exact_n".desc, $"tok")
+  }
+  val q90Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+      |  FROM documents
+      |), cms AS (
+      |  SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || tok), 1, 14))::BIGINT % 8192 AS b,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM toks, (SELECT unnest(range(0, 4)) AS r) rows
+      |  GROUP BY 1, 2
+      |), top AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+      |  FROM toks GROUP BY tok
+      |  ORDER BY exact_n DESC, tok LIMIT 20
+      |)
+      |, probes AS (
+      |  SELECT top.tok, top.exact_n, rows.r,
+      |    ('0x' || substr(md5(CAST(rows.r AS VARCHAR) || '|' || top.tok), 1, 14))::BIGINT % 8192 AS b
+      |  FROM top, (SELECT unnest(range(0, 4)) AS r) rows
+      |)
+      |SELECT probes.tok, probes.exact_n,
+      |  CAST(MIN(cms.c) AS BIGINT) AS cms_est,
+      |  CAST(MIN(cms.c) - probes.exact_n AS BIGINT) AS overestimate
+      |FROM probes JOIN cms ON cms.r = probes.r AND cms.b = probes.b
+      |GROUP BY probes.tok, probes.exact_n
+      |ORDER BY exact_n DESC, tok""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_token_stats", q40 _, Some(q40Sql)),
     ("q41_quality_score", q41 _, Some(q41Sql)),
@@ -499,5 +564,6 @@ object Text {
     ("q83_ngram_jaccard", q83 _, Some(q83Sql)),
     ("q84_bpe_tokens", q84 _, Some(q84Sql)),
     ("q88_sequence_packing", q88 _, Some(q88Sql)),
-    ("q89_stratified_split", q89 _, Some(q89Sql)))
+    ("q89_stratified_split", q89 _, Some(q89Sql)),
+    ("q90_heavy_hitters", q90 _, Some(q90Sql)))
 }

@@ -23,9 +23,16 @@ object Upsert {
 
   /** Pure form: rows of `incoming` whose `keys` are absent from `existing`,
     * deduplicated within the batch (first occurrence wins, matching
-    * ON CONFLICT DO NOTHING applied row-by-row). */
+    * ON CONFLICT DO NOTHING applied row-by-row).
+    *
+    * Null key values are DROPPED: the reference's target table declares the
+    * key columns as a PRIMARY KEY (implicitly NOT NULL,
+    * /root/reference/dags/crypto-etl-pipeline-psql.py:157-164), and SQL
+    * null semantics would otherwise make a null-keyed row invisible to the
+    * anti-join — re-appended on every replay, silently breaking the
+    * idempotence contract. */
   def newRows(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
-    incoming.dropDuplicates(keys)
+    incoming.na.drop("any", keys).dropDuplicates(keys)
       .join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
 
   /** existing ∪ new — the post-upsert table contents. */

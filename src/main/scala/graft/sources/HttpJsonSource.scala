@@ -93,12 +93,11 @@ private[sources] class HttpPartitionReaderFactory(timeout: Long)
           // kill/speculation) and fatal errors must still fail the task —
           // folding them into a status-0 row would commit a fabricated
           // result for a URL that another attempt fetches fine.
+          // (NonFatal classifies InterruptedException as fatal, so
+          // interrupts propagate and fail the task as they should)
           val (status, body) =
             try graft.etl.Http.get(url, timeout)
-            catch {
-              case e: InterruptedException => throw e
-              case scala.util.control.NonFatal(_) => (0, null)
-            }
+            catch { case scala.util.control.NonFatal(_) => (0, null) }
           row = InternalRow(UTF8String.fromString(url), status,
             if (body == null) null else UTF8String.fromString(body))
           done = true

@@ -48,6 +48,19 @@ class EtlSpec extends AnyFunSuite {
     assert(m == Map("bitcoin" -> 1.0, "solana" -> 2.0))
   }
 
+  test("upsert drops null-key rows (PK NOT NULL) so replays stay idempotent") {
+    import spark.implicits._
+    val incoming = Seq(
+      (Some("bitcoin"), 1.0, Some(ts)),
+      (None: Option[String], 2.0, Some(ts)), // null key: would dodge the anti-join
+      (Some("solana"), 3.0, None: Option[java.sql.Timestamp]))
+      .toDF("crypto_id", "price_usd", "extracted_at")
+    val once = Upsert(incoming.limit(0), incoming, Schemas.priceKeys)
+    val twice = Upsert(once, incoming, Schemas.priceKeys)
+    assert(once.count() == 1 && twice.count() == 1,
+      "null-keyed rows must not accumulate across replays")
+  }
+
   test("partitioned upsert prunes the existing side to touched partitions") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -550,6 +550,44 @@ object Text {
       |GROUP BY probes.tok, probes.exact_n
       |ORDER BY exact_n DESC, tok""".stripMargin
 
+  // --- q91: weighted corpus sampling (data mixing) --------------------------
+  // The corpus-mixing step: sample a fixed budget of documents with
+  // per-source oversampling weights, deterministically (no seed) via the
+  // exponential race (Efraimidis-Spirakis A-ES): priority = -ln(u)/w with u
+  // a portable md5-hash uniform in (0,1); the k smallest priorities win —
+  // P[selected] scales with w, replay-stable, and a single top-k instead of
+  // per-source passes. Rank on the ROUNDED priority with doc_id tie-break:
+  // both engines' ln agree far beyond 6 decimals (q79's proven pattern).
+  // One scan + one top-k — no shuffle proportional to the corpus.
+  def q91(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 100
+    val u = (conv(substring(md5(concat(lit("mix|"), $"doc_id")), 1, 14), 16, 10)
+      .cast("double") + 0.5) / lit(Math.pow(2.0, 56))
+    val wgt = when($"source".isin("src0", "src1"), 3.0).otherwise(1.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"priority", $"doc_id")
+    Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        round(-log(u) / wgt, 6).as("priority"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"doc_id", $"source", $"priority", $"rk")
+      .orderBy($"rk")
+  }
+  val q91Sql: String =
+    """SELECT doc_id, source, priority, rk FROM (
+      |  SELECT doc_id, source, priority,
+      |    ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS rk
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      ROUND(-ln((('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT + 0.5)
+      |                / 72057594037927936.0)
+      |            / (CASE WHEN source IN ('src0','src1') THEN 3.0 ELSE 1.0 END), 6) AS priority
+      |    FROM documents))
+      |WHERE rk <= 100
+      |ORDER BY rk""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_token_stats", q40 _, Some(q40Sql)),
     ("q41_quality_score", q41 _, Some(q41Sql)),
@@ -565,5 +603,6 @@ object Text {
     ("q84_bpe_tokens", q84 _, Some(q84Sql)),
     ("q88_sequence_packing", q88 _, Some(q88Sql)),
     ("q89_stratified_split", q89 _, Some(q89Sql)),
-    ("q90_heavy_hitters", q90 _, Some(q90Sql)))
+    ("q90_heavy_hitters", q90 _, Some(q90Sql)),
+    ("q91_weighted_sample", q91 _, Some(q91Sql)))
 }

@@ -34,6 +34,34 @@ class AnalyticsSpec extends AnyFunSuite {
       "q63 within-bound flag must be true for every group")
   }
 
+  test("count-min sketch never underestimates: every token, not just top-k") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.tokens
+    val sf = "/root/testdata/sf0.001"
+    val D = 4
+    val W = 8192L
+    def bucket(row: Int, tok: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(row.toString), lit("|"), tok)), 1, 14), 16, 10)
+        .cast("long") % W
+    val toks = Tables.documents(spark, sf)
+      .select(explode(tokens(col("text"))).as("tok")).persist()
+    val cms = toks
+      .select(explode(array((0 until D).map(i =>
+        struct(lit(i).as("r"), bucket(i, col("tok")).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+    val est = exact
+      .select(col("tok"), col("exact_n"),
+        explode(array((0 until D).map(i =>
+          struct(lit(i).as("r"), bucket(i, col("tok")).as("b"))): _*)).as("rb"))
+      .join(cms, col("rb.r") === cms("r") && col("rb.b") === cms("b"))
+      .groupBy(col("tok"), col("exact_n"))
+      .agg(min(col("c")).as("cms_est"))
+    val under = est.filter(col("cms_est") < col("exact_n")).count()
+    assert(under == 0, s"CMS underestimated $under tokens")
+  }
+
   test("SQL-text entry point answers ad-hoc queries over registered views") {
     val df = queries.Analytics.q61(spark, sf)
     assert(df.count() > 0)

@@ -188,20 +188,31 @@ object Extended {
       |ORDER BY lag_band""".stripMargin
 
   // --- q78: ordered array aggregation — top-3 order totals per priority ---
+  // The sort_array∘collect_list aggregation is the operator under test; the
+  // oracle-facing projection unpacks it to scalar top1/top2/top3 columns
+  // because the driver's pandas compare can't hash an array<double> cell.
+  // `get` is 0-based and null-safe (no ANSI OOB throw on short groups).
   def q78(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.orders(s, d)
       .groupBy($"o_orderpriority")
       .agg(slice(sort_array(collect_list(money($"o_totalprice")), asc = false),
-        1, 3).cast("array<double>").as("top3"))
+        1, 3).cast("array<double>").as("arr"))
+      .select($"o_orderpriority",
+        get($"arr", lit(0)).as("top1"),
+        get($"arr", lit(1)).as("top2"),
+        get($"arr", lit(2)).as("top3"))
       .orderBy($"o_orderpriority")
   }
   val q78Sql: String =
-    """SELECT o_orderpriority,
-      |  (list(CAST(o_totalprice AS DECIMAL(14,2))
-      |        ORDER BY CAST(o_totalprice AS DECIMAL(14,2)) DESC))[1:3]::DOUBLE[] AS top3
-      |FROM orders
-      |GROUP BY o_orderpriority
+    """WITH t AS (
+      |  SELECT o_orderpriority,
+      |    (list(CAST(o_totalprice AS DECIMAL(14,2))
+      |          ORDER BY CAST(o_totalprice AS DECIMAL(14,2)) DESC))[1:3]::DOUBLE[] AS arr
+      |  FROM orders
+      |  GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, arr[1] AS top1, arr[2] AS top2, arr[3] AS top3
+      |FROM t
       |ORDER BY o_orderpriority""".stripMargin
 
   // --- q80: salted skew join ------------------------------------------------

@@ -81,12 +81,28 @@ class ExtendedSpec extends AnyFunSuite {
       Seq("l_orderkey"), "left_semi")
     assert(bloomed.count() == plain.count())
     // the pre-filter itself must pass ~selectivity + fpp of rows, not all
-    val bf = hot.stat.bloomFilter("l_orderkey", 10000L, 0.01)
-    val bc = spark.sparkContext.broadcast(bf)
-    val probe = udf((k: Long) => bc.value.mightContainLong(k))
-    val kept = large.filter(probe(col("l_orderkey"))).count().toDouble
+    val pruned = operators.BloomPrune.bloomPruned(large, hot, "l_orderkey", 10000L)
+    val kept = pruned.count().toDouble
     assert(kept < large.count() * 0.5,
       s"bloom kept $kept of ${large.count()} rows — not pruning")
+    // the probe must be the codegen might_contain expression, not a ScalaUDF
+    val phys = pruned.queryExecution.executedPlan.toString
+    assert(phys.contains("might_contain"), s"no might_contain in plan:\n$phys")
+    assert(!phys.contains("UDF"), s"ScalaUDF leaked into the bloom probe:\n$phys")
+  }
+
+  test("sorted-array top3 unpacks descending and top1 is the group max") {
+    val rows = queries.Extended.q78(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t1, t2, t3) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(t1 >= t2 && t2 >= t3, s"${r.getString(0)}: not descending")
+    }
+    val maxes = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("o_totalprice").cast("decimal(14,2)")).cast("double"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach(r => assert(r.getDouble(1) == maxes(r.getString(0))))
   }
 
   test("range-band join only emits lags within [0, 60] days") {

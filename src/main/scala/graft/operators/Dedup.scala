@@ -16,9 +16,10 @@ import graft.functions.TextFunctions._
   *    Signatures (64 longs) travel through the shuffle, not documents; the
   *    shingle arrays are re-attached only to surviving candidate pairs.
   *  - Pathological buckets (boilerplate colliding everywhere) would skew a
-  *    band bucket; at extreme scale swap the naive band self-join for
-  *    [[Skew.skewSafeBucketPairs]] — exact pairs with per-shuffle-key work
-  *    capped at chunkSize².
+  *    band bucket; the band self-join routes through
+  *    [[Skew.hybridBucketPairs]], which sends any bucket past
+  *    `skewMaxBucket` rows down the fragment-replicate path — exact pairs
+  *    with per-shuffle-key work capped at chunkSize².
   */
 object Dedup {
 
@@ -42,7 +43,8 @@ object Dedup {
     */
   def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.6,
-      numPerm: Int = 64, bands: Int = 32): DataFrame = {
+      numPerm: Int = 64, bands: Int = 32,
+      skewMaxBucket: Int = 4096, skewChunk: Int = 1024): DataFrame = {
     val rowsPerBand = numPerm / bands
     // Duplicate shingles are absorbed by the single aggregation below: MIN
     // is duplicate-blind and collect_set dedups inside the agg hash map, so
@@ -70,11 +72,12 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
 
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Hybrid band self-join: plain per-bucket pairs normally, the
+    // fragment-replicate path for any bucket over skewMaxBucket rows
+    // (boilerplate shingle sets colliding into one band bucket).
+    val candidates = Skew.hybridBucketPairs(banded, Seq("band", "bh"),
+        "doc_id", skewMaxBucket, skewChunk)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .distinct()
 
     // Candidate pairs ≪ corpus, so the sketch side of the verification

@@ -88,7 +88,8 @@ object Similarity {
     * recall, planes up for precision. Candidates shuffle on (table,
     * bucket); vectors never pairwise-compare unless they collide. */
   def lshSimilarPairs(corpus: DataFrame, threshold: Double,
-      numTables: Int = 8, planesPerTable: Int = 4): DataFrame = {
+      numTables: Int = 8, planesPerTable: Int = 4,
+      skewMaxBucket: Int = 4096, skewChunk: Int = 1024): DataFrame = {
     val planes = numTables * planesPerTable
     // Plane dot products via posexplode + `planes` SUM agg columns: one
     // codegen'd hash aggregation instead of nested array-lambda folds
@@ -117,22 +118,22 @@ object Similarity {
       }.reduce(_.bitwiseOR(_))
       struct(lit(t).as("table_id"), bucket.as("bucket"))
     }
-    // persisted: both sides of the self-join read it (Spark would otherwise
-    // run the signature aggregation twice); LRU-evicted, no caller lifecycle.
+    // No persist here: hybridBucketPairs persists its size-annotated
+    // derivation of these rows, and that cache is what every downstream
+    // consumer (both self-join sides, the skew branch) reads.
     val tables = sigs
       .select(col("vec_id"), explode(array(tableCols: _*)).as("tb"))
       .select(col("vec_id"), col("tb.table_id").as("table_id"),
         col("tb.bucket").as("bucket"))
-      .persist()
 
     // No pre-rerank distinct: deduping 1M candidates costs a full shuffle
     // to save re-scoring ~20% duplicate collisions — cheaper to rerank the
     // duplicates (codegen dot product) and dedup the tiny surviving set.
-    val candidates = tables.as("a").join(tables.as("b"),
-        col("a.table_id") === col("b.table_id") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    // Hybrid bucket self-join: plain per-bucket pairs normally, the
+    // fragment-replicate path for any bucket over skewMaxBucket rows.
+    val candidates = Skew.hybridBucketPairs(tables, Seq("table_id", "bucket"),
+        "vec_id", skewMaxBucket, skewChunk)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
 
     val emb = corpus.select(col("vec_id"), col("embedding"),
       l2Norm(col("embedding")).as("nrm"))

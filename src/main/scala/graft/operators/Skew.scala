@@ -54,6 +54,44 @@ object Skew {
     * per-bucket self-join (SurfaceSpec proves equality on a pathological
     * bucket).
     */
+  /** Hybrid bucket self-join: unordered pairs (id_a < id_b) within each
+    * bucket, with per-bucket routing — buckets up to `maxBucketRows` go
+    * through the plain self-join (no overhead, the overwhelmingly common
+    * case), larger ones through [[skewSafeBucketPairs]] so one boilerplate
+    * bucket can't put O(B²) pair work on a single reducer. This is the
+    * integration point the LSH band joins (minhash near-dup, cosine-LSH)
+    * call; output is identical to the naive self-join either way, so the
+    * callers' oracle checks are unaffected.
+    *
+    * The routing needs per-bucket counts — a window COUNT over the bucket
+    * keys (the exact shuffle the self-join needs anyway, no extra
+    * aggregate-join pass). The sized rows are persisted: three consumers
+    * (both self-join sides and the skew branch) would otherwise each
+    * recompute the upstream lineage. Cheap insurance at 100 TB.
+    */
+  def hybridBucketPairs(rows: DataFrame, bucketCols: Seq[String],
+      idCol: String, maxBucketRows: Int = 4096, chunkSize: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byBucket = Window.partitionBy(bucketCols.map(col): _*)
+    val keyed = rows
+      .withColumn("__bn", count(lit(1)).over(byBucket))
+      .persist()
+    val smallSide = keyed.filter(col("__bn") <= maxBucketRows).drop("__bn")
+    val bigSide = keyed.filter(col("__bn") > maxBucketRows).drop("__bn")
+    val naive = smallSide.as("a")
+      .join(smallSide.as("b"),
+        bucketCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    // Short-circuit on the common case: scheduling the fragment-replicate
+    // DAG (windows, chunk joins) costs several stages even when it produces
+    // zero rows. The emptiness probe is one pass over the freshly persisted
+    // rows — work the naive join was about to do anyway, now warming the
+    // cache it reads.
+    if (bigSide.isEmpty) naive
+    else naive.unionByName(skewSafeBucketPairs(bigSide, bucketCols, idCol, chunkSize))
+  }
+
   def skewSafeBucketPairs(rows: DataFrame, bucketCols: Seq[String],
       idCol: String, chunkSize: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

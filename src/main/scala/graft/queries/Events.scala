@@ -239,6 +239,33 @@ object Events {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // --- q34: q24's hourly trend THROUGH the streaming engine ----------------
+  // The oracle-gated proof that the Structured Streaming path computes the
+  // same answer as the batch twin: the events table is replayed as a file
+  // stream, aggregated by Streams.hourlyTrend (watermarked tumbling
+  // windows), drained with Trigger.AvailableNow into a memory sink, and the
+  // sink contents are hash-compared against the same SQL the batch q24
+  // uses. Complete mode keeps every window visible; within a single
+  // AvailableNow backlog nothing is late, so the watermark drops no rows.
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  def q34(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val trend = graft.streaming.Streams.hourlyTrend(
+      graft.streaming.Streams.eventsStream(s, d))
+    // unique sink name per invocation: bench/verify re-run queries in one
+    // session and a memory sink registers a temp view under its query name
+    val name = s"q34_sink_${sinkSeq.incrementAndGet()}"
+    graft.streaming.Streams.runToMemory(s, trend, name)
+      .orderBy($"event_type", $"hour_start")
+  }
+  val q34Sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY event_type, hour_start""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q24_hourly_trend", q24 _, Some(q24Sql)),
     ("q25_tumbling_window", q25 _, Some(q25Sql)),
@@ -246,5 +273,6 @@ object Events {
     ("q27_sessionize", q27 _, Some(q27Sql)),
     ("q28_json_extract", q28 _, Some(q28Sql)),
     ("q29_asof_lookup", q29 _, Some(q29Sql)),
-    ("q30_user_summary", q30 _, Some(q30Sql)))
+    ("q30_user_summary", q30 _, Some(q30Sql)),
+    ("q34_stream_hourly_trend", q34 _, Some(q34Sql)))
 }

@@ -121,4 +121,35 @@ class SourcesSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("jdbc insert-if-absent is idempotent over a live embedded database") {
+    // In-memory Derby stands in for the reference's Postgres warehouse:
+    // same JDBC writer path (addBatch/executeBatch), real round-trip.
+    // Identifiers stay uppercase — Derby folds unquoted DDL names up while
+    // Spark's JDBC writer quotes the DataFrame's column names verbatim.
+    val url = "jdbc:derby:memory:graftup;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE PRICES (K BIGINT NOT NULL PRIMARY KEY, V VARCHAR(32))")
+      conn.createStatement().execute(
+        "INSERT INTO PRICES VALUES (1, 'seed')")
+      import spark.implicits._
+      val incoming = Seq(
+        (1L, "clobber-attempt"), // key exists → must be skipped
+        (2L, "two"), (2L, "two-dup"), // in-batch dup → first occurrence only
+        (3L, "three")).toDF("K", "V")
+      Sources.jdbcInsertIfAbsent(spark, incoming, url, "PRICES", Seq("K"))
+      Sources.jdbcInsertIfAbsent(spark, incoming, url, "PRICES", Seq("K"))
+      val back = Sources.readJdbc(spark, url, "PRICES")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(back.size == 3, s"double-apply must not duplicate: $back")
+      assert(back(1L) == "seed", "existing row must survive ON CONFLICT DO NOTHING")
+      assert(back(3L) == "three")
+    } finally {
+      try java.sql.DriverManager.getConnection("jdbc:derby:memory:graftup;drop=true")
+      catch { case _: java.sql.SQLException => () } // drop "fails" with 08006 on success
+      conn.close()
+    }
+  }
 }

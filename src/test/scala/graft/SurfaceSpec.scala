@@ -124,6 +124,47 @@ class SurfaceSpec extends AnyFunSuite {
       s"chunk-cell keys missing from join:\n$plan")
   }
 
+  test("hybrid bucket pairs route hot buckets skew-safe and match the naive join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = ((0 until 300).map(i => ("hot", i.toLong)) ++
+      (300 until 500).map(i => (s"b${i % 20}", i.toLong)))
+      .toDF("bucket", "doc_id")
+    val naive = rows.as("a").join(rows.as("b"),
+      col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // threshold 50: the 300-row hot bucket goes fragment-replicate, the
+    // 10-row buckets go through the plain self-join
+    val hybrid = graft.operators.Skew
+      .hybridBucketPairs(rows, Seq("bucket"), "doc_id",
+        maxBucketRows = 50, chunkSize = 50)
+    val got = hybrid.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, s"pair sets differ: ${got.size} vs ${naive.size}")
+    val plan = hybrid.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__cl") && plan.contains("__cr"),
+      s"skew path missing from the hybrid plan:\n$plan")
+  }
+
+  test("minhash near-dup output is identical through the skew-safe band path") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairs(maxBucket: Int) = graft.operators.Dedup
+      .nearDuplicatePairs(docs, "doc_id", "text", skewMaxBucket = maxBucket,
+        skewChunk = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // skewMaxBucket=1 forces EVERY band bucket down the fragment-replicate
+    // path; the default keeps them all naive — outputs must coincide
+    assert(pairs(1) == pairs(4096))
+  }
+
+  test("cosine-LSH output is identical through the skew-safe band path") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(maxBucket: Int) = graft.operators.Similarity
+      .lshSimilarPairs(emb, 0.8, skewMaxBucket = maxBucket, skewChunk = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(1) == pairs(4096))
+  }
+
   test("typed Dataset API: pivot yields Dataset[CryptoPrice]") {
     val ts = java.sql.Timestamp.valueOf("2024-01-15 12:00:00")
     val ds = Ingest.pivotPricesTyped(spark,

@@ -32,6 +32,19 @@ object QTime {
       time("combined agg")(combined.count())
       val full = operators.Dedup.nearDuplicatePairs(docs, "doc_id", "text", 3, 0.6)
       time("full q45")(full.count())
+    } else if (args.headOption.contains("-q56stages")) {
+      val emb = Tables.embeddings(spark, d)
+      val pairs = operators.Similarity.lshSimilarPairs(emb, 0.4,
+        numTables = 6, planesPerTable = 5)
+      time("lsh pairs")(println("pairs=" + pairs.count()))
+      val pairs2 = operators.Similarity.lshSimilarPairs(emb, 0.4,
+          numTables = 6, planesPerTable = 5)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")).persist()
+      time("lsh pairs persisted")(println("pairs=" + pairs2.count()))
+      time("clusterPairs on persisted")(
+        println("rows=" + operators.Dedup.clusterPairs(pairs2).count()))
+      val full = queries.Vectors.q56(spark, d)
+      time("full q56")(println("rows=" + full.count()))
     } else if (args.headOption.contains("-plan")) {
       args.drop(1).foreach { name =>
         println(s"===== $name =====")

@@ -208,7 +208,7 @@ object Dedup {
     * PAIR set (≪ corpus): the corpus-scale work already happened in the
     * LSH candidate stage.
     */
-  def clusterPairs(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  def clusterPairs(pairs: DataFrame, maxIterations: Int = 40): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -227,6 +227,13 @@ object Dedup {
     var prevSum = repSum(labels)
     var converged = false
     var iter = 0
+    // One materialized round per iteration. Every round references the
+    // current labels TWICE (the neighbor join and the union), so each must
+    // localCheckpoint before the next — chaining rounds lazily doubles the
+    // recompute per round (2^rounds). Pointer-jumping variants were
+    // measured slower here for the same reason: the jump self-join is a
+    // third reference, and a checkpointed jump round costs more than the
+    // diameter rounds it saves on real near-dup graphs.
     while (!converged && iter < maxIterations) {
       val nbrRep = edges
         .join(labels.select(col("doc_id").as("dst"), col("rep").as("cand")), "dst")
@@ -239,8 +246,16 @@ object Dedup {
       prevSum = curSum
       labels = updated
       iter += 1
+      if (sys.env.contains("GRAFT_CLUSTER_DEBUG")) println(s"[cluster] iter=$iter sum=$curSum")
     }
     edges.unpersist()
+    // The operator's contract is EXACT components — a capped-out loop would
+    // silently emit wrong clusters (and a hash mismatch downstream nobody
+    // can attribute). Fail loudly instead; callers with huge-diameter
+    // graphs raise maxIterations.
+    if (!converged) throw new IllegalStateException(
+      s"clusterPairs did not converge in $maxIterations iterations — " +
+        "component diameter exceeds the bound; raise maxIterations")
     labels.select(col("doc_id"), col("rep").as("cluster_rep"),
       (col("doc_id") === col("rep")).as("is_canonical"))
   }

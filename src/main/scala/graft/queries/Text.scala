@@ -588,7 +588,108 @@ object Text {
       |WHERE rk <= 100
       |ORDER BY rk""".stripMargin
 
+  // --- q35: benchmark decontamination (n-gram overlap vs holdout) ----------
+  // The standard pre-training hygiene check: corpus docs sharing any word
+  // 3-gram with a held-out eval set are flagged with their hit fraction.
+  // The "benchmark" here is the deterministic doc_id%10==0 slice, so the
+  // oracle can restate the split exactly. Holdout grams broadcast (eval
+  // sets are tiny next to the corpus); the only shuffle is the per-doc
+  // count on doc_id.
+  def q35(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    graft.operators.Decontaminate.ngramOverlap(
+      docs.filter($"doc_id" % 10 =!= 0), docs.filter($"doc_id" % 10 === 0),
+      "doc_id", "text", n = 3)
+      .orderBy($"doc_id")
+  }
+  val q35Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 16)))) AS g
+      |  FROM (SELECT doc_id,
+      |          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |        FROM documents)
+      |  WHERE len(t) >= 3
+      |), hold AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0),
+      |corp AS (SELECT doc_id, g FROM g WHERE doc_id % 10 <> 0)
+      |SELECT c.doc_id, COUNT(*) AS n_grams, COUNT(h.g) AS n_hits,
+      |  COUNT(h.g) / COUNT(*) AS hit_frac
+      |FROM corp c LEFT JOIN hold h ON c.g = h.g
+      |GROUP BY c.doc_id
+      |HAVING COUNT(h.g) > 0
+      |ORDER BY doc_id""".stripMargin
+
+  // --- q36: intra-document repetition ratio ---------------------------------
+  // Degenerate-generation / boilerplate detector: the fraction of a doc's
+  // word 3-grams that are repeats. Gram rows come from the codegen lead()
+  // shingler; one shuffle on doc_id for the count + count-distinct.
+  def q36(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tokRows = Tables.documents(s, d).select($"doc_id",
+      posexplode(tokens($"text")).as(Seq("pos", "tok")))
+    val wOrd = Window.partitionBy($"doc_id").orderBy($"pos")
+    val grams = tokRows
+      .withColumn("t1", lead($"tok", 1).over(wOrd))
+      .withColumn("t2", lead($"tok", 2).over(wOrd))
+      .filter($"t2".isNotNull)
+      .select($"doc_id", concat_ws(" ", $"tok", $"t1", $"t2").as("g"))
+    grams.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"), count_distinct($"g").as("n_distinct"))
+      .withColumn("rep_ratio", ($"n_grams" - $"n_distinct") / $"n_grams")
+      .orderBy($"doc_id")
+  }
+  val q36Sql: String =
+    """SELECT doc_id, len(l) AS n_grams, len(list_distinct(l)) AS n_distinct,
+      |  (len(l) - len(list_distinct(l))) / len(l) AS rep_ratio
+      |FROM (
+      |  SELECT doc_id, list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS l
+      |  FROM (SELECT doc_id,
+      |          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |        FROM documents)
+      |  WHERE len(t) >= 3)
+      |ORDER BY doc_id""".stripMargin
+
+  // --- q37: PII detection + redaction ---------------------------------------
+  // The synthetic corpus carries no PII, so the query injects a
+  // deterministic email run (doc_id%3 copies) and one IPv4 per doc — the
+  // same expression is stated in the oracle, so the regex machinery
+  // (counts AND the redacted text itself, via md5) is what's checked.
+  def q37(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Pii
+    val aug = Tables.documents(s, d).withColumn("aug", concat($"text",
+      repeat(concat(lit(" user"), $"doc_id".cast("string"), lit("@example.com")),
+        ($"doc_id" % 3).cast("int")),
+      lit(" from 10.0."), ($"doc_id" % 200).cast("string"), lit("."),
+      ($"doc_id" % 250).cast("string")))
+    aug.select($"doc_id",
+      Pii.emailCount($"aug").as("n_emails"),
+      Pii.ipCount($"aug").as("n_ips"),
+      md5(Pii.redact($"aug")).as("red_fp"))
+      .orderBy($"doc_id")
+  }
+  val q37Sql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+      |  len(regexp_extract_all(aug, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+      |  md5(regexp_replace(
+      |    regexp_replace(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')) AS red_fp
+      |FROM (
+      |  SELECT doc_id,
+      |    text || repeat(' user' || CAST(doc_id AS VARCHAR) || '@example.com',
+      |                   CAST(doc_id % 3 AS INT))
+      |         || ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+      |         || '.' || CAST(doc_id % 250 AS VARCHAR) AS aug
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q35_decontaminate", q35 _, Some(q35Sql)),
+    ("q36_repetition", q36 _, Some(q36Sql)),
+    ("q37_pii_redact", q37 _, Some(q37Sql)),
     ("q40_token_stats", q40 _, Some(q40Sql)),
     ("q41_quality_score", q41 _, Some(q41Sql)),
     ("q42_lang_id", q42 _, Some(q42Sql)),

@@ -180,6 +180,61 @@ object Vectors {
       |SELECT vec_a, vec_b, sim FROM scored WHERE sim >= 0.3
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  // --- q56: semantic dedup — embedding near-dup clusters + canonical -------
+  // The SemDeDup shape: cosine-LSH candidate pairs (the exact portable
+  // buckets q54 proves) fed through connected components; the component
+  // minimum is the kept vector. Oracle = q54's bucket/rerank CTEs composed
+  // with the recursive-CTE closure q82 uses (MATERIALIZED, or DuckDB
+  // re-inlines the pair join into every recursion step).
+  def q56(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = Similarity.lshSimilarPairs(Tables.embeddings(s, d),
+      threshold = 0.4, numTables = 6, planesPerTable = 5)
+      .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
+    graft.operators.Dedup.clusterPairs(pairs)
+      .select($"doc_id".as("vec_id"), $"cluster_rep", $"is_canonical")
+      .orderBy($"vec_id")
+  }
+  val q56Sql: String =
+    s"""WITH RECURSIVE comps AS MATERIALIZED (
+      |  SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+      |         unnest(embedding::DOUBLE[]) AS v
+      |  FROM embeddings
+      |), dots AS MATERIALIZED (
+      |  SELECT vec_id, p,
+      |    SUM(CAST(FLOOR(v * ((pos * 7919 + p * 1000003) * 2654435761 % 2049 - 1024) * 1e9)
+      |        AS BIGINT)) AS d
+      |  FROM comps, (SELECT unnest(range(0, 30)) AS p) pl
+      |  GROUP BY vec_id, p
+      |), buckets AS MATERIALIZED (
+      |  SELECT vec_id, p // 5 AS table_id,
+      |    CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << (p % 5)) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id, p // 5
+      |), cand AS MATERIALIZED (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM buckets a JOIN buckets b
+      |    ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |), pairs AS MATERIALIZED (
+      |  SELECT vec_a, vec_b FROM (
+      |    SELECT c.vec_a, c.vec_b,
+      |      ROUND(${cosSql("ea.embedding::DOUBLE[]", "eb.embedding::DOUBLE[]")}, 6) AS sim
+      |    FROM cand c
+      |    JOIN embeddings ea ON ea.vec_id = c.vec_a
+      |    JOIN embeddings eb ON eb.vec_id = c.vec_b)
+      |  WHERE sim >= 0.4
+      |), edges AS MATERIALIZED (
+      |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+      |  UNION ALL SELECT vec_b, vec_a FROM pairs
+      |), reach AS (
+      |  SELECT src AS vec_id, dst AS r FROM edges
+      |  UNION
+      |  SELECT reach.vec_id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+      |)
+      |SELECT vec_id, cluster_rep, vec_id = cluster_rep AS is_canonical FROM (
+      |  SELECT vec_id, LEAST(vec_id, MIN(r)) AS cluster_rep
+      |  FROM reach GROUP BY vec_id)
+      |ORDER BY vec_id""".stripMargin
+
   // --- q55: multimodal payload decode (mapPartitions stub) ----------------
   def q55(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -243,6 +298,7 @@ object Vectors {
     ("q52_centroids", q52 _, Some(q52Sql)),
     ("q53_knn_ivf", q53 _, Some(q53Sql)),
     ("q54_lsh_pairs", q54 _, Some(q54Sql)),
+    ("q56_semantic_dedup", q56 _, Some(q56Sql)),
     ("q55_multimodal_decode", q55 _, Some(q55Sql)),
     ("q85_frame_features", q85 _, Some(q85Sql)),
     ("q86_media_resize", q86 _, Some(q86Sql)))

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-3 training-pipeline operators: decontamination,
+  * repetition ratio, PII redaction, and semantic dedup — semantics the
+  * oracle restates but doesn't explain (oracle failures say "hash differs",
+  * these say which invariant broke). */
+class TrainingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("decontamination flags an exact holdout copy with hit_frac 1.0") {
+    import spark.implicits._
+    val holdout = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (2L, "alpha beta gamma delta epsilon"), // exact copy → frac 1.0
+      (3L, "zeta eta theta iota kappa"), // disjoint → absent
+      (4L, "alpha beta gamma lambda mu nu") // 1 of 4 grams shared
+    ).toDF("doc_id", "text")
+    val got = operators.Decontaminate.ngramOverlap(corpus, holdout, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(2L, 4L), s"wrong contamination set: $got")
+    assert(got(2L) == ((3L, 3L, 1.0)))
+    assert(got(4L) == ((4L, 1L, 0.25)))
+  }
+
+  test("repetition ratio is 0 for unique grams and high for a looped doc") {
+    import spark.implicits._
+    val q36 = SparkEntry.queries("q36_repetition")
+    val ratios = q36(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(ratios.nonEmpty)
+    ratios.foreach { case (n, nd, ratio) =>
+      assert(nd <= n && ratio >= 0.0 && ratio < 1.0)
+      assert(math.abs(ratio - (n - nd).toDouble / n) < 1e-12)
+    }
+  }
+
+  test("pii redaction removes every email and ip it counted") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at a.b-c_1@mail-host.org or 192.168.0.1 thanks"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io z@w.dev and 10.0.0.255 10.1.2.3")
+    ).toDF("id", "s")
+    val checked = df.select(col("id"),
+      operators.Pii.emailCount(col("s")).as("ne"),
+      operators.Pii.ipCount(col("s")).as("ni"),
+      operators.Pii.emailCount(operators.Pii.redact(col("s"))).as("ne_after"),
+      operators.Pii.ipCount(operators.Pii.redact(col("s"))).as("ni_after"),
+      operators.Pii.redact(col("s")).as("red"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(checked(1L).getInt(1) == 1 && checked(1L).getInt(2) == 1)
+    assert(checked(2L).getInt(1) == 0 && checked(2L).getInt(2) == 0)
+    assert(checked(3L).getInt(1) == 2 && checked(3L).getInt(2) == 2)
+    checked.values.foreach { r =>
+      assert(r.getInt(3) == 0 && r.getInt(4) == 0,
+        s"redacted text still matches: ${r.getString(5)}")
+    }
+    assert(checked(1L).getString(5).contains("<EMAIL>") &&
+      checked(1L).getString(5).contains("<IP>"))
+  }
+
+  test("semantic dedup clusters are consistent with their pair graph") {
+    val q56 = SparkEntry.queries("q56_semantic_dedup")
+    val labels = q56(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = operators.Similarity.lshSimilarPairs(
+      Tables.embeddings(spark, sf), 0.4, numTables = 6, planesPerTable = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty && labels.nonEmpty)
+    // every paired vector pair shares a cluster rep, and the rep is a
+    // cluster member that labels itself (the canonical row)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    labels.values.foreach(rep => assert(labels(rep) == rep,
+      s"rep $rep is not its own cluster's canonical"))
+    labels.foreach { case (id, rep) => assert(rep <= id) }
+  }
+}

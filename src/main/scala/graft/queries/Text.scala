@@ -686,10 +686,36 @@ object Text {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // --- q38: corpus vocabulary statistics per source -------------------------
+  // The Heaps-law corpus profile a data-mixing pipeline reads before
+  // weighting sources: total tokens, distinct vocabulary, and corpus-level
+  // type-token ratio per source. One count+count-distinct aggregation —
+  // Spark plans the distinct as a two-phase expand, partial-combined
+  // map-side, so the shuffle carries (source, token) partials, not rows.
+  def q38(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"source", explode(tokens($"text")).as("tok"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"), count_distinct($"tok").as("n_vocab"))
+      .withColumn("ttr", $"n_vocab" / $"n_tokens")
+      .orderBy($"source")
+  }
+  val q38Sql: String =
+    """SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_vocab,
+      |  COUNT(DISTINCT tok) / COUNT(*) AS ttr
+      |FROM (
+      |  SELECT source,
+      |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+      |  FROM documents)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),
     ("q37_pii_redact", q37 _, Some(q37Sql)),
+    ("q38_vocab_stats", q38 _, Some(q38Sql)),
     ("q40_token_stats", q40 _, Some(q40Sql)),
     ("q41_quality_score", q41 _, Some(q41Sql)),
     ("q42_lang_id", q42 _, Some(q42Sql)),

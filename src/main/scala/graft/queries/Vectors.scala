@@ -235,6 +235,51 @@ object Vectors {
       |  FROM reach GROUP BY vec_id)
       |ORDER BY vec_id""".stripMargin
 
+  // --- q57: symmetric int8 embedding quantization ---------------------------
+  // The storage form a 100 TB vector lake actually keeps: per-vector scale
+  // 127/max|v|, levels floor(v·scale + 0.5) — floor of identical IEEE
+  // products is bit-equal in both engines (no HALF_UP-vs-llround tie
+  // hazard), so the quantized levels hash-match exactly; the reconstruction
+  // MSE routes through a decimal sum (order-independent) with a final
+  // round(6) margin over the decimal-snap boundary (q51 note).
+  def q57(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val comps = Tables.embeddings(s, d)
+      .select($"vec_id", posexplode(asDouble($"embedding")).as(Seq("pos", "v")))
+    val scales = comps.groupBy($"vec_id").agg(max(abs($"v")).as("vmax"))
+    comps.join(scales, "vec_id")
+      .withColumn("scale", lit(127.0) / $"vmax")
+      .withColumn("q", floor($"v" * $"scale" + 0.5))
+      .withColumn("err", $"v" - $"q" / $"scale")
+      .groupBy($"vec_id")
+      .agg(count(lit(1)).as("dim"),
+        max(abs($"q")).cast("long").as("max_q"),
+        sum($"q").cast("long").as("sum_q"),
+        round(sum(($"err" * $"err").cast("decimal(28,20)")).cast("double")
+          * 1e6 / count(lit(1)), 6).as("mse_ppm"))
+      .orderBy($"vec_id")
+  }
+  val q57Sql: String =
+    """WITH comps AS (
+      |  SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+      |         unnest(embedding::DOUBLE[]) AS v
+      |  FROM embeddings
+      |), scales AS (
+      |  SELECT vec_id, MAX(ABS(v)) AS vmax FROM comps GROUP BY vec_id
+      |), qq AS (
+      |  SELECT c.vec_id, v, 127.0 / vmax AS scale,
+      |         FLOOR(v * (127.0 / vmax) + 0.5) AS q
+      |  FROM comps c JOIN scales s ON c.vec_id = s.vec_id
+      |)
+      |SELECT vec_id, COUNT(*) AS dim,
+      |  CAST(MAX(ABS(q)) AS BIGINT) AS max_q,
+      |  CAST(SUM(q) AS BIGINT) AS sum_q,
+      |  ROUND(CAST(SUM(CAST((v - q / scale) * (v - q / scale) AS DECIMAL(28,20))) AS DOUBLE)
+      |    * 1e6 / COUNT(*), 6) AS mse_ppm
+      |FROM qq
+      |GROUP BY vec_id
+      |ORDER BY vec_id""".stripMargin
+
   // --- q55: multimodal payload decode (mapPartitions stub) ----------------
   def q55(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -299,6 +344,7 @@ object Vectors {
     ("q53_knn_ivf", q53 _, Some(q53Sql)),
     ("q54_lsh_pairs", q54 _, Some(q54Sql)),
     ("q56_semantic_dedup", q56 _, Some(q56Sql)),
+    ("q57_quantize_int8", q57 _, Some(q57Sql)),
     ("q55_multimodal_decode", q55 _, Some(q55Sql)),
     ("q85_frame_features", q85 _, Some(q85Sql)),
     ("q86_media_resize", q86 _, Some(q86Sql)))

@@ -70,6 +70,19 @@ class TrainingSpec extends AnyFunSuite {
       checked(1L).getString(5).contains("<IP>"))
   }
 
+  test("int8 quantization stays on the 8-bit grid with tiny reconstruction error") {
+    val rows = SparkEntry.queries("q57_quantize_int8")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dim, maxQ, mse) = (r.getLong(1), r.getLong(2), r.getDouble(4))
+      assert(maxQ == 127L, s"symmetric scale must peak at ±127, got $maxQ")
+      assert(dim > 0 && mse >= 0.0)
+      // worst-case per-element error is (0.5/scale)^2; scale ≥ 127/max|v|
+      // keeps mse_ppm far below this loose structural bound
+      assert(mse < 1e6, s"reconstruction error implausibly large: $mse ppm")
+    }
+  }
+
   test("semantic dedup clusters are consistent with their pair graph") {
     val q56 = SparkEntry.queries("q56_semantic_dedup")
     val labels = q56(spark, sf).collect()

@@ -46,23 +46,25 @@ object Dedup {
       numPerm: Int = 64, bands: Int = 32,
       skewMaxBucket: Int = 4096, skewChunk: Int = 1024): DataFrame = {
     val rowsPerBand = numPerm / bands
-    // Duplicate shingles are absorbed by the single aggregation below: MIN
-    // is duplicate-blind and collect_set dedups inside the agg hash map, so
-    // no separate distinct() shuffle is needed. Jaccard verification runs
-    // on the shingle hashes (collision odds within a pair's union ~1e-59 —
-    // far below any other error source).
-    val shingleRows = shingleHashRows(docs, idCol, textCol, k)
+    // Duplicate shingles are absorbed by the aggregations below: MIN is
+    // duplicate-blind and collect_set dedups inside the agg hash map, so no
+    // separate distinct() shuffle is needed. Jaccard verification runs on
+    // the shingle hashes (collision odds within a pair's union ~1e-59 —
+    // far below any other error source). Persisted (doc_id, h) longs —
+    // ~16 bytes/shingle, far smaller than the text — feed both the
+    // signature agg and the verification-set agg; LRU-evicted, no caller
+    // lifecycle.
+    val shingleRows = shingleHashRows(docs, idCol, textCol, k).persist()
 
-    // ONE hash-aggregation produces both the MinHash signature (numPerm MIN
-    // columns — codegen) and the exact shingle-hash set for verification:
-    // one shuffle on doc_id carries the whole sketch state. persisted: the
-    // banding self-join and both verification joins read it — without the
-    // cache Spark recomputes the shingle scan per reference. LRU-evicted,
-    // no caller lifecycle.
+    // The signature agg stays PURE codegen: 64 MIN longs run as a
+    // partial+final HashAggregate with map-side combine. Round 2 rode
+    // collect_set in the same aggregation; a TypedImperativeAggregate in
+    // the agg list demotes the whole operator to ObjectHashAggregate, so
+    // the 64 MINs paid object-mode prices (measured ~5x at sf0.1) and
+    // every doc built its shingle set whether or not it ever met a
+    // candidate.
     val sigCols = (0 until numPerm).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
-    val sketches = shingleRows.groupBy("doc_id")
-      .agg(collect_set(col("h")).as("sh"), sigCols: _*)
-      .persist()
+    val sketches = shingleRows.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
 
     val bandCols = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
@@ -79,15 +81,21 @@ object Dedup {
         "doc_id", skewMaxBucket, skewChunk)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .distinct()
+      .persist()
 
-    // Candidate pairs ≪ corpus, so the sketch side of the verification
-    // joins is the big one — keep candidates on the stream side and let
-    // AQE broadcast; at true 100 TB scale `sh` re-attaches via shuffle
-    // joins on doc_id, still proportional to |candidates|.
-    val base = sketches.select(col("doc_id"), col("sh"))
+    // Exact shingle sets are built ONLY for documents that survived
+    // banding: a semi-join on candidate doc ids gates the collect_set, so
+    // the object-mode agg state is proportional to |candidate docs| ≪
+    // corpus — the 100 TB shape. AQE broadcasts the candidate side of the
+    // semi-join and verification joins when it is small.
+    val candDocs = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val sets = shingleRows.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("h")).as("sh"))
     candidates
-      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -154,8 +162,16 @@ object Dedup {
           col("a.sz") >= col("b.sz") * threshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      .persist()
 
-    val sets = grams.groupBy("doc_id").agg(collect_set(col("g")).as("gs"))
+    // Same candidate-gating as nearDuplicatePairs: the object-mode
+    // collect_set builds sets only for docs that survived the prefix
+    // filter, not the whole corpus.
+    val candDocs = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val sets = grams.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("g")).as("gs"))
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b")

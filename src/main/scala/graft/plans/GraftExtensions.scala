@@ -25,5 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // domain rewrite: jaccard >= t filters gain lossless O(1) size bounds
     // ahead of the O(|a|+|b|) intersection (see JaccardSizeBoundRule)
     ext.injectOptimizerRule(_ => JaccardSizeBoundRule)
+    // whole-operator path: AsOfJoinNode plans to the sort-merge
+    // AsOfJoinExec (see AsOfJoinPlan.scala)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -266,6 +266,42 @@ object Events {
       |GROUP BY 1, 2
       |ORDER BY event_type, hour_start""".stripMargin
 
+  // --- q92: q29's as-of lookup THROUGH the native physical operator --------
+  // Same semantics as q29, but planned as graft.plans.AsOfJoinExec (logical
+  // node -> planner strategy -> sort-merge SparkPlan, injected via
+  // GraftExtensions) instead of the composed union+window form — and
+  // hash-checked against the identical oracle SQL. Purchases are the left
+  // side, signups the right; the attached payload is the matched signup ts
+  // itself, so equal-ts signup ties (the one nondeterministic axis of any
+  // as-of join) cannot affect the output.
+  def q92(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = withDerived(Tables.events(s, d))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts")
+    graft.plans.NativeAsOf.join(purchases, signups,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts")
+      .select($"event_id", $"user_id",
+        fmtS(expr("ts div 1000000000")).as("purchase_time"),
+        fmtS(expr("ts_r div 1000000000")).as("last_signup_time"))
+      .orderBy($"event_id")
+  }
+  val q92Sql: String =
+    """SELECT event_id, user_id,
+      |  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS purchase_time,
+      |  strftime(date_trunc('second', last_signup), '%Y-%m-%d %H:%M:%S') AS last_signup_time
+      |FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id
+      |            ORDER BY ts, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
+      |  FROM events)
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q24_hourly_trend", q24 _, Some(q24Sql)),
     ("q25_tumbling_window", q25 _, Some(q25Sql)),
@@ -274,5 +310,6 @@ object Events {
     ("q28_json_extract", q28 _, Some(q28Sql)),
     ("q29_asof_lookup", q29 _, Some(q29Sql)),
     ("q30_user_summary", q30 _, Some(q30Sql)),
-    ("q34_stream_hourly_trend", q34 _, Some(q34Sql)))
+    ("q34_stream_hourly_trend", q34 _, Some(q34Sql)),
+    ("q92_asof_native", q92 _, Some(q92Sql)))
 }

@@ -35,6 +35,72 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(joined == expected)
   }
 
+  test("native as-of exec equals the window-based q29 lookup on real events") {
+    import spark.implicits._
+    // public no-extensions registration path for the planner strategy
+    spark.experimental.extraStrategies = Seq(graft.plans.AsOfJoinStrategy)
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val signups = ev.filter($"event_type" === "signup").select($"user_id", $"ts")
+    val joined = graft.plans.NativeAsOf.join(purchases, signups,
+      Seq("user_id"), "ts", "ts")
+    assert(joined.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "must plan through AsOfJoinExec")
+    val got = joined
+      .select($"event_id",
+        date_format(timestamp_seconds(expr("ts_r div 1000000000")),
+          "yyyy-MM-dd HH:mm:ss").as("last_signup_time"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val expected = queries.Events.q29(spark, sf)
+      .select($"event_id", $"last_signup_time")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == expected)
+  }
+
+  test("native as-of edge cases: no prior match, inclusive ties, empty right") {
+    import spark.implicits._
+    spark.experimental.extraStrategies = Seq(graft.plans.AsOfJoinStrategy)
+    val left = Seq((1L, 100L), (1L, 200L), (2L, 50L), (3L, 10L))
+      .toDF("k", "t")
+    val right = Seq((1L, 100L, "tie"), (1L, 150L, "mid"), (2L, 60L, "late"))
+      .toDF("k", "t", "v")
+    val out = graft.plans.NativeAsOf.join(left, right, Seq("k"), "t", "t")
+      .select($"k", $"t", $"v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getString(2)))
+      .toMap
+    assert(out((1L, 100L)).contains("tie"), "right.ts == left.ts must match")
+    assert(out((1L, 200L)).contains("mid"))
+    assert(out((2L, 50L)).isEmpty, "right row later than left must not match")
+    assert(out((3L, 10L)).isEmpty, "key with no right rows gets nulls")
+
+    val empty = graft.plans.NativeAsOf.join(
+      left, right.filter($"k" < 0), Seq("k"), "t", "t")
+    assert(empty.count() == 4 && empty.filter($"v".isNotNull).count() == 0)
+  }
+
+  test("native as-of equals composed as-of on random data") {
+    import spark.implicits._
+    spark.experimental.extraStrategies = Seq(graft.plans.AsOfJoinStrategy)
+    val rnd = new scala.util.Random(42)
+    val left = Seq.fill(400)((rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      .toDF("lid", "k", "t")
+    // distinct right ts per key so equal-ts payload ties can't differ
+    // between the two implementations' tie-break orders
+    val right = Seq.fill(300)((rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+      .distinct.map { case (k, t) => (k, t, s"p$k-$t") }
+      .toDF("k", "t", "payload")
+    val native = graft.plans.NativeAsOf.join(left, right, Seq("k"), "t", "t")
+      .select($"lid", $"payload")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val composed = AsOfJoin(left, right.select($"k", $"t", $"payload"),
+        Seq("k"), "t", "t", Seq("payload"))
+      .select($"lid", $"payload")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(native == composed)
+  }
+
   test("tolerance nulls out stale matches") {
     import spark.implicits._
     val left = Seq((1L, 100L), (1L, 500L)).toDF("k", "t")

@@ -211,69 +211,107 @@ object Dedup {
       .distinct()
   }
 
-  /** Connected components over a near-duplicate pair graph by iterative
-    * min-label propagation: each doc adopts the smallest doc_id reachable
-    * through pair edges; the component minimum becomes the canonical
-    * document (the row a dedup pipeline keeps). Returns
-    * (doc_id, cluster_rep, is_canonical) for every doc in ≥ 1 pair.
+  /** Connected components over a near-duplicate pair graph by iterated
+    * partition-local contraction: each round runs a union-find pass inside
+    * every partition of the current (shrinking) rep graph, relabels the
+    * residual edges through the merged reps, and drops self-loops. Each doc
+    * adopts the smallest doc_id reachable through pair edges; the component
+    * minimum becomes the canonical document (the row a dedup pipeline
+    * keeps). Returns (doc_id, cluster_rep, is_canonical) for every doc in
+    * ≥ 1 pair.
     *
-    * Convergence is bounded by component diameter — near-dup clusters are
-    * small, so a handful of joins; each iteration localCheckpoints so the
-    * plan doesn't grow with the loop (the classic iterative-DataFrame
-    * trap). At 100 TB this is a few shuffles on doc_id per round over the
-    * PAIR set (≪ corpus): the corpus-scale work already happened in the
-    * LSH candidate stage.
+    * Convergence: every round collapses each partition's whole visible
+    * subgraph (not one hop), so the residual rep graph shrinks by roughly
+    * the edges-per-partition factor per round — O(log) rounds even on
+    * pathological chain graphs, 1-2 on real near-dup clusters, vs
+    * O(component diameter) for plain min-label propagation. Per-partition
+    * union-find state is bounded by the shuffle's partition sizing, the
+    * same budget a sort-based aggregate gets. Every round's outputs are
+    * eagerly localCheckpointed: rounds reference their inputs several
+    * times, so lazy chaining would recompute exponentially (the classic
+    * iterative-DataFrame trap) — and the first checkpoint also runs the
+    * upstream candidate-pair pipeline exactly once.
     */
   def clusterPairs(pairs: DataFrame, maxIterations: Int = 40): DataFrame = {
-    val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("rep", col("doc_id"))
+    import pairs.sparkSession.implicits._
+    def contract(edges: DataFrame): DataFrame = edges
+      .as[(Long, Long)]
+      .mapPartitions(localMinReps)
+      .toDF("node", "rep0")
       .localCheckpoint(true)
-    // Labels only ever decrease under min-propagation, so the exact integer
-    // sum of reps is strictly monotone until convergence — comparing sums
-    // detects the fixpoint without a per-iteration join against the
-    // previous labels.
-    def repSum(df: DataFrame): Long = {
-      val v = df.agg(sum(col("rep"))).head
-      if (v.isNullAt(0)) 0L else v.getLong(0) // null sum = empty pair graph
-    }
-    var prevSum = repSum(labels)
-    var converged = false
+
+    // Round 0 over the raw pairs: stars = (endpoint, partition-local rep).
+    val stars0 = contract(pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long")))
+    // labels: original node -> current best-known rep.
+    var labels = stars0.groupBy("node").agg(min(col("rep0")).as("rep"))
+      .withColumnRenamed("node", "doc_id")
+      .localCheckpoint(true)
+    // Residual edges: a node seen by several partitions links its local
+    // reps; relabeling (node, rep0) through the node's global min rep and
+    // dropping self-loops leaves exactly the cross-partition connectivity.
+    var edges = stars0
+      .join(labels.withColumnRenamed("doc_id", "node"), "node")
+      .select(col("rep0").as("a"), col("rep").as("b"))
+      .filter(col("a") =!= col("b"))
+      .localCheckpoint(true)
     var iter = 0
-    // One materialized round per iteration. Every round references the
-    // current labels TWICE (the neighbor join and the union), so each must
-    // localCheckpoint before the next — chaining rounds lazily doubles the
-    // recompute per round (2^rounds). Pointer-jumping variants were
-    // measured slower here for the same reason: the jump self-join is a
-    // third reference, and a checkpointed jump round costs more than the
-    // diameter rounds it saves on real near-dup graphs.
-    while (!converged && iter < maxIterations) {
-      val nbrRep = edges
-        .join(labels.select(col("doc_id").as("dst"), col("rep").as("cand")), "dst")
-        .select(col("src").as("doc_id"), col("cand").as("rep"))
-      val updated = labels.unionByName(nbrRep)
-        .groupBy("doc_id").agg(min(col("rep")).as("rep"))
+    while (!edges.isEmpty && iter < maxIterations) {
+      val stars = contract(edges)
+      val repMap = stars.groupBy("node").agg(min(col("rep0")).as("newRep"))
         .localCheckpoint(true)
-      val curSum = repSum(updated)
-      converged = curSum == prevSum
-      prevSum = curSum
-      labels = updated
+      // Pull every label one merge step down (reps not merged this round
+      // are absent from repMap — coalesce keeps them). A within-round
+      // cascade (r2 -> r1 while r1 -> r0) resolves next round: the residual
+      // edge (r1, r0) survives relabeling below.
+      labels = labels
+        .join(repMap.withColumnRenamed("node", "rep"), Seq("rep"), "left")
+        .select(col("doc_id"), coalesce(col("newRep"), col("rep")).as("rep"))
+        .localCheckpoint(true)
+      // Relabel both endpoints of the residual star edges through the
+      // merged reps; self-loops vanish, so the rep graph strictly shrinks.
+      edges = stars
+        .join(repMap, "node")
+        .join(repMap.withColumnRenamed("node", "rep0")
+          .withColumnRenamed("newRep", "rep0New"), "rep0")
+        .select(col("rep0New").as("a"), col("newRep").as("b"))
+        .filter(col("a") =!= col("b"))
+        .localCheckpoint(true)
       iter += 1
-      if (sys.env.contains("GRAFT_CLUSTER_DEBUG")) println(s"[cluster] iter=$iter sum=$curSum")
+      if (sys.env.contains("GRAFT_CLUSTER_DEBUG"))
+        println(s"[cluster] iter=$iter residual_edges=${edges.count()}")
     }
-    edges.unpersist()
     // The operator's contract is EXACT components — a capped-out loop would
     // silently emit wrong clusters (and a hash mismatch downstream nobody
-    // can attribute). Fail loudly instead; callers with huge-diameter
-    // graphs raise maxIterations.
-    if (!converged) throw new IllegalStateException(
-      s"clusterPairs did not converge in $maxIterations iterations — " +
-        "component diameter exceeds the bound; raise maxIterations")
+    // can attribute). Fail loudly instead. (Contraction merges every
+    // nonempty residual round, so the cap is a backstop, not a tuning.)
+    if (!edges.isEmpty) throw new IllegalStateException(
+      s"clusterPairs did not converge in $maxIterations iterations")
     labels.select(col("doc_id"), col("rep").as("cluster_rep"),
       (col("doc_id") === col("rep")).as("is_canonical"))
+  }
+
+  /** Union-find with path compression over one partition's edges; emits
+    * (node, partition-local min rep) for every endpoint seen. Min-rep
+    * union keeps the invariant the global min-label loop relies on:
+    * labels only ever decrease. */
+  private def localMinReps(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    it.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val nodes = parent.keys.toArray
+    nodes.iterator.map(n => (n, find(n)))
   }
 
   /** SimHash near-dup pairs (idA < idB) within `maxHamming` bits.

@@ -99,6 +99,21 @@ class SimilaritySpec extends AnyFunSuite {
       (5L, 5L, true), (6L, 5L, false)))
   }
 
+  test("clustering: one chain component spanning many partitions converges") {
+    import spark.implicits._
+    // a single 400-edge chain scattered over 16 partitions: partition-local
+    // union-find contracts each partition's fragment to a star, and the
+    // global rounds must still stitch the fragments (the spanning case one
+    // partition can't see) — every node's rep is the global minimum 0
+    val chain = (0L until 400L).map(i => (i, i + 1))
+    val pairs = scala.util.Random.shuffle(chain).toDF("doc_a", "doc_b")
+      .repartition(16)
+    val got = Dedup.clusterPairs(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 401)
+    assert(got.values.forall(_ == 0L), "all chain nodes must adopt rep 0")
+  }
+
   test("prefix-filtered jaccard join equals the minhash-LSH route exactly") {
     // Two independent algorithms over the same similarity semantics: the
     // lossless PPJoin-style prefix filter and the probabilistic (but

@@ -44,14 +44,21 @@ object Bench {
     def better(a: Double, b: Double): Double =
       if (a < 0) b else if (b < 0) a else math.min(a, b)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Clear cached relations BETWEEN queries (never between a query's two
+    // runs — intra-query persist reuse is the operators' real behavior):
+    // ~90 queries' internal persists otherwise accumulate, and the
+    // resulting eviction + old-gen GC pressure inflated late-alphabet
+    // queries 3x+ over their clean-session times.
     val firstPass = ordered.map { case (name, fn) =>
+      spark.catalog.clearCache()
       val first = once(fn)
       (name, fn, if (first >= 0 && first < 60.0) better(first, once(fn)) else first)
     }
     val okTimes = firstPass.map(_._3).filter(_ >= 0).sorted
     val med = if (okTimes.nonEmpty) okTimes(okTimes.size / 2) else 0.0
     val results = firstPass.map { case (name, fn, t) =>
-      name -> (if (t > math.max(3 * med, 5.0)) better(t, once(fn)) else t)
+      if (t > math.max(3 * med, 5.0)) { spark.catalog.clearCache(); name -> better(t, once(fn)) }
+      else name -> t
     }
     // The driver records a fixed-size TAIL of this line; round 2's full
     // query names pushed it past the window and truncated q01–q18 plus the

@@ -711,6 +711,145 @@ object Text {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // --- q93: deterministic corpus shuffle (shard + position) -----------------
+  // The global-shuffle step a training pipeline runs last: every document
+  // gets a portable pseudorandom key (md5 — reproducible on any engine, no
+  // seed state), a shard by key mod S, and a dense position within its
+  // shard by key order. One shuffle on shard + an in-partition sort; at
+  // 100 TB each shard is written as its own file set and the position is
+  // the byte-offset-free global order readers stream in.
+  def q93(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nShards = 8
+    val key = conv(substring(md5(concat_ws("|", lit("shuf"), $"doc_id")), 1, 14), 16, 10)
+      .cast("long")
+    Tables.documents(s, d)
+      .withColumn("k", key)
+      .withColumn("shard", ($"k" % nShards).cast("int"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy($"shard").orderBy($"k", $"doc_id")) - 1)
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"shard", $"pos")
+  }
+  val q93Sql: String =
+    """SELECT doc_id, CAST(k % 8 AS INT) AS shard,
+      |  ROW_NUMBER() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) - 1 AS pos
+      |FROM (SELECT doc_id,
+      |        ('0x' || substr(md5('shuf|' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS k
+      |      FROM documents)
+      |ORDER BY shard, pos""".stripMargin
+
+  // --- q94: curation funnel — every tagger composed, per-source counts ------
+  // The report a corpus-curation pipeline publishes: how many documents
+  // each filter flags (short, low-quality, wrong-language, repetitive,
+  // exact-duplicate) and how many survive all of them, per source. The
+  // flags reuse the exact formulas of q41/q42/q36/q43, so this is the
+  // end-to-end composition check over the tagger family: one narrow
+  // expression pass + a fingerprint window + a doc-keyed gram aggregate,
+  // joined on doc_id — three shuffles total regardless of corpus size.
+  def q94(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    val withToks = Tables.documents(s, d).withColumn("toks", tokens($"text"))
+    val scored = markers.foldLeft(withToks) { case (df, (l, ws)) =>
+      df.withColumn(s"s_$l", size(filter($"toks", t => t.isInCollection(ws))))
+    }
+    val base = scored
+      .withColumn("n_tokens", size($"toks"))
+      .filter($"n_tokens" > 0)
+      .withColumn("stop_ratio",
+        size(filter($"toks", t => t.isInCollection(stop))) * lit(1.0) / $"n_tokens")
+      .withColumn("ttr", size(array_distinct($"toks")) * lit(1.0) / $"n_tokens")
+      .withColumn("len_score", least($"n_tokens" * lit(1.0) / 64.0, lit(1.0)))
+      .withColumn("quality_score",
+        round($"len_score" * 0.4 + $"ttr" * 0.4 +
+          least($"stop_ratio" * 4.0, lit(1.0)) * 0.2, 6))
+      .withColumn("lang_pred",
+        when($"s_en" >= $"s_es" && $"s_en" >= $"s_de" && $"s_en" >= $"s_fr", "en")
+          .when($"s_es" >= $"s_de" && $"s_es" >= $"s_fr", "es")
+          .when($"s_de" >= $"s_fr", "de")
+          .otherwise("fr"))
+      .withColumn("fp", fingerprint($"text"))
+      .withColumn("dup_rn",
+        row_number().over(Window.partitionBy($"fp").orderBy($"doc_id")))
+    val tokRows = Tables.documents(s, d).select($"doc_id",
+      posexplode(tokens($"text")).as(Seq("pos", "tok")))
+    val wOrd = Window.partitionBy($"doc_id").orderBy($"pos")
+    val rep = tokRows
+      .withColumn("t1", lead($"tok", 1).over(wOrd))
+      .withColumn("t2", lead($"tok", 2).over(wOrd))
+      .filter($"t2".isNotNull)
+      .select($"doc_id", concat_ws(" ", $"tok", $"t1", $"t2").as("g"))
+      .groupBy($"doc_id")
+      .agg(((count(lit(1)) - count_distinct($"g")) * lit(1.0) / count(lit(1)))
+        .as("rep_ratio"))
+    val flagged = base.join(rep, Seq("doc_id"), "left")
+      .withColumn("f_short", when($"n_tokens" < 16, 1).otherwise(0))
+      .withColumn("f_lowq", when($"quality_score" < 0.5, 1).otherwise(0))
+      .withColumn("f_lang", when($"lang_pred" =!= $"lang", 1).otherwise(0))
+      .withColumn("f_rep", when(coalesce($"rep_ratio", lit(0.0)) > 0.02, 1).otherwise(0))
+      .withColumn("f_dup", when($"dup_rn" > 1, 1).otherwise(0))
+    flagged.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"f_short").as("n_short"),
+        sum($"f_lowq").as("n_lowq"),
+        sum($"f_lang").as("n_lang_mismatch"),
+        sum($"f_rep").as("n_repetitive"),
+        sum($"f_dup").as("n_dup"),
+        sum(when($"f_short" + $"f_lowq" + $"f_lang" + $"f_rep" + $"f_dup" === 0, 1)
+          .otherwise(0)).as("n_kept"))
+      .orderBy($"source")
+  }
+  val q94Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, lang, md5(norm) AS fp,
+      |    len(t) AS n_tokens,
+      |    len(list_distinct(t)) * 1.0 / len(t) AS ttr,
+      |    len(list_filter(t, x -> x IN ('the','a','of','and','in','to'))) * 1.0 / len(t) AS stop_ratio,
+      |    LEAST(len(t) * 1.0 / 64.0, 1.0) AS len_score,
+      |    len(list_filter(t, x -> x IN ('the','a','and','of'))) AS s_en,
+      |    len(list_filter(t, x -> x IN ('el','la','de','y'))) AS s_es,
+      |    len(list_filter(t, x -> x IN ('der','die','und','das'))) AS s_de,
+      |    len(list_filter(t, x -> x IN ('le','les','et','une'))) AS s_fr
+      |  FROM (SELECT doc_id, source, lang, norm, string_split(norm, ' ') AS t
+      |        FROM (SELECT doc_id, source, lang,
+      |                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+      |              FROM documents))
+      |  WHERE len(t) > 0
+      |), rep AS (
+      |  SELECT doc_id, (len(l) - len(list_distinct(l))) * 1.0 / len(l) AS rep_ratio
+      |  FROM (SELECT doc_id, list_transform(range(1, len(t) - 1),
+      |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS l
+      |        FROM (SELECT doc_id,
+      |                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |              FROM documents)
+      |        WHERE len(t) >= 3)
+      |), flagged AS (
+      |  SELECT b.source,
+      |    CASE WHEN b.n_tokens < 16 THEN 1 ELSE 0 END AS f_short,
+      |    CASE WHEN ROUND(b.len_score * 0.4 + b.ttr * 0.4
+      |              + LEAST(b.stop_ratio * 4.0, 1.0) * 0.2, 6) < 0.5 THEN 1 ELSE 0 END AS f_lowq,
+      |    CASE WHEN (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+      |                    WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+      |                    WHEN s_de >= s_fr THEN 'de'
+      |                    ELSE 'fr' END) <> b.lang THEN 1 ELSE 0 END AS f_lang,
+      |    CASE WHEN COALESCE(r.rep_ratio, 0) > 0.02 THEN 1 ELSE 0 END AS f_rep,
+      |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) > 1
+      |         THEN 1 ELSE 0 END AS f_dup
+      |  FROM base b LEFT JOIN rep r USING (doc_id)
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(f_short) AS BIGINT) AS n_short,
+      |  CAST(SUM(f_lowq) AS BIGINT) AS n_lowq,
+      |  CAST(SUM(f_lang) AS BIGINT) AS n_lang_mismatch,
+      |  CAST(SUM(f_rep) AS BIGINT) AS n_repetitive,
+      |  CAST(SUM(f_dup) AS BIGINT) AS n_dup,
+      |  CAST(SUM(CASE WHEN f_short + f_lowq + f_lang + f_rep + f_dup = 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM flagged
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),
@@ -731,5 +870,7 @@ object Text {
     ("q88_sequence_packing", q88 _, Some(q88Sql)),
     ("q89_stratified_split", q89 _, Some(q89Sql)),
     ("q90_heavy_hitters", q90 _, Some(q90Sql)),
-    ("q91_weighted_sample", q91 _, Some(q91Sql)))
+    ("q91_weighted_sample", q91 _, Some(q91Sql)),
+    ("q93_global_shuffle", q93 _, Some(q93Sql)),
+    ("q94_curation_funnel", q94 _, Some(q94Sql)))
 }

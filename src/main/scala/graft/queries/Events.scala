@@ -266,6 +266,50 @@ object Events {
       |GROUP BY 1, 2
       |ORDER BY event_type, hour_start""".stripMargin
 
+  // --- q95: q27's sessionization THROUGH flatMapGroupsWithState ------------
+  // Oracle-gates the custom-state streaming path (q34 covers the built-in
+  // windowed aggregation; this covers the arbitrary-state API): the events
+  // table replays as a file stream, the flatMapGroupsWithState sessionizer
+  // folds each user's events into 30-minute-gap sessions, the AvailableNow
+  // drain flushes into a memory sink, and the closed sessions hash-match
+  // the same lag+cumsum SQL as batch q27. State is one open session per
+  // live user — memory proportional to active users, not the stream.
+  def q95(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val closed = graft.streaming.Streams.sessionizeWithState(s,
+      graft.streaming.Streams.eventsStream(s, d))
+    val name = s"q95_sink_${sinkSeq.incrementAndGet()}"
+    graft.streaming.Streams.runDatasetToMemory(s, closed, name,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .select($"user_id",
+        fmtS($"session_start_s").as("session_start"),
+        fmtS($"session_end_s").as("session_end"),
+        $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+  val q95Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s,
+      |    CASE WHEN CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+      |           - LAG(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) OVER w > 1800
+      |           OR LAG(ts) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id,
+      |  strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(date_trunc('second', max(ts)), '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
   // --- q92: q29's as-of lookup THROUGH the native physical operator --------
   // Same semantics as q29, but planned as graft.plans.AsOfJoinExec (logical
   // node -> planner strategy -> sort-merge SparkPlan, injected via
@@ -311,5 +355,6 @@ object Events {
     ("q29_asof_lookup", q29 _, Some(q29Sql)),
     ("q30_user_summary", q30 _, Some(q30Sql)),
     ("q34_stream_hourly_trend", q34 _, Some(q34Sql)),
-    ("q92_asof_native", q92 _, Some(q92Sql)))
+    ("q92_asof_native", q92 _, Some(q92Sql)),
+    ("q95_stream_sessionize", q95 _, Some(q95Sql)))
 }

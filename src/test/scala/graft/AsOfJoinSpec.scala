@@ -101,6 +101,41 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(native == composed)
   }
 
+  test("native as-of over bucketed tables plans zero exchanges") {
+    import spark.implicits._
+    spark.experimental.extraStrategies = Seq(graft.plans.AsOfJoinStrategy)
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val signups = ev.filter($"event_type" === "signup").select($"user_id", $"ts")
+    sources.Sources.writeBucketed(purchases, "purchases_b", "user_id", 4)
+    sources.Sources.writeBucketed(signups, "signups_b", "user_id", 4)
+    try {
+      // AsOfJoinExec's declared ClusteredDistribution is satisfied by the
+      // bucketed layout on both sides — the lake's (key, time) bucketing IS
+      // the join's shuffle, so EnsureRequirements inserts sorts only. This
+      // is the 100 TB shape: repeated as-of lookups against a bucketed
+      // fact/dim pair never reshuffle either side.
+      val joined = graft.plans.NativeAsOf.join(
+        spark.table("purchases_b"), spark.table("signups_b"),
+        Seq("user_id"), "ts", "ts")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin"), s"must plan the native exec:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed as-of must not shuffle:\n$plan")
+      val got = joined.select($"event_id", $"ts_r")
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      val expected = graft.plans.NativeAsOf.join(purchases, signups,
+          Seq("user_id"), "ts", "ts")
+        .select($"event_id", $"ts_r")
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(got == expected)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS purchases_b")
+      spark.sql("DROP TABLE IF EXISTS signups_b")
+    }
+  }
+
   test("tolerance nulls out stale matches") {
     import spark.implicits._
     val left = Seq((1L, 100L), (1L, 500L)).toDF("k", "t")

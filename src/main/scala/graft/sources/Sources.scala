@@ -42,6 +42,15 @@ object Sources {
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .json(path)
 
+  /** ORC: the second columnar lake format (built into spark-sql). Same
+    * pushdown/pruning story as parquet — predicates and column selection
+    * reach the ORC reader (SourcesSpec asserts the pushed-filter plan). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
   /** Bucketed managed table: co-locates data by join key so repeated joins
     * and aggregations on that key run with NO shuffle exchange — the lake
     * layout the scale design assumes for fact-fact joins (orderkey,

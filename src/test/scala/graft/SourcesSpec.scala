@@ -43,6 +43,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(Sources.readParquet(spark, path).collect().toSet == df.collect().toSet)
   }
 
+  test("orc round-trip preserves rows; filters push to the orc scan") {
+    import org.apache.spark.sql.functions.col
+    val df = Tables.orders(spark, "/root/testdata/sf0.001")
+    val path = tmp("graft_orc")
+    Sources.writeOrc(df, path)
+    val back = Sources.readOrc(spark, path)
+    assert(back.count() == df.count())
+    val filtered = back.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    assert(filtered.collect().toSet ==
+      df.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_totalprice")).collect().toSet)
+    val scanDesc = filtered.queryExecution.executedPlan
+      .collectLeaves().head.toString
+    assert(scanDesc.contains("PushedFilters: [IsNotNull(o_orderstatus), " +
+      "EqualTo(o_orderstatus,F)]"),
+      s"filter must reach the orc reader:\n$scanDesc")
+    assert(scanDesc.contains("struct<o_orderkey:bigint,o_orderstatus:string," +
+      "o_totalprice:double>") || scanDesc.contains("ReadSchema"),
+      s"read schema must be pruned:\n$scanDesc")
+  }
+
   test("partitioned write prunes untouched partitions at planning time") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, "/root/testdata/sf0.001")

@@ -850,6 +850,50 @@ object Text {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // --- q96: deterministic weighted interleave (data mixing) -----------------
+  // The pretraining-mix scheduler: given per-source weights (src0 gets 3x),
+  // emit a global training order in which any prefix holds sources in
+  // weight proportion. Stride scheduling with exact integers: docs rank
+  // within their source by portable md5 hash, virtual time = rank *
+  // (K / weight) with K a common multiple, global order by (vt, source,
+  // rank) — no doubles, so the order is bit-identical on any engine. Two
+  // shuffles (per-source rank, global order); at scale the global sort is
+  // the same range-partitioned write a shuffled corpus needs anyway.
+  def q96(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key = conv(substring(md5(concat_ws("|", lit("mix"), $"doc_id")), 1, 14), 16, 10)
+      .cast("long")
+    val weighted = Tables.documents(s, d)
+      .withColumn("k", key)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"k", $"doc_id")))
+      .withColumn("vt", $"rn" * when($"source" === "src0", 1L).otherwise(3L))
+    // limit FIRST (TakeOrderedAndProject — per-partition top-k, no global
+    // sort), then number the 200 survivors; (vt, source, rn) is a unique
+    // total order, so limit-then-number == number-then-limit.
+    weighted
+      .orderBy($"vt", $"source", $"rn")
+      .limit(200)
+      .withColumn("pos", row_number().over(
+        Window.orderBy($"vt", $"source", $"rn")) - 1)
+      .select($"pos", $"doc_id", $"source", $"rn", $"vt")
+      .orderBy($"pos")
+  }
+  val q96Sql: String =
+    """SELECT ROW_NUMBER() OVER (ORDER BY vt, source, rn) - 1 AS pos,
+      |  doc_id, source, rn, vt
+      |FROM (
+      |  SELECT doc_id, source, rn,
+      |    rn * (CASE WHEN source = 'src0' THEN 1 ELSE 3 END) AS vt
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY k, doc_id) AS rn
+      |    FROM (SELECT doc_id, source,
+      |            ('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS k
+      |          FROM documents)))
+      |ORDER BY pos
+      |LIMIT 200""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),
@@ -872,5 +916,6 @@ object Text {
     ("q90_heavy_hitters", q90 _, Some(q90Sql)),
     ("q91_weighted_sample", q91 _, Some(q91Sql)),
     ("q93_global_shuffle", q93 _, Some(q93Sql)),
-    ("q94_curation_funnel", q94 _, Some(q94Sql)))
+    ("q94_curation_funnel", q94 _, Some(q94Sql)),
+    ("q96_data_mix", q96 _, Some(q96Sql)))
 }

@@ -211,6 +211,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact duplicate-span statistics — the positional form of exact
+    * substring dedup (Lee et al. 2022, arXiv:2107.06499, re-expressed
+    * relationally; cf. /root/repo/PAPERS.md): every k-token span is
+    * fingerprinted with its 1-based position, spans appearing in ≥ 2
+    * distinct documents are duplicated training signal, and each document
+    * reports its gram count, duplicated-gram count and ratio, and first
+    * duplicated position — the inputs to span-level removal.
+    *
+    * Scale: grams shuffle once on a bounded 16-hex fingerprint key, the
+    * flag join reuses the same exchange, the per-doc rollup shuffles on
+    * doc_id — linear in corpus grams, no all-pairs product (the property
+    * that makes the suffix-array original scale too).
+    */
+  def duplicateSpanStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    val grams = docs
+      .withColumn("toks", tokens(col(textCol)))
+      .filter(size(col("toks")) >= k)
+      .select(col(idCol).as("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(k))))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        substring(md5(col("col")), 1, 16).as("fp"))
+    val dupFps = grams.groupBy(col("fp"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("fp"))
+    grams.join(dupFps.withColumn("is_dup", lit(1)), Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("is_dup"), lit(0))).as("n_dup_grams"),
+        (sum(coalesce(col("is_dup"), lit(0))) * lit(1.0) / count(lit(1)))
+          .as("dup_ratio"),
+        min(when(col("is_dup") === 1, col("pos"))).as("first_dup_pos"))
+  }
+
   /** Connected components over a near-duplicate pair graph by iterated
     * partition-local contraction: each round runs a union-find pass inside
     * every partition of the current (shrinking) rep graph, relabels the

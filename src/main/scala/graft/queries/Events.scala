@@ -346,6 +346,179 @@ object Events {
       |WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
 
+  // --- q58: stream-stream interval join THROUGH the streaming engine -------
+  // Oracle-gates the third pillar of the streaming surface (q34 = windowed
+  // aggregation, q95 = arbitrary state; this = stream-stream join): two
+  // independent watermarked streams over the events table are inner-joined
+  // on user + a one-hour event-time range, drained with AvailableNow into a
+  // memory sink, and the matched pairs hash-match the equivalent batch-join
+  // SQL. Append mode: an inner interval join emits each qualifying pair
+  // exactly once.
+  def q58(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val joined = graft.streaming.Streams.viewPurchaseIntervalJoin(s, d)
+    val name = s"q58_sink_${sinkSeq.incrementAndGet()}"
+    graft.streaming.Streams.runToMemory(s, joined, name,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .select($"view_id", $"purchase_id", $"v_user".as("user_id"),
+        fmtS(expr("v_ns div 1000000000")).as("view_time"),
+        fmtS(expr("p_ns div 1000000000")).as("purchase_time"))
+      .orderBy($"view_id", $"purchase_id")
+  }
+  val q58Sql: String =
+    """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+      |  strftime(date_trunc('second', v.ts), '%Y-%m-%d %H:%M:%S') AS view_time,
+      |  strftime(date_trunc('second', p.ts), '%Y-%m-%d %H:%M:%S') AS purchase_time
+      |FROM events v JOIN events p
+      |  ON v.user_id = p.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND epoch_ns(p.ts) - epoch_ns(v.ts) BETWEEN 0 AND 3600000000000
+      |ORDER BY view_id, purchase_id""".stripMargin
+
+  // --- q97: time-series gap fill — hourly spine + forward fill -------------
+  // Resampling with interpolation: per event type, build the complete hourly
+  // spine between its first and last active hour (sequence+explode — a
+  // generator, no driver loop), left-join the observed hourly aggregates,
+  // and forward-fill the last known sum into the gap hours
+  // (last(ignoreNulls) over an ordered window). The dashboard shape for
+  // sparse series: no silent missing buckets.
+  //
+  // Scale: the spine is generated from the AGGREGATED per-type min/max (5
+  // rows here; bounded by #types), the join and the fill both key on
+  // (event_type, hour) — one shuffle each over data already reduced to
+  // hours. At 100 TB the raw scan reduces to hours before anything joins.
+  def q97(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hourly = withDerived(Tables.events(s, d))
+      .withColumn("h", expr("((ts div 1000000000) div 3600) * 3600"))
+      .groupBy($"event_type", $"h")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+    val spine = hourly.groupBy($"event_type")
+      .agg(min($"h").as("minh"), max($"h").as("maxh"))
+      .select($"event_type", explode(sequence($"minh", $"maxh", lit(3600L))).as("h"))
+    val w = Window.partitionBy($"event_type").orderBy($"h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("is_gap", when($"n_events".isNull, 1).otherwise(0))
+      .withColumn("filled_sum", last($"sum_value", ignoreNulls = true).over(w))
+      .select($"event_type", fmtS($"h").as("hour_start"),
+        coalesce($"n_events", lit(0L)).as("n_events"), $"is_gap", $"filled_sum")
+      .orderBy($"event_type", $"hour_start")
+  }
+  val q97Sql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+      |    COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY 1, 2
+      |), spine AS (
+      |  SELECT event_type, unnest(range(minh, maxh + 3600, 3600)) AS h
+      |  FROM (SELECT event_type, MIN(h) AS minh, MAX(h) AS maxh FROM hourly GROUP BY 1)
+      |), joined AS (
+      |  SELECT s.event_type, s.h, hourly.n_events, hourly.sum_value
+      |  FROM spine s LEFT JOIN hourly ON s.event_type = hourly.event_type AND s.h = hourly.h
+      |)
+      |SELECT event_type,
+      |  strftime(make_timestamp(h * 1000000), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |  COALESCE(n_events, 0) AS n_events,
+      |  CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS is_gap,
+      |  last_value(sum_value IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+      |FROM joined
+      |ORDER BY event_type, hour_start""".stripMargin
+
+  // --- q98: ordered event funnel — signup ≥ view ≥ purchase ----------------
+  // Classic conversion funnel with ORDER semantics (each step must occur at
+  // or after the previous step's first occurrence, not merely co-occur):
+  // step k's cohort = users with a step-k event at/after their first
+  // step-(k-1) qualifying time. Three per-user conditional MIN aggregates
+  // chained by joins; the per-step cohort tables are tiny (≤ #users) so AQE
+  // broadcasts every chaining join. One user_id shuffle per step at scale.
+  def q98(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = withDerived(Tables.events(s, d))
+    val s1 = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val s2 = ev.filter($"event_type" === "view").join(s1, "user_id")
+      .filter($"ts" >= $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val s3 = ev.filter($"event_type" === "purchase").join(s2, "user_id")
+      .filter($"ts" >= $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    val steps =
+      s1.agg(count(lit(1)).as("n_users")).withColumn("step", lit("1_signup"))
+        .unionByName(s2.agg(count(lit(1)).as("n_users"))
+          .withColumn("step", lit("2_view_after_signup")))
+        .unionByName(s3.agg(count(lit(1)).as("n_users"))
+          .withColumn("step", lit("3_purchase_after_view")))
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    steps
+      .withColumn("conv_from_first",
+        $"n_users" * lit(1.0) /
+          max(when($"step" === "1_signup", $"n_users")).over(wAll))
+      .select($"step", $"n_users", $"conv_from_first")
+      .orderBy($"step")
+  }
+  val q98Sql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1
+      |), s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY 1
+      |), s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1
+      |), steps AS (
+      |  SELECT '1_signup' AS step, (SELECT COUNT(*) FROM s1) AS n_users
+      |  UNION ALL SELECT '2_view_after_signup', (SELECT COUNT(*) FROM s2)
+      |  UNION ALL SELECT '3_purchase_after_view', (SELECT COUNT(*) FROM s3)
+      |)
+      |SELECT step, n_users,
+      |  n_users * 1.0 / MAX(CASE WHEN step = '1_signup' THEN n_users END) OVER () AS conv_from_first
+      |FROM steps
+      |ORDER BY step""".stripMargin
+
+  // --- q99: SCD2 interval build — change capture → validity ranges ---------
+  // The warehouse slowly-changing-dimension pattern: each user's event-type
+  // stream becomes versioned state rows [valid_from, valid_to) — consecutive
+  // repeats collapse (change capture via lag), intervals close at the next
+  // change (lead), the open interval gets the sentinel high date and
+  // is_current=1. Both windows share one (user_id) partitioning: a single
+  // shuffle, linear in-partition scans.
+  def q99(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    withDerived(Tables.events(s, d))
+      .withColumn("prev_type", lag($"event_type", 1).over(wOrd))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+      .withColumn("vt_epoch", lead($"epoch_s", 1).over(wOrd))
+      .select($"user_id", $"event_type".as("state"),
+        fmtS($"epoch_s").as("valid_from"),
+        coalesce(fmtS($"vt_epoch"), lit("9999-12-31 00:00:00")).as("valid_to"),
+        when($"vt_epoch".isNull, 1).otherwise(0).as("is_current"))
+      .orderBy($"user_id", $"valid_from", $"state")
+  }
+  val q99Sql: String =
+    """WITH changes AS (
+      |  SELECT user_id, event_type AS state, ts, event_id FROM (
+      |    SELECT user_id, event_type, ts, event_id,
+      |      LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |    FROM events)
+      |  WHERE prev_type IS NULL OR prev_type <> event_type
+      |), intervals AS (
+      |  SELECT user_id, state, ts AS vf,
+      |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+      |  FROM changes
+      |)
+      |SELECT user_id, state,
+      |  strftime(date_trunc('second', vf), '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |  COALESCE(strftime(date_trunc('second', vt), '%Y-%m-%d %H:%M:%S'),
+      |           '9999-12-31 00:00:00') AS valid_to,
+      |  CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM intervals
+      |ORDER BY user_id, valid_from, state""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q24_hourly_trend", q24 _, Some(q24Sql)),
     ("q25_tumbling_window", q25 _, Some(q25Sql)),
@@ -355,6 +528,10 @@ object Events {
     ("q29_asof_lookup", q29 _, Some(q29Sql)),
     ("q30_user_summary", q30 _, Some(q30Sql)),
     ("q34_stream_hourly_trend", q34 _, Some(q34Sql)),
+    ("q58_stream_interval_join", q58 _, Some(q58Sql)),
     ("q92_asof_native", q92 _, Some(q92Sql)),
-    ("q95_stream_sessionize", q95 _, Some(q95Sql)))
+    ("q95_stream_sessionize", q95 _, Some(q95Sql)),
+    ("q97_gap_fill", q97 _, Some(q97Sql)),
+    ("q98_event_funnel", q98 _, Some(q98Sql)),
+    ("q99_scd2_intervals", q99 _, Some(q99Sql)))
 }

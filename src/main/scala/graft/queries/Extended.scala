@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Extended relational surface: reshaping (pivot/unpivot), bivariate
@@ -258,7 +259,42 @@ object Extended {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // --- q49: exact equi-depth histogram (ties kept together) ----------------
+  // The depth-balanced complement of q75's equi-WIDTH histogram: 10 buckets
+  // each holding ~N/10 rows, assigned on (value, count) groups by
+  // ceil(cum*10/N) in pure integer arithmetic — equal values can never
+  // straddle a boundary, which is what makes the result well-defined on
+  // any engine. Computed by operators.EquiDepth as a two-phase distributed
+  // prefix sum (slice-local windows + broadcast slice offsets): the naive
+  // single unpartitioned window over the near-unique price domain was the
+  // entire query cost at sf0.1 and a single-task serialization at 100 TB.
+  // The oracle states the naive one-window form — same output, scalable
+  // plan. q87's percentile sketch remains the approximate path.
+  def q49(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.operators.EquiDepth.histogram(Tables.lineitem(s, d),
+        $"l_extendedprice", buckets = 10, slices = 64)
+      .orderBy($"bucket")
+  }
+  val q49Sql: String =
+    """WITH byval AS (
+      |  SELECT l_extendedprice AS v, COUNT(*) AS c FROM lineitem GROUP BY 1
+      |), cum AS (
+      |  SELECT v, c,
+      |    SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(c) OVER () AS n
+      |  FROM byval
+      |)
+      |SELECT CAST((cum * 10 + n - 1) // n AS BIGINT) AS bucket,
+      |  CAST(SUM(c) AS BIGINT) AS n_rows,
+      |  MIN(v) AS min_v, MAX(v) AS max_v,
+      |  CAST(SUM(CAST(v AS DECIMAL(14,2)) * c) AS DOUBLE) AS sum_v
+      |FROM cum
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q49_equidepth_hist", q49 _, Some(q49Sql)),
     ("q72_pivot", q72 _, Some(q72Sql)),
     ("q73_unpivot", q73 _, Some(q73Sql)),
     ("q74_corr_covar", q74 _, Some(q74Sql)),

@@ -711,6 +711,151 @@ object Text {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // --- q39: unigram-LM surprisal scoring ------------------------------------
+  // The cheapest perplexity proxy a curation pipeline runs: fit a unigram
+  // LM on the corpus itself (token frequencies), score each document by its
+  // mean token surprisal -ln(p(tok)). Low-surprisal docs are boilerplate /
+  // repetitive; high-surprisal docs are rare-token noise — both ends get
+  // clipped in practice.
+  //
+  // Determinism across engines: ln() may differ by 1 ulp between libm and
+  // java.lang.Math, so each token's surprisal is rounded to 4 decimals
+  // BEFORE the per-doc sum, the sum rides exact DECIMAL(18,4), and the mean
+  // is one IEEE division + final round (the q52/dsum4 convention).
+  //
+  // Scale: the vocabulary table (token → count) is tiny relative to the
+  // corpus (Heaps' law), so the score join broadcasts; the only full-data
+  // shuffles are the vocab count and the per-doc aggregation.
+  def q39(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+    val tot = vocab.agg(sum($"c").as("n_total"))
+    val scored = vocab.crossJoin(broadcast(tot))
+      .withColumn("surprisal", round(-log($"c" * lit(1.0) / $"n_total"), 4))
+      .select($"tok", $"surprisal")
+    toks.join(broadcast(scored), "tok")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum($"surprisal".cast("decimal(18,4)")).cast("double").as("sum_surprisal"))
+      .withColumn("avg_surprisal", round($"sum_surprisal" / $"n_tokens", 4))
+      .select($"doc_id", $"n_tokens", $"avg_surprisal")
+      .orderBy($"doc_id")
+  }
+  val q39Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+      |  FROM documents
+      |), vocab AS (
+      |  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+      |), tot AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM vocab
+      |), scored AS (
+      |  SELECT tok, ROUND(-ln(c * 1.0 / n_total), 4) AS surprisal FROM vocab, tot
+      |)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  ROUND(CAST(SUM(CAST(surprisal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
+      |    AS avg_surprisal
+      |FROM toks JOIN scored USING (tok)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // --- q48: exact duplicate-span detection (substring-dedup shape) ----------
+  // The positional form of exact substring dedup (Lee et al. 2022, "Dedup-
+  // licating Training Data Makes Language Models Better", arXiv:2107.06499 —
+  // their suffix-array pass re-expressed relationally): every 5-token span
+  // is fingerprinted WITH its position; a span duplicated across ≥2 distinct
+  // documents marks both documents' positions as repeated training signal.
+  // Per doc we report how much of it is covered by cross-document spans and
+  // where the first one starts — the decision inputs for span-level removal.
+  //
+  // Scale: grams shuffle once on the 16-hex-char fingerprint (bounded key,
+  // uniform by construction), the flag join shuffles on the same key (the
+  // exchange is reused), and the final per-doc rollup shuffles on doc_id.
+  // No all-pairs product anywhere — cost is linear in corpus grams, which
+  // is how the suffix-array approach scales too.
+  def q48(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.duplicateSpanStats(Tables.documents(s, d), "doc_id", "text", k = 5)
+      .orderBy($"doc_id")
+  }
+  val q48Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, i AS pos,
+      |    substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]),
+      |           1, 16) AS fp
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+      |        FROM toks WHERE len(t) >= 5)
+      |), dupfps AS (
+      |  SELECT fp FROM grams GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+      |), flagged AS (
+      |  SELECT g.doc_id, g.pos, CASE WHEN d.fp IS NULL THEN 0 ELSE 1 END AS is_dup
+      |  FROM grams g LEFT JOIN dupfps d ON g.fp = d.fp
+      |)
+      |SELECT doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(is_dup) AS BIGINT) AS n_dup_grams,
+      |  SUM(is_dup) * 1.0 / COUNT(*) AS dup_ratio,
+      |  MIN(CASE WHEN is_dup = 1 THEN pos END) AS first_dup_pos
+      |FROM flagged
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // --- q59: URL extraction + per-domain rollup ------------------------------
+  // The web-corpus curation primitive: pull every URL out of the text,
+  // normalize to its host, and roll up per-domain volume — the input to
+  // domain-level allow/block lists and per-site sampling caps. The corpus
+  // carries no URLs, so (as with q37's PII) each doc gets deterministic
+  // injected URLs from its doc_id; the regex extraction machinery is what
+  // the oracle checks. Patterns are RE2-safe (no backtracking constructs),
+  // portable between Java regex and DuckDB.
+  //
+  // Scale: regexp_extract_all + explode is generator-shaped per-row work
+  // (no shuffle); the only shuffle is the per-domain count — bounded by the
+  // domain population, the classic heavy-hitter rollup.
+  def q59(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val aug = Tables.documents(s, d).withColumn("aug", concat($"text",
+      lit(" see https://site"), ($"doc_id" % 7).cast("string"),
+      lit(".example.org/page/"), ($"doc_id" % 5).cast("string"),
+      lit(" and https://cdn"), ($"doc_id" % 3).cast("string"),
+      lit(".example.net/x")))
+    aug
+      .select($"doc_id", explode(regexp_extract_all($"aug",
+        lit("https://[a-z0-9.-]+/[a-z0-9/]*"), lit(0))).as("url"))
+      .withColumn("domain", regexp_extract($"url", "https://([a-z0-9.-]+)/", 1))
+      .groupBy($"domain")
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct($"doc_id").as("n_docs"),
+        min($"url").as("sample_url"))
+      .orderBy($"domain")
+  }
+  val q59Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+      |         || '.example.org/page/' || CAST(doc_id % 5 AS VARCHAR)
+      |         || ' and https://cdn' || CAST(doc_id % 3 AS VARCHAR)
+      |         || '.example.net/x' AS aug
+      |  FROM documents
+      |), urls AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(aug, 'https://[a-z0-9.-]+/[a-z0-9/]*')) AS url
+      |  FROM aug
+      |)
+      |SELECT regexp_extract(url, 'https://([a-z0-9.-]+)/', 1) AS domain,
+      |  COUNT(*) AS n_urls,
+      |  COUNT(DISTINCT doc_id) AS n_docs,
+      |  MIN(url) AS sample_url
+      |FROM urls
+      |GROUP BY 1
+      |ORDER BY domain""".stripMargin
+
   // --- q93: deterministic corpus shuffle (shard + position) -----------------
   // The global-shuffle step a training pipeline runs last: every document
   // gets a portable pseudorandom key (md5 — reproducible on any engine, no
@@ -899,6 +1044,7 @@ object Text {
     ("q36_repetition", q36 _, Some(q36Sql)),
     ("q37_pii_redact", q37 _, Some(q37Sql)),
     ("q38_vocab_stats", q38 _, Some(q38Sql)),
+    ("q39_unigram_surprisal", q39 _, Some(q39Sql)),
     ("q40_token_stats", q40 _, Some(q40Sql)),
     ("q41_quality_score", q41 _, Some(q41Sql)),
     ("q42_lang_id", q42 _, Some(q42Sql)),
@@ -907,6 +1053,8 @@ object Text {
     ("q45_neardup_minhash", q45 _, Some(q45Sql)),
     ("q46_neardup_simhash", q46 _, Some(q46Sql)),
     ("q47_winnowing", q47 _, Some(q47Sql)),
+    ("q48_duplicate_spans", q48 _, Some(q48Sql)),
+    ("q59_url_domains", q59 _, Some(q59Sql)),
     ("q79_tfidf", q79 _, Some(q79Sql)),
     ("q82_dedup_clusters", q82 _, Some(q82Sql)),
     ("q83_ngram_jaccard", q83 _, Some(q83Sql)),

@@ -153,6 +153,40 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval join: views matched to the same user's
+    * purchases within the hour after the view. Both sides are independent
+    * streaming sources with their own event-time watermark; the join
+    * condition carries ONLY the event-time range on the watermarked
+    * timestamp columns — that is what lets Spark bound the join state (each
+    * side's buffered rows drop once the other side's watermark passes the
+    * range), and it is also all the watermark-propagation simulator can
+    * analyze: a raw long conjunct (p_ns - v_ns) inside the join condition
+    * makes multi-batch runs fail with "Cannot evaluate expression" when the
+    * simulator computes eviction thresholds. The exact nanosecond bound —
+    * needed because the parquet ts is TIMESTAMP(NANOS) and the
+    * micros-truncated event-time column alone would mis-classify pairs
+    * within 1 us of the boundary — is applied as a stateless filter AFTER
+    * the join, equivalent for an inner join since floor is monotone and
+    * 1 hour is a whole number of micros (the ns range implies the us
+    * range). At scale this is the canonical enrichment-join shape: state ∝
+    * one hour of per-user traffic, not the stream. */
+  def viewPurchaseIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val views = eventsStream(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ns"), col("ts_us").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ns"), col("ts_us").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    views.join(purchases,
+      expr("""v_user = p_user
+              AND p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour"""))
+      .filter(expr("p_ns - v_ns BETWEEN 0 AND 3600000000000"))
+  }
+
   /** Run a streaming DataFrame to completion against the backlog (one
     * AvailableNow pass), materialized in a memory sink; returns the sink
     * contents. Complete mode so closed-and-open windows are all visible —

@@ -109,4 +109,79 @@ class ExtendedSpec extends AnyFunSuite {
     val bands = queries.Extended.q77(spark, sf).collect().map(_.getLong(0))
     assert(bands.nonEmpty && bands.forall(b => b >= 0 && b <= 4))
   }
+
+  test("equi-depth buckets partition all rows, stay ordered and balanced") {
+    val rows = queries.Extended.q49(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val total = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_._2).sum == total, "buckets must partition every row")
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
+    // value ranges must be disjoint and ordered: each bucket's min exceeds
+    // the previous bucket's max (ties stay inside one bucket by design)
+    rows.sliding(2).foreach {
+      case Array((_, _, _, prevMax), (_, _, curMin, _)) =>
+        assert(curMin > prevMax, s"bucket ranges overlap: $curMin <= $prevMax")
+      case _ =>
+    }
+    // depth balance: the 2-decimal price grid has tiny tie groups relative
+    // to N, so every bucket lands within 50% of the ideal depth
+    val ideal = total / 10.0
+    rows.foreach { case (b, n, _, _) =>
+      assert(n > ideal * 0.5 && n < ideal * 1.5, s"bucket $b depth $n vs ideal $ideal")
+    }
+  }
+
+  test("gap-fill spine is complete per type and fills carry the last sum") {
+    val rows = queries.Events.q97(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (tpe, rs) =>
+      val hours = rs.map(_._2).sorted
+      // complete hourly spine: row count == span hours (no missing buckets)
+      val span = (java.sql.Timestamp.valueOf(hours.last).getTime -
+        java.sql.Timestamp.valueOf(hours.head).getTime) / 3600000L + 1
+      assert(rs.length.toLong == span, s"$tpe: ${rs.length} rows != $span hours")
+      // gap rows have zero events but a non-null carried sum
+      rs.filter(_._4 == 1).foreach { case (_, h, n, _, filled) =>
+        assert(n == 0L, s"$tpe $h: gap row with events")
+        assert(!filled.isNaN, s"$tpe $h: gap row lost the carried sum")
+      }
+    }
+  }
+
+  test("funnel counts never increase step over step") {
+    val rows = queries.Events.q98(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.length == 3)
+    assert(rows.head._3 == 1.0, "first step must convert at 1.0 from itself")
+    rows.sliding(2).foreach {
+      case Array((_, prev, _), (step, cur, _)) =>
+        assert(cur <= prev, s"$step grew the cohort: $cur > $prev")
+      case _ =>
+    }
+  }
+
+  test("SCD2 intervals chain per user with exactly one current row") {
+    val rows = queries.Events.q99(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (uid, rs) =>
+      assert(rs.count(_._5 == 1) == 1, s"user $uid: multiple current rows")
+      val sorted = rs.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, vt, _), (_, _, vf, _, _)) =>
+          assert(vt == vf, s"user $uid: interval gap $vt -> $vf")
+        case _ =>
+      }
+      assert(sorted.last._4 == "9999-12-31 00:00:00", s"user $uid: open interval must end at the sentinel")
+      // change capture: consecutive intervals never repeat a state
+      sorted.sliding(2).foreach {
+        case Array((_, s1, _, _, _), (_, s2, _, _, _)) =>
+          assert(s1 != s2, s"user $uid: consecutive intervals share state $s1")
+        case _ =>
+      }
+    }
+  }
 }

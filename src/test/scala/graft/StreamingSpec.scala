@@ -101,6 +101,26 @@ class StreamingSpec extends AnyFunSuite {
       s"state-sessionizer divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
   }
 
+  test("stream-stream interval join matches the batch join pair set") {
+    import spark.implicits._
+    val streamed = SparkEntry.queries("q58_stream_interval_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.events(spark, sf)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ns"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ns"))
+    val batch = views.join(purchases,
+        expr("v_user = p_user AND p_ns - v_ns BETWEEN 0 AND 3600000000000"))
+      .select($"view_id", $"purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "batch interval join found no pairs — test is vacuous")
+    assert(streamed == batch,
+      s"stream-stream join divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed events") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     // a directory holding the same events file twice = a stream with every

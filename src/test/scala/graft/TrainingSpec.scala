@@ -83,6 +83,54 @@ class TrainingSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate-span stats flag exactly the cross-document spans") {
+    import spark.implicits._
+    // docs 1 and 2 share one 5-token window ("a b c d e", at positions 1
+    // and 2 respectively); doc 3 is disjoint; doc 4 repeats a span WITHIN
+    // itself only (self-repeats are not cross-document duplicates)
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d e"),
+      (3L, "p q r s t u"),
+      (4L, "m n o v w m n o v w")
+    ).toDF("doc_id", "text")
+    val got = operators.Dedup.duplicateSpanStats(docs, "doc_id", "text", k = 5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getInt(3).toLong)).toMap
+    // doc 1: grams at pos 1,2 — "a b c d e" (dup) and "b c d e f"
+    assert(got(1L)._1 == 2 && got(1L)._2 == 1 && got(1L)._3 == 1, s"doc1: ${got(1L)}")
+    // doc 2: grams "x a b c d", "a b c d e"(dup at pos 2)
+    assert(got(2L)._1 == 2 && got(2L)._2 == 1 && got(2L)._3 == 2, s"doc2: ${got(2L)}")
+    assert(got(3L)._2 == 0 && got(3L)._3 == -1, s"doc3: ${got(3L)}")
+    assert(got(4L)._2 == 0, s"doc4 self-repeat wrongly flagged: ${got(4L)}")
+  }
+
+  test("unigram surprisal is positive and rare tokens score above common ones") {
+    val rows = SparkEntry.queries("q39_unigram_surprisal")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, s) =>
+      assert(n > 0 && s > 0.0, s"doc $id: degenerate surprisal ($n tokens, $s)")
+    }
+    // sanity of the LM itself: uniform-ish corpus → mean surprisal within
+    // [ln(1), ln(vocab-size-upper-bound)]; the testdata vocab is ~30 words
+    rows.foreach { case (id, _, s) =>
+      assert(s < math.log(1e6), s"doc $id: surprisal $s implies absurd vocab")
+    }
+  }
+
+  test("every document contributes exactly its two injected URLs") {
+    val rows = SparkEntry.queries("q59_url_domains")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == 2 * nDocs,
+      s"extracted ${rows.map(_._2).sum} urls from $nDocs docs (expected 2/doc)")
+    assert(rows.forall { case (d, _, _, u) => u.contains(d) },
+      "sample_url must contain its domain")
+    assert(rows.map(_._1).distinct.length == rows.length, "domains must be distinct")
+  }
+
   test("semantic dedup clusters are consistent with their pair graph") {
     val q56 = SparkEntry.queries("q56_semantic_dedup")
     val labels = q56(spark, sf).collect()

@@ -293,8 +293,66 @@ object Extended {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  // --- q100: Morton (Z-order) block map over (partkey, suppkey) ------------
+  // The oracle-checkable core of sources.ZOrder: both keys rank-bucketed to
+  // 4 bits (floor of a monotone affine map — identical IEEE arithmetic in
+  // both engines), bit-interleaved into the Morton index, and rolled up
+  // per z-block. The min/max spreads per block are exactly the row-group
+  // statistics a z-ordered layout would write — tight in BOTH dimensions,
+  // which is what makes 2-D box predicates skip row groups (proven live in
+  // SourcesSpec's pruning test). Pure shift/mask integer expressions, one
+  // aggregation shuffle.
+  def q100(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ZOrder
+    val li = Tables.lineitem(s, d)
+    val bounds = li.agg(
+      min($"l_partkey").as("plo"), max($"l_partkey").as("phi"),
+      min($"l_suppkey").as("slo"), max($"l_suppkey").as("shi"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("px", ZOrder.rangeBucket($"l_partkey", $"plo", $"phi", 4))
+      .withColumn("py", ZOrder.rangeBucket($"l_suppkey", $"slo", $"shi", 4))
+      .withColumn("z", ZOrder.morton2($"px", $"py", 4))
+      .groupBy($"z")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"l_partkey").as("min_pk"), max($"l_partkey").as("max_pk"),
+        min($"l_suppkey").as("min_sk"), max($"l_suppkey").as("max_sk"))
+      .orderBy($"z")
+  }
+  val q100Sql: String =
+    """WITH b AS (
+      |  SELECT MIN(l_partkey) AS plo, MAX(l_partkey) AS phi,
+      |         MIN(l_suppkey) AS slo, MAX(l_suppkey) AS shi
+      |  FROM lineitem
+      |), bk AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(CASE WHEN phi = plo THEN 0
+      |      ELSE LEAST(FLOOR((l_partkey - plo) * 16.0 / (phi - plo + 1.0)), 15)
+      |      END AS INT) AS px,
+      |    CAST(CASE WHEN shi = slo THEN 0
+      |      ELSE LEAST(FLOOR((l_suppkey - slo) * 16.0 / (shi - slo + 1.0)), 15)
+      |      END AS INT) AS py
+      |  FROM lineitem, b
+      |), zz AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(
+      |      ((px // 1) % 2) * 2   + ((py // 1) % 2) * 1 +
+      |      ((px // 2) % 2) * 8   + ((py // 2) % 2) * 4 +
+      |      ((px // 4) % 2) * 32  + ((py // 4) % 2) * 16 +
+      |      ((px // 8) % 2) * 128 + ((py // 8) % 2) * 64
+      |    AS BIGINT) AS z
+      |  FROM bk
+      |)
+      |SELECT z, COUNT(*) AS n_rows,
+      |  MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+      |  MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk
+      |FROM zz
+      |GROUP BY z
+      |ORDER BY z""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q49_equidepth_hist", q49 _, Some(q49Sql)),
+    ("q100_zorder_blocks", q100 _, Some(q100Sql)),
     ("q72_pivot", q72 _, Some(q72Sql)),
     ("q73_unpivot", q73 _, Some(q73Sql)),
     ("q74_corr_covar", q74 _, Some(q74Sql)),

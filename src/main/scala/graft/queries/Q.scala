@@ -37,6 +37,11 @@ import org.apache.spark.sql.functions._
   *    DuckDB re-evaluates them every iteration (q82).
   *  - Ratios of small integers (jaccard, rank fractions) are IEEE-exact in
   *    both engines and need no decimal routing or rounding.
+  *  - Never ROUND a quotient whose numerator lives on a decimal grid: a
+  *    1e-4-grid sum divided by an integer count lands EXACTLY on round-4
+  *    half-way ties, and Spark and DuckDB break ties differently (observed
+  *    live in q39 at sf0.1). Compute such means in integer grid units
+  *    (sum of value*1e4 longs, integer division, one exact double divide).
   */
 object Q {
   /** Exact decimal view of a 2-decimal money column. */

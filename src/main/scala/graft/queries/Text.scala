@@ -720,8 +720,12 @@ object Text {
   //
   // Determinism across engines: ln() may differ by 1 ulp between libm and
   // java.lang.Math, so each token's surprisal is rounded to 4 decimals
-  // BEFORE the per-doc sum, the sum rides exact DECIMAL(18,4), and the mean
-  // is one IEEE division + final round (the q52/dsum4 convention).
+  // BEFORE aggregating; from there everything is exact INTEGER arithmetic
+  // in 1e-4 units — sum of longs, integer division by the token count,
+  // one final exact double division by 10000.0. A decimal-sum-then-
+  // ROUND(sum/n, 4) variant is NOT safe: the 1e-4-grid sum divided by an
+  // integer lands exactly on round-4 half-way ties (observed live at
+  // sf0.1), and the engines break ties differently.
   //
   // Scale: the vocabulary table (token → count) is tiny relative to the
   // corpus (Heaps' law), so the score join broadcasts; the only full-data
@@ -738,8 +742,8 @@ object Text {
     toks.join(broadcast(scored), "tok")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        sum($"surprisal".cast("decimal(18,4)")).cast("double").as("sum_surprisal"))
-      .withColumn("avg_surprisal", round($"sum_surprisal" / $"n_tokens", 4))
+        sum(round($"surprisal" * 10000).cast("long")).as("se4"))
+      .withColumn("avg_surprisal", expr("se4 div n_tokens") / 10000.0)
       .select($"doc_id", $"n_tokens", $"avg_surprisal")
       .orderBy($"doc_id")
   }
@@ -756,8 +760,8 @@ object Text {
       |  SELECT tok, ROUND(-ln(c * 1.0 / n_total), 4) AS surprisal FROM vocab, tot
       |)
       |SELECT doc_id, COUNT(*) AS n_tokens,
-      |  ROUND(CAST(SUM(CAST(surprisal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
-      |    AS avg_surprisal
+      |  (CAST(SUM(CAST(ROUND(surprisal * 10000, 0) AS BIGINT)) AS BIGINT) // COUNT(*))
+      |    / 10000.0 AS avg_surprisal
       |FROM toks JOIN scored USING (tok)
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin

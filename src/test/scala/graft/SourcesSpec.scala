@@ -210,4 +210,45 @@ class SourcesSpec extends AnyFunSuite {
       conn.close()
     }
   }
+
+  test("z-ordered layout prunes the dimension a 1-D sort cannot") {
+    // The claim z-order makes is BALANCE: a table sorted by x prunes
+    // x-predicates perfectly and y-predicates not at all (every file spans
+    // the whole y domain); the Morton layout keeps row-group min/max tight
+    // in BOTH dimensions. The discriminating query is therefore one that
+    // filters on the dimension the 1-D sort ignores: the x-sorted layout
+    // must read every file, the z-layout skips most of them.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val total = li.count()
+    val zdir = tmp("graft_zord")
+    val xdir = tmp("graft_xord")
+    sources.ZOrder.writeZOrdered(li, zdir, "l_partkey", "l_suppkey",
+      bits = 6, recordsPerFile = 150)
+    li.orderBy(col("l_partkey")).write.mode("overwrite")
+      .option("maxRecordsPerFile", 150).parquet(xdir)
+    // middle-10% band of suppkey only — the dimension x-sort cannot prune
+    val b = li.agg(min("l_suppkey"), max("l_suppkey")).head()
+    val (slo, shi) = (b.getLong(0) + (b.getLong(1) - b.getLong(0)) * 45 / 100,
+      b.getLong(0) + (b.getLong(1) - b.getLong(0)) * 55 / 100)
+    def scanRows(dir: String): (Long, Long) = {
+      val q = spark.read.parquet(dir)
+        .filter(col("l_suppkey").between(slo, shi))
+      q.collect()
+      val emitted = q.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f.metrics("numOutputRows").value }
+        .sum
+      (q.count(), emitted)
+    }
+    val (zMatched, zEmitted) = scanRows(zdir)
+    val (xMatched, xEmitted) = scanRows(xdir)
+    assert(zMatched == xMatched, "layout must not change query results")
+    assert(zMatched > 0, "band query matched nothing — test is vacuous")
+    assert(xEmitted == total,
+      s"premise broken: the x-sorted layout should read everything, read $xEmitted/$total")
+    assert(zEmitted * 2 <= xEmitted,
+      s"z-order emitted $zEmitted rows vs 1-D sort $xEmitted — expected ≤ half")
+  }
 }

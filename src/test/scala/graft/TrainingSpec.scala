@@ -97,7 +97,7 @@ class TrainingSpec extends AnyFunSuite {
     val got = operators.Dedup.duplicateSpanStats(docs, "doc_id", "text", k = 5)
       .collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
-        if (r.isNullAt(3)) -1L else r.getInt(3).toLong)).toMap
+        if (r.isNullAt(4)) -1L else r.getInt(4).toLong)).toMap
     // doc 1: grams at pos 1,2 — "a b c d e" (dup) and "b c d e f"
     assert(got(1L)._1 == 2 && got(1L)._2 == 1 && got(1L)._3 == 1, s"doc1: ${got(1L)}")
     // doc 2: grams "x a b c d", "a b c d e"(dup at pos 2)

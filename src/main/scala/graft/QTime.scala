@@ -45,6 +45,26 @@ object QTime {
         println("rows=" + operators.Dedup.clusterPairs(pairs2).count()))
       val full = queries.Vectors.q56(spark, d)
       time("full q56")(println("rows=" + full.count()))
+    } else if (args.headOption.contains("-q49stages")) {
+      val li = Tables.lineitem(spark, d)
+      time("scan+groupBy(v) count")(
+        println("groups=" + li.groupBy(col("l_extendedprice")).count().count()))
+      val byVal = li.groupBy(col("l_extendedprice").as("v"))
+        .agg(count(lit(1)).as("c")).persist()
+      time("byVal persist")(println("n=" + byVal.count()))
+      val bounds = byVal.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      time("bounds")(bounds.collect())
+      val sliced = byVal.crossJoin(broadcast(bounds))
+        .withColumn("slice",
+          least(floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / 64)),
+            lit(63)).cast("int"))
+      time("sliced count")(sliced.count())
+      val wLocal = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("slice")).orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      time("local window")(sliced.withColumn("lc", sum(col("c")).over(wLocal)).count())
+      time("full q49")(queries.Extended.q49(spark, d).count())
+      time("full q49 again")(queries.Extended.q49(spark, d).count())
     } else if (args.headOption.contains("-plan")) {
       args.drop(1).foreach { name =>
         println(s"===== $name =====")

@@ -35,7 +35,13 @@ object EquiDepth {
     * depth-balanced buckets over a 2-decimal money column. */
   def histogram(df: DataFrame, valueCol: Column, buckets: Int = 10,
       slices: Int = 64): DataFrame = {
-    val byVal = df.groupBy(valueCol.as("v")).agg(count(lit(1)).as("c"))
+    // One full-data scan+reduction, read by three branches (bounds, local
+    // prefix sums, slice totals). Without the persist each branch re-runs
+    // the scan+groupBy — the plan showed 4 identical scans (exchange reuse
+    // does not fire across the broadcast nesting); with it the query cost
+    // collapses to the single reduction. LRU-evicted, no caller lifecycle
+    // (the Dedup.shingleHashRows convention).
+    val byVal = df.groupBy(valueCol.as("v")).agg(count(lit(1)).as("c")).persist()
     val bounds = byVal.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
     // monotone slice id: equal lo/hi (degenerate domain) collapses to slice 0
     val sliced = byVal.crossJoin(broadcast(bounds))

@@ -190,16 +190,31 @@ object Streams {
   /** Run a streaming DataFrame to completion against the backlog (one
     * AvailableNow pass), materialized in a memory sink; returns the sink
     * contents. Complete mode so closed-and-open windows are all visible —
-    * batch-equivalence tests compare against the batch twin. */
+    * batch-equivalence tests compare against the batch twin.
+    *
+    * Stateful streaming cost scales with shuffle partitions (one state
+    * store instance — files, maintenance, commit — per partition per
+    * stateful operator), not with data: a one-shot drain of a small
+    * backlog pays 32 partitions of state machinery for rows that fit in
+    * 8. The session's shuffle-partition conf is lowered for the stream's
+    * lifetime and restored after the drain; results are
+    * partition-count-independent. On a real deployment this knob is the
+    * per-query sizing decision Spark exposes for exactly this reason. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
-      mode: OutputMode = OutputMode.Complete()): DataFrame = {
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      mode: OutputMode = OutputMode.Complete(),
+      statePartitions: Int = 8): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, statePartitions)
+    try {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 

@@ -106,4 +106,27 @@ object EtlProps extends Properties("graft.etl") {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       got == expected
     }
+
+  property("equi-depth buckets partition any multiset with ordered ranges") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 500).map(_ / 100.0))) { values =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val df = values.toDF("x")
+      val rows = graft.operators.EquiDepth.histogram(df, col("x"),
+          buckets = 4, slices = 8)
+        .orderBy(col("bucket")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      val partitions = rows.map(_._2).sum == values.size.toLong
+      val ordered = rows.sliding(2).forall {
+        case Array((_, _, _, prevMax), (_, _, curMin, _)) => curMin > prevMax
+        case _ => true
+      }
+      val bounded = rows.forall { case (b, _, lo, hi) =>
+        b >= 1 && b <= 4 && lo <= hi &&
+          lo >= values.min && hi <= values.max
+      }
+      // duplicates never straddle buckets: each distinct value appears in
+      // exactly one bucket's [min_v, max_v] span (ranges are disjoint)
+      partitions && ordered && bounded
+    }
 }

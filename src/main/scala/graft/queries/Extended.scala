@@ -350,9 +350,88 @@ object Extended {
       |GROUP BY z
       |ORDER BY z""".stripMargin
 
+  // --- q101: snapshot diff / CDC classification ----------------------------
+  // The reconciliation step an incremental pipeline runs between a
+  // warehouse snapshot and a fresh extract (the reference's upsert domain,
+  // generalized): full outer join on the key, rows classified as
+  // added / removed / modified / unchanged by null-side and value
+  // comparison. Both "snapshots" are deterministic derivations of the
+  // orders table (old drops keys ≡0 mod 10, new drops ≡0 mod 13 and bumps
+  // prices on ≡0 mod 7), so the classifier itself is what the oracle
+  // checks. One shuffle on the key; at 100 TB this is the bucketed-join
+  // layout both snapshot tables would already share.
+  def q101(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val old = o.filter($"o_orderkey" % 10 =!= 0)
+      .select($"o_orderkey".as("k"), $"o_totalprice".as("v_old"))
+    val fresh = o.filter($"o_orderkey" % 13 =!= 0)
+      .select($"o_orderkey".as("k"),
+        when($"o_orderkey" % 7 === 0, $"o_totalprice" + 1.0)
+          .otherwise($"o_totalprice").as("v_new"))
+    old.join(fresh, Seq("k"), "full_outer")
+      .withColumn("class",
+        when($"v_old".isNull, "added")
+          .when($"v_new".isNull, "removed")
+          .when($"v_old" =!= $"v_new", "modified")
+          .otherwise("unchanged"))
+      .groupBy($"class")
+      .agg(count(lit(1)).as("n_rows"), min($"k").as("min_key"), max($"k").as("max_key"))
+      .orderBy($"class")
+  }
+  val q101Sql: String =
+    """WITH old AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS v_old FROM orders WHERE o_orderkey % 10 <> 0
+      |), fresh AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS v_new
+      |  FROM orders WHERE o_orderkey % 13 <> 0
+      |)
+      |SELECT CASE WHEN v_old IS NULL THEN 'added'
+      |            WHEN v_new IS NULL THEN 'removed'
+      |            WHEN v_old <> v_new THEN 'modified'
+      |            ELSE 'unchanged' END AS class,
+      |  COUNT(*) AS n_rows,
+      |  MIN(COALESCE(old.k, fresh.k)) AS min_key,
+      |  MAX(COALESCE(old.k, fresh.k)) AS max_key
+      |FROM old FULL OUTER JOIN fresh ON old.k = fresh.k
+      |GROUP BY 1
+      |ORDER BY class""".stripMargin
+
+  // --- q102: multiset set operations (INTERSECT ALL / EXCEPT ALL) ----------
+  // q19 covers the DISTINCT set ops; these are the ANSI bag semantics —
+  // INTERSECT ALL keeps min(multiplicity), EXCEPT ALL subtracts
+  // multiplicities — which Spark plans as aggregate+generate (a row_number
+  // tag per duplicate), no distinct collapse. Output is rolled up to
+  // (value, multiplicity) so the result stays compact.
+  def q102(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val a = li.filter($"l_returnflag" === "R").select($"l_partkey")
+    val b = li.filter($"l_linestatus" === "F").select($"l_partkey")
+    val inter = a.intersectAll(b).groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    val exc = a.exceptAll(b).groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    inter.unionByName(exc)
+      .select($"op", $"l_partkey", $"n")
+      .orderBy($"op", $"l_partkey")
+  }
+  val q102Sql: String =
+    """WITH a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+      |b AS (SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F'),
+      |i AS (SELECT l_partkey FROM a INTERSECT ALL SELECT l_partkey FROM b),
+      |e AS (SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM b)
+      |SELECT 'intersect_all' AS op, l_partkey, COUNT(*) AS n FROM i GROUP BY 2
+      |UNION ALL
+      |SELECT 'except_all' AS op, l_partkey, COUNT(*) AS n FROM e GROUP BY 2
+      |ORDER BY op, l_partkey""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q49_equidepth_hist", q49 _, Some(q49Sql)),
     ("q100_zorder_blocks", q100 _, Some(q100Sql)),
+    ("q101_snapshot_diff", q101 _, Some(q101Sql)),
+    ("q102_bag_set_ops", q102 _, Some(q102Sql)),
     ("q72_pivot", q72 _, Some(q72Sql)),
     ("q73_unpivot", q73 _, Some(q73Sql)),
     ("q74_corr_covar", q74 _, Some(q74Sql)),

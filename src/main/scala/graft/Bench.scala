@@ -51,6 +51,13 @@ object Bench {
     // queries 3x+ over their clean-session times.
     val firstPass = ordered.map { case (name, fn) =>
       spark.catalog.clearCache()
+      // One explicit GC between queries: 100 queries' broadcasts, codegen
+      // classes and evicted cache blocks otherwise pile into the old gen
+      // and tax whichever queries run late in the alphabet (the streaming
+      // drains measured 2.6x their standalone cost). Standard bench
+      // hygiene — each number should be the query's cost, not the
+      // session's garbage.
+      System.gc()
       val first = once(fn)
       (name, fn, if (first >= 0 && first < 60.0) better(first, once(fn)) else first)
     }

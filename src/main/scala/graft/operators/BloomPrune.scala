@@ -40,8 +40,23 @@ object BloomPrune {
   def bloomPruned(large: DataFrame, small: DataFrame, key: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     // Optimal bits for n items at false-positive rate p: -n·ln(p)/ln(2)².
-    val numBits = math.max(64L,
+    // BloomFilterAggregate silently clamps its inputs to the session's
+    // runtime-filter caps; beyond them the filter would be undersized and
+    // the real false-positive rate climbs above the requested fpp with no
+    // signal. Clamp explicitly and WARN, so a 100 TB caller sizing for
+    // billions of keys learns to raise the conf instead of silently
+    // shipping an over-admitting filter. Results stay exact either way —
+    // the semi join downstream strips every false positive.
+    val wanted = math.max(64L,
       math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val maxBits = large.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    if (wanted > maxBits)
+      System.err.println(s"[graft] WARN bloom sizing clamped: $wanted bits optimal " +
+        s"for $expectedItems items at fpp=$fpp, conf caps at $maxBits — " +
+        "effective fpp will be higher; raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+    val numBits = math.min(wanted, maxBits)
     val smallPlan = small.queryExecution.analyzed
     val buildKey = smallPlan.output.find(_.name == key).getOrElse(
       throw new IllegalArgumentException(s"column $key not in small side"))

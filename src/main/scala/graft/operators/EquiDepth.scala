@@ -41,7 +41,13 @@ object EquiDepth {
     // does not fire across the broadcast nesting); with it the query cost
     // collapses to the single reduction. LRU-evicted, no caller lifecycle
     // (the Dedup.shingleHashRows convention).
-    val byVal = df.groupBy(valueCol.as("v")).agg(count(lit(1)).as("c")).persist()
+    // NULL values have no rank position in an ordered domain and are
+    // excluded up front. (Leaving them in was worse than a semantic choice:
+    // the NULL group's slice is NULL, the using-column join drops it, and
+    // the rows vanished from the output while still inflating N — every
+    // bucket boundary shifted.)
+    val byVal = df.where(valueCol.isNotNull)
+      .groupBy(valueCol.as("v")).agg(count(lit(1)).as("c")).persist()
     val bounds = byVal.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
     // monotone slice id: equal lo/hi (degenerate domain) collapses to slice 0
     val sliced = byVal.crossJoin(broadcast(bounds))

@@ -83,13 +83,15 @@ object Skew {
         bucketCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-    // Short-circuit on the common case: scheduling the fragment-replicate
-    // DAG (windows, chunk joins) costs several stages even when it produces
-    // zero rows. The emptiness probe is one pass over the freshly persisted
-    // rows — work the naive join was about to do anyway, now warming the
-    // cache it reads.
-    if (bigSide.isEmpty) naive
-    else naive.unionByName(skewSafeBucketPairs(bigSide, bucketCols, idCol, chunkSize))
+    // Always union the fragment-replicate branch: when no bucket is hot it
+    // runs over zero rows — a handful of empty-partition stages, paid at
+    // EXECUTION time. (An earlier version probed `bigSide.isEmpty` here to
+    // skip those stages, but that runs a full Spark job at DataFrame-
+    // CONSTRUCTION time: every caller composing this operator — or merely
+    // calling .explain() on a query that uses it — executed the whole
+    // upstream pipeline before getting a plan back. Laziness is part of
+    // the DataFrame contract; empty-stage scheduling is the cheaper price.)
+    naive.unionByName(skewSafeBucketPairs(bigSide, bucketCols, idCol, chunkSize))
   }
 
   def skewSafeBucketPairs(rows: DataFrame, bucketCols: Seq[String],

@@ -165,12 +165,17 @@ object NativeAsOf {
     */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String): DataFrame = {
-    val taken = left.columns.toSet
+    // Rename targets must be unique against BOTH the left side's columns
+    // and each other (left may already carry a `<c>_r`; keep suffixing
+    // until free). A plain one-shot `c + "_r"` check missed the
+    // left-collision case and produced ambiguous duplicate output names.
+    val used = scala.collection.mutable.Set[String](left.columns: _*)
     val rName = right.columns.map { c =>
-      c -> (if (taken.contains(c)) c + "_r" else c)
+      var n = c
+      while (used.contains(n)) n += "_r"
+      used += n
+      c -> n
     }.toMap
-    require(rName.values.toSet.size == right.columns.length,
-      s"right-side rename collides: ${rName.values.toSeq.diff(rName.values.toSeq.distinct)}")
     val rFresh = right.select(right.columns.map(c => col(c).as(rName(c))): _*)
     val lPlan = left.queryExecution.analyzed
     val rPlan = rFresh.queryExecution.analyzed

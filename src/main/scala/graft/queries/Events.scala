@@ -247,15 +247,15 @@ object Events {
   // sink contents are hash-compared against the same SQL the batch q24
   // uses. Complete mode keeps every window visible; within a single
   // AvailableNow backlog nothing is late, so the watermark drops no rows.
-  private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  // Sink names are FIXED: runToMemory drops the previous invocation's view
+  // before re-registering, so repeated runs (bench/verify share a session)
+  // retain at most one result copy per query instead of leaking one per
+  // invocation.
   def q34(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val trend = graft.streaming.Streams.hourlyTrend(
       graft.streaming.Streams.eventsStream(s, d))
-    // unique sink name per invocation: bench/verify re-run queries in one
-    // session and a memory sink registers a temp view under its query name
-    val name = s"q34_sink_${sinkSeq.incrementAndGet()}"
-    graft.streaming.Streams.runToMemory(s, trend, name)
+    graft.streaming.Streams.runToMemory(s, trend, "q34_sink")
       .orderBy($"event_type", $"hour_start")
   }
   val q34Sql: String =
@@ -278,8 +278,7 @@ object Events {
     import s.implicits._
     val closed = graft.streaming.Streams.sessionizeWithState(s,
       graft.streaming.Streams.eventsStream(s, d))
-    val name = s"q95_sink_${sinkSeq.incrementAndGet()}"
-    graft.streaming.Streams.runDatasetToMemory(s, closed, name,
+    graft.streaming.Streams.runDatasetToMemory(s, closed, "q95_sink",
       org.apache.spark.sql.streaming.OutputMode.Append())
       .select($"user_id",
         fmtS($"session_start_s").as("session_start"),
@@ -357,8 +356,7 @@ object Events {
   def q58(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val joined = graft.streaming.Streams.viewPurchaseIntervalJoin(s, d)
-    val name = s"q58_sink_${sinkSeq.incrementAndGet()}"
-    graft.streaming.Streams.runToMemory(s, joined, name,
+    graft.streaming.Streams.runToMemory(s, joined, "q58_sink",
       org.apache.spark.sql.streaming.OutputMode.Append())
       .select($"view_id", $"purchase_id", $"v_user".as("user_id"),
         fmtS(expr("v_ns div 1000000000")).as("view_time"),

@@ -203,6 +203,12 @@ object Streams {
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete(),
       statePartitions: Int = 8): DataFrame = {
+    // Re-registering a sink name drops the previous invocation's temp view
+    // first: the memory sink retains its full materialized result for the
+    // session's lifetime, so without the drop every re-run (bench runs each
+    // query 2-3 times, specs and Verify again in the same session) leaked
+    // another copy into driver memory.
+    spark.catalog.dropTempView(name)
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, statePartitions)

@@ -136,11 +136,16 @@ class ExtendedSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3),
         r.getDouble(4)))
     assert(rows.nonEmpty)
+    // parse the UTC-rendered hour strings with an explicit UTC offset —
+    // java.sql.Timestamp.valueOf would use the JVM default zone and break
+    // on DST-observing machines
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    def epochS(str: String): Long =
+      java.time.LocalDateTime.parse(str, fmt).toEpochSecond(java.time.ZoneOffset.UTC)
     rows.groupBy(_._1).foreach { case (tpe, rs) =>
       val hours = rs.map(_._2).sorted
       // complete hourly spine: row count == span hours (no missing buckets)
-      val span = (java.sql.Timestamp.valueOf(hours.last).getTime -
-        java.sql.Timestamp.valueOf(hours.head).getTime) / 3600000L + 1
+      val span = (epochS(hours.last) - epochS(hours.head)) / 3600L + 1
       assert(rs.length.toLong == span, s"$tpe: ${rs.length} rows != $span hours")
       // gap rows have zero events but a non-null carried sum
       rs.filter(_._4 == 1).foreach { case (_, h, n, _, filled) =>

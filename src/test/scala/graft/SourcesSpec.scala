@@ -60,9 +60,11 @@ class SourcesSpec extends AnyFunSuite {
     assert(scanDesc.contains("PushedFilters: [IsNotNull(o_orderstatus), " +
       "EqualTo(o_orderstatus,F)]"),
       s"filter must reach the orc reader:\n$scanDesc")
+    // strict: the pruned 3-column struct must appear verbatim (a bare
+    // "ReadSchema" fallback is always true and asserts nothing)
     assert(scanDesc.contains("struct<o_orderkey:bigint,o_orderstatus:string," +
-      "o_totalprice:double>") || scanDesc.contains("ReadSchema"),
-      s"read schema must be pruned:\n$scanDesc")
+      "o_totalprice:double>"),
+      s"read schema must be pruned to the 3 used columns:\n$scanDesc")
   }
 
   test("partitioned write prunes untouched partitions at planning time") {

@@ -44,7 +44,8 @@ object Dedup {
   def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.6,
       numPerm: Int = 64, bands: Int = 32,
-      skewMaxBucket: Int = 4096, skewChunk: Int = 1024): DataFrame = {
+      skewMaxBucket: Int = 4096, skewChunk: Int = 1024,
+      eagerSkewProbe: Boolean = false): DataFrame = {
     val rowsPerBand = numPerm / bands
     // Duplicate shingles are absorbed by the aggregations below: MIN is
     // duplicate-blind and collect_set dedups inside the agg hash map, so no
@@ -78,7 +79,7 @@ object Dedup {
     // fragment-replicate path for any bucket over skewMaxBucket rows
     // (boilerplate shingle sets colliding into one band bucket).
     val candidates = Skew.hybridBucketPairs(banded, Seq("band", "bh"),
-        "doc_id", skewMaxBucket, skewChunk)
+        "doc_id", skewMaxBucket, skewChunk, eagerProbe = eagerSkewProbe)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .distinct()
       .persist()

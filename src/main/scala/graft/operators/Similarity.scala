@@ -89,7 +89,8 @@ object Similarity {
     * bucket); vectors never pairwise-compare unless they collide. */
   def lshSimilarPairs(corpus: DataFrame, threshold: Double,
       numTables: Int = 8, planesPerTable: Int = 4,
-      skewMaxBucket: Int = 4096, skewChunk: Int = 1024): DataFrame = {
+      skewMaxBucket: Int = 4096, skewChunk: Int = 1024,
+      eagerSkewProbe: Boolean = false): DataFrame = {
     val planes = numTables * planesPerTable
     // Plane dot products via posexplode + `planes` SUM agg columns: one
     // codegen'd hash aggregation instead of nested array-lambda folds
@@ -132,7 +133,7 @@ object Similarity {
     // Hybrid bucket self-join: plain per-bucket pairs normally, the
     // fragment-replicate path for any bucket over skewMaxBucket rows.
     val candidates = Skew.hybridBucketPairs(tables, Seq("table_id", "bucket"),
-        "vec_id", skewMaxBucket, skewChunk)
+        "vec_id", skewMaxBucket, skewChunk, eagerProbe = eagerSkewProbe)
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
 
     val emb = corpus.select(col("vec_id"), col("embedding"),

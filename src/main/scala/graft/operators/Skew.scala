@@ -68,9 +68,19 @@ object Skew {
     * aggregate-join pass). The sized rows are persisted: three consumers
     * (both self-join sides and the skew branch) would otherwise each
     * recompute the upstream lineage. Cheap insurance at 100 TB.
+    *
+    * `eagerProbe` trades laziness for plan size: when true, one Spark job
+    * runs at CONSTRUCTION time to test whether any bucket is hot, and the
+    * fragment-replicate branch is omitted entirely when none is — several
+    * cache passes and empty shuffles saved on every later execution.
+    * Default false preserves the DataFrame contract (composing this
+    * operator, or .explain(), must not execute the upstream pipeline);
+    * set it only where the result is executed immediately after
+    * construction, e.g. a query evaluated once per invocation.
     */
   def hybridBucketPairs(rows: DataFrame, bucketCols: Seq[String],
-      idCol: String, maxBucketRows: Int = 4096, chunkSize: Int = 1024): DataFrame = {
+      idCol: String, maxBucketRows: Int = 4096, chunkSize: Int = 1024,
+      eagerProbe: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byBucket = Window.partitionBy(bucketCols.map(col): _*)
     val keyed = rows
@@ -83,15 +93,15 @@ object Skew {
         bucketCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-    // Always union the fragment-replicate branch: when no bucket is hot it
-    // runs over zero rows — a handful of empty-partition stages, paid at
-    // EXECUTION time. (An earlier version probed `bigSide.isEmpty` here to
-    // skip those stages, but that runs a full Spark job at DataFrame-
-    // CONSTRUCTION time: every caller composing this operator — or merely
-    // calling .explain() on a query that uses it — executed the whole
-    // upstream pipeline before getting a plan back. Laziness is part of
-    // the DataFrame contract; empty-stage scheduling is the cheaper price.)
-    naive.unionByName(skewSafeBucketPairs(bigSide, bucketCols, idCol, chunkSize))
+    // Lazy default: union the fragment-replicate branch unconditionally —
+    // when no bucket is hot it runs over zero rows (empty-partition stages
+    // plus a few passes over the persisted rows, paid at EXECUTION time,
+    // measured ~2-3s at sf0.1). Eager opt-in: probe emptiness now — one
+    // job over the freshly persisted rows (work the naive join was about
+    // to do anyway, warming the cache it reads) — and skip the branch for
+    // good in the overwhelmingly common all-cold case.
+    if (eagerProbe && bigSide.isEmpty) naive
+    else naive.unionByName(skewSafeBucketPairs(bigSide, bucketCols, idCol, chunkSize))
   }
 
   def skewSafeBucketPairs(rows: DataFrame, bucketCols: Seq[String],

@@ -181,7 +181,7 @@ object Text {
   def q45(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Dedup.nearDuplicatePairs(Tables.documents(s, d), "doc_id", "text",
-      k = 3, threshold = 0.6)
+      k = 3, threshold = 0.6, eagerSkewProbe = true)
       .orderBy($"doc_a", $"doc_b")
   }
   val q45Sql: String =
@@ -316,7 +316,7 @@ object Text {
   def q82(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = Dedup.nearDuplicatePairs(Tables.documents(s, d), "doc_id", "text",
-      k = 3, threshold = 0.6)
+      k = 3, threshold = 0.6, eagerSkewProbe = true)
     Dedup.clusterPairs(pairs).orderBy($"doc_id")
   }
   // MATERIALIZED hints: without them DuckDB re-inlines the brute-force

@@ -148,7 +148,7 @@ object Vectors {
   def q54(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Similarity.lshSimilarPairs(Tables.embeddings(s, d), threshold = 0.3,
-      numTables = 6, planesPerTable = 5)
+      numTables = 6, planesPerTable = 5, eagerSkewProbe = true)
       .orderBy($"vec_a", $"vec_b")
   }
   val q54Sql: String =
@@ -189,7 +189,7 @@ object Vectors {
   def q56(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = Similarity.lshSimilarPairs(Tables.embeddings(s, d),
-      threshold = 0.4, numTables = 6, planesPerTable = 5)
+      threshold = 0.4, numTables = 6, planesPerTable = 5, eagerSkewProbe = true)
       .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
     graft.operators.Dedup.clusterPairs(pairs)
       .select($"doc_id".as("vec_id"), $"cluster_rep", $"is_canonical")

@@ -427,11 +427,123 @@ object Extended {
       |SELECT 'except_all' AS op, l_partkey, COUNT(*) AS n FROM e GROUP BY 2
       |ORDER BY op, l_partkey""".stripMargin
 
+  // --- q107: changeset apply (MERGE semantics) ------------------------------
+  // The other half of q101's snapshot diff: APPLY a changeset of
+  // insert/update/delete operations to a base snapshot — ANSI MERGE
+  // WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN NOT MATCHED INSERT,
+  // expressed as one full-outer join + classification (the Delta/Iceberg
+  // MERGE physical shape). Changeset is derived deterministically from
+  // orders: keys %4==0 update (price +100), %4==1 delete, %4==2 insert
+  // under a shifted key; dangling updates/deletes (no matching base row)
+  // are no-ops, exactly MERGE's semantics. Result is rolled up per order
+  // status with a decimal-routed price sum (Q.scala). One shuffle on the
+  // key — at 100 TB both sides would share the bucketed layout and the
+  // join is exchange-free.
+  def q107(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val base = o.filter($"o_orderkey" % 10 =!= 0)
+      .select($"o_orderkey".as("k"), $"o_totalprice".as("v"), $"o_orderstatus".as("st"))
+    val changes = o
+      .withColumn("op",
+        when($"o_orderkey" % 4 === 0, "U")
+          .when($"o_orderkey" % 4 === 1, "D")
+          .when($"o_orderkey" % 4 === 2, "I"))
+      .filter($"op".isNotNull)
+      .select(
+        when($"op" === "I", $"o_orderkey" + 10000000L).otherwise($"o_orderkey").as("k"),
+        $"op",
+        ($"o_totalprice" + 100.0).as("nv"),
+        $"o_orderstatus".as("nst"))
+    base.join(changes, Seq("k"), "full_outer")
+      .withColumn("action",
+        when($"v".isNotNull && $"op" === "U", "updated")
+          .when($"v".isNotNull && $"op" === "D", "deleted")
+          .when($"v".isNotNull, "kept")
+          .when($"op" === "I", "inserted")
+          .otherwise("noop"))
+      .filter($"action" =!= "deleted" && $"action" =!= "noop")
+      .select(
+        when($"action" === "inserted", $"nst").otherwise($"st").as("status"),
+        $"action",
+        when($"action" === "kept", $"v").otherwise($"nv").as("val"))
+      .groupBy($"status", $"action")
+      .agg(count(lit(1)).as("n_rows"), dsum($"val").as("sum_val"))
+      .orderBy($"status", $"action")
+  }
+  val q107Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS v, o_orderstatus AS st
+      |  FROM orders WHERE o_orderkey % 10 <> 0
+      |), changes AS (
+      |  SELECT CASE WHEN op = 'I' THEN k + 10000000 ELSE k END AS k, op, nv, nst
+      |  FROM (SELECT o_orderkey AS k,
+      |          CASE WHEN o_orderkey % 4 = 0 THEN 'U'
+      |               WHEN o_orderkey % 4 = 1 THEN 'D'
+      |               WHEN o_orderkey % 4 = 2 THEN 'I' END AS op,
+      |          o_totalprice + 100.0 AS nv, o_orderstatus AS nst
+      |        FROM orders)
+      |  WHERE op IS NOT NULL
+      |), merged AS (
+      |  SELECT CASE WHEN v IS NOT NULL AND op = 'U' THEN 'updated'
+      |              WHEN v IS NOT NULL AND op = 'D' THEN 'deleted'
+      |              WHEN v IS NOT NULL THEN 'kept'
+      |              WHEN op = 'I' THEN 'inserted'
+      |              ELSE 'noop' END AS action,
+      |    st, nst, v, nv
+      |  FROM base FULL OUTER JOIN changes USING (k)
+      |)
+      |SELECT CASE WHEN action = 'inserted' THEN nst ELSE st END AS status,
+      |  action, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(CASE WHEN action = 'kept' THEN v ELSE nv END
+      |      AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+      |FROM merged
+      |WHERE action NOT IN ('deleted', 'noop')
+      |GROUP BY 1, 2
+      |ORDER BY status, action""".stripMargin
+
+  // --- q110: incremental aggregation (mergeable partial state) ---------------
+  // The lambda-architecture rollup: yesterday's PRE-AGGREGATED state plus
+  // today's delta partials, merged by summing — the history is never
+  // rescanned. Correct because (count, decimal-sum) partials form a
+  // commutative monoid; the oracle computes the same aggregate from the
+  // full table in one pass, so the hash match PROVES the merge is exact.
+  // At 100 TB this is the only viable daily-rollup shape: the merge costs
+  // O(groups), not O(history), and the partials are what a streaming
+  // sink's foreachBatch would persist.
+  def q110(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val cutoff = lit("1997-01-01").cast("timestamp")
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast("decimal(18,2)")).as("sq"))
+    val state = partial(li.filter($"l_shipdate" < cutoff)) // persisted rollup
+    val delta = partial(li.filter($"l_shipdate" >= cutoff)) // today's batch
+    state.unionByName(delta)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(sum($"n").as("n_rows"), sum($"sq").as("sq_m"))
+      .select($"l_returnflag", $"l_linestatus", $"n_rows",
+        $"sq_m".cast("double").as("sum_qty"),
+        ($"sq_m".cast("double") / $"n_rows").as("avg_qty"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+  val q110Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q49_equidepth_hist", q49 _, Some(q49Sql)),
     ("q100_zorder_blocks", q100 _, Some(q100Sql)),
     ("q101_snapshot_diff", q101 _, Some(q101Sql)),
     ("q102_bag_set_ops", q102 _, Some(q102Sql)),
+    ("q107_merge_apply", q107 _, Some(q107Sql)),
+    ("q110_incremental_agg", q110 _, Some(q110Sql)),
     ("q72_pivot", q72 _, Some(q72Sql)),
     ("q73_unpivot", q73 _, Some(q73Sql)),
     ("q74_corr_covar", q74 _, Some(q74Sql)),

@@ -1043,6 +1043,294 @@ object Text {
       |ORDER BY pos
       |LIMIT 200""".stripMargin
 
+  // --- q103: per-source cap sampling (domain capping) -----------------------
+  // The C4/RefinedWeb-style domain cap: keep at most N documents per
+  // source, chosen by a portable hash order so the selection is a
+  // deterministic uniform sample and identical on any engine. The rank
+  // filter is the shape Spark's WindowGroupLimit optimization recognizes:
+  // each map task pre-limits its partition to the top-N per group BEFORE
+  // the shuffle, so at 100 TB the exchange carries ~N rows per
+  // (source, input-partition), not the whole corpus.
+  def q103(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cap = 40
+    val key = conv(substring(md5(concat_ws("|", lit("cap"), $"doc_id")), 1, 14), 16, 10)
+      .cast("long")
+    Tables.documents(s, d)
+      .withColumn("k", key)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"k", $"doc_id")))
+      .filter($"rk" <= cap)
+      .select($"source", $"rk", $"doc_id")
+      .orderBy($"source", $"rk")
+  }
+  val q103Sql: String =
+    """SELECT source, rk, doc_id FROM (
+      |  SELECT source, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY k, doc_id) AS rk
+      |  FROM (SELECT source, doc_id,
+      |          ('0x' || substr(md5('cap|' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS k
+      |        FROM documents))
+      |WHERE rk <= 40
+      |ORDER BY source, rk""".stripMargin
+
+  // --- q104: fixed-size chunking with overlap --------------------------------
+  // The RAG / context-window prep step: split each document into
+  // 120-char chunks on a 90-char stride (30-char overlap), so every
+  // character of the source text lands in at least one chunk and chunk
+  // boundaries never cut more than the overlap from any span. The chunk
+  // starts are a generator (sequence + explode, 1 row -> N) — Catalyst's
+  // Generate node, fully distributed, no shuffle until the per-doc
+  // rollup. Output stays bounded by rolling up to one row per document:
+  // chunk count, total chunk chars (= len + (n-1)*overlap for full
+  // chunks), and the SUM of 56-bit chunk fingerprints — a content hash
+  // of every chunk that fits a BIGINT (<=2^56 per chunk, corpus docs are
+  // far below 2^7 chunks).
+  def q104(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val chunkLen = 120
+    val stride = 90
+    Tables.documents(s, d)
+      .filter(length($"text") > 0)
+      .withColumn("i",
+        explode(sequence(lit(0),
+          floor((length($"text") - 1) / lit(stride)).cast("int"))))
+      .withColumn("chunk", $"text".substr($"i" * stride + 1, lit(chunkLen)))
+      .withColumn("fp", conv(substring(md5($"chunk"), 1, 14), 16, 10).cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(length($"chunk")).as("sum_chunk_chars"),
+        sum($"fp").as("fp_sum"))
+      .orderBy($"doc_id")
+  }
+  val q104Sql: String =
+    """SELECT doc_id, COUNT(*) AS n_chunks,
+      |  CAST(SUM(length(chunk)) AS BIGINT) AS sum_chunk_chars,
+      |  CAST(SUM(fp) AS BIGINT) AS fp_sum
+      |FROM (
+      |  SELECT doc_id, substr(text, i * 90 + 1, 120) AS chunk,
+      |    ('0x' || substr(md5(substr(text, i * 90 + 1, 120)), 1, 14))::BIGINT AS fp
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      unnest(range(0, CAST(floor((length(text) - 1) / 90.0) AS INT) + 1)) AS i
+      |    FROM documents WHERE length(text) > 0))
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // --- q105: robust outlier detection (median/MAD) ---------------------------
+  // Length-outlier filtering the robust way: per source, flag documents
+  // whose |n_chars - median| exceeds 3x the median absolute deviation.
+  // Median/MAD (not mean/stddev) so a single giant document cannot drag
+  // the threshold. Exact interpolated percentile in both engines; n_chars
+  // is integral so every median/MAD/deviation lives on the exact 0.5
+  // binary grid — no rounding needed anywhere. Two percentile
+  // aggregations over (source) — a handful of groups — with the
+  // per-source constants broadcast back onto the corpus, so the corpus
+  // itself is scanned, never shuffled.
+  def q105(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"source", $"doc_id", $"n_chars")
+    val med = docs.groupBy($"source")
+      .agg(percentile($"n_chars", lit(0.5)).as("med"))
+    val dev = docs.join(broadcast(med), Seq("source"))
+      .withColumn("adev", abs($"n_chars" - $"med"))
+    val mad = dev.groupBy($"source")
+      .agg(percentile($"adev", lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), Seq("source"))
+      .withColumn("is_out", $"adev" > $"mad" * lit(3.0))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"is_out", 1L).otherwise(0L)).as("n_outliers"),
+        min(when($"is_out", $"n_chars")).as("min_outlier_chars"),
+        max(when($"is_out", $"n_chars")).as("max_outlier_chars"),
+        min($"med").as("med_chars"),
+        min($"mad").as("mad_chars"))
+      .orderBy($"source")
+  }
+  val q105Sql: String =
+    """WITH m AS (
+      |  SELECT source, median(n_chars) AS med FROM documents GROUP BY source
+      |), d AS (
+      |  SELECT doc_id, documents.source, n_chars, med,
+      |    abs(n_chars - med) AS adev
+      |  FROM documents JOIN m ON documents.source = m.source
+      |), md AS (
+      |  SELECT source, median(adev) AS mad FROM d GROUP BY source
+      |)
+      |SELECT d.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN adev > mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  MIN(CASE WHEN adev > mad * 3.0 THEN n_chars END) AS min_outlier_chars,
+      |  MAX(CASE WHEN adev > mad * 3.0 THEN n_chars END) AS max_outlier_chars,
+      |  MIN(med) AS med_chars, MIN(mad) AS mad_chars
+      |FROM d JOIN md ON d.source = md.source
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin
+
+  // --- q106: source-vs-corpus distribution divergence (JSD) ------------------
+  // The data-mixing diagnostic: Jensen-Shannon divergence between each
+  // source's unigram distribution P and the whole-corpus distribution Q.
+  // JSD = 0.5*KL(P||M) + 0.5*KL(Q||M), M=(P+Q)/2 — symmetric, bounded by
+  // ln 2, and defined even where P has zero mass (the Q-side term alone
+  // contributes q*ln2/2 there), so every corpus token participates.
+  //
+  // Determinism across engines (Q.scala conventions): probabilities and
+  // the per-token contribution are IEEE-identical double arithmetic in
+  // both engines except ln()'s last ulp, so each token's contribution is
+  // snapped to an integer 1e-9 grid BEFORE summation; the sum of longs is
+  // exact, and the final jsd is ONE double division of identical integers
+  // (never ROUND a quotient off a grid — the q39 tie trap).
+  //
+  // Scale: everything after the token count is vocab-sized, not
+  // corpus-sized (Heaps' law). The (source x vocab) pair table is built
+  // by broadcasting the per-source totals (a handful of rows) onto the
+  // corpus vocabulary — the corpus itself is touched once, by the token
+  // count's single shuffle.
+  def q106(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bySrc = Tables.documents(s, d)
+      .select($"source", explode(tokens($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c_s"))
+    val srcTot = bySrc.groupBy($"source").agg(sum($"c_s").as("n_s"))
+    val corpus = bySrc.groupBy($"tok").agg(sum($"c_s").as("c_q"))
+    val corpusTot = corpus.agg(sum($"c_q").as("n_q"))
+    val pairs = corpus
+      .crossJoin(broadcast(srcTot))
+      .crossJoin(broadcast(corpusTot))
+      .join(bySrc, Seq("source", "tok"), "left")
+    // p must be COALESCED to 0 before building m: a null c_s would null m
+    // and with it the q-side term, silently dropping every token the
+    // source lacks from the sum (exactly the terms that contribute q*ln2/2).
+    val p = coalesce($"c_s", lit(0L)) * lit(1.0) / $"n_s"
+    val q = $"c_q" * lit(1.0) / $"n_q"
+    val m = (p + q) / lit(2.0)
+    val contrib = lit(0.5) *
+      (when($"c_s".isNotNull, p * log(p / m)).otherwise(lit(0.0)) + q * log(q / m))
+    pairs
+      .withColumn("e9", round(contrib * lit(1e9)).cast("long"))
+      .groupBy($"source")
+      .agg(min($"n_s").as("n_tokens"),
+        count($"c_s").as("n_vocab"),
+        sum($"e9").as("jsd_e9"))
+      .withColumn("jsd", $"jsd_e9".cast("double") / lit(1e9))
+      .select($"source", $"n_tokens", $"n_vocab", $"jsd")
+      .orderBy($"source")
+  }
+  val q106Sql: String =
+    """WITH toks AS (
+      |  SELECT source,
+      |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+      |  FROM documents
+      |), bysrc AS (
+      |  SELECT source, tok, COUNT(*) AS c_s FROM toks GROUP BY 1, 2
+      |), srctot AS (
+      |  SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_s FROM bysrc GROUP BY 1
+      |), corpus AS (
+      |  SELECT tok, CAST(SUM(c_s) AS BIGINT) AS c_q FROM bysrc GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(c_q) AS BIGINT) AS n_q FROM corpus
+      |), contrib AS (
+      |  SELECT s.source, s.n_s, b.c_s,
+      |    CAST(round(1e9 * 0.5 * (
+      |      CASE WHEN b.c_s IS NOT NULL
+      |        THEN (b.c_s * 1.0 / s.n_s) *
+      |             ln((b.c_s * 1.0 / s.n_s) /
+      |                (((b.c_s * 1.0 / s.n_s) + (c.c_q * 1.0 / t.n_q)) / 2.0))
+      |        ELSE 0.0 END
+      |      + (c.c_q * 1.0 / t.n_q) *
+      |        ln((c.c_q * 1.0 / t.n_q) /
+      |           (((COALESCE(b.c_s, 0) * 1.0 / s.n_s) + (c.c_q * 1.0 / t.n_q)) / 2.0))
+      |    )) AS BIGINT) AS e9
+      |  FROM corpus c CROSS JOIN srctot s CROSS JOIN tot t
+      |  LEFT JOIN bysrc b ON b.source = s.source AND b.tok = c.tok
+      |)
+      |SELECT source, MIN(n_s) AS n_tokens,
+      |  CAST(COUNT(c_s) AS BIGINT) AS n_vocab,
+      |  CAST(SUM(e9) AS BIGINT) * 1.0 / 1e9 AS jsd
+      |FROM contrib
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // --- q108: incremental dedup of a new batch against the corpus ------------
+  // The steady-state dedup shape: a fresh crawl batch arrives and must be
+  // deduplicated against the EXISTING corpus, not just within itself.
+  // Exact match on the canonical-text fingerprint; the batch-vs-corpus
+  // membership test routes through BloomPrune — the corpus side is pruned
+  // by a distributed bloom filter built over the (small) batch's
+  // fingerprints before the exact semi join, so at 100 TB the join
+  // shuffle moves ~fpp of the corpus instead of all of it. Bloom false
+  // positives are stripped by the exact join, so the result is provably
+  // identical to the plain semi join and stays oracle-checkable.
+  def q108(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"source", fingerprint($"text").as("fp"))
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val batch = docs.filter($"doc_id" % 3 === 0)
+    // Corpus fingerprints that also occur in the batch (bloom-pruned,
+    // then exact); a batch row whose fp survives is a duplicate.
+    val hit = graft.operators.BloomPrune.bloomSemiJoin(
+      corpus.select($"fp"), batch.select($"fp"), "fp", expectedItems = 100000L)
+    batch
+      .join(hit.distinct().withColumn("hit", lit(1)), Seq("fp"), "left")
+      .withColumn("is_dup", $"hit".isNotNull)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_batch"),
+        sum(when($"is_dup", 1L).otherwise(0L)).as("n_dup"),
+        sum(when(!$"is_dup", 1L).otherwise(0L)).as("n_kept"),
+        min(when($"is_dup", $"doc_id")).as("min_dup_doc"),
+        max(when($"is_dup", $"doc_id")).as("max_dup_doc"))
+      .orderBy($"source")
+  }
+  val q108Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id, source,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM documents
+      |), corpus AS (
+      |  SELECT fp FROM f WHERE doc_id % 3 <> 0
+      |), batch AS (
+      |  SELECT * FROM f WHERE doc_id % 3 = 0
+      |)
+      |SELECT source, COUNT(*) AS n_batch,
+      |  CAST(SUM(CASE WHEN fp IN (SELECT fp FROM corpus) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  CAST(SUM(CASE WHEN fp IN (SELECT fp FROM corpus) THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+      |  MIN(CASE WHEN fp IN (SELECT fp FROM corpus) THEN doc_id END) AS min_dup_doc,
+      |  MAX(CASE WHEN fp IN (SELECT fp FROM corpus) THEN doc_id END) AS max_dup_doc
+      |FROM batch
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // --- q109: cross-source duplicate overlap matrix ---------------------------
+  // The dedup diagnostic that decides source ordering in a curation
+  // pipeline: for every source pair, how many distinct canonical-text
+  // fingerprints appear in BOTH sources (mirror-site / syndication
+  // detection). Distinct (source, fp) first — one shuffle, corpus-sized —
+  // then a self-join on fp whose posting lists are bounded by the number
+  // of sources (≤5 here), so the pair fan-out is linear in the corpus,
+  // never quadratic: the matrix costs the same as the dedup scan itself.
+  def q109(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fps = Tables.documents(s, d)
+      .select($"source", fingerprint($"text").as("fp"))
+      .distinct()
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .orderBy($"src_a", $"src_b")
+  }
+  val q109Sql: String =
+    """WITH fps AS (
+      |  SELECT DISTINCT source,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM documents
+      |)
+      |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared_fps
+      |FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+      |GROUP BY 1, 2
+      |ORDER BY src_a, src_b""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),
@@ -1069,5 +1357,11 @@ object Text {
     ("q91_weighted_sample", q91 _, Some(q91Sql)),
     ("q93_global_shuffle", q93 _, Some(q93Sql)),
     ("q94_curation_funnel", q94 _, Some(q94Sql)),
-    ("q96_data_mix", q96 _, Some(q96Sql)))
+    ("q96_data_mix", q96 _, Some(q96Sql)),
+    ("q103_domain_cap", q103 _, Some(q103Sql)),
+    ("q104_chunk_overlap", q104 _, Some(q104Sql)),
+    ("q105_outlier_mad", q105 _, Some(q105Sql)),
+    ("q106_source_jsd", q106 _, Some(q106Sql)),
+    ("q108_incremental_dedup", q108 _, Some(q108Sql)),
+    ("q109_source_overlap", q109 _, Some(q109Sql)))
 }

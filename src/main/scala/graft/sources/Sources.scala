@@ -97,4 +97,36 @@ object Sources {
       .option("batchsize", batchSize.toString)
       .jdbc(url, table, props)
   }
+
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * ~`targetRows` rows each (the OPTIMIZE/compact maintenance op every
+    * streaming or per-batch append sink eventually needs — thousands of
+    * KB-sized files turn a 100 TB scan into a listing+open storm).
+    *
+    * The REBALANCE hint makes AQE coalesce shuffle partitions to the
+    * advisory size and split skewed ones, so output files are near-uniform
+    * without a driver-side count() pre-pass; `maxRecordsPerFile` hard-caps
+    * stragglers. Writes to `outPath` then atomically swaps nothing — the
+    * caller owns the rename discipline (single-writer, like the upsert).
+    */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+      targetRows: Long = 1000000L, approxRowBytes: Int = 100): Unit = {
+    // AQE sizes the rebalanced partitions by the advisory byte target, so
+    // aim it at targetRows * approxRowBytes for the duration of the write.
+    val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, (targetRows * approxRowBytes).toString)
+    try {
+      spark.read.parquet(inPath)
+        .hint("rebalance")
+        .write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", targetRows.toString)
+        .parquet(outPath)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }

@@ -189,4 +189,36 @@ class ExtendedSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("incremental agg merge is bit-identical to the one-pass aggregate") {
+    import org.apache.spark.sql.functions._
+    val merged = SparkEntry.queries("q110_incremental_agg")(spark, sf).collect()
+    val onePass = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .withColumn("avg_qty", col("sum_qty") / col("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .collect()
+    assert(merged.length == onePass.length && merged.length > 0)
+    merged.zip(onePass).foreach { case (m, o) =>
+      assert(m.getString(0) == o.getString(0) && m.getString(1) == o.getString(1))
+      assert(m.getLong(2) == o.getLong(2), s"count differs for ${m.getString(0)}/${m.getString(1)}")
+      assert(m.getDouble(3) == o.getDouble(3), "decimal-partial merge must be exact")
+      assert(m.getDouble(4) == o.getDouble(4), "avg from merged partials must be exact")
+    }
+  }
+
+  test("merge apply never emits a deleted or dangling action and keeps base untouched rows") {
+    val rows = SparkEntry.queries("q107_merge_apply")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val actions = rows.map(_._2).toSet
+    assert(actions.subsetOf(Set("kept", "updated", "inserted")),
+      s"unexpected actions: $actions")
+    rows.foreach { case (st, act, n, s2) =>
+      assert(n > 0 && st.nonEmpty)
+      assert(s2 > 0.0, s"$st/$act: non-positive value sum $s2")
+    }
+  }
 }

@@ -253,4 +253,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(zEmitted * 2 <= xEmitted,
       s"z-order emitted $zEmitted rows vs 1-D sort $xEmitted — expected ≤ half")
   }
+
+  test("compaction collapses a many-small-file directory without changing contents") {
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val fragmented = tmp("graft_frag")
+    // simulate a per-batch append sink: 32 tiny files
+    li.repartition(32).write.parquet(fragmented)
+    def parquetFiles(dir: String): Seq[java.io.File] =
+      new java.io.File(dir).listFiles().toSeq
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(parquetFiles(fragmented).length == 32)
+    val compacted = tmp("graft_compact")
+    val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val advisoryBefore = spark.conf.getOption(advisoryKey)
+    Sources.compactParquet(spark, fragmented, compacted,
+      targetRows = li.count(), approxRowBytes = 32)
+    val after = parquetFiles(compacted)
+    assert(after.length <= 4,
+      s"expected <=4 files after compaction, found ${after.length}")
+    assert(spark.read.parquet(compacted).collect().toSet == li.collect().toSet,
+      "compaction must not change table contents")
+    assert(spark.conf.getOption(advisoryKey) == advisoryBefore,
+      "advisory-size override leaked into the session")
+  }
 }

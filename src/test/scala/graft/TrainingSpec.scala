@@ -148,4 +148,134 @@ class TrainingSpec extends AnyFunSuite {
       s"rep $rep is not its own cluster's canonical"))
     labels.foreach { case (id, rep) => assert(rep <= id) }
   }
+
+  test("domain cap keeps at most 40 docs per source with dense ranks, pre-limited per map task") {
+    val df = SparkEntry.queries("q103_domain_cap")(spark, sf)
+    val rows = df.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val bySource = rows.groupBy(_._1)
+    val totals = Tables.documents(spark, sf).groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, grp) =>
+      val expect = math.min(40L, totals(src)).toInt
+      assert(grp.length == expect, s"$src kept ${grp.length}, expected $expect")
+      assert(grp.map(_._2).sorted.toSeq == (1 to expect), s"$src ranks not dense")
+    }
+    // the rank<=k filter must plan as WindowGroupLimit so each map task
+    // pre-limits its partition before the shuffle — the 100 TB cap shape
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("WindowGroupLimit"), s"no WindowGroupLimit in plan:\n$phys")
+  }
+
+  test("chunking covers every document: count and char totals follow from the stride") {
+    val got = SparkEntry.queries("q104_chunk_overlap")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == lens.filter(_._2 > 0).keySet)
+    got.foreach { case (id, (nChunks, sumChars)) =>
+      val l = lens(id)
+      val expectChunks = (l - 1) / 90 + 1
+      assert(nChunks == expectChunks, s"doc $id: $nChunks chunks, expected $expectChunks")
+      // chunk i spans [90i, min(90i+120, len)) — the last TWO chunks can
+      // both run short when len mod 90 < 30, so sum the spans directly
+      val expectChars = (0L until expectChunks).map(i => math.min(120L, l - 90 * i)).sum
+      assert(sumChars == expectChars,
+        s"doc $id: chunk chars $sumChars != $expectChars")
+    }
+  }
+
+  test("MAD outlier counts match a driver-side median/MAD recomputation") {
+    val got = SparkEntry.queries("q105_outlier_mad")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    def interpMedian(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val bySource = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    bySource.foreach { case (src, xs) =>
+      val med = interpMedian(xs)
+      val mad = interpMedian(xs.map(x => math.abs(x - med)))
+      val nOut = xs.count(x => math.abs(x - med) > 3.0 * mad)
+      val (nDocs, nOutliers, gotMed, gotMad) = got(src)
+      assert(nDocs == xs.length && gotMed == med && gotMad == mad,
+        s"$src: med/mad mismatch got=($gotMed,$gotMad) expect=($med,$mad)")
+      assert(nOutliers == nOut, s"$src: $nOutliers outliers, recomputed $nOut")
+    }
+  }
+
+  test("source JSD is bounded by ln 2 and zero only for a source identical to the corpus") {
+    val rows = SparkEntry.queries("q106_source_jsd")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nTok, nVocab, jsd) =>
+      assert(jsd >= 0.0 && jsd <= math.log(2.0) + 1e-9,
+        s"$src: jsd $jsd outside [0, ln 2]")
+      // no source IS the whole corpus here, so divergence is strictly positive
+      assert(jsd > 0.0, s"$src: jsd exactly zero against a multi-source corpus")
+      assert(nVocab > 0 && nTok >= nVocab)
+    }
+  }
+
+  test("merge apply: action counts follow from the key residues") {
+    import spark.implicits._
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("k")).as[Long].collect().toSet
+    val base = o.filter(_ % 10 != 0)
+    val expectUpdated = base.count(_ % 4 == 0)
+    val expectDeleted = base.count(_ % 4 == 1)
+    val expectInserted = o.count(_ % 4 == 2) // shifted keys never collide
+    val expectKept = base.size - expectUpdated - expectDeleted
+    val rows = SparkEntry.queries("q107_merge_apply")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    val byAction = rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    assert(byAction.getOrElse("updated", 0L) == expectUpdated)
+    assert(byAction.getOrElse("inserted", 0L) == expectInserted)
+    assert(byAction.getOrElse("kept", 0L) == expectKept)
+    assert(!byAction.contains("deleted") && !byAction.contains("noop"))
+  }
+
+  test("incremental dedup equals the plain semi join and splits the batch exactly") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    val corpusFps = docs.filter(col("doc_id") % 3 =!= 0)
+      .select("fp").as[String].collect().toSet
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("source"), col("fp")).as[(String, String)].collect()
+    val expect = batch.groupBy(_._1).map { case (src, rows) =>
+      src -> (rows.length.toLong, rows.count(r => corpusFps(r._2)).toLong)
+    }
+    val got = SparkEntry.queries("q108_incremental_dedup")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == expect.size)
+    got.foreach { case (src, (nBatch, nDup, nKept)) =>
+      val (eBatch, eDup) = expect(src)
+      assert(nBatch == eBatch && nDup == eDup && nKept == eBatch - eDup,
+        s"$src: got ($nBatch,$nDup,$nKept) expected ($eBatch,$eDup,${eBatch - eDup})")
+    }
+  }
+
+  test("source overlap matrix matches a driver-side set intersection per pair") {
+    import spark.implicits._
+    val fps = Tables.documents(spark, sf)
+      .select(col("source"),
+        functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .as[(String, String)].collect()
+      .groupBy(_._1).map { case (s2, v) => s2 -> v.map(_._2).toSet }
+    val sources = fps.keys.toSeq.sorted
+    val expect = (for {
+      a <- sources; b <- sources if a < b
+      n = (fps(a) & fps(b)).size if n > 0
+    } yield (a, b) -> n.toLong).toMap
+    val got = SparkEntry.queries("q109_source_overlap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expect, s"overlap matrix mismatch: got $got expected $expect")
+  }
 }

@@ -181,6 +181,65 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Asymmetric set-CONTAINMENT join: probe documents whose n-gram set is
+    * ≥`threshold` contained in some corpus document's set —
+    * |g(a) ∩ g(b)| / |g(a)| ≥ t. Containment (not Jaccard) is the right
+    * predicate for subsumption dedup: a short doc pasted inside a longer
+    * one scores containment 1.0 but arbitrarily low Jaccard, so a
+    * similarity join misses exactly the quote/boilerplate-inclusion cases
+    * a curation pipeline wants to catch.
+    *
+    * Same lossless prefix-filter theorem as [[ngramJaccardJoin]], applied
+    * one-sided: overlap ≥ ⌈t·|a|⌉ forces a hit within a's
+    * (|a| − ⌈t·|a|⌉ + 1)-prefix of ANY fixed global gram order — so only
+    * the PROBE side is prefix-reduced, while the corpus side keeps full
+    * posting lists (a container has no size upper bound; the one lossless
+    * corpus-side prune is |b| ≥ t·|a|, left to the verify step since it
+    * needs both sizes). Rarest-first order (corpus frequency, hash) keeps
+    * the joined posting lists on the low-frequency tail; probe grams
+    * absent from the corpus sort first and match nothing, wasting no
+    * candidates. Exact verification gated to candidate docs only, as in
+    * the Jaccard form.
+    */
+  def containmentJoin(probe: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val ga = shingleHashRows(probe, idCol, textCol, n)
+      .withColumnRenamed("h", "g").distinct().persist()
+    val gb = shingleHashRows(corpus, idCol, textCol, n)
+      .withColumnRenamed("h", "g").distinct().persist()
+
+    val freq = gb.groupBy("g").agg(count(lit(1)).as("gf"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val ranked = ga.join(freq, Seq("g"), "left")
+      .withColumn("sz", count(lit(1)).over(wDoc))
+      .withColumn("rn", row_number().over(
+        wDoc.orderBy(col("gf").asc_nulls_first, col("g"))))
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("doc_id").as("doc_a"), col("g"))
+
+    val candidates = prefix
+      .join(gb.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+      .persist()
+
+    val setsA = ga.join(candidates.select(col("doc_a").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("g")).as("gs"))
+    val setsB = gb.join(candidates.select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("g")).as("gs"))
+    candidates
+      .join(setsA.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
+      .join(setsB.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b")
+      .withColumn("containment",
+        size(array_intersect(col("gs_a"), col("gs_b"))) * lit(1.0) / size(col("gs_a")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   /** Winnowing fingerprint sketch (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
     * per document, hash every k-token shingle (md5-prefix, so the oracle
     * can state the identical hash), then keep the minimum hash of each

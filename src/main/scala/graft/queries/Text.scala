@@ -1331,6 +1331,117 @@ object Text {
       |GROUP BY 1, 2
       |ORDER BY src_a, src_b""".stripMargin
 
+  // --- q111: per-document token entropy --------------------------------------
+  // Shannon entropy of each document's own token distribution — the
+  // repetitiveness signal orthogonal to q36's gram-repeat ratio (a doc
+  // cycling 3 tokens has low entropy but may repeat no 5-gram). Computed
+  // ENTIRELY per-row with higher-order array functions: distinct tokens,
+  // per-token count via filter(), -p·ln(p) snapped to the 1e-9 integer
+  // grid (Q.scala ln-ulp convention), summed with aggregate() — zero
+  // shuffles, zero joins; the operator is embarrassingly parallel at any
+  // corpus size (the per-row cost is O(distinct·tokens), fine at document
+  // lengths; the explode+groupBy form trades that for two corpus-wide
+  // shuffles and loses at scale).
+  def q111(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("toks", tokens($"text"))
+      .withColumn("n", size($"toks"))
+      .withColumn("uniq", array_distinct($"toks"))
+      .withColumn("terms", transform($"uniq", t => {
+        val p = size(filter($"toks", x => x === t)) * lit(1.0) / $"n"
+        round(-p * log(p) * lit(1e9)).cast("long")
+      }))
+      .select($"doc_id", $"n".as("n_tokens"),
+        size($"uniq").as("n_distinct"),
+        (aggregate($"terms", lit(0L), (acc, x) => acc + x).cast("double") / lit(1e9))
+          .as("entropy"))
+      .orderBy($"doc_id")
+  }
+  val q111Sql: String =
+    """SELECT doc_id, len(t) AS n_tokens, len(u) AS n_distinct,
+      |  CAST(list_sum(list_transform(u, x ->
+      |    CAST(round(-(len(list_filter(t, y -> y = x)) * 1.0 / len(t)) *
+      |               ln(len(list_filter(t, y -> y = x)) * 1.0 / len(t)) * 1e9)
+      |         AS BIGINT))) AS BIGINT) * 1.0 / 1e9 AS entropy
+      |FROM (SELECT doc_id,
+      |        string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t,
+      |        list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS u
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // --- q112: per-stratum fraction sampling (deterministic sampleBy) ----------
+  // The engine's answer to DataFrameStatFunctions.sampleBy, made
+  // deterministic and engine-portable: keep a row iff its 56-bit md5 key
+  // falls below floor(fraction·2^56), with the fraction chosen per
+  // stratum (src0 keeps 50%, the rest 20%). Pure filter — no shuffle, no
+  // state, reproducible on any engine; the aggregate rollup just makes
+  // the output compact. The integer thresholds are EXACT literals in both
+  // engines, so the kept set is bit-identical (never compare k/2^56
+  // against a double fraction — the product rounds).
+  def q112(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keep50 = 36028797018963968L // floor(0.5 * 2^56)
+    val keep20 = 14411518807585587L // floor(0.2 * 2^56)
+    val key = conv(substring(md5(concat_ws("|", lit("strat"), $"doc_id")), 1, 14), 16, 10)
+      .cast("long")
+    Tables.documents(s, d)
+      .withColumn("k", key)
+      .withColumn("kept",
+        $"k" < when($"source" === "src0", keep50).otherwise(keep20))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_sampled"),
+        min(when($"kept", $"doc_id")).as("min_sampled_doc"),
+        max(when($"kept", $"doc_id")).as("max_sampled_doc"))
+      .orderBy($"source")
+  }
+  val q112Sql: String =
+    """SELECT source, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  MIN(CASE WHEN kept THEN doc_id END) AS min_sampled_doc,
+      |  MAX(CASE WHEN kept THEN doc_id END) AS max_sampled_doc
+      |FROM (
+      |  SELECT source, doc_id,
+      |    ('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+      |      < CASE WHEN source = 'src0' THEN 36028797018963968 ELSE 14411518807585587 END AS kept
+      |  FROM documents)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // --- q113: containment join (subsumption dedup) ----------------------------
+  // Probe slice (doc_id ≡ 0 mod 5 — the "new batch" shape) checked for
+  // ≥80% n-gram containment inside ANY corpus document. See
+  // Dedup.containmentJoin for the one-sided lossless prefix filter; the
+  // oracle is the brute-force all-pairs restatement with only the
+  // lossless |b| ≥ t·|a| prune.
+  def q113(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    Dedup.containmentJoin(docs.filter($"doc_id" % 5 === 0), docs,
+        "doc_id", "text", n = 3, threshold = 0.8)
+      .orderBy($"doc_a", $"doc_b")
+  }
+  val q113Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM (SELECT doc_id,
+      |          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |        FROM documents)
+      |  WHERE len(t) >= 3
+      |), probe AS (
+      |  SELECT * FROM sh WHERE doc_id % 5 = 0
+      |)
+      |SELECT doc_a, doc_b, containment FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) AS containment
+      |  FROM probe a JOIN sh b ON a.doc_id <> b.doc_id
+      |    AND len(b.s) >= 0.8 * len(a.s))
+      |WHERE containment >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),
@@ -1363,5 +1474,8 @@ object Text {
     ("q105_outlier_mad", q105 _, Some(q105Sql)),
     ("q106_source_jsd", q106 _, Some(q106Sql)),
     ("q108_incremental_dedup", q108 _, Some(q108Sql)),
-    ("q109_source_overlap", q109 _, Some(q109Sql)))
+    ("q109_source_overlap", q109 _, Some(q109Sql)),
+    ("q111_token_entropy", q111 _, Some(q111Sql)),
+    ("q112_stratum_sample", q112 _, Some(q112Sql)),
+    ("q113_containment_join", q113 _, Some(q113Sql)))
 }

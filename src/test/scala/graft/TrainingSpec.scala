@@ -262,6 +262,65 @@ class TrainingSpec extends AnyFunSuite {
     }
   }
 
+  test("token entropy obeys its bounds and a driver-side recomputation") {
+    val rows = SparkEntry.queries("q111_token_entropy")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, nd, h) =>
+      assert(h >= 0.0 && h <= math.log(nd.toDouble) + 1e-6,
+        s"doc $id: entropy $h outside [0, ln $nd]")
+      assert((nd == 1) == (h == 0.0), s"doc $id: zero-entropy iff single token")
+      val toks = texts(id).toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+      assert(toks.length == n, s"doc $id: token count")
+      val recomputed = toks.groupBy(identity).values.map { g =>
+        val p = g.length.toDouble / n
+        math.round(-p * math.log(p) * 1e9)
+      }.sum / 1e9
+      assert(math.abs(recomputed - h) < 1e-9, s"doc $id: entropy $h != $recomputed")
+    }
+  }
+
+  test("stratum sampling thresholds reproduce exactly from a driver-side md5") {
+    val got = SparkEntry.queries("q112_stratum_sample")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long): Long = {
+      val hex = md.digest(s"strat|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(14)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = Tables.documents(spark, sf).select(col("source"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expect = docs.groupBy(_._1).map { case (src, v) =>
+      val thr = if (src == "src0") 36028797018963968L else 14411518807585587L
+      src -> (v.length.toLong, v.count(d => key(d._2) < thr).toLong)
+    }
+    assert(got == expect, s"sampling mismatch: got $got expected $expect")
+  }
+
+  test("containment join equals a driver-side brute force over the probe slice") {
+    val got = SparkEntry.queries("q113_containment_join")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val shingles = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+        r.getLong(0) -> toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty).toMap
+    val expect = (for {
+      (a, sa) <- shingles if a % 5 == 0
+      (b, sb) <- shingles if b != a
+      c = (sa & sb).size.toDouble / sa.size if c >= 0.8
+    } yield (a, b) -> c).toMap
+    assert(got.keySet == expect.keySet,
+      s"pair sets differ: missing ${expect.keySet -- got.keySet}, extra ${got.keySet -- expect.keySet}")
+    got.foreach { case (k, c) => assert(math.abs(c - expect(k)) < 1e-12, s"$k: $c vs ${expect(k)}") }
+    assert(got.nonEmpty, "containment join found nothing — vacuous test")
+  }
+
   test("source overlap matrix matches a driver-side set intersection per pair") {
     import spark.implicits._
     val fps = Tables.documents(spark, sf)

@@ -152,8 +152,16 @@ object Dedup {
     val ranked = grams.join(gramFreq, "g")
       .withColumn("sz", count(lit(1)).over(wDoc))
       .withColumn("rn", row_number().over(wDoc.orderBy(col("gf"), col("g"))))
+    // ⌈t·|s|⌉ must be computed with a guard: the double product can round
+    // UP across an integer boundary (5 * 0.6 = 3.0000000000000004 → ceil
+    // 4), which would shorten the prefix one slot below what the theorem
+    // requires and silently LOSE threshold-exact pairs (falsified live by
+    // DedupProps on random corpora). The 1e-6 epsilon keeps the bound
+    // lossless: the product's rounding error is < 1e-9 for any realistic
+    // set size, and erring low only lengthens the prefix (extra
+    // candidates, same verified result).
     val prefix = ranked
-      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - 1e-6) + 1)
       .select(col("doc_id"), col("g"), col("sz"))
 
     val candidates = prefix.as("a")
@@ -214,8 +222,11 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(wDoc))
       .withColumn("rn", row_number().over(
         wDoc.orderBy(col("gf").asc_nulls_first, col("g"))))
+    // same ⌈t·|a|⌉ rounding guard as ngramJaccardJoin — see the comment
+    // there (double product rounding up across an integer boundary
+    // shortens the prefix and loses threshold-exact pairs)
     val prefix = ranked
-      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - 1e-6) + 1)
       .select(col("doc_id").as("doc_a"), col("g"))
 
     val candidates = prefix

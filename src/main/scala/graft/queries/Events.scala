@@ -517,6 +517,61 @@ object Events {
       |FROM intervals
       |ORDER BY user_id, valid_from, state""".stripMargin
 
+  // --- q114: last-touch attribution ------------------------------------------
+  // The marketing-analytics classic: attribute each purchase to the
+  // user's most recent preceding touch (view or click), then roll up
+  // attributed revenue per touch type. One window pass does the whole
+  // attribution — the touch timestamp and type are carried by two
+  // last(·, ignoreNulls) over the SAME when(touch) predicate with a
+  // rows-frame ending at 1 PRECEDING (strictly-before in the (ts,
+  // event_id) total order), and both carried values are non-null on
+  // every touch row, so they always come from the same row (the as-of
+  // carry lesson from AsOfJoin). Purchases with no prior touch land in
+  // the 'none' bucket. One user_id shuffle. Delays are computed in exact
+  // int64 MICROseconds — DuckDB reads the parquet TIMESTAMP(NANOS)
+  // column at µs resolution (observed live: its epoch_ns values are all
+  // ×1000), so µs is the finest grid both engines share; the window
+  // order uses the same µs value with event_id as the tiebreak, keeping
+  // the total order identical on both sides.
+  def q114(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val isTouch = $"event_type" === "view" || $"event_type" === "click"
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("touch_us", last(when(isTouch, $"ts_us"), ignoreNulls = true).over(w))
+      .withColumn("touch_type", last(when(isTouch, $"event_type"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .withColumn("touch", coalesce($"touch_type", lit("none")))
+      .groupBy($"touch")
+      .agg(count(lit(1)).as("n_purchases"),
+        dsum($"value").as("attributed_value"),
+        sum($"ts_us" - $"touch_us").as("sum_delay_us"))
+      .orderBy($"touch")
+  }
+  val q114Sql: String =
+    """WITH tagged AS (
+      |  SELECT event_type, value,
+      |    epoch_us(ts) - last_value(CASE WHEN event_type IN ('view', 'click')
+      |        THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS delay_us,
+      |    last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+      |        IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type
+      |  FROM events
+      |)
+      |SELECT COALESCE(touch_type, 'none') AS touch,
+      |  COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value,
+      |  CAST(SUM(delay_us) AS BIGINT) AS sum_delay_us
+      |FROM tagged
+      |WHERE event_type = 'purchase'
+      |GROUP BY 1
+      |ORDER BY touch""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q24_hourly_trend", q24 _, Some(q24Sql)),
     ("q25_tumbling_window", q25 _, Some(q25Sql)),
@@ -531,5 +586,6 @@ object Events {
     ("q95_stream_sessionize", q95 _, Some(q95Sql)),
     ("q97_gap_fill", q97 _, Some(q97Sql)),
     ("q98_event_funnel", q98 _, Some(q98Sql)),
-    ("q99_scd2_intervals", q99 _, Some(q99Sql)))
+    ("q99_scd2_intervals", q99 _, Some(q99Sql)),
+    ("q114_last_touch", q114 _, Some(q114Sql)))
 }

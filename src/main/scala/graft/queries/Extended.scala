@@ -537,6 +537,121 @@ object Extended {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // --- q115: join-key skew diagnostics ---------------------------------------
+  // The pre-flight a planner (or the Skew operators' threshold routing)
+  // wants before choosing a join strategy: per candidate key, the shape
+  // of its group-size distribution — distinct keys, max/mean group size,
+  // exact p50/p99, and the max/mean skew factor. Each key costs one
+  // map-combined count aggregation; the stats aggregate runs over the
+  // (bounded) distinct-key counts, not rows. Exact interpolated
+  // percentiles keep every output on a deterministic grid (counts are
+  // integers; mean and skew are single IEEE divisions of exact values).
+  def q115(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    def stats(keyCol: String): DataFrame =
+      li.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum($"n").as("n_rows"),
+          max($"n").as("max_group"),
+          percentile($"n", lit(0.5)).as("p50_group"),
+          percentile($"n", lit(0.99)).as("p99_group"))
+        .withColumn("mean_group", $"n_rows".cast("double") / $"n_keys")
+        .withColumn("skew_factor", $"max_group" / $"mean_group")
+        .withColumn("key", lit(keyCol))
+    stats("l_orderkey")
+      .unionByName(stats("l_partkey"))
+      .unionByName(stats("l_suppkey"))
+      .select($"key", $"n_keys", $"n_rows", $"max_group",
+        $"p50_group", $"p99_group", $"mean_group", $"skew_factor")
+      .orderBy($"key")
+  }
+  val q115Sql: String = {
+    def one(k: String) =
+      s"""SELECT '$k' AS key, COUNT(*) AS n_keys,
+         |  CAST(SUM(n) AS BIGINT) AS n_rows,
+         |  CAST(MAX(n) AS BIGINT) AS max_group,
+         |  quantile_cont(n, 0.5) AS p50_group,
+         |  quantile_cont(n, 0.99) AS p99_group,
+         |  CAST(SUM(n) AS BIGINT) * 1.0 / COUNT(*) AS mean_group,
+         |  CAST(MAX(n) AS BIGINT) / (CAST(SUM(n) AS BIGINT) * 1.0 / COUNT(*)) AS skew_factor
+         |FROM (SELECT $k, COUNT(*) AS n FROM lineitem GROUP BY 1)""".stripMargin
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key")
+  }
+
+  // --- q116: single-pass table profile (Deequ-style) -------------------------
+  // The data-quality profiling pass every ingestion pipeline runs before
+  // trusting a table: per column, null count, distinct count, and (for
+  // numerics) min/max — all from ONE scan. Spark plans the mixed
+  // count-distincts as a single Expand-based aggregation (one scan, one
+  // shuffle of expanded partials); the per-column output rows are then
+  // unpivoted from the single aggregate row with stack(). At 100 TB this
+  // is the shape that matters: profile cost ≈ one pass over the table,
+  // not one pass per column.
+  def q116(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val agg = li.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when($"l_orderkey".isNull, 1L).otherwise(0L)).as("nn_ok"),
+      count_distinct($"l_orderkey").as("nd_ok"),
+      min($"l_orderkey").cast("double").as("min_ok"),
+      max($"l_orderkey").cast("double").as("max_ok"),
+      sum(when($"l_partkey".isNull, 1L).otherwise(0L)).as("nn_pk"),
+      count_distinct($"l_partkey").as("nd_pk"),
+      min($"l_partkey").cast("double").as("min_pk"),
+      max($"l_partkey").cast("double").as("max_pk"),
+      sum(when($"l_quantity".isNull, 1L).otherwise(0L)).as("nn_qty"),
+      count_distinct($"l_quantity").as("nd_qty"),
+      min($"l_quantity").as("min_qty"),
+      max($"l_quantity").as("max_qty"),
+      sum(when($"l_discount".isNull, 1L).otherwise(0L)).as("nn_disc"),
+      count_distinct($"l_discount").as("nd_disc"),
+      min($"l_discount").as("min_disc"),
+      max($"l_discount").as("max_disc"),
+      sum(when($"l_returnflag".isNull, 1L).otherwise(0L)).as("nn_rf"),
+      count_distinct($"l_returnflag").as("nd_rf"))
+    agg.select($"n_rows", expr(
+      """stack(5,
+        |'l_orderkey',  nn_ok,   nd_ok,   min_ok,   max_ok,
+        |'l_partkey',   nn_pk,   nd_pk,   min_pk,   max_pk,
+        |'l_quantity',  nn_qty,  nd_qty,  min_qty,  max_qty,
+        |'l_discount',  nn_disc, nd_disc, min_disc, max_disc,
+        |'l_returnflag', nn_rf,  nd_rf,   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |) AS (column_name, n_nulls, n_distinct, min_val, max_val)""".stripMargin))
+      .select($"column_name", $"n_rows", $"n_nulls", $"n_distinct",
+        $"min_val", $"max_val")
+      .orderBy($"column_name")
+  }
+  val q116Sql: String =
+    """WITH a AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ok,
+      |    COUNT(DISTINCT l_orderkey) AS nd_ok,
+      |    CAST(MIN(l_orderkey) AS DOUBLE) AS min_ok, CAST(MAX(l_orderkey) AS DOUBLE) AS max_ok,
+      |    CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_pk,
+      |    COUNT(DISTINCT l_partkey) AS nd_pk,
+      |    CAST(MIN(l_partkey) AS DOUBLE) AS min_pk, CAST(MAX(l_partkey) AS DOUBLE) AS max_pk,
+      |    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_qty,
+      |    COUNT(DISTINCT l_quantity) AS nd_qty,
+      |    MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+      |    CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_disc,
+      |    COUNT(DISTINCT l_discount) AS nd_disc,
+      |    MIN(l_discount) AS min_disc, MAX(l_discount) AS max_disc,
+      |    CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_rf,
+      |    COUNT(DISTINCT l_returnflag) AS nd_rf
+      |  FROM lineitem
+      |)
+      |SELECT column_name, n_rows, n_nulls, n_distinct, min_val, max_val FROM (
+      |  SELECT 'l_orderkey' AS column_name, n_rows, nn_ok AS n_nulls, nd_ok AS n_distinct,
+      |    min_ok AS min_val, max_ok AS max_val FROM a
+      |  UNION ALL SELECT 'l_partkey', n_rows, nn_pk, nd_pk, min_pk, max_pk FROM a
+      |  UNION ALL SELECT 'l_quantity', n_rows, nn_qty, nd_qty, min_qty, max_qty FROM a
+      |  UNION ALL SELECT 'l_discount', n_rows, nn_disc, nd_disc, min_disc, max_disc FROM a
+      |  UNION ALL SELECT 'l_returnflag', n_rows, nn_rf, nd_rf, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a)
+      |ORDER BY column_name""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q49_equidepth_hist", q49 _, Some(q49Sql)),
     ("q100_zorder_blocks", q100 _, Some(q100Sql)),
@@ -544,6 +659,8 @@ object Extended {
     ("q102_bag_set_ops", q102 _, Some(q102Sql)),
     ("q107_merge_apply", q107 _, Some(q107Sql)),
     ("q110_incremental_agg", q110 _, Some(q110Sql)),
+    ("q115_skew_probe", q115 _, Some(q115Sql)),
+    ("q116_table_profile", q116 _, Some(q116Sql)),
     ("q72_pivot", q72 _, Some(q72Sql)),
     ("q73_unpivot", q73 _, Some(q73Sql)),
     ("q74_corr_covar", q74 _, Some(q74Sql)),

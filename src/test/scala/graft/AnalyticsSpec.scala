@@ -82,4 +82,39 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(math.abs(deltas - net) < 1e-9)
     }
   }
+
+  test("last-touch attribution matches a driver-side per-user replay") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("q114_last_touch")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 1000, r.getLong(2), r.getString(3)))
+    val expect = scala.collection.mutable.Map[String, (Long, Long)]()
+      .withDefaultValue((0L, 0L))
+    events.groupBy(_._1).values.foreach { evs =>
+      var lastTouch: Option[(Long, String)] = None
+      evs.sortBy(e => (e._2, e._3)).foreach { case (_, tsUs, _, typ) =>
+        if (typ == "purchase") {
+          val (touch, delay) = lastTouch match {
+            case Some((tus, tt)) => (tt, tsUs - tus)
+            case None => ("none", 0L)
+          }
+          val (n, s0) = expect(touch)
+          expect(touch) = (n + 1, s0 + delay)
+        }
+        if (typ == "view" || typ == "click") lastTouch = Some((tsUs, typ))
+      }
+    }
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (touch, (n, sumDelay)) =>
+      val (en, es) = expect(touch)
+      assert(n == en, s"$touch: $n purchases, expected $en")
+      if (touch != "none")
+        assert(sumDelay.contains(es), s"$touch: delay ${sumDelay} != $es")
+      else assert(sumDelay.isEmpty, "'none' bucket must have null delay sum")
+    }
+  }
 }

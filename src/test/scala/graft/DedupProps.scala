@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import graft.operators.Dedup
+
+/** Property-based checks for the exact similarity joins: the prefix-filter
+  * theorems (lossless recall) verified against a driver-side brute force
+  * over ARBITRARY generated corpora — the spec-level twin of the fixed
+  * oracle queries (q83/q113), which can only witness recall on the one
+  * corpus the testdata happens to be.
+  *
+  * Documents are short token strings over a tiny alphabet so that shingle
+  * collisions across documents are common — exactly the regime where a
+  * buggy prefix filter (off-by-one prefix length, wrong global order,
+  * missing self-pair guard) actually loses pairs.
+  */
+object DedupProps extends Properties("graft.dedup") {
+
+  // each case runs several Spark jobs (windows + joins + persists); 12
+  // random corpora per property is plenty to catch a broken filter while
+  // keeping the suite's wall-clock bounded
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // 3-8 tokens from a 6-word vocabulary: dense overlap, frequent ties
+  private val docGen: Gen[String] = Gen.chooseNum(3, 8).flatMap { n =>
+    Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f")).map(_.mkString(" "))
+  }
+  private val corpusGen: Gen[List[String]] =
+    Gen.chooseNum(4, 12).flatMap(n => Gen.listOfN(n, docGen))
+
+  private def shingleSet(text: String, k: Int): Set[String] =
+    text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+      .sliding(k).filter(_.length == k).map(_.mkString(" ")).toSet
+
+  property("ngramJaccardJoin equals brute force on arbitrary corpora") =
+    forAll(corpusGen) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val t = 0.5
+      val got = Dedup.ngramJaccardJoin(docs, "doc_id", "text", n = 2, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = texts.zipWithIndex
+        .map { case (txt, i) => i.toLong -> shingleSet(txt, 2) }
+        .filter(_._2.nonEmpty)
+      val expect = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter) if j >= t
+      } yield (a, b)).toSet
+      got == expect
+    }
+
+  property("containmentJoin equals brute force on arbitrary probe/corpus splits") =
+    forAll(corpusGen) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val probe = docs.filter($"doc_id" % 2 === 0)
+      val t = 0.6
+      val got = Dedup.containmentJoin(probe, docs, "doc_id", "text",
+          n = 2, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = texts.zipWithIndex
+        .map { case (txt, i) => i.toLong -> shingleSet(txt, 2) }
+        .filter(_._2.nonEmpty).toMap
+      val expect = (for {
+        (a, sa) <- sets if a % 2 == 0
+        (b, sb) <- sets if b != a
+        c = (sa & sb).size.toDouble / sa.size if c >= t
+      } yield (a, b)).toSet
+      got == expect
+    }
+}

@@ -190,6 +190,45 @@ class ExtendedSpec extends AnyFunSuite {
     }
   }
 
+  test("skew probe stats match a driver-side group-size recomputation") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("q115_skew_probe")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(6), r.getDouble(7))).toMap
+    Seq("l_orderkey", "l_partkey", "l_suppkey").foreach { k =>
+      val sizes = Tables.lineitem(spark, sf).groupBy(col(k)).count()
+        .collect().map(_.getLong(1))
+      val (nKeys, nRows, maxG, meanG, skew) = got(k)
+      assert(nKeys == sizes.length && nRows == sizes.sum && maxG == sizes.max)
+      assert(meanG == sizes.sum.toDouble / sizes.length)
+      assert(skew == sizes.max / meanG && skew >= 1.0)
+    }
+  }
+
+  test("table profile is consistent: no nulls, bounded distincts, ordered min/max") {
+    val rows = SparkEntry.queries("q116_table_profile")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))
+    assert(rows.length == 5)
+    val nRows = rows.head._2
+    rows.foreach { case (col0, n, nNulls, nDistinct, minV, maxV) =>
+      assert(n == nRows, s"$col0: row count must be table-wide")
+      assert(nNulls == 0, s"$col0: testdata has no nulls")
+      assert(nDistinct >= 1 && nDistinct <= n, s"$col0: distinct out of range")
+      (minV, maxV) match {
+        case (Some(lo), Some(hi)) => assert(lo <= hi, s"$col0: min > max")
+        case (None, None) => assert(col0 == "l_returnflag")
+        case other => fail(s"$col0: half-null min/max $other")
+      }
+    }
+    import org.apache.spark.sql.functions.countDistinct
+    val ndQty = Tables.lineitem(spark, sf)
+      .select(countDistinct(org.apache.spark.sql.functions.col("l_quantity")))
+      .head().getLong(0)
+    assert(rows.find(_._1 == "l_quantity").get._4 == ndQty)
+  }
+
   test("incremental agg merge is bit-identical to the one-pass aggregate") {
     import org.apache.spark.sql.functions._
     val merged = SparkEntry.queries("q110_incremental_agg")(spark, sf).collect()

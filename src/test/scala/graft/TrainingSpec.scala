@@ -321,6 +321,27 @@ class TrainingSpec extends AnyFunSuite {
     assert(got.nonEmpty, "containment join found nothing — vacuous test")
   }
 
+  test("prefix filters survive the t*|s| float-ceil boundary (regression)") {
+    import spark.implicits._
+    // 5 bigrams in doc 1; doc 2 shares exactly 3 => containment/jaccard
+    // exactly 0.6. ceil(5 * 0.6) = ceil(3.0000000000000004) = 4 used to
+    // shorten doc 1's prefix to {st, tu} (the two corpus-rarest grams,
+    // neither in doc 2) and silently lose the pair; the corrected bound
+    // keeps the third slot (rs), which doc 2 shares.
+    val corpus = Seq(
+      (1L, "p q r s t u"), (2L, "p q r s"), (3L, "p q r"), (4L, "p q r")
+    ).toDF("doc_id", "text")
+    val gotC = operators.Dedup.containmentJoin(
+        corpus.filter(col("doc_id") === 1), corpus, "doc_id", "text",
+        n = 2, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotC == Set((1L, 2L, 0.6)), s"containment got $gotC")
+    val gotJ = operators.Dedup.ngramJaccardJoin(corpus, "doc_id", "text",
+        n = 2, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotJ == Set((1L, 2L), (2L, 3L), (2L, 4L), (3L, 4L)), s"jaccard got $gotJ")
+  }
+
   test("source overlap matrix matches a driver-side set intersection per pair") {
     import spark.implicits._
     val fps = Tables.documents(spark, sf)

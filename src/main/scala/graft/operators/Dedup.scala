@@ -152,14 +152,14 @@ object Dedup {
     val ranked = grams.join(gramFreq, "g")
       .withColumn("sz", count(lit(1)).over(wDoc))
       .withColumn("rn", row_number().over(wDoc.orderBy(col("gf"), col("g"))))
-    // ⌈t·|s|⌉ must be computed with a guard: the double product can round
-    // UP across an integer boundary (5 * 0.6 = 3.0000000000000004 → ceil
-    // 4), which would shorten the prefix one slot below what the theorem
-    // requires and silently LOSE threshold-exact pairs (falsified live by
-    // DedupProps on random corpora). The 1e-6 epsilon keeps the bound
-    // lossless: the product's rounding error is < 1e-9 for any realistic
-    // set size, and erring low only lengthens the prefix (extra
-    // candidates, same verified result).
+    // ⌈t·|s|⌉ is computed with a small guard against the double product
+    // rounding UP across an integer boundary, which would shorten the
+    // prefix one slot below the lossless bound. For the thresholds in use
+    // the product happens to round down-or-exact, so this is defensive —
+    // but a caller-supplied t where fl(t·sz) lands just above an integer
+    // would silently lose threshold-exact pairs without it. Erring low is
+    // always safe: it only lengthens the prefix (extra candidates, same
+    // verified result).
     val prefix = ranked
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - 1e-6) + 1)
       .select(col("doc_id"), col("g"), col("sz"))
@@ -222,9 +222,8 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(wDoc))
       .withColumn("rn", row_number().over(
         wDoc.orderBy(col("gf").asc_nulls_first, col("g"))))
-    // same ⌈t·|a|⌉ rounding guard as ngramJaccardJoin — see the comment
-    // there (double product rounding up across an integer boundary
-    // shortens the prefix and loses threshold-exact pairs)
+    // same defensive ⌈t·|a|⌉ rounding guard as ngramJaccardJoin — see the
+    // comment there
     val prefix = ranked
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - 1e-6) + 1)
       .select(col("doc_id").as("doc_a"), col("g"))

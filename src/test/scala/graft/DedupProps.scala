@@ -71,9 +71,14 @@ object DedupProps extends Properties("graft.dedup") {
       val got = Dedup.containmentJoin(probe, docs, "doc_id", "text",
           n = 2, threshold = t)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // NOTE: this must stay a List, not a Map — a for-comprehension over a
+      // Map that yields (a, b) pairs REBUILDS A MAP keyed by a, silently
+      // collapsing multiple matches per probe doc (observed live: the
+      // property falsified against a correct operator until this harness
+      // bug was found).
       val sets = texts.zipWithIndex
         .map { case (txt, i) => i.toLong -> shingleSet(txt, 2) }
-        .filter(_._2.nonEmpty).toMap
+        .filter(_._2.nonEmpty)
       val expect = (for {
         (a, sa) <- sets if a % 2 == 0
         (b, sb) <- sets if b != a

@@ -321,13 +321,14 @@ class TrainingSpec extends AnyFunSuite {
     assert(got.nonEmpty, "containment join found nothing — vacuous test")
   }
 
-  test("prefix filters survive the t*|s| float-ceil boundary (regression)") {
+  test("prefix filters keep threshold-exact pairs at the t*|s| integer boundary") {
     import spark.implicits._
     // 5 bigrams in doc 1; doc 2 shares exactly 3 => containment/jaccard
-    // exactly 0.6. ceil(5 * 0.6) = ceil(3.0000000000000004) = 4 used to
-    // shorten doc 1's prefix to {st, tu} (the two corpus-rarest grams,
-    // neither in doc 2) and silently lose the pair; the corrected bound
-    // keeps the third slot (rs), which doc 2 shares.
+    // exactly 0.6, and the required overlap ceil(0.6*5)=3 sits exactly on
+    // an integer. A prefix one slot too short (any future regression in
+    // the ceil guard) would keep only the two corpus-rarest grams
+    // {st, tu} — neither in doc 2 — and silently lose the pair; the
+    // lossless bound keeps the third slot (rs), which doc 2 shares.
     val corpus = Seq(
       (1L, "p q r s t u"), (2L, "p q r s"), (3L, "p q r"), (4L, "p q r")
     ).toDF("doc_id", "text")

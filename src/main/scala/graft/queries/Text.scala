@@ -1442,6 +1442,44 @@ object Text {
       |WHERE containment >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --- q117: corpus length-inequality (Gini) per source ----------------------
+  // The balance diagnostic behind "is this source a few mega-documents or
+  // many small ones": the Gini coefficient of the document-length
+  // distribution, from the Lorenz-curve identity
+  //   G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx)
+  // with ranks ascending by length. Everything except the final division
+  // is exact int64 arithmetic (ties ordered by doc_id — swapping equal x
+  // across ranks leaves Σ rank·x unchanged, so the value is
+  // tie-independent); the one double division of identical integers is
+  // bit-stable on any engine. One shuffle for the per-source rank window,
+  // one for the rollup.
+  def q117(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        sum($"rk" * $"n_chars").as("rx"))
+      .withColumn("gini",
+        (lit(2L) * $"rx" - ($"n_docs" + 1L) * $"total_chars").cast("double") /
+          ($"n_docs" * $"total_chars").cast("double"))
+      .select($"source", $"n_docs", $"total_chars", $"gini")
+      .orderBy($"source")
+  }
+  val q117Sql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(2 * SUM(rk * n_chars) - (COUNT(*) + 1) * SUM(n_chars) AS DOUBLE)
+      |    / CAST(COUNT(*) * SUM(n_chars) AS DOUBLE) AS gini
+      |FROM (
+      |  SELECT source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk
+      |  FROM documents)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),
@@ -1477,5 +1515,6 @@ object Text {
     ("q109_source_overlap", q109 _, Some(q109Sql)),
     ("q111_token_entropy", q111 _, Some(q111Sql)),
     ("q112_stratum_sample", q112 _, Some(q112Sql)),
-    ("q113_containment_join", q113 _, Some(q113Sql)))
+    ("q113_containment_join", q113 _, Some(q113Sql)),
+    ("q117_length_gini", q117 _, Some(q117Sql)))
 }

@@ -343,6 +343,26 @@ class TrainingSpec extends AnyFunSuite {
     assert(gotJ == Set((1L, 2L), (2L, 3L), (2L, 4L), (3L, 4L)), s"jaccard got $gotJ")
   }
 
+  test("length gini matches a driver-side Lorenz recomputation and its bounds") {
+    val got = SparkEntry.queries("q117_length_gini")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val bySource = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).sorted.toSeq }
+    assert(got.keySet == bySource.keySet)
+    bySource.foreach { case (src, xs) =>
+      val n = xs.length.toLong
+      val tot = xs.sum
+      val rx = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val gini = (2L * rx - (n + 1) * tot).toDouble / (n * tot).toDouble
+      val (gn, gt, gg) = got(src)
+      assert(gn == n && gt == tot)
+      assert(gg == gini, s"$src: gini $gg != $gini")
+      assert(gg >= 0.0 && gg < 1.0, s"$src: gini $gg out of [0,1)")
+    }
+  }
+
   test("source overlap matrix matches a driver-side set intersection per pair") {
     import spark.implicits._
     val fps = Tables.documents(spark, sf)

@@ -434,8 +434,11 @@ object Extended {
   // expressed as one full-outer join + classification (the Delta/Iceberg
   // MERGE physical shape). Changeset is derived deterministically from
   // orders: keys %4==0 update (price +100), %4==1 delete, %4==2 insert
-  // under a shifted key; dangling updates/deletes (no matching base row)
-  // are no-ops, exactly MERGE's semantics. Result is rolled up per order
+  // under a NEGATED key (o_orderkey >= 1 always, so negative insert keys
+  // are collision-free at every scale factor — an additive shift would
+  // collide with real keys once sf grows past the shift); dangling
+  // updates/deletes (no matching base row) are no-ops, exactly MERGE's
+  // semantics. Result is rolled up per order
   // status with a decimal-routed price sum (Q.scala). One shuffle on the
   // key — at 100 TB both sides would share the bucketed layout and the
   // join is exchange-free.
@@ -451,7 +454,7 @@ object Extended {
           .when($"o_orderkey" % 4 === 2, "I"))
       .filter($"op".isNotNull)
       .select(
-        when($"op" === "I", $"o_orderkey" + 10000000L).otherwise($"o_orderkey").as("k"),
+        when($"op" === "I", -$"o_orderkey").otherwise($"o_orderkey").as("k"),
         $"op",
         ($"o_totalprice" + 100.0).as("nv"),
         $"o_orderstatus".as("nst"))
@@ -476,7 +479,7 @@ object Extended {
       |  SELECT o_orderkey AS k, o_totalprice AS v, o_orderstatus AS st
       |  FROM orders WHERE o_orderkey % 10 <> 0
       |), changes AS (
-      |  SELECT CASE WHEN op = 'I' THEN k + 10000000 ELSE k END AS k, op, nv, nst
+      |  SELECT CASE WHEN op = 'I' THEN -k ELSE k END AS k, op, nv, nst
       |  FROM (SELECT o_orderkey AS k,
       |          CASE WHEN o_orderkey % 4 = 0 THEN 'U'
       |               WHEN o_orderkey % 4 = 1 THEN 'D'
@@ -543,9 +546,12 @@ object Extended {
   // of its group-size distribution — distinct keys, max/mean group size,
   // exact p50/p99, and the max/mean skew factor. Each key costs one
   // map-combined count aggregation; the stats aggregate runs over the
-  // (bounded) distinct-key counts, not rows. Exact interpolated
-  // percentiles keep every output on a deterministic grid (counts are
-  // integers; mean and skew are single IEEE divisions of exact values).
+  // (bounded) distinct-key counts, not rows. The interpolated
+  // percentiles are ROUND(·, 6)ed: when the rank fraction lands between
+  // two unequal counts the interpolated value is off the binary grid and
+  // Spark's and DuckDB's multiply/add orders can differ in the last ulp
+  // (the q38/q87 convention); mean and skew are single IEEE divisions of
+  // exact integers and need no rounding.
   def q115(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, d)
@@ -554,8 +560,8 @@ object Extended {
         .agg(count(lit(1)).as("n_keys"),
           sum($"n").as("n_rows"),
           max($"n").as("max_group"),
-          percentile($"n", lit(0.5)).as("p50_group"),
-          percentile($"n", lit(0.99)).as("p99_group"))
+          round(percentile($"n", lit(0.5)), 6).as("p50_group"),
+          round(percentile($"n", lit(0.99)), 6).as("p99_group"))
         .withColumn("mean_group", $"n_rows".cast("double") / $"n_keys")
         .withColumn("skew_factor", $"max_group" / $"mean_group")
         .withColumn("key", lit(keyCol))
@@ -571,8 +577,8 @@ object Extended {
       s"""SELECT '$k' AS key, COUNT(*) AS n_keys,
          |  CAST(SUM(n) AS BIGINT) AS n_rows,
          |  CAST(MAX(n) AS BIGINT) AS max_group,
-         |  quantile_cont(n, 0.5) AS p50_group,
-         |  quantile_cont(n, 0.99) AS p99_group,
+         |  round(quantile_cont(n, 0.5), 6) AS p50_group,
+         |  round(quantile_cont(n, 0.99), 6) AS p99_group,
          |  CAST(SUM(n) AS BIGINT) * 1.0 / COUNT(*) AS mean_group,
          |  CAST(MAX(n) AS BIGINT) / (CAST(SUM(n) AS BIGINT) * 1.0 / COUNT(*)) AS skew_factor
          |FROM (SELECT $k, COUNT(*) AS n FROM lineitem GROUP BY 1)""".stripMargin

@@ -1334,28 +1334,30 @@ object Text {
   // --- q111: per-document token entropy --------------------------------------
   // Shannon entropy of each document's own token distribution — the
   // repetitiveness signal orthogonal to q36's gram-repeat ratio (a doc
-  // cycling 3 tokens has low entropy but may repeat no 5-gram). Computed
-  // ENTIRELY per-row with higher-order array functions: distinct tokens,
-  // per-token count via filter(), -p·ln(p) snapped to the 1e-9 integer
-  // grid (Q.scala ln-ulp convention), summed with aggregate() — zero
-  // shuffles, zero joins; the operator is embarrassingly parallel at any
-  // corpus size (the per-row cost is O(distinct·tokens), fine at document
-  // lengths; the explode+groupBy form trades that for two corpus-wide
-  // shuffles and loses at scale).
+  // cycling 3 tokens has low entropy but may repeat no 5-gram). Shape:
+  // explode → (doc, tok) count → windowed doc total → per-token -p·ln(p)
+  // snapped to the 1e-9 integer grid (Q.scala ln-ulp convention) →
+  // per-doc sum. Two shuffles, but every task's work is linear in its
+  // rows. The tempting zero-shuffle alternative (per-row higher-order
+  // filter() inside transform()) is O(distinct·tokens) PER DOCUMENT —
+  // a 100k-token doc with 20k distinct tokens costs ~2e9 interpreted
+  // comparisons in one task, the straggler shape this codebase's own
+  // measurements reject (cf. Dedup.simhashPairs' 50x explode win).
   def q111(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val wDoc = Window.partitionBy($"doc_id")
     Tables.documents(s, d)
-      .withColumn("toks", tokens($"text"))
-      .withColumn("n", size($"toks"))
-      .withColumn("uniq", array_distinct($"toks"))
-      .withColumn("terms", transform($"uniq", t => {
-        val p = size(filter($"toks", x => x === t)) * lit(1.0) / $"n"
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum($"c").over(wDoc))
+      .withColumn("e9", {
+        val p = $"c" * lit(1.0) / $"n"
         round(-p * log(p) * lit(1e9)).cast("long")
-      }))
-      .select($"doc_id", $"n".as("n_tokens"),
-        size($"uniq").as("n_distinct"),
-        (aggregate($"terms", lit(0L), (acc, x) => acc + x).cast("double") / lit(1e9))
-          .as("entropy"))
+      })
+      .groupBy($"doc_id")
+      .agg(max($"n").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        (sum($"e9").cast("double") / lit(1e9)).as("entropy"))
       .orderBy($"doc_id")
   }
   val q111Sql: String =

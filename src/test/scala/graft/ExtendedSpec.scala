@@ -194,12 +194,24 @@ class ExtendedSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     val got = SparkEntry.queries("q115_skew_probe")(spark, sf).collect()
       .map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(6), r.getDouble(7))).toMap
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7))).toMap
+    def pct(sorted: Array[Long], p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = pos.toInt
+      val frac = pos - lo
+      val raw =
+        if (lo + 1 < sorted.length) sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
+        else sorted(lo).toDouble
+      math.round(raw * 1e6) / 1e6
+    }
     Seq("l_orderkey", "l_partkey", "l_suppkey").foreach { k =>
       val sizes = Tables.lineitem(spark, sf).groupBy(col(k)).count()
-        .collect().map(_.getLong(1))
-      val (nKeys, nRows, maxG, meanG, skew) = got(k)
+        .collect().map(_.getLong(1)).sorted
+      val (nKeys, nRows, maxG, p50, p99, meanG, skew) = got(k)
       assert(nKeys == sizes.length && nRows == sizes.sum && maxG == sizes.max)
+      assert(p50 == pct(sizes, 0.5), s"$k: p50 $p50 != ${pct(sizes, 0.5)}")
+      assert(p99 == pct(sizes, 0.99), s"$k: p99 $p99 != ${pct(sizes, 0.99)}")
       assert(meanG == sizes.sum.toDouble / sizes.length)
       assert(skew == sizes.max / meanG && skew >= 1.0)
     }

@@ -273,7 +273,11 @@ class SourcesSpec extends AnyFunSuite {
     val after = parquetFiles(compacted)
     assert(after.length <= 4,
       s"expected <=4 files after compaction, found ${after.length}")
-    assert(spark.read.parquet(compacted).collect().toSet == li.collect().toSet,
+    // multiset compare — projected lineitem triples repeat, and a Set
+    // would mask dropped or duplicated rows
+    def multiset(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(identity).map { case (k, v) => k -> v.length }
+    assert(multiset(spark.read.parquet(compacted).collect()) == multiset(li.collect()),
       "compaction must not change table contents")
     assert(spark.conf.getOption(advisoryKey) == advisoryBefore,
       "advisory-size override leaked into the session")

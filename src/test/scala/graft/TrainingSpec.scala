@@ -229,7 +229,7 @@ class TrainingSpec extends AnyFunSuite {
     val base = o.filter(_ % 10 != 0)
     val expectUpdated = base.count(_ % 4 == 0)
     val expectDeleted = base.count(_ % 4 == 1)
-    val expectInserted = o.count(_ % 4 == 2) // shifted keys never collide
+    val expectInserted = o.count(_ % 4 == 2) // negated keys never collide
     val expectKept = base.size - expectUpdated - expectDeleted
     val rows = SparkEntry.queries("q107_merge_apply")(spark, sf).collect()
       .map(r => (r.getString(1), r.getLong(2)))
@@ -264,7 +264,7 @@ class TrainingSpec extends AnyFunSuite {
 
   test("token entropy obeys its bounds and a driver-side recomputation") {
     val rows = SparkEntry.queries("q111_token_entropy")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt, r.getDouble(3)))
     val texts = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -43,7 +43,12 @@ object Bench {
     }
     def better(a: Double, b: Double): Double =
       if (a < 0) b else if (b < 0) a else math.min(a, b)
+    // Optional subset filter for local iteration: SPARK_GRAFT_ONLY=q45,q83
+    // times only the named qNN prefixes. The driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n.takeWhile(_ != '_'))) }
     // Clear cached relations BETWEEN queries (never between a query's two
     // runs — intra-query persist reuse is the operators' real behavior):
     // ~90 queries' internal persists otherwise accumulate, and the

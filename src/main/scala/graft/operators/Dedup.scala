@@ -141,7 +141,9 @@ object Dedup {
     * no broadcast of the corpus.
     */
   def ngramJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+      n: Int = 3, threshold: Double = 0.6,
+      skewMaxBucket: Int = 4096, skewChunk: Int = 1024,
+      eagerSkewProbe: Boolean = false): DataFrame = {
     val grams = shingleHashRows(docs, idCol, textCol, n)
       .withColumnRenamed("h", "g")
       .distinct()
@@ -160,16 +162,48 @@ object Dedup {
     // would silently lose threshold-exact pairs without it. Erring low is
     // always safe: it only lengthens the prefix (extra candidates, same
     // verified result).
+    // Persisted: the hot-bucket probe and both candidate-join sides read
+    // the prefix (round 3 recomputed the doc_id ranking window once per
+    // join side).
     val prefix = ranked
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - 1e-6) + 1)
-      .select(col("doc_id"), col("g"), col("sz"))
+      .select(col("doc_id"), col("g"), col("sz"), col("gf"))
+      .persist()
 
-    val candidates = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.sz") >= col("a.sz") * threshold &&
-          col("a.sz") >= col("b.sz") * threshold)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Skew routing for the prefix self-join: rarest-first ordering keeps
+    // posting lists on the low-frequency tail NORMALLY, but a corpus with a
+    // pathological shared gram (boilerplate in every doc, so even the
+    // rarest grams are corpus-wide) would put one gram's whole prefix
+    // bucket on one reducer. A prefix bucket can exceed skewMaxBucket only
+    // if the gram's CORPUS frequency does (bucket ⊆ posting list), and gf
+    // is already computed for the prefix order — a free, lossless hot-gram
+    // prescreen. Exact bucket counts are aggregated only over the
+    // prescreened slice (normally empty) and broadcast back, so the COLD
+    // path is the plain prefix self-join with zero added exchanges, and hot
+    // grams go through the fragment-replicate cell join with per-shuffle-key
+    // pair work capped at ~skewChunk². The lossless size band
+    // t·|a| ≤ |b| ≤ |a|/t rides along as pair payload and prunes before the
+    // candidate dedup, same position as round 3's in-join predicate.
+    val hotGrams = prefix.filter(col("gf") > skewMaxBucket)
+      .groupBy("g").agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > skewMaxBucket)
+      .select(col("g"), Skew.nChunks(col("__bn"), skewChunk).as("__nc"))
+    val rawPairs =
+      if (eagerSkewProbe && hotGrams.isEmpty)
+        Skew.plainPairs(prefix.drop("gf"), Seq("g"), "doc_id", Seq("sz"))
+      else {
+        val cold = Skew.plainPairs(
+          prefix.join(broadcast(hotGrams), Seq("g"), "left_anti").drop("gf"),
+          Seq("g"), "doc_id", Seq("sz"))
+        val hot = Skew.fragmentPairs(
+          prefix.join(broadcast(hotGrams), Seq("g")).drop("gf"),
+          Seq("g"), "doc_id", Seq("sz"), "__nc")
+        cold.unionByName(hot)
+      }
+    val candidates = rawPairs
+      .filter(col("sz_b") >= col("sz_a") * threshold &&
+        col("sz_a") >= col("sz_b") * threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .distinct()
       .persist()
 
@@ -210,7 +244,9 @@ object Dedup {
     * the Jaccard form.
     */
   def containmentJoin(probe: DataFrame, corpus: DataFrame, idCol: String,
-      textCol: String, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+      textCol: String, n: Int = 3, threshold: Double = 0.8,
+      skewMaxBucket: Int = 4096, skewChunk: Int = 1024,
+      eagerSkewProbe: Boolean = false): DataFrame = {
     val ga = shingleHashRows(probe, idCol, textCol, n)
       .withColumnRenamed("h", "g").distinct().persist()
     val gb = shingleHashRows(corpus, idCol, textCol, n)
@@ -224,12 +260,55 @@ object Dedup {
         wDoc.orderBy(col("gf").asc_nulls_first, col("g"))))
     // same defensive ⌈t·|a|⌉ rounding guard as ngramJaccardJoin — see the
     // comment there
+    // Persisted: the hot-gram probe and both routed-join branches read it.
     val prefix = ranked
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - 1e-6) + 1)
-      .select(col("doc_id").as("doc_a"), col("g"))
+      .select(col("doc_id").as("doc_a"), col("g"), col("gf"))
+      .persist()
 
-    val candidates = prefix
-      .join(gb.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+    // Skew routing for the probe-prefix ⋈ corpus-posting-list join: this
+    // operator's actual use case is CROSS-corpus subsumption, where a gram
+    // rare in the probe batch can be hot in the corpus — a plain gram join
+    // would put that gram's full posting list on one reducer. gf IS the
+    // exact corpus posting-list length (already computed for the prefix
+    // order), and the probe-side bucket sizes come from one aggregate over
+    // the (small) probe prefix — so hotness on EITHER side (per-key join
+    // work is pn·gf) is detected without touching the corpus again. The
+    // tiny hot list broadcasts back: the cold path is the plain gram join
+    // with zero added exchanges; hot grams go through the two-sided
+    // fragment-replicate cell join — probe rows hash-chunk on their axis
+    // and replicate across the corpus chunk axis and vice versa, so each
+    // (g, kl, kr) shuffle key carries ≤ ~skewChunk² work and every pair
+    // meets in exactly one cell.
+    val hotGrams = prefix
+      .groupBy("g").agg(count(lit(1)).as("__pn"), max(col("gf")).as("__gf"))
+      .filter(col("__gf").isNotNull &&
+        (col("__pn") > skewMaxBucket || col("__gf") > skewMaxBucket))
+      .select(col("g"), Skew.nChunks(col("__pn"), skewChunk).as("__ncl"),
+        Skew.nChunks(col("__gf"), skewChunk).as("__ncr"))
+    val corpusRows = gb.select(col("doc_id").as("doc_b"), col("g"))
+    val rawPairs =
+      if (eagerSkewProbe && hotGrams.isEmpty)
+        prefix.drop("gf").join(corpusRows, Seq("g"))
+      else {
+        val cold = prefix.join(broadcast(hotGrams), Seq("g"), "left_anti")
+          .drop("gf")
+          .join(corpusRows.join(broadcast(hotGrams), Seq("g"), "left_anti"),
+            Seq("g"))
+        val pHot = prefix.join(broadcast(hotGrams), Seq("g")).drop("gf")
+          .withColumn("__kl",
+            pmod(xxhash64(col("doc_a")), col("__ncl").cast("long")).cast("int"))
+          .withColumn("__kr", explode(sequence(lit(0), col("__ncr") - 1)))
+          .drop("__ncl", "__ncr")
+        val bHot = corpusRows.join(broadcast(hotGrams), Seq("g"))
+          .withColumn("__kr",
+            pmod(xxhash64(col("doc_b")), col("__ncr").cast("long")).cast("int"))
+          .withColumn("__kl", explode(sequence(lit(0), col("__ncl") - 1)))
+          .drop("__ncl", "__ncr")
+        cold.unionByName(
+          pHot.join(bHot, Seq("g", "__kl", "__kr")).drop("__kl", "__kr"))
+      }
+    val candidates = rawPairs
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()

@@ -119,9 +119,9 @@ object Similarity {
       }.reduce(_.bitwiseOR(_))
       struct(lit(t).as("table_id"), bucket.as("bucket"))
     }
-    // No persist here: hybridBucketPairs persists its size-annotated
-    // derivation of these rows, and that cache is what every downstream
-    // consumer (both self-join sides, the skew branch) reads.
+    // No persist here: hybridBucketPairs persists these rows itself, and
+    // that cache is what every downstream consumer (the hot-bucket probe,
+    // both self-join sides, the skew branch) reads.
     val tables = sigs
       .select(col("vec_id"), explode(array(tableCols: _*)).as("tb"))
       .select(col("vec_id"), col("tb.table_id").as("table_id"),

@@ -361,7 +361,7 @@ object Text {
   def q83(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Dedup.ngramJaccardJoin(Tables.documents(s, d), "doc_id", "text",
-      n = 3, threshold = 0.6)
+      n = 3, threshold = 0.6, eagerSkewProbe = true)
       .orderBy($"doc_a", $"doc_b")
   }
   val q83Sql: String =
@@ -1421,7 +1421,7 @@ object Text {
     import s.implicits._
     val docs = Tables.documents(s, d)
     Dedup.containmentJoin(docs.filter($"doc_id" % 5 === 0), docs,
-        "doc_id", "text", n = 3, threshold = 0.8)
+        "doc_id", "text", n = 3, threshold = 0.8, eagerSkewProbe = true)
       .orderBy($"doc_a", $"doc_b")
   }
   val q113Sql: String =

@@ -105,7 +105,8 @@ class SurfaceSpec extends AnyFunSuite {
   test("skew-safe bucket pairs equal the naive self-join on a pathological bucket") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    // one boilerplate bucket holding 60% of rows, plus normal buckets
+    // one boilerplate bucket holding 60% of rows, plus normal buckets;
+    // maxBucketRows=1 forces EVERY bucket down the fragment-replicate path
     val rows = ((0 until 300).map(i => ("hot", i.toLong)) ++
       (300 until 500).map(i => (s"b${i % 20}", i.toLong)))
       .toDF("bucket", "doc_id")
@@ -114,7 +115,8 @@ class SurfaceSpec extends AnyFunSuite {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val safe = graft.operators.Skew
-      .skewSafeBucketPairs(rows, Seq("bucket"), "doc_id", chunkSize = 50)
+      .hybridBucketPairs(rows, Seq("bucket"), "doc_id",
+        maxBucketRows = 1, chunkSize = 50)
     val got = safe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == naive, s"pair sets differ: ${got.size} vs ${naive.size}")
     // the shuffle key is extended by the chunk-pair cell, so the hot
@@ -122,6 +124,86 @@ class SurfaceSpec extends AnyFunSuite {
     val plan = safe.queryExecution.optimizedPlan.toString
     assert(plan.contains("__cl") && plan.contains("__cr"),
       s"chunk-cell keys missing from join:\n$plan")
+  }
+
+  test("bucket pairs carry payload columns through both routes unswapped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // payload = a per-row attribute (here sz = doc_id * 7); after the
+    // canonical least/greatest swap on the hot path, sz_a must still belong
+    // to id_a and sz_b to id_b
+    val rows = ((0 until 120).map(i => ("hot", i.toLong, i.toLong * 7)) ++
+      (120 until 200).map(i => (s"b${i % 10}", i.toLong, i.toLong * 7)))
+      .toDF("bucket", "doc_id", "sz")
+    val got = graft.operators.Skew
+      .hybridBucketPairs(rows, Seq("bucket"), "doc_id",
+        maxBucketRows = 30, chunkSize = 16, payload = Seq("sz"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(r.fieldIndex("sz_a")) == r.getLong(r.fieldIndex("id_a")) * 7)
+      assert(r.getLong(r.fieldIndex("sz_b")) == r.getLong(r.fieldIndex("id_b")) * 7)
+      assert(r.getLong(r.fieldIndex("id_a")) < r.getLong(r.fieldIndex("id_b")))
+    }
+  }
+
+  test("two-sided hybrid bucket join equals the plain join on a hot posting list") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // corpus side: one gram with a 300-row posting list (60% of rows);
+    // probe side small per gram — the cross-corpus containment shape
+    val probe = (0 until 80).map(i => (i.toLong, s"g${i % 40}"))
+      .toDF("doc_a", "g")
+    val corpus = ((0 until 300).map(i => (1000L + i, "g7")) ++
+      (300 until 500).map(i => (1000L + i, s"g${i % 40}")))
+      .toDF("doc_b", "g")
+    val plain = probe.join(corpus, "g").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val routed = graft.operators.Skew
+      .hybridBucketJoin(probe, corpus, Seq("g"), "doc_a", "doc_b",
+        maxBucketRows = 50, chunkSize = 32)
+    val got = routed.select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == plain, s"pair sets differ: ${got.size} vs ${plain.size}")
+    val plan = routed.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__kl") && plan.contains("__kr"),
+      s"chunk-cell keys missing from the routed join:\n$plan")
+  }
+
+  test("ngram Jaccard join is identical through the forced skew-safe prefix path") {
+    // boilerplate corpus: every doc shares one sentence (a pathological
+    // shared-gram posting list), plus per-doc unique tails
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (0 until 60).map { i =>
+      val tail = if (i % 3 == 0) s"alpha beta gamma delta epsilon zeta $i"
+      else s"unique tail number $i with extra words ${i * 31}"
+      (i.toLong, s"$shared $tail")
+    }.toDF("doc_id", "text")
+    def run(maxBucket: Int) = graft.operators.Dedup
+      .ngramJaccardJoin(docs, "doc_id", "text", n = 3, threshold = 0.5,
+        skewMaxBucket = maxBucket, skewChunk = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // maxBucket=1 forces every gram bucket down fragment-replicate
+    assert(run(1) == run(4096))
+    assert(run(4096).nonEmpty)
+  }
+
+  test("containment join is identical through the forced skew-safe posting path") {
+    import spark.implicits._
+    val shared = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, s"$shared extra corpus words ${i * 17} trailing $i")
+    }.toDF("doc_id", "text")
+    val probe = (0 until 12).map { i =>
+      (100L + i, s"$shared extra corpus words ${i * 17}")
+    }.toDF("doc_id", "text")
+    def run(maxBucket: Int) = graft.operators.Dedup
+      .containmentJoin(probe, corpus, "doc_id", "text", n = 3, threshold = 0.6,
+        skewMaxBucket = maxBucket, skewChunk = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(1) == run(4096))
+    assert(run(4096).nonEmpty)
   }
 
   test("hybrid bucket pairs route hot buckets skew-safe and match the naive join") {

@@ -100,7 +100,22 @@ case class AsOfJoinExec(
     val rKeyExprs = rightKeys
     val lTsExpr = leftTs
     val rTsExpr = rightTs
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    // The per-partition merge assumes partition i of each side holds the
+    // same key hash range. EnsureRequirements co-partitions the two
+    // ClusteredDistribution children today, but nothing in the SparkPlan
+    // contract forbids a future planner/AQE change (e.g. one-sided
+    // coalescing) from breaking that silently — zipPartitions would then
+    // pair MISALIGNED partitions and emit wrong (not fewer) rows. Fail
+    // loudly instead; zipPartitions' own error only fires on unequal
+    // COUNTS, and this message says what actually went wrong.
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      s"AsOfJoinExec children are not co-partitioned: left has " +
+        s"${lRdd.getNumPartitions} partitions, right has " +
+        s"${rRdd.getNumPartitions}. The planner must shuffle both sides " +
+        "to the same partitioning before this operator runs.")
+    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
       val lTsProj = UnsafeProjection.create(Seq(lTsExpr), lOut)

@@ -136,6 +136,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("native as-of realigns children arriving with different partitionings") {
+    import spark.implicits._
+    spark.experimental.extraStrategies = Seq(graft.plans.AsOfJoinStrategy)
+    // Left arrives hash-partitioned on the WRONG key at a non-default
+    // partition count; right arrives range-partitioned on time. Neither
+    // satisfies ClusteredDistribution(k), so EnsureRequirements must insert
+    // exchanges on BOTH sides — and the doExecute partition-count assertion
+    // must hold after it does.
+    val left = Seq((1L, 100L), (1L, 200L), (2L, 50L), (3L, 10L))
+      .toDF("k", "t").repartition(7, $"t")
+    val right = Seq((1L, 100L, "tie"), (1L, 150L, "mid"), (2L, 60L, "late"))
+      .toDF("k", "t", "v").repartitionByRange(3, $"t")
+    val joined = graft.plans.NativeAsOf.join(left, right, Seq("k"), "t", "t")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"must plan the native exec:\n$plan")
+    val out = joined.select($"k", $"t", $"v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getString(2)))
+      .toMap
+    assert(out((1L, 100L)).contains("tie"))
+    assert(out((1L, 200L)).contains("mid"))
+    assert(out((2L, 50L)).isEmpty)
+    assert(out((3L, 10L)).isEmpty)
+  }
+
   test("tolerance nulls out stale matches") {
     import spark.implicits._
     val left = Seq((1L, 100L), (1L, 500L)).toDF("k", "t")

@@ -21,18 +21,38 @@ import graft.functions.VectorFunctions._
 object Similarity {
 
   /** Exact top-k cosine neighbors for each query vector.
-    * Output: (query_id, neighbor_id, rank, sim). */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    * Output: (query_id, neighbor_id, rank, sim).
+    *
+    * The query set is broadcast against a corpus scan. A broadcast has a
+    * hard executor-memory ceiling, so query sets beyond
+    * `maxBroadcastQueries` are hash-SHARDED and each shard broadcast
+    * against its own corpus scan (one count job at construction sizes the
+    * set) — the operator stays correct at any query count instead of
+    * OOMing the executors. Each shard re-scans the corpus: that is the
+    * honest cost of exact brute force, and the signal that a large-query
+    * caller wants [[ivfTopK]], where the scan shrinks to probed cells. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      maxBroadcastQueries: Int = 1 << 16): DataFrame = {
     // norms precomputed per vector (not per pair): sim needs 1 dot product
     // instead of 3, and sqrt(dot(v,v)) is the same double either way.
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       l2Norm(col("embedding")).as("q_norm"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
       l2Norm(col("embedding")).as("c_norm"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(
-        dotProduct(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 6))
+    val nQ = q.count()
+    val nShards = math.max(1L, (nQ + maxBroadcastQueries - 1) / maxBroadcastQueries).toInt
+    val qSrc = if (nShards == 1) q else q.persist()
+    val scored = (0 until nShards).map { s =>
+      val shard =
+        if (nShards == 1) qSrc
+        else qSrc.filter(pmod(xxhash64(col("query_id")), lit(nShards.toLong)) === s)
+      c.crossJoin(broadcast(shard))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", round(
+          dotProduct(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 6))
+    }.reduce(_ unionByName _)
+    // every query_id's scored rows live entirely inside its shard's branch,
+    // so the per-query ranking window is unaffected by the sharding
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

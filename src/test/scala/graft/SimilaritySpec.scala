@@ -40,6 +40,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("sharded brute-force top-k equals the single-broadcast run") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).filter($"vec_id" < 100)
+    val queries = emb.filter($"vec_id" < 17)
+    def run(cap: Int) = Similarity.bruteForceTopK(queries, emb, 5, cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    // cap 3 forces 6 shards over 17 queries; results must be identical,
+    // ranks included (each query's candidates stay within its shard)
+    assert(run(3) == run(1 << 16))
+    assert(run(3).nonEmpty)
+  }
+
   test("LSH pair search agrees with brute-force pairs above threshold") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf).filter($"vec_id" < 200)

@@ -40,6 +40,17 @@ object Ingest {
     parsed
   }
 
+  /** Strict Postgres-REAL compat projection: the reference's sink column
+    * is float4 (/root/reference/dags/crypto-etl-pipeline-psql.py:160),
+    * while this engine standardizes on DoubleType (SURVEY.md §1.2). For
+    * byte-compatible parity with the reference warehouse, narrow
+    * `price_usd` through FloatType here — the same one-way precision loss
+    * Postgres applies on INSERT. Round-tripping the float back to double
+    * is exact IEEE widening, which is what makes the narrowed values
+    * oracle-checkable cross-engine (q118). */
+  def float4Compat(prices: DataFrame): DataFrame =
+    prices.withColumn("price_usd", col("price_usd").cast("float"))
+
   /** Typed API boundary (SURVEY.md §1.3): the same pivot as a
     * Dataset[CryptoPrice] for consumers that want compile-time fields. */
   def pivotPricesTyped(spark: SparkSession, rawJson: String,

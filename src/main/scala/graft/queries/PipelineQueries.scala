@@ -100,8 +100,41 @@ object PipelineQueries {
       |    MAX(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS max_epoch_s
       |  FROM events)""".stripMargin
 
+  // --- q118: Postgres REAL strict-compat projection -----------------------
+  // The reference's warehouse column is float4; the engine standardizes on
+  // DoubleType with the divergence documented (SURVEY.md §1.2). The compat
+  // projection (Ingest.float4Compat) narrows through FloatType — the same
+  // precision loss Postgres applies on INSERT — and this query proves the
+  // narrowed values cross-engine: float→double widening is exact IEEE, so
+  // Spark's cast(cast(x as float) as double) must hash-match DuckDB's
+  // CAST(CAST(x AS REAL) AS DOUBLE) bit for bit. f4_error surfaces the
+  // actual precision the compat mode gives up per coin.
+  def q118(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val batch = Ingest.pivotPrices(s, fixtureJson, fixtureTs)
+    Ingest.float4Compat(batch)
+      .select($"crypto_id",
+        $"price_usd".cast("double").as("price_usd_f4"))
+      .join(batch.select($"crypto_id", $"price_usd"), "crypto_id")
+      .select($"crypto_id", $"price_usd", $"price_usd_f4",
+        ($"price_usd_f4" - $"price_usd").as("f4_error"))
+      .orderBy($"crypto_id")
+  }
+  val q118Sql: String =
+    """SELECT crypto_id, price_usd,
+      |  CAST(CAST(price_usd AS REAL) AS DOUBLE) AS price_usd_f4,
+      |  CAST(CAST(price_usd AS REAL) AS DOUBLE) - price_usd AS f4_error
+      |FROM (VALUES
+      |  ('bitcoin', CAST(67210.0 AS DOUBLE)),
+      |  ('ethereum', CAST(3245.12 AS DOUBLE)),
+      |  ('solana', CAST(152.33 AS DOUBLE)),
+      |  ('tether', CAST(0.99 AS DOUBLE)))
+      |  AS t(crypto_id, price_usd)
+      |ORDER BY crypto_id""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_crypto_pipeline", q31 _, Some(q31Sql)),
     ("q32_upsert_idempotent", q32 _, Some(q32Sql)),
-    ("q33_quality_gate", q33 _, Some(q33Sql)))
+    ("q33_quality_gate", q33 _, Some(q33Sql)),
+    ("q118_float_compat", q118 _, Some(q118Sql)))
 }

@@ -28,15 +28,24 @@ object Streams {
 
   /** Streaming events source over a parquet directory. Schema is pinned
     * from a batch read (streaming requires an explicit schema; ts arrives
-    * as long nanos, see Tables.events). */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    * as long nanos, see Tables.events).
+    *
+    * `glob` selects which files in `dir` are part of the stream;
+    * `maxFilesPerTrigger` caps files per micro-batch — Trigger.AvailableNow
+    * honors it, so a multi-file backlog drains as MULTIPLE batches, which
+    * is how specs exercise cross-batch watermark advancement and state
+    * eviction against real batch boundaries. */
+  def eventsStream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
     // the testdata table is a single parquet file; the file stream source
     // needs a directory, so stream the parent with a glob filter
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val reader = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
       .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -170,13 +179,15 @@ object Streams {
     * 1 hour is a whole number of micros (the ns range implies the us
     * range). At scale this is the canonical enrichment-join shape: state ∝
     * one hour of per-user traffic, not the stream. */
-  def viewPurchaseIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
-    val views = eventsStream(spark, dir)
+  def viewPurchaseIntervalJoin(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val views = eventsStream(spark, dir, glob, maxFilesPerTrigger)
       .filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
         col("ts").as("v_ns"), col("ts_us").as("v_ts"))
       .withWatermark("v_ts", "2 hours")
-    val purchases = eventsStream(spark, dir)
+    val purchases = eventsStream(spark, dir, glob, maxFilesPerTrigger)
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("p_ns"), col("ts_us").as("p_ts"))

@@ -121,6 +121,73 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-stream join divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
   }
 
+  test("interval join on RocksDB: watermark advance evicts state across batches") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.streaming.Trigger
+    // Split events into 4 time-ordered chunk files; maxFilesPerTrigger=1
+    // turns the AvailableNow drain into 4 micro-batches, so the watermark
+    // (max event time - 2h) advances BETWEEN batches and must release
+    // buffered join state. Chunks are strictly time-ordered, so nothing is
+    // late and the pair set still equals the batch join's.
+    val ev = Tables.events(spark, sf)
+    val bounds = ev.stat.approxQuantile("ts", Array(0.25, 0.5, 0.75), 0.0)
+      .map(_.toLong).toSeq
+    val cuts = (Long.MinValue +: bounds :+ Long.MaxValue).sliding(2).toSeq
+    val dir = Files.createTempDirectory("graft_rocks_ij").toString
+    cuts.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      val tmp = s"$dir/_chunk$i"
+      ev.filter(col("ts") >= lo && col("ts") < hi).coalesce(1)
+        .write.parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      // ordered names so batch order follows event time
+      Files.copy(Paths.get(part), Paths.get(f"$dir/events_$i%02d.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val joined = Streams.viewPurchaseIntervalJoin(spark, dir,
+        glob = "events_*.parquet", maxFilesPerTrigger = Some(1))
+      spark.catalog.dropTempView("rocks_interval")
+      val q = joined.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("rocks_interval")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val stateTotals = q.recentProgress.toSeq
+        .filter(_.stateOperators.nonEmpty)
+        .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+      assert(stateTotals.size >= 3,
+        s"expected multiple stateful micro-batches, got $stateTotals")
+      // each quartile spans weeks of event time; the 2h watermark + 1h join
+      // range must leave the final batch holding a small tail, not the stream
+      assert(stateTotals.last < stateTotals.max,
+        s"state never shrank across batches: $stateTotals")
+      val streamed = spark.table("rocks_interval")
+        .select(col("view_id"), col("purchase_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("ts").as("v_ns"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ns"))
+      val batch = views.join(purchases,
+          expr("v_user = p_user AND p_ns - v_ns BETWEEN 0 AND 3600000000000"))
+        .select(col("view_id"), col("purchase_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch,
+        s"multi-batch RocksDB join diverged: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed events") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     // a directory holding the same events file twice = a stream with every

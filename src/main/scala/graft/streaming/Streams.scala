@@ -210,7 +210,13 @@ object Streams {
     * 8. The session's shuffle-partition conf is lowered for the stream's
     * lifetime and restored after the drain; results are
     * partition-count-independent. On a real deployment this knob is the
-    * per-query sizing decision Spark exposes for exactly this reason. */
+    * per-query sizing decision Spark exposes for exactly this reason.
+    *
+    * CONSTRAINT: the conf swap is session-global for the drain's duration —
+    * a query planned concurrently in the SAME session would silently pick up
+    * the lowered partition count. The bench/spec/Verify harnesses are
+    * strictly sequential; for concurrent use, pass a cloned session
+    * (`spark.newSession()`) so the mutation is scoped to the clone. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete(),
       statePartitions: Int = 8): DataFrame = {

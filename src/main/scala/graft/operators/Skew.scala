@@ -81,24 +81,41 @@ object Skew {
     * per-cell cap by small constant factors. */
   private[operators] def fragmentPairs(hotRows: DataFrame, bucketCols: Seq[String],
       idCol: String, payload: Seq[String], ncCol: String): DataFrame = {
-    val s = struct(col(idCol).as("id") +: payload.map(col): _*)
     val chunked = hotRows.withColumn("__chunk",
       pmod(xxhash64(col(idCol)), col(ncCol).cast("long")).cast("int"))
     val left = chunked
       .withColumn("__cr", explode(sequence(col("__chunk"), col(ncCol) - 1)))
       .select(bucketCols.map(col) ++ Seq(col("__chunk").as("__cl"), col("__cr"),
-        s.as("__sa")): _*)
+        col(idCol).as("__ia")) ++ payload.map(p => col(p).as(s"__a_$p")): _*)
     val right = chunked
       .withColumn("__cl", explode(sequence(lit(0), col("__chunk"))))
       .select(bucketCols.map(col) ++ Seq(col("__cl"), col("__chunk").as("__cr"),
-        s.as("__sb")): _*)
-    val lo = least(col("__sa"), col("__sb"))
-    val hi = greatest(col("__sa"), col("__sb"))
-    left.join(right, bucketCols ++ Seq("__cl", "__cr"))
-      .filter(col("__cl") =!= col("__cr") || col("__sa") < col("__sb"))
-      .select(Seq(lo.getField("id").as("id_a"), hi.getField("id").as("id_b")) ++
-        payload.flatMap(p =>
-          Seq(lo.getField(p).as(s"${p}_a"), hi.getField(p).as(s"${p}_b"))): _*)
+        col(idCol).as("__ib")) ++ payload.map(p => col(p).as(s"__b_$p")): _*)
+    // Off-diagonal pairs appear once with UNKNOWN id order, so every output
+    // column is a conditional swap on the id comparison — plain codegen
+    // compare-and-select per pair. (A least/greatest-over-structs
+    // canonicalization was measured ~2x SLOWER END TO END on a 60%-hot
+    // 450M-pair bucket: struct ordering per emitted pair is interpreted
+    // row-comparator work, and it multiplied across the 2+2·|payload|
+    // output columns.)
+    //
+    // The cell join is repartitioned EXPLICITLY (REPARTITION_BY_NUM — AQE
+    // never coalesces a user-numbered exchange) because the shuffle READ
+    // here is tiny (~nc rows per input row) while the join OUTPUT fans out
+    // ~chunkSize× per row: AQE's advisory-size coalescing sees only the
+    // read side and would pack the whole pair-emission onto 1-2 cores.
+    val keys = bucketCols ++ Seq("__cl", "__cr")
+    val n = hotRows.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val swap = col("__ib") < col("__ia")
+    left.repartition(n, keys.map(col): _*)
+      .join(right.repartition(n, keys.map(col): _*), keys)
+      .filter(col("__cl") =!= col("__cr") || col("__ia") < col("__ib"))
+      .select(Seq(
+        when(swap, col("__ib")).otherwise(col("__ia")).as("id_a"),
+        when(swap, col("__ia")).otherwise(col("__ib")).as("id_b")) ++
+        payload.flatMap(p => Seq(
+          when(swap, col(s"__b_$p")).otherwise(col(s"__a_$p")).as(s"${p}_a"),
+          when(swap, col(s"__a_$p")).otherwise(col(s"__b_$p")).as(s"${p}_b"))): _*)
   }
 
   /** Hybrid bucket self-join: unordered pairs (id_a < id_b) within each
@@ -205,7 +222,13 @@ object Skew {
       .withColumn("__kr", pmod(xxhash64(col(rightId)), col("__ncr").cast("long")).cast("int"))
       .withColumn("__kl", explode(sequence(lit(0), col("__ncl") - 1)))
       .drop("__ncl", "__ncr")
-    val hotJoin = hotL.join(hotR, bucketCols ++ Seq("__kl", "__kr"))
+    // Explicit REPARTITION_BY_NUM on the cell keys, as in [[fragmentPairs]]:
+    // the cell join's shuffle read is small but its output fans out
+    // ~chunkSize× per row, which AQE's read-size-based coalescing can't see.
+    val cellKeys = bucketCols ++ Seq("__kl", "__kr")
+    val n = left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val hotJoin = hotL.repartition(n, cellKeys.map(col): _*)
+      .join(hotR.repartition(n, cellKeys.map(col): _*), cellKeys)
       .drop("__kl", "__kr")
     cold.unionByName(hotJoin)
   }

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, Skew}
+
+/** Empirical scale-stress for the similarity/dedup family (not a CI test —
+  * run with `sbt "Test/runMain graft.ScaleStress"`; results are recorded in
+  * PLANS.md).
+  *
+  * Flags: `--rs 1,10,30` replica counts; `--ops a,b|all` operator subset;
+  * `--partitions N` shuffle-partition override (scale-out stand-in: on a
+  * real cluster partitions grow with data, on local[32] they are pinned
+  * unless overridden); `--hot-only` / `--skip-hot` for the hot-bucket
+  * comparison. Heap via SPARK_DRIVER_MEM (build.sbt, default 8g).
+  *
+  * Corpus scaling uses similarity-PRESERVING, cross-replica-DISJOINT
+  * transforms so the expected output grows exactly linearly with the
+  * replica count R and measured time growth is attributable to the
+  * operators, not to changed pair structure:
+  *  - documents: replica r renames every token with an r-suffix — a
+  *    bijection on shingles, so each replica reproduces the original
+  *    corpus' near-dup structure exactly, while replicas share zero grams
+  *    with each other (no cross-replica candidates).
+  *  - embeddings: replica r multiplies component j by a hash-derived sign
+  *    s_r(j) ∈ {±1}. Within a replica sim(s∘a, s∘b) = sim(a, b) exactly
+  *    (s² = 1); across replicas the sign patterns decorrelate the vectors
+  *    (E[cos] = 0) — but with d dims the cross-replica cosine noise has
+  *    σ ≈ 1/√d, so a low threshold (0.3 at d=64 ≈ 2.4σ) KEEPS a real tail
+  *    of cross-replica pairs. lsh_pairs output therefore grows ~R² in the
+  *    leak regime; judge its time against its OWN output size (pairs/sec),
+  *    not against R.
+  *
+  * The hot-bucket benchmark forces one bucket to 60% of all rows (30k of
+  * 50k — one shuffle key would carry C(30k,2) ≈ 450M pairs) and attaches a
+  * 64-byte payload plus a per-pair hash filter, approximating the
+  * verification work real callers do per candidate. It compares the plain
+  * single-key self-join against the fragment-replicate routing for
+  * identical output. (With a SMALL hot bucket and count()-only work the
+  * plain path wins on local wall clock — one codegen task emits ~25M
+  * cheap pairs/sec — which is why the routing is threshold-gated rather
+  * than unconditional; the routed path is for the regime measured here,
+  * where one reducer would otherwise hold the straggler/OOM bucket.)
+  */
+object ScaleStress {
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def flag(args: Array[String], name: String): Option[String] = {
+    val i = args.indexOf(name)
+    if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+  }
+
+  def main(args: Array[String]): Unit = {
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
+    val partitions = flag(args, "--partitions").getOrElse("32")
+    val rs = flag(args, "--rs").getOrElse("1,10,30").split(",").map(_.trim.toInt).toSeq
+    val opsSel = flag(args, "--ops").getOrElse("all")
+    val hotOnly = args.contains("--hot-only")
+    val skipHot = args.contains("--skip-hot")
+
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", partitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        flag(args, "--coalesce").getOrElse("true"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = "/root/testdata/sf0.1"
+    val out = "target/scale"
+
+    def gen(r: Int): (String, String) = {
+      val dDir = s"$out/docs_r$r"
+      val eDir = s"$out/emb_r$r"
+      val reps = spark.range(r).select(col("id").cast("int").as("r"))
+      Tables.documents(spark, sf).crossJoin(reps)
+        .select((col("doc_id") + col("r") * 1000000L).as("doc_id"),
+          regexp_replace(col("text"), lit("(\\w+)"),
+            concat(lit("$1x"), col("r").cast("string"))).as("text"),
+          col("lang"), col("source"))
+        .write.mode("overwrite").parquet(dDir)
+      Tables.embeddings(spark, sf).crossJoin(reps)
+        .select((col("vec_id") + col("r") * 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            (x * when(pmod(xxhash64(col("r"), j), lit(2)) === 0, lit(1.0f))
+              .otherwise(lit(-1.0f))).cast("float")).as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(eDir)
+      (dDir, eDir)
+    }
+
+    def run(r: Int): Unit = {
+      val (dDir, eDir) = gen(r)
+      val docs = spark.read.parquet(dDir)
+      val emb = spark.read.parquet(eDir)
+      val all: Seq[(String, () => Long)] = Seq(
+        "minhash_pairs" -> (() => Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+          k = 3, threshold = 0.6, eagerSkewProbe = true).count()),
+        "ngram_jaccard" -> (() => Dedup.ngramJaccardJoin(docs, "doc_id", "text",
+          n = 3, threshold = 0.6, eagerSkewProbe = true).count()),
+        "containment" -> (() => Dedup.containmentJoin(
+          docs.filter(col("doc_id") % 5 === 0), docs, "doc_id", "text",
+          n = 3, threshold = 0.8, eagerSkewProbe = true).count()),
+        "lsh_pairs" -> (() => Similarity.lshSimilarPairs(emb, 0.3,
+          numTables = 6, planesPerTable = 5, eagerSkewProbe = true).count()),
+        "dedup_clusters" -> (() => Dedup.clusterPairs(
+          Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+            k = 3, threshold = 0.6, eagerSkewProbe = true)).count()))
+      val ops =
+        if (opsSel == "all") all
+        else all.filter { case (n, _) => opsSel.split(",").contains(n) }
+      ops.foreach { case (name, f) =>
+        spark.catalog.clearCache()
+        System.gc()
+        val (n, sec) = time(f())
+        println(f"[scale] R=$r%-2d p=$partitions%-3s $name%-15s rows=$n%-8d sec=$sec%.2f")
+      }
+    }
+
+    if (!hotOnly) rs.foreach(run)
+
+    if (!skipHot) {
+      // Hot-bucket wall-clock: identical output; one 60%-hot shuffle key
+      // (C(30k,2) ≈ 450M pairs on a single reducer) vs fragment-replicate
+      // cells. Per-pair work: a hash over both 64-byte payloads — the
+      // cheap stand-in for candidate verification.
+      val rows = spark.range(50000).select(
+        when(col("id") < 30000, lit("hot"))
+          .otherwise(concat(lit("b"), pmod(col("id"), lit(4000)))).as("bucket"),
+        col("id").as("doc_id"),
+        sha2(col("id").cast("string"), 256).as("payload"))
+        .repartition(32).persist()
+      rows.count()
+      def pairWork(p: DataFrame): Long =
+        p.filter(pmod(xxhash64(col("payload_a"), col("payload_b")), lit(1000)) === 0)
+          .count()
+      val (nPlain, tPlain) = time(pairWork(
+        Skew.hybridBucketPairs(rows, Seq("bucket"), "doc_id",
+          maxBucketRows = Int.MaxValue, chunkSize = 1024,
+          payload = Seq("payload"))))
+      val (nRouted, tRouted) = time(pairWork(
+        Skew.hybridBucketPairs(rows, Seq("bucket"), "doc_id",
+          maxBucketRows = 4096, chunkSize = 1024,
+          payload = Seq("payload"))))
+      require(nPlain == nRouted, s"output mismatch: $nPlain vs $nRouted")
+      println(f"[scale] hot-bucket(60%%,payload) pairs=$nPlain plain=$tPlain%.2fs routed=$tRouted%.2fs")
+    }
+    spark.stop()
+  }
+}

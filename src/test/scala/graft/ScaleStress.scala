@@ -127,6 +127,47 @@ object ScaleStress {
 
     if (!hotOnly) rs.foreach(run)
 
+    // Cumulative stage timings for the ngram-Jaccard pipeline (diagnosis
+    // aid for time-growth curvature: each stage re-runs its predecessors
+    // from cold, so stage deltas attribute growth). Mirrors
+    // Dedup.ngramJaccardJoin's shape without its persists.
+    if (args.contains("--ngram-stages")) rs.foreach { r =>
+      val (dDir, _) = gen(r)
+      val docs = spark.read.parquet(dDir)
+      import org.apache.spark.sql.expressions.Window
+      def grams = Dedup.shingleHashRows(docs, "doc_id", "text", 3)
+        .withColumnRenamed("h", "g").distinct()
+      def prefix = {
+        val gf = grams.groupBy("g").agg(count(lit(1)).as("gf"))
+        val wDoc = Window.partitionBy(col("doc_id"))
+        grams.join(gf, "g")
+          .withColumn("sz", count(lit(1)).over(wDoc))
+          .withColumn("rn", row_number().over(wDoc.orderBy(col("gf"), col("g"))))
+          .filter(col("rn") <= col("sz") - ceil(col("sz") * 0.6 - 1e-6) + 1)
+          .select(col("doc_id"), col("g"), col("sz"))
+      }
+      def candidates = {
+        val p = prefix
+        p.as("a").join(p.as("b"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+              col("b.sz") >= col("a.sz") * 0.6 && col("a.sz") >= col("b.sz") * 0.6)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+      }
+      val stages: Seq[(String, () => Long)] = Seq(
+        "s1_grams" -> (() => grams.count()),
+        "s2_prefix" -> (() => prefix.count()),
+        "s3_candidates" -> (() => candidates.count()),
+        "s4_full" -> (() => Dedup.ngramJaccardJoin(docs, "doc_id", "text",
+          n = 3, threshold = 0.6, eagerSkewProbe = true).count()))
+      stages.foreach { case (name, f) =>
+        spark.catalog.clearCache()
+        System.gc()
+        val (n, sec) = time(f())
+        println(f"[scale] R=$r%-2d p=$partitions%-3s $name%-15s rows=$n%-8d sec=$sec%.2f")
+      }
+    }
+
     if (!skipHot) {
       // Hot-bucket wall-clock: identical output; one 60%-hot shuffle key
       // (C(30k,2) ≈ 450M pairs on a single reducer) vs fragment-replicate

@@ -373,6 +373,26 @@ object Events {
       | AND epoch_ns(p.ts) - epoch_ns(v.ts) BETWEEN 0 AND 3600000000000
       |ORDER BY view_id, purchase_id""".stripMargin
 
+  // --- q121: stream-static dimension join THROUGH the streaming engine -----
+  // Oracle-gates the fourth pillar of the streaming surface (q34 = windowed
+  // aggregation, q95 = arbitrary state, q58 = stream-stream join; this =
+  // stream-static enrichment): the event stream left-joins the static
+  // customer dimension per micro-batch. Stateless — Append mode emits each
+  // enriched event exactly once — and the broadcast dimension means the
+  // drained result must hash-match the equivalent batch join SQL.
+  def q121(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val joined = graft.streaming.Streams.enrichAgainstDimension(s, d)
+    graft.streaming.Streams.runToMemory(s, joined, "q121_sink",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy($"event_id")
+  }
+  val q121Sql: String =
+    """SELECT event_id, user_id, event_type,
+      |  coalesce(c_mktsegment, 'none') AS segment
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY event_id""".stripMargin
+
   // --- q97: time-series gap fill — hourly spine + forward fill -------------
   // Resampling with interpolation: per event type, build the complete hourly
   // spine between its first and last active hour (sequence+explode — a
@@ -587,5 +607,6 @@ object Events {
     ("q97_gap_fill", q97 _, Some(q97Sql)),
     ("q98_event_funnel", q98 _, Some(q98Sql)),
     ("q99_scd2_intervals", q99 _, Some(q99Sql)),
-    ("q114_last_touch", q114 _, Some(q114Sql)))
+    ("q114_last_touch", q114 _, Some(q114Sql)),
+    ("q121_stream_static_join", q121 _, Some(q121Sql)))
 }

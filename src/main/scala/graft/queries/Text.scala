@@ -1482,6 +1482,151 @@ object Text {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // --- q119: Gopher-style repetition rules ------------------------------------
+  // The two repetition-filter families from Rae et al. 2021 (Gopher, table
+  // A1), token-based: the fraction of 2-gram positions held by the single
+  // most frequent 2-gram (threshold 0.20), and the fraction of 5-gram
+  // occurrences whose gram repeats within the doc (threshold 0.15). One
+  // lead()-window pass materializes BOTH gram sizes from the same sorted
+  // rows (the shuffle feeding the window is reused across the two
+  // aggregation branches); counts are exact integers and the fractions are
+  // small-integer ratios — IEEE-exact in both engines. Using only the MAX
+  // count (never the argmax gram) keeps the result tie-independent.
+  def q119(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tokRows = Tables.documents(s, d).select($"doc_id",
+      posexplode(tokens($"text")).as(Seq("pos", "tok")))
+    val wOrd = Window.partitionBy($"doc_id").orderBy($"pos")
+    val leads = tokRows
+      .withColumn("t1", lead($"tok", 1).over(wOrd))
+      .withColumn("t2", lead($"tok", 2).over(wOrd))
+      .withColumn("t3", lead($"tok", 3).over(wOrd))
+      .withColumn("t4", lead($"tok", 4).over(wOrd))
+    val a2 = leads.filter($"t1".isNotNull)
+      .groupBy($"doc_id", concat_ws(" ", $"tok", $"t1").as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(max($"c").as("top2_n"), sum($"c").as("n_2grams"))
+    val a5 = leads.filter($"t4".isNotNull)
+      .groupBy($"doc_id", concat_ws(" ", $"tok", $"t1", $"t2", $"t3", $"t4").as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"c" >= 2, $"c").otherwise(lit(0L))).as("dup5_n"),
+        sum($"c").as("n_5grams"))
+    a2.join(a5, "doc_id")
+      .select($"doc_id", $"top2_n", $"n_2grams",
+        ($"top2_n" / $"n_2grams").as("top2_frac"),
+        $"dup5_n", $"n_5grams",
+        ($"dup5_n" / $"n_5grams").as("dup5_frac"),
+        (($"top2_n" / $"n_2grams") > 0.20 ||
+          ($"dup5_n" / $"n_5grams") > 0.15).as("flagged"))
+      .orderBy($"doc_id")
+  }
+  val q119Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |  FROM documents),
+      |c2 AS (
+      |  SELECT doc_id, g, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |      i -> t[i] || ' ' || t[i+1])) AS g
+      |    FROM toks WHERE len(t) >= 2)
+      |  GROUP BY doc_id, g),
+      |a2 AS (
+      |  SELECT doc_id, MAX(c) AS top2_n, CAST(SUM(c) AS BIGINT) AS n_2grams
+      |  FROM c2 GROUP BY doc_id),
+      |c5 AS (
+      |  SELECT doc_id, g, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+      |    FROM toks WHERE len(t) >= 5)
+      |  GROUP BY doc_id, g),
+      |a5 AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup5_n,
+      |    CAST(SUM(c) AS BIGINT) AS n_5grams
+      |  FROM c5 GROUP BY doc_id)
+      |SELECT a2.doc_id, top2_n, n_2grams, top2_n / n_2grams AS top2_frac,
+      |  dup5_n, n_5grams, dup5_n / n_5grams AS dup5_frac,
+      |  (top2_n / n_2grams > 0.20 OR dup5_n / n_5grams > 0.15) AS flagged
+      |FROM a2 JOIN a5 USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // --- q120: BM25 full-text relevance (inverted-index search) -----------------
+  // The search primitive a training-data pipeline uses for quality probes
+  // and targeted decontamination: Okapi BM25 over the corpus for a fixed
+  // conjunctive term set, top-20 by relevance.
+  //   score(d) = Σ_t ln((N−df+0.5)/(df+0.5) + 1) · tf·(k1+1) /
+  //                 (tf + k1·(1−b + b·dl/avgdl))
+  // Constants k1=1.5 and b=0.75 are exact binary fractions, dl/avgdl is
+  // computed as dl·N/Σdl from exact integers, so the only cross-engine
+  // noise is ln()'s last ulp — each (doc,term) contribution is snapped to
+  // the 1e-9 integer grid before the per-doc sum (q106 convention), and
+  // the top-20 order is over grid integers with a doc_id tiebreak —
+  // fully deterministic.
+  //
+  // Scale shape: the corpus is exploded once; the tf aggregation only
+  // shuffles rows matching the query terms (filter before the groupBy),
+  // dl needs one count-shuffle over all tokens, and df/N/Σdl are
+  // vocab/doc-sized aggregates broadcast onto the matches. Plan ends in
+  // TakeOrderedAndProject — per-partition top-k, no global sort.
+  def q120(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq("spark", "join", "window")
+    val tokRows = Tables.documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+    val dl = tokRows.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot_dl"))
+    val tf = tokRows.filter($"tok".isin(terms: _*))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val k1 = lit(1.5); val b = lit(0.75)
+    val dlRatio = ($"dl" * $"n_docs").cast("double") / $"tot_dl".cast("double")
+    val idf = log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0)
+    val contrib = idf * ($"tf" * (k1 + 1.0)) /
+      ($"tf" + k1 * (lit(1.0) - b + b * dlRatio))
+    tf.join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("e9", round(contrib * lit(1e9)).cast("long"))
+      .groupBy($"doc_id")
+      .agg(min($"dl").as("dl"), count(lit(1)).as("n_terms"),
+        sum($"e9").as("score_e9"))
+      .withColumn("score", $"score_e9".cast("double") / lit(1e9))
+      .select($"doc_id", $"dl", $"n_terms", $"score")
+      .orderBy($"score".desc, $"doc_id")
+      .limit(20)
+  }
+  val q120Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+      |  FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+      |stats AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_dl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      |  WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id, dl.dl,
+      |    CAST(round(
+      |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      |        * (tf * (1.5 + 1.0))
+      |        / (tf + 1.5 * (1.0 - 0.75 + 0.75 *
+      |            (CAST(dl.dl * n_docs AS DOUBLE) / CAST(tot_dl AS DOUBLE))))
+      |      * 1e9) AS BIGINT) AS e9
+      |  FROM tf JOIN df USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN stats)
+      |SELECT doc_id, MIN(dl) AS dl, COUNT(*) AS n_terms,
+      |  CAST(CAST(SUM(e9) AS BIGINT) AS DOUBLE) / 1e9 AS score
+      |FROM scored
+      |GROUP BY doc_id
+      |ORDER BY score DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),
@@ -1518,5 +1663,7 @@ object Text {
     ("q111_token_entropy", q111 _, Some(q111Sql)),
     ("q112_stratum_sample", q112 _, Some(q112Sql)),
     ("q113_containment_join", q113 _, Some(q113Sql)),
-    ("q117_length_gini", q117 _, Some(q117Sql)))
+    ("q117_length_gini", q117 _, Some(q117Sql)),
+    ("q119_gopher_repetition", q119 _, Some(q119Sql)),
+    ("q120_bm25_search", q120 _, Some(q120Sql)))
 }

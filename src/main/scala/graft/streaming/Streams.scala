@@ -244,6 +244,27 @@ object Streams {
   def runDatasetToMemory[T](spark: SparkSession, ds: Dataset[T], name: String,
       mode: OutputMode): DataFrame = runToMemory(spark, ds.toDF(), name, mode)
 
+  /** Stream-static enrichment join — the remaining streaming join shape
+    * after the stream-stream interval join ([[viewPurchaseIntervalJoin]]):
+    * each micro-batch of the event stream is joined against a STATIC
+    * dimension table. Stateless (no watermark, no join state — the static
+    * side is complete by definition), and the dimension is broadcast, so
+    * enrichment adds ZERO shuffles to the stream: the canonical "attach
+    * dimension attributes to a firehose" topology at cluster scale. The
+    * static side is re-planned per micro-batch, so dimension updates
+    * between batches are picked up — the streaming analogue of the
+    * reference's warehouse-lookup reads. */
+  def enrichAgainstDimension(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val ev = eventsStream(spark, dir, glob, maxFilesPerTrigger)
+    val dim = broadcast(graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment")))
+    ev.join(dim, ev("user_id") === dim("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        coalesce(col("c_mktsegment"), lit("none")).as("segment"))
+  }
+
   /** Stateful streaming dedup: drop repeated keys arriving within the
     * watermark horizon (the bounded-state form of exact dedup for streams —
     * state for a key is released once the watermark passes it, so memory is

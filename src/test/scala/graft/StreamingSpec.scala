@@ -121,6 +121,20 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-stream join divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
   }
 
+  test("stream-static dimension join matches the batch left join") {
+    import spark.implicits._
+    val streamed = SparkEntry.queries("q121_stream_static_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    val batch = Tables.events(spark, sf).as("e")
+      .join(Tables.customer(spark, sf).as("c"),
+        col("e.user_id") === col("c.c_custkey"), "left")
+      .select($"event_id", coalesce($"c_mktsegment", lit("none")).as("segment"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"stream-static divergence on ${(streamed.toSet diff batch.toSet).take(3)}")
+  }
+
   test("interval join on RocksDB: watermark advance evicts state across batches") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import org.apache.spark.sql.streaming.Trigger

@@ -379,4 +379,57 @@ class TrainingSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got == expect, s"overlap matrix mismatch: got $got expected $expect")
   }
+
+  private def normTokens(text: String): Seq[String] =
+    text.replaceAll("\\s+", " ").trim.toLowerCase.split(" ").toSeq
+
+  test("Gopher repetition counts match a driver-side recomputation") {
+    val rows = SparkEntry.queries("q119_gopher_repetition")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    rows.take(60).foreach { r =>
+      val toks = normTokens(docs(r.getLong(0)))
+      val g2 = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val g5 = toks.sliding(5).filter(_.size == 5).map(_.mkString(" ")).toSeq
+      val top2 = g2.groupBy(identity).values.map(_.size).max.toLong
+      val dup5 = g5.groupBy(identity).values.filter(_.size >= 2).map(_.size).sum.toLong
+      assert(r.getLong(1) == top2, s"top2_n for doc ${r.getLong(0)}")
+      assert(r.getLong(2) == g2.size.toLong, s"n_2grams for doc ${r.getLong(0)}")
+      assert(r.getLong(4) == dup5, s"dup5_n for doc ${r.getLong(0)}")
+      assert(r.getLong(5) == g5.size.toLong, s"n_5grams for doc ${r.getLong(0)}")
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(6) >= 0 && r.getDouble(6) <= 1.0)
+    }
+  }
+
+  test("BM25 top-20 matches a driver-side full recomputation") {
+    val got = SparkEntry.queries("q120_bm25_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> normTokens(r.getString(1))).toMap
+    val terms = Seq("spark", "join", "window")
+    val n = docs.size
+    val totDl = docs.values.map(_.size.toLong).sum
+    val dfm = terms.map(t => t -> docs.values.count(_.contains(t))).toMap
+    val expected = docs.toSeq.flatMap { case (id, toks) =>
+      val dl = toks.size
+      val matched = terms.filter(t => toks.contains(t))
+      if (matched.isEmpty) None
+      else {
+        val e9 = matched.map { t =>
+          val tf = toks.count(_ == t).toDouble
+          val idf = math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0)
+          val c = idf * (tf * 2.5) /
+            (tf + 1.5 * (0.25 + 0.75 * (dl.toDouble * n / totDl)))
+          math.round(c * 1e9)
+        }.sum
+        Some((id, dl.toLong, matched.size.toLong, e9))
+      }
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(20)
+      .map { case (id, dl, nt, s) => (id, dl, nt, s.toDouble / 1e9) }
+    assert(expected.nonEmpty)
+    assert(got.toSeq == expected,
+      s"BM25 divergence: got ${got.take(3).toSeq} expected ${expected.take(3)}")
+  }
 }

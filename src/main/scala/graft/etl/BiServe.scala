@@ -37,6 +37,18 @@ object BiServe {
     def stop(): Unit = server.stop()
   }
 
+  /** Register every testdata table as a global temp view, queryable from
+    * any endpoint connection as `global_temp.<name>` — the lighter-weight
+    * serving form for ad-hoc tables that have no catalog entry (global
+    * temp views are visible across the per-connection child sessions;
+    * plain temp views are not). */
+  def exposeTables(spark: SparkSession, sfDir: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.names.foreach { n =>
+      graft.Tables.load(spark, sfDir, n).createOrReplaceGlobalTempView(n)
+    }
+  }
+
   /** Start the Thrift JDBC server inside `spark`. `port = 0` binds an
     * ephemeral free port (the bound port is read back from the CLI
     * service, mirroring how Spark's own thriftserver tests resolve it). */

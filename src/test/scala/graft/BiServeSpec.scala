@@ -47,6 +47,24 @@ class BiServeSpec extends AnyFunSuite {
           .toVector
         assert(viaJdbc == inProcess)
         assert(viaJdbc.nonEmpty)
+
+        // (c) the global-temp-view serving form: tables without a catalog
+        // entry, exposed as global_temp.<name>, visible across the
+        // per-connection child sessions (plain temp views would not be).
+        BiServe.exposeTables(spark, sf)
+        val gtSql = "SELECT o_orderpriority, count(*) AS n " +
+          "FROM global_temp.orders GROUP BY o_orderpriority " +
+          "ORDER BY o_orderpriority"
+        val gtJdbc = {
+          val rs2 = conn.createStatement().executeQuery(gtSql)
+          Iterator.continually(rs2).takeWhile(_.next())
+            .map(r => (r.getString(1), r.getLong(2))).toVector
+        }
+        val gtDirect = Tables.orders(spark, sf)
+          .groupBy(org.apache.spark.sql.functions.col("o_orderpriority")).count()
+          .orderBy("o_orderpriority")
+          .collect().map(r => (r.getString(0), r.getLong(1))).toVector
+        assert(gtJdbc == gtDirect, s"endpoint diverges: $gtJdbc vs $gtDirect")
       } finally conn.close()
     } finally {
       endpoint.stop()

@@ -146,42 +146,6 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
-  test("thrift SQL endpoint serves BI clients over live hive-protocol JDBC") {
-    // The reference's Metabase entry path: a network SQL client connecting
-    // to the warehouse. Start the HiveServer2-protocol endpoint on this
-    // session, then run the q24-shaped dashboard SQL through a REAL
-    // hive-jdbc connection and compare with the engine's own answer.
-    val port = 10123
-    val server = graft.sources.SqlEndpoint.start(spark, port)
-    try {
-      graft.sources.SqlEndpoint.exposeTables(spark, "/root/testdata/sf0.001")
-      Class.forName("org.apache.hive.jdbc.HiveDriver")
-      // the server binds asynchronously: poll the socket up to 30s
-      var conn: java.sql.Connection = null
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (conn == null) {
-        try conn = java.sql.DriverManager.getConnection(
-          s"jdbc:hive2://localhost:$port/default", "anonymous", "")
-        catch { case _: java.sql.SQLException =>
-          if (System.nanoTime() > deadline) fail("thrift endpoint never came up")
-          Thread.sleep(500)
-        }
-      }
-      try {
-        val sql = """SELECT o_orderpriority, COUNT(*) AS n
-                    |FROM global_temp.orders GROUP BY o_orderpriority
-                    |ORDER BY o_orderpriority""".stripMargin
-        val rs = conn.createStatement().executeQuery(sql)
-        val viaJdbc = Iterator.continually(rs)
-          .takeWhile(_.next()).map(r => r.getString(1) -> r.getLong(2)).toMap
-        val direct = Tables.orders(spark, "/root/testdata/sf0.001")
-          .groupBy(org.apache.spark.sql.functions.col("o_orderpriority")).count()
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        assert(viaJdbc == direct, s"endpoint answer diverges: $viaJdbc vs $direct")
-      } finally conn.close()
-    } finally server.stop()
-  }
-
   test("jdbc insert-if-absent is idempotent over a live embedded database") {
     // In-memory Derby stands in for the reference's Postgres warehouse:
     // same JDBC writer path (addBatch/executeBatch), real round-trip.

@@ -71,6 +71,15 @@ object QTime {
         println(SparkEntry.queries(name)(spark, d).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
       }
+    } else if (args.headOption.contains("-planexec")) {
+      // POST-execution adaptive plan: AQE decisions (stage reuse, coalesce,
+      // broadcast demotion) only exist after the query runs.
+      args.drop(1).foreach { name =>
+        val df = SparkEntry.queries(name)(spark, d)
+        df.count()
+        println(s"===== $name (executed) =====")
+        println(df.queryExecution.executedPlan.toString)
+      }
     } else {
       spark.range(100000).count()
       for (name <- args) {

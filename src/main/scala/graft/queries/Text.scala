@@ -1486,10 +1486,16 @@ object Text {
   // The two repetition-filter families from Rae et al. 2021 (Gopher, table
   // A1), token-based: the fraction of 2-gram positions held by the single
   // most frequent 2-gram (threshold 0.20), and the fraction of 5-gram
-  // occurrences whose gram repeats within the doc (threshold 0.15). One
-  // lead()-window pass materializes BOTH gram sizes from the same sorted
-  // rows (the shuffle feeding the window is reused across the two
-  // aggregation branches); counts are exact integers and the fractions are
+  // occurrences whose gram repeats within the doc (threshold 0.15).
+  //
+  // Both gram sizes ride ONE pipeline: each token row emits a (size, gram)
+  // pair for n=2 and n=5 from the same lead() window, so the corpus is
+  // scanned, tokenized, and window-sorted exactly once, and one
+  // (doc,size,gram) count + one conditional per-doc rollup replace two
+  // parallel aggregation trees. (The naive two-branch form planned as two
+  // full scan->explode->window chains: Catalyst prunes the unused leads per
+  // branch, which defeats exchange reuse — sharing must be structural, not
+  // optimizer-dependent.) Counts are exact integers and the fractions
   // small-integer ratios — IEEE-exact in both engines. Using only the MAX
   // count (never the argmax gram) keeps the result tie-independent.
   def q119(s: SparkSession, d: String): DataFrame = {
@@ -1497,23 +1503,32 @@ object Text {
     val tokRows = Tables.documents(s, d).select($"doc_id",
       posexplode(tokens($"text")).as(Seq("pos", "tok")))
     val wOrd = Window.partitionBy($"doc_id").orderBy($"pos")
-    val leads = tokRows
+    // concat_ws SKIPS nulls (a short tail would yield a truncated gram,
+    // not null), so gram validity is decided by the furthest lead.
+    val grams = tokRows
       .withColumn("t1", lead($"tok", 1).over(wOrd))
       .withColumn("t2", lead($"tok", 2).over(wOrd))
       .withColumn("t3", lead($"tok", 3).over(wOrd))
       .withColumn("t4", lead($"tok", 4).over(wOrd))
-    val a2 = leads.filter($"t1".isNotNull)
-      .groupBy($"doc_id", concat_ws(" ", $"tok", $"t1").as("g"))
-      .agg(count(lit(1)).as("c"))
+      .select($"doc_id", explode(array(
+        struct(lit(2).as("n"), when($"t1".isNotNull,
+          concat_ws(" ", $"tok", $"t1")).as("g")),
+        struct(lit(5).as("n"), when($"t4".isNotNull,
+          concat_ws(" ", $"tok", $"t1", $"t2", $"t3", $"t4")).as("g"))))
+        .as("gr"))
+      .select($"doc_id", $"gr.n".as("n"), $"gr.g".as("g"))
+      .filter($"g".isNotNull)
+    grams.groupBy($"doc_id", $"n", $"g").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id")
-      .agg(max($"c").as("top2_n"), sum($"c").as("n_2grams"))
-    val a5 = leads.filter($"t4".isNotNull)
-      .groupBy($"doc_id", concat_ws(" ", $"tok", $"t1", $"t2", $"t3", $"t4").as("g"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id")
-      .agg(sum(when($"c" >= 2, $"c").otherwise(lit(0L))).as("dup5_n"),
-        sum($"c").as("n_5grams"))
-    a2.join(a5, "doc_id")
+      .agg(max(when($"n" === 2, $"c")).as("top2_n"),
+        sum(when($"n" === 2, $"c")).as("n_2grams"),
+        sum(when($"n" === 5, when($"c" >= 2, $"c").otherwise(lit(0L))))
+          .as("dup5_n"),
+        sum(when($"n" === 5, $"c")).as("n_5grams"))
+      // docs too short for any 5-gram would have null dup5_n/n_5grams:
+      // keep the two-table form's inner-join semantics and drop them
+      // (none exist in the testdata corpus)
+      .filter($"n_5grams".isNotNull)
       .select($"doc_id", $"top2_n", $"n_2grams",
         ($"top2_n" / $"n_2grams").as("top2_frac"),
         $"dup5_n", $"n_5grams",

@@ -64,7 +64,13 @@ object Bench {
       // session's garbage.
       System.gc()
       val first = once(fn)
-      (name, fn, if (first >= 0 && first < 60.0) better(first, once(fn)) else first)
+      val two = if (first >= 0 && first < 60.0) better(first, once(fn)) else first
+      // Queries past 1s get a third run: on a shared 32-core host a single
+      // contention window can inflate both of two runs (round 4 recorded
+      // q45 at 2.72s when its warm isolated time was 1.46-1.54s). One more
+      // sample makes a 2-sample coincidence a 3-sample one; the ~8 queries
+      // above 1s cost the sweep ~15s total.
+      (name, fn, if (two > 1.0 && two < 60.0) better(two, once(fn)) else two)
     }
     val okTimes = firstPass.map(_._3).filter(_ >= 0).sorted
     val med = if (okTimes.nonEmpty) okTimes(okTimes.size / 2) else 0.0

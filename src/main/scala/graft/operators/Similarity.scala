@@ -26,20 +26,31 @@ object Similarity {
     * The query set is broadcast against a corpus scan. A broadcast has a
     * hard executor-memory ceiling, so query sets beyond
     * `maxBroadcastQueries` are hash-SHARDED and each shard broadcast
-    * against its own corpus scan (one count job at construction sizes the
-    * set) — the operator stays correct at any query count instead of
-    * OOMing the executors. Each shard re-scans the corpus: that is the
-    * honest cost of exact brute force, and the signal that a large-query
-    * caller wants [[ivfTopK]], where the scan shrinks to probed cells. */
+    * against its own corpus scan — the operator stays correct at any query
+    * count instead of OOMing the executors. Each shard re-scans the corpus:
+    * that is the honest cost of exact brute force, and the signal that a
+    * large-query caller wants [[ivfTopK]], where the scan shrinks to
+    * probed cells.
+    *
+    * Sizing the shard fan-out needs the query count at plan-construction
+    * time. Pass `queryCountHint` (>= 0) when the caller knows it — the
+    * operator then stays a pure lazy plan builder like the Skew family.
+    * With the default hint of -1 it runs ONE count job up front (the
+    * documented price of self-sizing; `.explain()` on the result will
+    * execute that count). The sharded branch persists the query
+    * projection for reuse across shard branches and relies on Spark's LRU
+    * block eviction to reclaim it, the same convention as
+    * `Skew.hybridBucketPairs` — an explicit unpersist at construction
+    * would evict the cache before the (lazy) result ever ran. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      maxBroadcastQueries: Int = 1 << 16): DataFrame = {
+      maxBroadcastQueries: Int = 1 << 16, queryCountHint: Long = -1L): DataFrame = {
     // norms precomputed per vector (not per pair): sim needs 1 dot product
     // instead of 3, and sqrt(dot(v,v)) is the same double either way.
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       l2Norm(col("embedding")).as("q_norm"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
       l2Norm(col("embedding")).as("c_norm"))
-    val nQ = q.count()
+    val nQ = if (queryCountHint >= 0L) queryCountHint else q.count()
     val nShards = math.max(1L, (nQ + maxBroadcastQueries - 1) / maxBroadcastQueries).toInt
     val qSrc = if (nShards == 1) q else q.persist()
     val scored = (0 until nShards).map { s =>

@@ -24,7 +24,10 @@ object Vectors {
   def q50(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    Similarity.bruteForceTopK(emb.filter($"vec_id" < 8), emb, k = 5)
+    // queryCountHint: at most 8 query vectors by construction — keeps the
+    // operator a pure lazy plan (no construction-time sizing job).
+    Similarity.bruteForceTopK(emb.filter($"vec_id" < 8), emb, k = 5,
+        queryCountHint = 8)
       .orderBy($"query_id", $"rank")
   }
   val q50Sql: String =

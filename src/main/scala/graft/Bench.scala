@@ -26,7 +26,8 @@ object Bench {
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => fn(spark, sfDir).count())
     // Single-JVM timings on a shared host can swing 3x+ during transient
-    // contention windows. Two defenses: best-of-two inline, then an
+    // contention windows. Three defenses: best-of-two inline, escalated to
+    // best-of-three for queries still above 1s after two runs, then an
     // end-of-run re-measurement of outliers (> max(3x median, 5s)) — by
     // then the contention window that inflated them has usually passed.
     // A query that throws must surface as a failure (-1), not as a fast

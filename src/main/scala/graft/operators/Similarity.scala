@@ -35,6 +35,12 @@ object Similarity {
     * Sizing the shard fan-out needs the query count at plan-construction
     * time. Pass `queryCountHint` (>= 0) when the caller knows it — the
     * operator then stays a pure lazy plan builder like the Skew family.
+    * The hint MUST be an UPPER bound on the actual query count: sharding
+    * is hash-mod over the full query set, so results are complete for any
+    * hint, but an UNDERestimate lowers nShards and lets a shard's
+    * broadcast exceed the `maxBroadcastQueries` executor-memory bound —
+    * the hint trades the OOM guard, never correctness. Callers that can't
+    * bound the count should leave the default and pay the count job.
     * With the default hint of -1 it runs ONE count job up front (the
     * documented price of self-sizing; `.explain()` on the result will
     * execute that count). The sharded branch persists the query
@@ -44,6 +50,9 @@ object Similarity {
     * would evict the cache before the (lazy) result ever ran. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       maxBroadcastQueries: Int = 1 << 16, queryCountHint: Long = -1L): DataFrame = {
+    require(queryCountHint >= -1L,
+      s"queryCountHint must be -1 (self-size via count) or an upper bound on " +
+        s"the query count; got $queryCountHint")
     // norms precomputed per vector (not per pair): sim needs 1 dot product
     // instead of 3, and sqrt(dot(v,v)) is the same double either way.
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),

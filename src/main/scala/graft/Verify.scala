@@ -8,7 +8,10 @@ object Verify {
     // Pin the JVM default zone too: driver-side java.sql.Timestamp
     // construction must agree with the UTC-pinned Spark session.
     java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir, rest @ _*) = args
+    // Optional trailing args: run only these query names (local fast loop);
+    // the driver passes exactly two args and gets the full suite.
+    val only = rest.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,7 +24,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

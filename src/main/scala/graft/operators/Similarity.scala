@@ -120,6 +120,91 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** Rounded squared L2 distance via three dot products. The expansion
+    * |e-c|^2 = e.e - 2 e.c + c.c reuses the codegen'd [[dotProduct]] and —
+    * unlike a zip_with fold — evaluates in the exact arithmetic order a SQL
+    * engine's `ip(e,e) - 2*ip(e,c) + ip(c,c)` does, so the rounded value is
+    * engine-portable (the oracle restates it verbatim). */
+  private def sqDistRounded(e: Column, c: Column): Column =
+    round(dotProduct(e, e) - lit(2.0) * dotProduct(e, c) + dotProduct(c, c), 6)
+
+  /** Nearest-centroid assignment: adds `cell` to `corpus` (argmin rounded
+    * squared L2, cell-id tie-break).
+    *
+    * Scale shape: the centroid set (k × dim doubles — a few MB even at
+    * k=65536, dim=1024) is packed into ONE broadcast row and the argmin is
+    * a per-row array fold — a NARROW transform, no shuffle, no per-vector
+    * window. A crossJoin + `row_number` assignment would shuffle n×k rows
+    * per iteration; this scans the corpus once per call and nothing else.
+    *
+    * @param centroids (cell: long, centroid: array<double>) — from
+    *                  [[trainKMeansCells]] or any caller-built quantizer
+    */
+  def assignKMeansCells(corpus: DataFrame, centroids: DataFrame,
+      embCol: String = "embedding"): DataFrame = {
+    val packed = centroids
+      .select(struct(col("cell"), col("centroid")).as("c"))
+      .groupBy().agg(array_sort(collect_list(col("c"))).as("graft_cents"))
+    corpus.crossJoin(broadcast(packed))
+      .withColumn("cell",
+        array_min(transform(col("graft_cents"), c =>
+          struct(sqDistRounded(asDouble(col(embCol)), c.getField("centroid")).as("dist"),
+            c.getField("cell").as("cell"))))
+          .getField("cell"))
+      .drop("graft_cents")
+  }
+
+  /** Distributed deterministic k-means (Lloyd's): the coarse-quantizer
+    * trainer for [[ivfTopK]] — answers "where do cells come from" without a
+    * caller-supplied clustering.
+    *
+    * Per iteration: one narrow assignment pass ([[assignKMeansCells]] —
+    * broadcast centroids, per-row argmin, NO shuffle) plus one centroid
+    * update — a (cell, pos)-keyed hash aggregation over n×dim exploded
+    * components with map-side partial combine, i.e. exactly ONE shuffle per
+    * iteration whose width is k×dim regardless of corpus size. This is the
+    * same execution shape MLlib's KMeans uses (per-partition sum/count then
+    * merge), restated declaratively so Catalyst handles the combine.
+    *
+    * Determinism (what makes the trainer oracle-checkable, q122):
+    *  - seeding: the k smallest `vec_id` vectors, cell id = seed vec_id.
+    *    Production pipelines wanting k-means++/|| spread can pass their own
+    *    seed set via `initCells` (same schema as the result); the default
+    *    is the portable choice any engine restates with ORDER BY + LIMIT.
+    *  - assignment: argmin of ROUNDED (6 dp) squared L2 with cell-id
+    *    tie-break; the distance expansion matches SQL arithmetic order.
+    *  - update: per-dimension mean through the decimal(18,9) route + round
+    *    (the repo-wide portable-mean convention, see q52).
+    * Empty cells drop out (both engines agree on which).
+    *
+    * Lineage depth grows linearly with `iters` (iteration i's centroid agg
+    * is a subplan of iteration i+1); the corpus is scanned iters+1 times
+    * total — callers should persist/checkpoint `corpus` for large `iters`.
+    *
+    * @return (cell: long, centroid: array<double>) — feed `corpus` joined
+    *         on [[assignKMeansCells]]'s `cell` into [[ivfTopK]]'s `cellCol`
+    */
+  def trainKMeansCells(corpus: DataFrame, k: Int, iters: Int,
+      initCells: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    require(iters >= 0, s"iters must be >= 0; got $iters")
+    val emb = corpus.select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+    val seeds = initCells.getOrElse(
+      emb.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id").cast("long").as("cell"), col("embedding").as("centroid")))
+    (0 until iters).foldLeft(seeds) { (cent, _) =>
+      assignKMeansCells(emb, cent)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        // decimal-routed portable mean + round(6) margin — the q52 convention
+        .agg(round(sum(col("v").cast("decimal(18,9)")).cast("double") / count(lit(1)), 6)
+          .as("cv"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv"))))
+          .getField("cv").as("centroid"))
+    }
+  }
+
   /** Cosine-LSH candidate pairs within the corpus, exact-reranked to
     * similarity ≥ threshold. Multi-table banding (numTables independent
     * signatures of planesPerTable hyperplanes each): a pair is a candidate

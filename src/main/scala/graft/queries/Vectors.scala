@@ -283,6 +283,45 @@ object Vectors {
       |GROUP BY vec_id
       |ORDER BY vec_id""".stripMargin
 
+  // --- q122: k-means coarse-quantizer training (Lloyd's, 2 iterations) -----
+  // The IVF trainer end-to-end: deterministic smallest-id seeding, two full
+  // Lloyd's rounds (narrow broadcast-argmin assign + one k×dim-wide update
+  // shuffle each), then the final assignment. The oracle unrolls the same
+  // two iterations as chained CTEs — every arithmetic step (rounded squared
+  // L2, decimal-routed centroid means) is engine-portable by construction,
+  // so the oracle checks the TRAINER verbatim, not just its output shape.
+  def q122(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val cent = Similarity.trainKMeansCells(emb, k = 8, iters = 2)
+    Similarity.assignKMeansCells(emb, cent)
+      .select($"vec_id", $"cell")
+      .orderBy($"vec_id")
+  }
+  private def kmAssign(centRel: String): String =
+    s"""SELECT vec_id, e, cell FROM (
+       |    SELECT t.vec_id, t.e, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+       |        ROUND(list_inner_product(t.e, t.e) - 2*list_inner_product(t.e, c.c)
+       |          + list_inner_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+       |    FROM emb t CROSS JOIN $centRel c) WHERE rn = 1""".stripMargin
+  private def kmUpdate(assignRel: String): String =
+    s"""SELECT cell, list(cv ORDER BY pos) AS c FROM (
+       |    SELECT cell, pos,
+       |      ROUND(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS cv
+       |    FROM (SELECT cell, unnest(range(0, len(e))) AS pos, unnest(e) AS v
+       |          FROM $assignRel)
+       |    GROUP BY cell, pos) GROUP BY cell""".stripMargin
+  val q122Sql: String =
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |c0 AS (SELECT vec_id AS cell, e AS c FROM emb ORDER BY vec_id LIMIT 8),
+      |a0 AS (${kmAssign("c0")}),
+      |c1 AS (${kmUpdate("a0")}),
+      |a1 AS (${kmAssign("c1")}),
+      |c2 AS (${kmUpdate("a1")}),
+      |a2 AS (${kmAssign("c2")})
+      |SELECT vec_id, cell FROM a2 ORDER BY vec_id""".stripMargin
+
   // --- q55: multimodal payload decode (mapPartitions stub) ----------------
   def q55(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -348,6 +387,7 @@ object Vectors {
     ("q54_lsh_pairs", q54 _, Some(q54Sql)),
     ("q56_semantic_dedup", q56 _, Some(q56Sql)),
     ("q57_quantize_int8", q57 _, Some(q57Sql)),
+    ("q122_kmeans_train", q122 _, Some(q122Sql)),
     ("q55_multimodal_decode", q55 _, Some(q55Sql)),
     ("q85_frame_features", q85 _, Some(q85Sql)),
     ("q86_media_resize", q86 _, Some(q86Sql)))

@@ -20,6 +20,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Loud schema gate (same as Verify): testdata drift should announce
+    // itself up front, not as a wall of -1s at the end of the sweep. The
+    // bench still runs (numbers for whatever survives beat no numbers),
+    // but the drift lines land on stderr ahead of everything else.
+    Tables.preflight(spark, sfDir).foreach(d => System.err.println(s"[bench] $d"))
     // Warmup: exercise codegen, parquet reader, and shuffle machinery once
     // so the first timed query isn't charged for JVM startup.
     spark.range(1000000).selectExpr("sum(id)").collect()

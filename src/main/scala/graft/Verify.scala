@@ -24,6 +24,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Loud schema gate: a testdata regeneration that changes a table's
+    // shape must be visible HERE, not as N downstream AnalysisExceptions
+    // (round-6 failure mode). Drift aborts the run.
+    val drift = Tables.preflight(spark, sfDir)
+    drift.foreach(d => System.err.println(s"[verify] $d"))
+    require(drift.isEmpty, s"testdata schema drift (${drift.size} tables) — fix Tables loaders first")
+    // Fail fast on typo'd filter names: a silently-empty filtered run looks
+    // like success while writing nothing.
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query names in filter: ${unknown.mkString(", ")}")
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -45,7 +55,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // In a filtered run, emit oracle SQL only for the queries actually
+    // dumped — a full-suite oracle file next to a partial outDir would
+    // invite a downstream compare against missing/stale parquet.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -42,12 +42,12 @@ object BiServe {
     * serving form for ad-hoc tables that have no catalog entry (global
     * temp views are visible across the per-connection child sessions;
     * plain temp views are not). */
-  def exposeTables(spark: SparkSession, sfDir: String): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def exposeTables(spark: SparkSession, sfDir: String): Unit =
     graft.Tables.names.foreach { n =>
-      graft.Tables.load(spark, sfDir, n).createOrReplaceGlobalTempView(n)
+      val df = if (n == "events") graft.Tables.events(spark, sfDir)
+        else graft.Tables.load(spark, sfDir, n)
+      df.createOrReplaceGlobalTempView(n)
     }
-  }
 
   /** Start the Thrift JDBC server inside `spark`. `port = 0` binds an
     * ephemeral free port (the bound port is read back from the CLI

@@ -13,11 +13,12 @@ import graft.Tables
   * to arbitrary event streams: bucketing, sliding windows, sessionization,
   * as-of lookups, JSON payload extraction.
   *
-  * Nanosecond note: the parquet `ts` column is TIMESTAMP(NANOS), which Spark
-  * reads only as a raw long via spark.sql.legacy.parquet.nanosAsLong (set in
-  * [[graft.Tables.events]]). We keep the long-ns value as the ordering key —
-  * bit-identical to DuckDB's TIMESTAMP_NS ordering — and derive
-  * second-truncated timestamps for output, so both engines agree exactly.
+  * Nanosecond note: [[graft.Tables.events]] canonicalizes `ts` to a raw
+  * long of epoch NANOSECONDS whatever the file's physical type (currently
+  * parquet timestamp[us]; µs→ns is exact in int64). We keep the long-ns
+  * value as the ordering key — order-identical to DuckDB's timestamp
+  * ordering — and derive second-truncated timestamps for output, so both
+  * engines agree exactly.
   * Output timestamps are emitted as formatted strings (Spark writes
   * UTC-instant parquet, DuckDB naive — strings sidestep the representation
   * gap).

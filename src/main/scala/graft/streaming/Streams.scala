@@ -38,14 +38,16 @@ object Streams {
   def eventsStream(spark: SparkSession, dir: String,
       glob: String = "events.parquet",
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
     // the testdata table is a single parquet file; the file stream source
     // needs a directory, so stream the parent with a glob filter
     val reader = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(dir)
+    // Same ts canonicalization as the batch loader (long epoch-ns,
+    // schema-driven — see Tables.normalizeEventsTs), then the derived
+    // µs timestamp every watermark/window consumer uses.
+    graft.Tables.normalizeEventsTs(reader.parquet(dir))
       .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -219,7 +221,17 @@ object Streams {
     * (`spark.newSession()`) so the mutation is scoped to the clone. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete(),
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 8): DataFrame =
+    runToMemoryTracked(spark, df, name, mode, statePartitions)._1
+
+  /** [[runToMemory]] plus the drained query's per-micro-batch progress
+    * reports — the raw material for [[StreamingFreshness]] (event-time
+    * lag observability). recentProgress is populated synchronously at each
+    * batch commit, so after awaitTermination it is complete. */
+  def runToMemoryTracked(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete(),
+      statePartitions: Int = 8): (DataFrame,
+        Array[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     // Re-registering a sink name drops the previous invocation's temp view
     // first: the memory sink retains its full materialized result for the
     // session's lifetime, so without the drop every re-run (bench runs each
@@ -229,7 +241,7 @@ object Streams {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, statePartitions)
-    try {
+    val progress = try {
       val q = df.writeStream
         .outputMode(mode)
         .format("memory")
@@ -237,8 +249,9 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      q.recentProgress
     } finally spark.conf.set(key, prev)
-    spark.table(name)
+    (spark.table(name), progress)
   }
 
   def runDatasetToMemory[T](spark: SparkSession, ds: Dataset[T], name: String,

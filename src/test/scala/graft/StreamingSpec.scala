@@ -210,9 +210,9 @@ class StreamingSpec extends AnyFunSuite {
     val src = Paths.get(s"$sf/events.parquet")
     Files.copy(src, Paths.get(s"$dir/events_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
     Files.copy(src, Paths.get(s"$dir/events_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(dir)
+    val stream = Tables.normalizeEventsTs(
+        spark.readStream.schema(schema).parquet(dir))
       .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
     val deduped = Streams.runToMemory(spark,
       Streams.dedupWithinWatermark(stream, Seq("event_id")),
@@ -220,5 +220,50 @@ class StreamingSpec extends AnyFunSuite {
     val expected = Tables.events(spark, sf).count()
     assert(deduped.count() == expected,
       s"expected $expected distinct events, got ${deduped.count()}")
+  }
+
+  test("streaming freshness gate reads event-time lag from query progress") {
+    import graft.streaming.StreamingFreshness
+    val (_, progress) = Streams.runToMemoryTracked(spark,
+      Streams.hourlyTrend(Streams.eventsStream(spark, sf)), "fresh_stream")
+    val fp = progress.reverseIterator.map(StreamingFreshness.fromProgress)
+      .find(_.maxEventTime.isDefined)
+    assert(fp.isDefined, "watermarked drain must report an event-time max")
+    // the progress high-water mark is the batch table's max(ts) — progress
+    // reports format event times at millisecond precision, so compare there
+    val batchMaxUs = Tables.events(spark, sf)
+      .agg(max(expr("ts div 1000"))).head().getLong(0)
+    assert(fp.get.maxEventTime.get.getTime == batchMaxUs / 1000,
+      s"progress max ${fp.get.maxEventTime.get} != batch max ${batchMaxUs}us")
+    // severity ladder vs an explicit monitor clock, mirroring the batch gate
+    def at(hoursAfter: Long) = new java.sql.Timestamp(
+      fp.get.maxEventTime.get.getTime + hoursAfter * 3600000L)
+    assert(StreamingFreshness.gate(fp, at(1)) == graft.etl.QualityGate.Pass)
+    assert(StreamingFreshness.gate(fp, at(3)).isInstanceOf[graft.etl.QualityGate.Warn])
+    assert(StreamingFreshness.gate(fp, at(7)).isInstanceOf[graft.etl.QualityGate.Fail])
+    assert(StreamingFreshness.gate(None, at(0)).isInstanceOf[graft.etl.QualityGate.Fail],
+      "no progress at all must gate as Fail, like the batch empty-table arm")
+  }
+
+  test("always-on freshness listener captures the newest event-time mark") {
+    import graft.streaming.StreamingFreshness
+    val listener = new StreamingFreshness.FreshnessListener
+    spark.streams.addListener(listener)
+    try {
+      val (_, progress) = Streams.runToMemoryTracked(spark,
+        Streams.hourlyTrend(Streams.eventsStream(spark, sf)), "fresh_listen")
+      val fromHandle = progress.reverseIterator
+        .map(StreamingFreshness.fromProgress).find(_.maxEventTime.isDefined)
+      // listener bus delivery is async — poll briefly
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var captured = listener.all
+      while (captured.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(100); captured = listener.all
+      }
+      assert(captured.nonEmpty, "listener saw no informative progress in 30s")
+      assert(captured.values.map(_.maxEventTime).toSet
+        .contains(fromHandle.get.maxEventTime),
+        "listener high-water mark must match the query handle's")
+    } finally spark.streams.removeListener(listener)
   }
 }

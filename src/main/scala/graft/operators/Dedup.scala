@@ -396,6 +396,44 @@ object Dedup {
         min(when(col("is_dup") === 1, col("pos"))).as("first_dup_pos"))
   }
 
+  /** Gopher line-level repetition rules (Rae et al. 2021, table A1 — the
+    * line-granularity complement of the n-gram families in
+    * queries.Text.q119): the fraction of a document's line occurrences
+    * whose line value repeats within the document (duplicate line
+    * fraction, Gopher threshold 0.30), and the fraction of its characters
+    * inside those repeated lines (duplicate line character fraction,
+    * threshold 0.20). `linesCol` is any pre-split array<string> column —
+    * segmentation is the caller's choice (split on '\n' for real text;
+    * the q123 oracle chunks the single-line testdata corpus into fixed
+    * token windows so the statistics are non-degenerate).
+    *
+    * Scale: one explode and two keyed aggregations — (doc, line) then
+    * (doc), both shuffling on doc-prefixed keys with map-side partials.
+    * Linear in total line count, no joins, no all-pairs shapes.
+    */
+  def duplicateLineStats(docs: DataFrame, idCol: String, linesCol: Column,
+      dupLineThreshold: Double = 0.30,
+      dupCharThreshold: Double = 0.20): DataFrame = {
+    val lineFrac = col("dup_lines") / col("n_lines")
+    val charFrac = col("dup_chars") / col("n_chars")
+    docs.select(col(idCol).as("doc_id"), explode(linesCol).as("line"))
+      .groupBy(col("doc_id"), col("line"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("chars", length(col("line")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_lines"),
+        sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup_lines"),
+        sum(col("c") * col("chars")).as("n_chars"),
+        sum(when(col("c") >= 2, col("c") * col("chars")).otherwise(lit(0L)))
+          .as("dup_chars"))
+      .select(col("doc_id"), col("n_lines"), col("dup_lines"),
+        lineFrac.as("dup_line_frac"),
+        col("n_chars"), col("dup_chars"),
+        charFrac.as("dup_char_frac"),
+        (lineFrac > dupLineThreshold || charFrac > dupCharThreshold)
+          .as("flagged"))
+  }
+
   /** Connected components over a near-duplicate pair graph by iterated
     * partition-local contraction: each round runs a union-find pass inside
     * every partition of the current (shrinking) rep graph, relabels the

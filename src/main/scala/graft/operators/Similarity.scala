@@ -142,6 +142,10 @@ object Similarity {
     */
   def assignKMeansCells(corpus: DataFrame, centroids: DataFrame,
       embCol: String = "embedding"): DataFrame = {
+    // An empty quantizer would silently assign cell=null to every row
+    // (groupBy().agg over zero rows yields one row with an empty list, and
+    // array_min of an empty array is null) — fail loudly instead.
+    require(!centroids.isEmpty, "assignKMeansCells: centroids is empty")
     val packed = centroids
       .select(struct(col("cell"), col("centroid")).as("c"))
       .groupBy().agg(array_sort(collect_list(col("c"))).as("graft_cents"))
@@ -168,9 +172,12 @@ object Similarity {
     *
     * Determinism (what makes the trainer oracle-checkable, q122):
     *  - seeding: the k smallest `vec_id` vectors, cell id = seed vec_id.
-    *    Production pipelines wanting k-means++/|| spread can pass their own
-    *    seed set via `initCells` (same schema as the result); the default
-    *    is the portable choice any engine restates with ORDER BY + LIMIT.
+    *    PRECONDITION: `vec_id` must be unique — duplicate ids make the
+    *    ORDER BY + LIMIT seed selection engine/run-dependent and collide
+    *    cell ids. Production pipelines wanting k-means++/|| spread can
+    *    pass their own seed set via `initCells` (same schema as the
+    *    result); the default is the portable choice any engine restates
+    *    with ORDER BY + LIMIT.
     *  - assignment: argmin of ROUNDED (6 dp) squared L2 with cell-id
     *    tie-break; the distance expansion matches SQL arithmetic order.
     *  - update: per-dimension mean through the decimal(18,9) route + round

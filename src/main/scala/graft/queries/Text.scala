@@ -1642,6 +1642,53 @@ object Text {
       |ORDER BY score DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  // --- q123: Gopher duplicate-LINE repetition rules ------------------------
+  // The line-granularity Gopher family (Rae et al. 2021, table A1) that
+  // q119's n-gram rules don't cover: duplicate line fraction (> 0.30) and
+  // duplicate line character fraction (> 0.20). The operator
+  // (operators.Dedup.duplicateLineStats) is segmentation-generic — real
+  // corpora split on '\n'; the testdata corpus is single-line word soup,
+  // so "lines" here are disjoint 3-token chunks, which both engines derive
+  // identically and which make the duplicate statistics non-degenerate
+  // (the small vocabulary collides 3-token chunks within docs). Counts are
+  // exact integers; fractions are single int/int divisions — IEEE-exact in
+  // both engines (q119 convention).
+  def q123(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val chunked = Tables.documents(s, d)
+      .withColumn("toks", tokens($"text"))
+      .filter(size($"toks") >= 3)
+      .withColumn("lines", expr(
+        "transform(sequence(0, size(toks) div 3 - 1)," +
+          " i -> concat_ws(' ', slice(toks, i * 3 + 1, 3)))"))
+    graft.operators.Dedup.duplicateLineStats(chunked, "doc_id", $"lines")
+      .orderBy($"doc_id")
+  }
+  val q123Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |  FROM documents),
+      |lines AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, len(t) // 3),
+      |    i -> t[i*3+1] || ' ' || t[i*3+2] || ' ' || t[i*3+3])) AS line
+      |  FROM toks WHERE len(t) >= 3),
+      |c AS (
+      |  SELECT doc_id, line, COUNT(*) AS c, len(line) AS chars
+      |  FROM lines GROUP BY doc_id, line),
+      |a AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(c) AS BIGINT) AS n_lines,
+      |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_lines,
+      |    CAST(SUM(c * chars) AS BIGINT) AS n_chars,
+      |    CAST(SUM(CASE WHEN c >= 2 THEN c * chars ELSE 0 END) AS BIGINT) AS dup_chars
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_lines, dup_lines, dup_lines / n_lines AS dup_line_frac,
+      |  n_chars, dup_chars, dup_chars / n_chars AS dup_char_frac,
+      |  (dup_lines / n_lines > 0.30 OR dup_chars / n_chars > 0.20) AS flagged
+      |FROM a
+      |ORDER BY doc_id""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),
@@ -1680,5 +1727,6 @@ object Text {
     ("q113_containment_join", q113 _, Some(q113Sql)),
     ("q117_length_gini", q117 _, Some(q117Sql)),
     ("q119_gopher_repetition", q119 _, Some(q119Sql)),
-    ("q120_bm25_search", q120 _, Some(q120Sql)))
+    ("q120_bm25_search", q120 _, Some(q120Sql)),
+    ("q123_gopher_dup_lines", q123 _, Some(q123Sql)))
 }

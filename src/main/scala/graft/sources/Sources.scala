@@ -3,6 +3,7 @@ package graft.sources
 import java.util.Properties
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 import graft.etl.Upsert
 
@@ -86,16 +87,35 @@ object Sources {
     * JDBC warehouse: anti-join the batch against current keys, then a
     * batched append (Spark's JDBC writer uses addBatch/executeBatch —
     * the same executemany shape as the reference). Single-writer per table,
-    * like the reference's linear DAG. Not live-tested here (no database);
-    * the anti-join core is the unit/oracle-tested [[Upsert]]. */
+    * like the reference's linear DAG. Live-tested against embedded Derby
+    * (SourcesSpec); the anti-join core is the unit/oracle-tested [[Upsert]].
+    *
+    * `columnTypes` declares warehouse-side SQL types per column — the
+    * reference's price column is Postgres REAL/float4
+    * (dags/crypto-etl-pipeline-psql.py:160) while the engine standardizes
+    * on DoubleType. Single-precision targets (REAL/FLOAT4/FLOAT) get the
+    * DataFrame column narrowed through FloatType BEFORE the write, so the
+    * values stored are the same float4 values Postgres would keep — the
+    * narrowing happens in the engine (oracle-checkable, q118/float4Compat)
+    * rather than silently inside the remote cast. The map also feeds
+    * Spark's createTableColumnTypes so a writer-created table declares the
+    * parity DDL. */
   def jdbcInsertIfAbsent(spark: SparkSession, incoming: DataFrame, url: String,
       table: String, keys: Seq[String], props: Properties = new Properties(),
-      batchSize: Int = 1000): Unit = {
+      batchSize: Int = 1000,
+      columnTypes: Map[String, String] = Map.empty): Unit = {
+    val float4Targets = Set("real", "float4", "float")
+    val narrowed = columnTypes.foldLeft(incoming) { case (df, (c, t)) =>
+      if (float4Targets(t.trim.toLowerCase)) df.withColumn(c, col(c).cast("float"))
+      else df
+    }
     val existing = spark.read.jdbc(url, table, props)
-    val fresh = Upsert.newRows(existing, incoming, keys)
-    fresh.write.mode(SaveMode.Append)
+    val fresh = Upsert.newRows(existing, narrowed, keys)
+    val writer = fresh.write.mode(SaveMode.Append)
       .option("batchsize", batchSize.toString)
-      .jdbc(url, table, props)
+    if (columnTypes.nonEmpty) writer.option("createTableColumnTypes",
+      columnTypes.map { case (c, t) => s"$c $t" }.mkString(", "))
+    writer.jdbc(url, table, props)
   }
 
   /** Small-file compaction: rewrite a parquet directory into files of

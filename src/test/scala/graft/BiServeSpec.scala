@@ -71,4 +71,42 @@ class BiServeSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bi_documents")
     }
   }
+
+  test("two simultaneous JDBC connections get isolated session state") {
+    // The reference's Metabase entry point is inherently multi-client
+    // (README.md:98-106). Each Thrift connection must get its own child
+    // session: conflicting temp-view names and session confs on two live
+    // connections must not bleed into each other or the host session.
+    val endpoint = BiServe.start(spark)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val c1 = DriverManager.getConnection(endpoint.jdbcUrl, "", "")
+      val c2 = DriverManager.getConnection(endpoint.jdbcUrl, "", "")
+      try {
+        def one(c: java.sql.Connection, sql: String): Long = {
+          val rs = c.createStatement().executeQuery(sql)
+          assert(rs.next()); rs.getLong(1)
+        }
+        // same temp-view NAME, conflicting definitions, both connections live
+        c1.createStatement().execute(
+          "CREATE TEMPORARY VIEW scratch AS SELECT 1 AS v")
+        c2.createStatement().execute(
+          "CREATE TEMPORARY VIEW scratch AS SELECT 100 AS v")
+        // interleave reads: each connection must see ITS definition
+        assert(one(c1, "SELECT sum(v) FROM scratch") == 1L,
+          "connection 1 sees connection 2's temp view")
+        assert(one(c2, "SELECT sum(v) FROM scratch") == 100L,
+          "connection 2 sees connection 1's temp view")
+        // per-connection conf must not leak across sessions
+        c1.createStatement().execute("SET spark.sql.shuffle.partitions=2")
+        c2.createStatement().execute("SET spark.sql.shuffle.partitions=7")
+        assert(one(c1, "SELECT count(DISTINCT v) FROM scratch") == 1L)
+        assert(one(c2, "SELECT sum(v) FROM scratch") == 100L,
+          "connection 2's view lost after conf churn on connection 1")
+        // the host session never saw either temp view
+        assert(!spark.catalog.tableExists("scratch"),
+          "client temp view leaked into the host session")
+      } finally { c1.close(); c2.close() }
+    } finally endpoint.stop()
+  }
 }

@@ -177,6 +177,35 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("jdbc sink stores float4 values when the warehouse column is REAL") {
+    // The reference's price column is Postgres REAL (float4); the engine
+    // standardizes on double. Parity means the narrowing happens in the
+    // engine before the write — values read back are exactly the float4
+    // values, not doubles the remote quietly casted.
+    val url = "jdbc:derby:memory:graftf4;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE FPRICES (K BIGINT NOT NULL PRIMARY KEY, P REAL)")
+      import spark.implicits._
+      // 0.1 and 1/3 are not float-representable: the stored value must be
+      // the widened float32, not the original double
+      val incoming = Seq((1L, 0.1), (2L, 1.0 / 3.0)).toDF("K", "P")
+      Sources.jdbcInsertIfAbsent(spark, incoming, url, "FPRICES", Seq("K"),
+        columnTypes = Map("P" -> "REAL"))
+      val back = Sources.readJdbc(spark, url, "FPRICES")
+        .collect().map(r => r.getLong(0) -> r.getFloat(1)).toMap
+      assert(back(1L) == 0.1f && back(2L) == (1.0 / 3.0).toFloat,
+        s"stored values must be float4-narrowed: $back")
+      assert(back(1L).toDouble != 0.1,
+        "sanity: the narrowing must actually have lost double precision")
+    } finally {
+      try java.sql.DriverManager.getConnection("jdbc:derby:memory:graftf4;drop=true")
+      catch { case _: java.sql.SQLException => () }
+      conn.close()
+    }
+  }
+
   test("z-ordered layout prunes the dimension a 1-D sort cannot") {
     // The claim z-order makes is BALANCE: a table sorted by x prunes
     // x-predicates perfectly and y-predicates not at all (every file spans

@@ -106,6 +106,27 @@ class TrainingSpec extends AnyFunSuite {
     assert(got(4L)._2 == 0, s"doc4 self-repeat wrongly flagged: ${got(4L)}")
   }
 
+  test("duplicate-line stats match Gopher's definitions on newline-split text") {
+    import spark.implicits._
+    // doc 1: 4 lines, "aa" twice (2+2+6+3=13 chars over lines; dup = 2
+    //        occurrences x 2 chars = 4) → dup_line_frac 0.5, char 4/13
+    // doc 2: 3 distinct lines → 0, 0, unflagged
+    // doc 3: the same 5-char line 3 times → 1.0 / 1.0, flagged
+    val docs = Seq(
+      (1L, "aa\naa\nabcdef\nxyz"),
+      (2L, "one\ntwo\nthree"),
+      (3L, "hello\nhello\nhello")
+    ).toDF("doc_id", "text").withColumn("lines", split(col("text"), "\n"))
+    val got = operators.Dedup.duplicateLineStats(docs, "doc_id", col("lines"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6), r.getBoolean(7))).toMap
+    assert(got(1L) == ((4L, 2L, 0.5, 13L, 4L, 4.0 / 13, true)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((3L, 0L, 0.0, 11L, 0L, 0.0, false)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((3L, 3L, 1.0, 15L, 15L, 1.0, true)), s"doc3: ${got(3L)}")
+  }
+
   test("unigram surprisal is positive and rare tokens score above common ones") {
     val rows = SparkEntry.queries("q39_unigram_surprisal")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -97,6 +97,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}""")
+    // A non-empty failed list is a STOP-SHIP, not a footnote (round 6
+    // shipped a snapshot with 18 silent -1s). Loud on stderr, after the
+    // JSON line so the driver's parse is unaffected.
+    if (failed.nonEmpty) System.err.println(
+      s"[bench] STOP-SHIP: ${failed.size} queries FAILED: ${failed.mkString(", ")}")
     spark.stop()
   }
 }

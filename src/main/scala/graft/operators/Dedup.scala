@@ -413,10 +413,21 @@ object Dedup {
     */
   def duplicateLineStats(docs: DataFrame, idCol: String, linesCol: Column,
       dupLineThreshold: Double = 0.30,
+      dupCharThreshold: Double = 0.20): DataFrame =
+    duplicateLineRowStats(
+      docs.select(col(idCol).as("doc_id"), explode(linesCol).as("line")),
+      dupLineThreshold, dupCharThreshold)
+
+  /** Row form of [[duplicateLineStats]]: input is already one row per
+    * (doc_id, line) occurrence. Callers whose segmentation is itself
+    * relational (windowed chunking, sessionized transcripts) feed this
+    * directly and skip materializing the per-doc array. */
+  def duplicateLineRowStats(lineRows: DataFrame,
+      dupLineThreshold: Double = 0.30,
       dupCharThreshold: Double = 0.20): DataFrame = {
     val lineFrac = col("dup_lines") / col("n_lines")
     val charFrac = col("dup_chars") / col("n_chars")
-    docs.select(col(idCol).as("doc_id"), explode(linesCol).as("line"))
+    lineRows
       .groupBy(col("doc_id"), col("line"))
       .agg(count(lit(1)).as("c"))
       .withColumn("chars", length(col("line")))

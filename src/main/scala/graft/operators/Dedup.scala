@@ -445,6 +445,44 @@ object Dedup {
           .as("flagged"))
   }
 
+  /** Corpus-level boilerplate line removal — the C4/RefinedWeb cleaning
+    * rule (Raffel et al. 2020 §2.2; Penedo et al. 2023 line-wise filters;
+    * cf. PAPERS.md): a line whose value occurs in ≥ `minDocs` DISTINCT
+    * documents is boilerplate (nav chrome, cookie banners, license
+    * headers) and is dropped from every document; surviving lines are
+    * reassembled in original order. Input is one row per (doc_id, pos,
+    * line) occurrence — the same row form [[duplicateLineRowStats]] takes;
+    * `pos` is any per-doc monotone position. Documents whose every line is
+    * boilerplate drop out of the result entirely.
+    *
+    * Returns (doc_id, text, n_kept, n_removed).
+    *
+    * Scale: the boilerplate set is ONE count-distinct shuffle on `line`;
+    * membership is a left-anti join on the same key (AQE broadcasts it
+    * when small — the common case — and it stays a linear hash join when
+    * a pathological corpus makes it big); reassembly + the removal-count
+    * join share one doc_id shuffle. No all-pairs shapes, no driver-side
+    * state.
+    */
+  def removeBoilerplateLines(lineRows: DataFrame, minDocs: Int = 3,
+      sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2; got $minDocs")
+    val bp = lineRows.groupBy(col("line"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("line"))
+    val perDoc = lineRows.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+    lineRows.join(bp, Seq("line"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(sep,
+          array_sort(collect_list(struct(col("pos"), col("line"))))
+            .getField("line")).as("text"))
+      .join(perDoc, "doc_id")
+      .select(col("doc_id"), col("text"), col("n_kept"),
+        (col("n_lines") - col("n_kept")).as("n_removed"))
+  }
+
   /** Connected components over a near-duplicate pair graph by iterated
     * partition-local contraction: each round runs a union-find pass inside
     * every partition of the current (shrinking) rep graph, relabels the

@@ -1695,6 +1695,50 @@ object Text {
       |FROM a
       |ORDER BY doc_id""".stripMargin
 
+  // --- q124: C4-style corpus-level boilerplate line removal ----------------
+  // The cleaning rule (Raffel et al. 2020 §2.2 / RefinedWeb line-wise
+  // filters): any "line" occurring in >= 3 distinct documents is
+  // boilerplate and removed from every document; survivors reassemble in
+  // original order (operators.Dedup.removeBoilerplateLines). Lines are the
+  // q123 3-token chunks (the corpus is single-line; the small vocabulary
+  // makes chunk-lines genuinely recur across docs — 292 of 497 surviving
+  // sf0.01 docs lose lines, 3 docs disappear entirely). Text equality is
+  // exact string agreement, so this also proves cross-engine ordering.
+  def q124(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"doc_id").orderBy($"pos")
+    val lineRows = Tables.documents(s, d)
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
+      .withColumn("t1", lead($"tok", 1).over(wOrd))
+      .withColumn("t2", lead($"tok", 2).over(wOrd))
+      .filter($"pos" % 3 === 0 && $"t2".isNotNull)
+      .select($"doc_id", $"pos",
+        concat_ws(" ", $"tok", $"t1", $"t2").as("line"))
+    graft.operators.Dedup.removeBoilerplateLines(lineRows, minDocs = 3)
+      .orderBy($"doc_id")
+  }
+  val q124Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |  FROM documents),
+      |lines AS (
+      |  SELECT doc_id, s.pos AS pos, s.line AS line FROM (
+      |    SELECT doc_id, unnest(list_transform(range(0, len(t) // 3),
+      |      i -> {'pos': i, 'line': t[i*3+1] || ' ' || t[i*3+2] || ' ' || t[i*3+3]})) AS s
+      |    FROM toks WHERE len(t) >= 3)),
+      |bp AS (
+      |  SELECT line FROM (
+      |    SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY 1)
+      |  WHERE nd >= 3),
+      |per_doc AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY 1),
+      |kept AS (SELECT * FROM lines ANTI JOIN bp USING (line))
+      |SELECT k.doc_id, string_agg(k.line, chr(10) ORDER BY k.pos) AS text,
+      |  COUNT(*) AS n_kept, CAST(MIN(p.n_lines) - COUNT(*) AS BIGINT) AS n_removed
+      |FROM kept k JOIN per_doc p ON k.doc_id = p.doc_id
+      |GROUP BY k.doc_id
+      |ORDER BY k.doc_id""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),
@@ -1734,5 +1778,6 @@ object Text {
     ("q117_length_gini", q117 _, Some(q117Sql)),
     ("q119_gopher_repetition", q119 _, Some(q119Sql)),
     ("q120_bm25_search", q120 _, Some(q120Sql)),
-    ("q123_gopher_dup_lines", q123 _, Some(q123Sql)))
+    ("q123_gopher_dup_lines", q123 _, Some(q123Sql)),
+    ("q124_boilerplate_lines", q124 _, Some(q124Sql)))
 }

@@ -127,6 +127,26 @@ class TrainingSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 3L, 1.0, 15L, 15L, 1.0, true)), s"doc3: ${got(3L)}")
   }
 
+  test("boilerplate lines vanish corpus-wide, survivors keep their order") {
+    import spark.implicits._
+    // "cookie banner" appears in docs 1,2,3 (>= 3 docs → boilerplate);
+    // "footer" in only 2 docs (kept); doc 4 is pure boilerplate (drops out)
+    val lineRows = Seq(
+      (1L, 0, "intro"), (1L, 1, "cookie banner"), (1L, 2, "body one"), (1L, 3, "footer"),
+      (2L, 0, "cookie banner"), (2L, 1, "body two"), (2L, 2, "footer"),
+      (3L, 0, "body three"), (3L, 1, "cookie banner"),
+      (4L, 0, "cookie banner")
+    ).toDF("doc_id", "pos", "line")
+    val got = operators.Dedup.removeBoilerplateLines(lineRows, minDocs = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L), s"doc 4 must drop out: ${got.keySet}")
+    assert(got(1L) == (("intro\nbody one\nfooter", 3L, 1L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == (("body two\nfooter", 2L, 1L)), s"doc2: ${got(2L)}")
+    assert(got(3L) == (("body three", 1L, 1L)), s"doc3: ${got(3L)}")
+  }
+
   test("unigram surprisal is positive and rare tokens score above common ones") {
     val rows = SparkEntry.queries("q39_unigram_surprisal")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -1739,6 +1739,53 @@ object Text {
       |GROUP BY k.doc_id
       |ORDER BY k.doc_id""".stripMargin
 
+  // --- q125: DSIR importance resampling (data selection) -------------------
+  // operators.Dsir.importanceWeights over the corpus with target domain
+  // lang='en': top-50 most target-like documents by hashed unigram+bigram
+  // importance weight. Ordering is on the exact integer logw_e9 (1e-9
+  // grid), so the top-k cut is engine-independent down to the doc_id
+  // tiebreak.
+  def q125(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Dsir.importanceWeights(
+        Tables.documents(s, d), isTarget = $"lang" === "en")
+      .orderBy($"logw_e9".desc, $"doc_id")
+      .limit(50)
+  }
+  val q125Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id, unnest(list_concat(
+      |    list_transform(t, x -> 'u|' || x),
+      |    list_transform(range(1, len(t)), i -> 'b|' || t[i] || ' ' || t[i+1]))) AS f
+      |  FROM toks),
+      |dc AS (
+      |  SELECT doc_id, ('0x' || substr(md5(f), 1, 14))::BIGINT % 4096 AS b,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM feats GROUP BY 1, 2),
+      |flags AS (SELECT doc_id, (lang = 'en') AS tgt FROM documents),
+      |bc AS (
+      |  SELECT b,
+      |    CAST(SUM(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS ct,
+      |    CAST(SUM(c) AS BIGINT) AS cr
+      |  FROM dc JOIN flags USING (doc_id) GROUP BY b),
+      |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM bc),
+      |ratio AS (
+      |  SELECT b, CAST(round(
+      |    (ln((ct + 1.0) / (tt + 4096.0)) - ln((cr + 1.0) / (tr + 4096.0))) * 1e9)
+      |    AS BIGINT) AS r9
+      |  FROM bc CROSS JOIN tot)
+      |SELECT dc.doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+      |  CAST(SUM(c * r9) AS BIGINT) AS logw_e9,
+      |  CAST(CAST(SUM(c * r9) AS BIGINT) AS DOUBLE) / 1e9 AS logw
+      |FROM dc JOIN ratio USING (b)
+      |GROUP BY dc.doc_id
+      |ORDER BY logw_e9 DESC, dc.doc_id
+      |LIMIT 50""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),
@@ -1779,5 +1826,6 @@ object Text {
     ("q119_gopher_repetition", q119 _, Some(q119Sql)),
     ("q120_bm25_search", q120 _, Some(q120Sql)),
     ("q123_gopher_dup_lines", q123 _, Some(q123Sql)),
-    ("q124_boilerplate_lines", q124 _, Some(q124Sql)))
+    ("q124_boilerplate_lines", q124 _, Some(q124Sql)),
+    ("q125_dsir_importance", q125 _, Some(q125Sql)))
 }

@@ -147,6 +147,27 @@ class TrainingSpec extends AnyFunSuite {
     assert(got(3L) == (("body three", 1L, 1L)), s"doc3: ${got(3L)}")
   }
 
+  test("DSIR weights rank target-vocabulary docs above off-domain docs") {
+    import spark.implicits._
+    // docs 1-2 define the target domain (alpha/beta vocabulary); doc 3
+    // shares it, doc 4 is off-domain (zeta/eta) — the importance weight
+    // must rank 3 above 4, and the target docs themselves above both... no:
+    // above 4 at least. Weights of the off-domain doc must be negative
+    // (its features are raw-only, so p_T < p_R bucket-wise).
+    val docs = Seq(
+      (1L, "alpha beta alpha beta gamma", true),
+      (2L, "beta alpha beta gamma alpha", true),
+      (3L, "alpha beta gamma alpha beta", false),
+      (4L, "zeta eta theta zeta eta", false)
+    ).toDF("doc_id", "text", "is_en")
+    val got = operators.Dsir.importanceWeights(docs, isTarget = $"is_en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got.size == 4, s"every doc must be scored: $got")
+    assert(got(3L) > got(4L),
+      s"target-vocab doc must outrank off-domain doc: ${got(3L)} vs ${got(4L)}")
+    assert(got(4L) < 0.0, s"pure off-domain doc must weigh negative: ${got(4L)}")
+  }
+
   test("unigram surprisal is positive and rare tokens score above common ones") {
     val rows = SparkEntry.queries("q39_unigram_surprisal")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -1786,6 +1786,68 @@ object Text {
       |ORDER BY logw_e9 DESC, dc.doc_id
       |LIMIT 50""".stripMargin
 
+  // --- q126: CCNet-style perplexity buckets (head/middle/tail per lang) ----
+  // Wenzek et al. 2020 (CCNet): per language, rank documents by LM
+  // perplexity and split into head (most fluent) / middle / tail tertiles
+  // — the bucketing that decides what gets kept, deprioritized, or
+  // dropped. Perplexity proxy = q39's unigram avg-surprisal in its exact
+  // integer form (se4 div n_tokens, a 1e-4-grid int), so the ntile order
+  // (avg4, doc_id) is engine-independent; ntile(3) is standard SQL in
+  // both engines. Bucket labels sort head<middle<tail alphabetically, so
+  // the output order needs no extra key.
+  def q126(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+    val tot = vocab.agg(sum($"c").as("n_total"))
+    val scored = vocab.crossJoin(broadcast(tot))
+      .withColumn("surprisal", round(-log($"c" * lit(1.0) / $"n_total"), 4))
+      .select($"tok", $"surprisal")
+    val perDoc = toks.join(broadcast(scored), "tok")
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(round($"surprisal" * 10000).cast("long")).as("se4"))
+      .withColumn("avg4", expr("se4 div n_tokens"))
+    val w = Window.partitionBy($"lang").orderBy($"avg4", $"doc_id")
+    perDoc.withColumn("t", ntile(3).over(w))
+      .withColumn("bucket",
+        when($"t" === 1, "head").when($"t" === 2, "middle").otherwise("tail"))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        (min($"avg4") / 10000.0).as("min_avg_surprisal"),
+        (max($"avg4") / 10000.0).as("max_avg_surprisal"))
+      .orderBy($"lang", $"bucket")
+  }
+  val q126Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+      |  FROM documents),
+      |vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM vocab),
+      |scored AS (
+      |  SELECT tok, ROUND(-ln(c * 1.0 / n_total), 4) AS surprisal FROM vocab, tot),
+      |per_doc AS (
+      |  SELECT doc_id, lang, COUNT(*) AS n_tokens,
+      |    (CAST(SUM(CAST(ROUND(surprisal * 10000, 0) AS BIGINT)) AS BIGINT)
+      |      // COUNT(*)) AS avg4
+      |  FROM toks JOIN scored USING (tok)
+      |  GROUP BY doc_id, lang),
+      |bucketed AS (
+      |  SELECT lang, n_tokens, avg4,
+      |    CASE ntile(3) OVER (PARTITION BY lang ORDER BY avg4, doc_id)
+      |      WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+      |  FROM per_doc)
+      |SELECT lang, bucket, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  MIN(avg4) / 10000.0 AS min_avg_surprisal,
+      |  MAX(avg4) / 10000.0 AS max_avg_surprisal
+      |FROM bucketed
+      |GROUP BY lang, bucket
+      |ORDER BY lang, bucket""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),
@@ -1827,5 +1889,6 @@ object Text {
     ("q120_bm25_search", q120 _, Some(q120Sql)),
     ("q123_gopher_dup_lines", q123 _, Some(q123Sql)),
     ("q124_boilerplate_lines", q124 _, Some(q124Sql)),
-    ("q125_dsir_importance", q125 _, Some(q125Sql)))
+    ("q125_dsir_importance", q125 _, Some(q125Sql)),
+    ("q126_ccnet_buckets", q126 _, Some(q126Sql)))
 }

@@ -78,4 +78,35 @@ object Dsir {
       .select(col("doc_id"), col("n_feats"), col("logw_e9"),
         (col("logw_e9").cast("double") / lit(1e9)).as("logw"))
   }
+
+  /** The RESAMPLING step of importance resampling: Gumbel-top-k over the
+    * log-weights — drawing k documents WITHOUT replacement with
+    * probability ∝ w(d)^(1/temperature) is exactly taking the k largest
+    * logw/T + Gumbel(0,1) keys (the Gumbel-max trick). The noise is
+    * derived, not drawn: u = hashed-uniform of (seed, doc_id) via the
+    * portable md5 idiom, g = −ln(−ln u) — so the sample is reproducible
+    * across engines and runs, shardable (pure per-row expression, no
+    * global RNG state), and changes wholesale with `seed`.
+    *
+    * Keys stay on the 1e-9 integer grid (g snapped once, like the ratio
+    * table), so the top-k cut point is exact with a doc_id tiebreak.
+    * Plan: one per-row projection + TakeOrderedAndProject — no shuffle
+    * beyond the per-partition top-k merge. */
+  def gumbelTopK(weights: DataFrame, k: Int, seed: String = "dsir",
+      temperature: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    require(temperature > 0, s"temperature must be > 0; got $temperature")
+    val m = 1 << 20
+    val u = (conv(substring(md5(concat_ws("|", lit(seed), col("doc_id"))), 1, 14), 16, 10)
+      .cast("long") % m + lit(0.5)) / lit(m.toDouble)
+    val g9 = round(-log(-log(u)) * lit(1e9)).cast("long")
+    // temperature 1 keeps pure integer addition (no rounding semantics to
+    // align across engines); other temperatures scale the weight first
+    val scaled =
+      if (temperature == 1.0) col("logw_e9")
+      else round(col("logw_e9") / lit(temperature)).cast("long")
+    weights.withColumn("key_e9", scaled + g9)
+      .orderBy(col("key_e9").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -593,6 +593,39 @@ object Events {
       |GROUP BY 1
       |ORDER BY touch""".stripMargin
 
+  // --- q127: streaming freshness observability (A10's streaming twin) ------
+  // Drains the watermarked hourly-trend stream and reports the engine's own
+  // event-time telemetry (StreamingQueryProgress) as data: the high-water
+  // mark, the final watermark, informative-batch count, and the gate
+  // verdict against a monitor clock fixed 1 hour past the high-water mark
+  // (explicit clock = reproducible, like the batch gate's `now`
+  // parameter). Observability is not SQL-expressible, so this entry is
+  // rows-only checked; the value equivalences (progress max == batch
+  // max(ts); Pass/Warn/Fail ladder) are spec'd in StreamingSpec.
+  def q127(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.{StreamingFreshness, Streams}
+    val (_, progress) = Streams.runToMemoryTracked(s,
+      Streams.hourlyTrend(Streams.eventsStream(s, d)), "q127_sink")
+    val informative = progress.map(StreamingFreshness.fromProgress)
+      .filter(_.maxEventTime.isDefined)
+    val latest = informative.lastOption
+    val maxEt = latest.flatMap(_.maxEventTime)
+    val monitorClock = maxEt.map(t => new java.sql.Timestamp(t.getTime + 3600000L))
+    val verdict = monitorClock.map(c => StreamingFreshness.gate(latest, c).message)
+    // a batch's progress carries the watermark IN EFFECT during that batch
+    // (pre-advancement); on a one-batch AvailableNow drain this is the
+    // initial epoch-0 mark — named accordingly
+    Seq((
+      maxEt.map(_.toString).getOrElse("none"),
+      latest.flatMap(_.watermark).map(_.toString).getOrElse("none"),
+      informative.length.toLong,
+      latest.map(_.numInputRows).getOrElse(0L),
+      verdict.getOrElse("fail")
+    )).toDF("max_event_time", "pre_batch_watermark", "n_informative_batches",
+      "last_batch_rows", "gate_at_plus_1h")
+  }
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q24_hourly_trend", q24 _, Some(q24Sql)),
     ("q25_tumbling_window", q25 _, Some(q25Sql)),
@@ -609,5 +642,6 @@ object Events {
     ("q98_event_funnel", q98 _, Some(q98Sql)),
     ("q99_scd2_intervals", q99 _, Some(q99Sql)),
     ("q114_last_touch", q114 _, Some(q114Sql)),
-    ("q121_stream_static_join", q121 _, Some(q121Sql)))
+    ("q121_stream_static_join", q121 _, Some(q121Sql)),
+    ("q127_stream_freshness", q127 _, None))
 }

@@ -1848,6 +1848,59 @@ object Text {
       |GROUP BY lang, bucket
       |ORDER BY lang, bucket""".stripMargin
 
+  // --- q128: DSIR Gumbel-top-k resample (the sampling step) ----------------
+  // operators.Dsir.gumbelTopK over the q125 weights: 50 docs drawn without
+  // replacement with probability ∝ w(d), via hashed-Gumbel keys on the
+  // 1e-9 integer grid — reproducible across engines, no RNG state.
+  def q128(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val weights = graft.operators.Dsir.importanceWeights(
+      Tables.documents(s, d), isTarget = $"lang" === "en")
+    graft.operators.Dsir.gumbelTopK(weights, k = 50)
+  }
+  val q128Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id, unnest(list_concat(
+      |    list_transform(t, x -> 'u|' || x),
+      |    list_transform(range(1, len(t)), i -> 'b|' || t[i] || ' ' || t[i+1]))) AS f
+      |  FROM toks),
+      |dc AS (
+      |  SELECT doc_id, ('0x' || substr(md5(f), 1, 14))::BIGINT % 4096 AS b,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM feats GROUP BY 1, 2),
+      |flags AS (SELECT doc_id, (lang = 'en') AS tgt FROM documents),
+      |bc AS (
+      |  SELECT b,
+      |    CAST(SUM(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS ct,
+      |    CAST(SUM(c) AS BIGINT) AS cr
+      |  FROM dc JOIN flags USING (doc_id) GROUP BY b),
+      |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM bc),
+      |ratio AS (
+      |  SELECT b, CAST(round(
+      |    (ln((ct + 1.0) / (tt + 4096.0)) - ln((cr + 1.0) / (tr + 4096.0))) * 1e9)
+      |    AS BIGINT) AS r9
+      |  FROM bc CROSS JOIN tot),
+      |w AS (
+      |  SELECT dc.doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+      |    CAST(SUM(c * r9) AS BIGINT) AS logw_e9,
+      |    CAST(CAST(SUM(c * r9) AS BIGINT) AS DOUBLE) / 1e9 AS logw
+      |  FROM dc JOIN ratio USING (b)
+      |  GROUP BY dc.doc_id),
+      |g AS (
+      |  SELECT doc_id, n_feats, logw_e9, logw,
+      |    CAST(logw_e9 + CAST(round(-ln(-ln(
+      |      ((('0x' || substr(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+      |        % 1048576) + 0.5) / 1048576.0)) * 1e9) AS BIGINT) AS BIGINT) AS key_e9
+      |  FROM w)
+      |SELECT doc_id, n_feats, logw_e9, logw, key_e9
+      |FROM g
+      |ORDER BY key_e9 DESC, doc_id
+      |LIMIT 50""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),
@@ -1890,5 +1943,6 @@ object Text {
     ("q123_gopher_dup_lines", q123 _, Some(q123Sql)),
     ("q124_boilerplate_lines", q124 _, Some(q124Sql)),
     ("q125_dsir_importance", q125 _, Some(q125Sql)),
-    ("q126_ccnet_buckets", q126 _, Some(q126Sql)))
+    ("q126_ccnet_buckets", q126 _, Some(q126Sql)),
+    ("q128_dsir_resample", q128 _, Some(q128Sql)))
 }

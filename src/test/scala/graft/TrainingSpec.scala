@@ -168,6 +168,26 @@ class TrainingSpec extends AnyFunSuite {
     assert(got(4L) < 0.0, s"pure off-domain doc must weigh negative: ${got(4L)}")
   }
 
+  test("Gumbel-top-k resample is reproducible, seed-sensitive, and weight-biased") {
+    import spark.implicits._
+    // 40 docs: half target-vocab, half off-domain → the ∝w sample must
+    // lean target; identical seeds must give identical samples
+    val docs = (0L until 40L).map { i =>
+      if (i < 20) (i, "alpha beta gamma alpha beta", i < 10) // first 10 define target
+      else (i, "zeta eta theta zeta eta", false)
+    }.toDF("doc_id", "text", "is_tgt")
+    val w = operators.Dsir.importanceWeights(docs, isTarget = $"is_tgt")
+    def sample(seed: String) = operators.Dsir.gumbelTopK(w, k = 10, seed = seed)
+      .select($"doc_id").collect().map(_.getLong(0)).toVector
+    val a = sample("s1"); val b = sample("s1"); val c = sample("s2")
+    assert(a == b, "same seed must reproduce the same sample")
+    assert(a != c, "different seeds must (overwhelmingly) differ")
+    assert(a.size == 10 && a.distinct.size == 10, "k without replacement")
+    val targetVocabHits = a.count(_ < 20)
+    assert(targetVocabHits >= 8,
+      s"∝w sampling must lean target-vocab: only $targetVocabHits/10 of $a")
+  }
+
   test("unigram surprisal is positive and rare tokens score above common ones") {
     val rows = SparkEntry.queries("q39_unigram_surprisal")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

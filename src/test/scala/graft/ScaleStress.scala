@@ -127,6 +127,35 @@ object ScaleStress {
 
     if (!hotOnly) rs.foreach(run)
 
+    // Line-operator stress (round 7): R×100k docs × 20 lines, with one
+    // boilerplate line in EVERY doc and one hot line in 60% of docs —
+    // the corpus-wide count-distinct on `line` sees two keys carrying
+    // 100k-600k×R occurrences each. The partial aggregation on
+    // (line, doc_id) must absorb them map-side; a straggler here would
+    // show as super-linear time growth in R.
+    if (args.contains("--lines")) rs.foreach { r =>
+      val nDocs = 100000L * r
+      val lineRows = spark.range(nDocs).select(col("id").as("doc_id"))
+        .select(col("doc_id"), explode(sequence(lit(0), lit(19))).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          when(col("pos") === 0, lit("accept all cookies to continue"))
+            .when(col("pos") === 1 && col("doc_id") % 10 < 6,
+              lit("home | products | about | contact"))
+            .otherwise(concat(lit("uniq "), col("doc_id"), lit(" "), col("pos"),
+              lit(" body text line"))).as("line"))
+      val ops2: Seq[(String, () => Long)] = Seq(
+        "boilerplate" -> (() =>
+          Dedup.removeBoilerplateLines(lineRows, minDocs = 3).count()),
+        "dup_line_stats" -> (() =>
+          Dedup.duplicateLineRowStats(lineRows).count()))
+      ops2.foreach { case (name, f) =>
+        spark.catalog.clearCache()
+        System.gc()
+        val (n, sec) = time(f())
+        println(f"[scale] R=$r%-2d p=$partitions%-3s $name%-15s rows=$n%-8d sec=$sec%.2f")
+      }
+    }
+
     // Cumulative stage timings for the ngram-Jaccard pipeline (diagnosis
     // aid for time-growth curvature: each stage re-runs its predecessors
     // from cold, so stage deltas attribute growth). Mirrors

@@ -626,6 +626,32 @@ object Events {
       "last_batch_rows", "gate_at_plus_1h")
   }
 
+  // --- q129: incrementally-maintained hourly rollup (materialized view) ----
+  // The streaming-materialized-view loop end-to-end: drain the events
+  // backlog through Rollup.hourlyRollupSink (per-batch partial aggregates
+  // exactly-once-merged into a persistent table), then read the TABLE.
+  // The oracle recomputes the same aggregation from raw events — the
+  // incremental table must equal the from-scratch answer exactly
+  // (decimal-mergeable sums make merge order irrelevant).
+  def q129(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_rollup").toString
+    graft.streaming.Rollup.hourlyRollupSink(s, d,
+      tablePath = s"$base/table", checkpointDir = s"$base/ckpt")
+    s.read.parquet(s"$base/table")
+      .select($"event_type", $"hour_start", $"n_events",
+        $"sum_value".cast("double").as("sum_value"))
+      .orderBy($"event_type", $"hour_start")
+  }
+  val q129Sql: String =
+    """SELECT event_type,
+      |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+      |ORDER BY event_type, hour_start""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q24_hourly_trend", q24 _, Some(q24Sql)),
     ("q25_tumbling_window", q25 _, Some(q25Sql)),
@@ -643,5 +669,6 @@ object Events {
     ("q99_scd2_intervals", q99 _, Some(q99Sql)),
     ("q114_last_touch", q114 _, Some(q114Sql)),
     ("q121_stream_static_join", q121 _, Some(q121Sql)),
-    ("q127_stream_freshness", q127 _, None))
+    ("q127_stream_freshness", q127 _, None),
+    ("q129_incremental_rollup", q129 _, Some(q129Sql)))
 }

@@ -222,6 +222,36 @@ class StreamingSpec extends AnyFunSuite {
       s"expected $expected distinct events, got ${deduped.count()}")
   }
 
+  test("incremental rollup merges batches exactly once across replays") {
+    import graft.streaming.Rollup
+    val base = java.nio.file.Files.createTempDirectory("graft_rollup_spec").toString
+    val table = s"$base/table"
+    val ev = Streams.eventsStream(spark, sf) // batch-shaped: just for schema parity
+    // two half-batches by user parity, delivered as batch ids 0 and 1
+    val evBatch = Tables.events(spark, sf)
+      .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+    val b0 = Rollup.hourlyPartials(evBatch.filter(col("user_id") % 2 === 0))
+    val b1 = Rollup.hourlyPartials(evBatch.filter(col("user_id") % 2 === 1))
+    assert(Rollup.mergeInto(spark, b0, table, Seq("event_type", "hour_start"), 0L))
+    assert(Rollup.mergeInto(spark, b1, table, Seq("event_type", "hour_start"), 1L))
+    // replayed batch (same id) must be a no-op
+    assert(!Rollup.mergeInto(spark, b1, table, Seq("event_type", "hour_start"), 1L),
+      "replayed batch id must be skipped")
+    val got = spark.read.parquet(table)
+      .select(col("event_type"), col("hour_start"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val expected = Rollup.hourlyPartials(evBatch)
+      .select(col("event_type"), col("hour_start"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == expected,
+      s"incremental != from-scratch: ${(got.toSet diff expected.toSet).take(3)}")
+    assert(ev.schema.fieldNames.contains("ts_us"))
+  }
+
   test("streaming freshness gate reads event-time lag from query progress") {
     import graft.streaming.StreamingFreshness
     val (_, progress) = Streams.runToMemoryTracked(spark,

@@ -379,6 +379,63 @@ object Vectors {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // --- q130: kNN label-vote classification (embedding-space eval) ----------
+  // The standard embedding-quality probe: predict each vector's label by
+  // majority vote of its 5 nearest neighbors (cosine, exact brute force),
+  // and report the label confusion matrix. Vote tie-break is fully
+  // deterministic: more votes, then nearer best neighbor (min rank), then
+  // smaller label. Composes Similarity.bruteForceTopK — at scale swap in
+  // ivfTopK and the rest of the query is unchanged. Queries are a
+  // deterministic 10% probe sample (vec_id % 10 == 0): an eval probes, it
+  // does not score the whole corpus — and the probe keeps the per-query
+  // ranking window at 10% of the all-pairs row count.
+  def q130(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter($"vec_id" % 10 === 0)
+    val knn = Similarity.bruteForceTopK(probes, emb, k = 5)
+    val nbrLab = emb.select($"vec_id".as("neighbor_id"), $"label".as("n_label"))
+    val votes = knn.join(nbrLab, "neighbor_id")
+      .groupBy($"query_id", $"n_label")
+      .agg(count(lit(1)).as("votes"), min($"rank").as("best_rank"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"votes".desc, $"best_rank".asc, $"n_label".asc)
+    val pred = votes.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"query_id", $"n_label".as("predicted"))
+    pred.join(probes.select($"vec_id".as("query_id"), $"label".as("true_label")),
+        "query_id")
+      .groupBy($"true_label", $"predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"true_label", $"predicted")
+  }
+  val q130Sql: String =
+    """WITH knn AS (
+      |  SELECT query_id, neighbor_id, rank FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        ROUND(list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+      |          / (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+      |             * sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) DESC,
+      |        c.vec_id) AS rank
+      |    FROM embeddings q JOIN embeddings c
+      |      ON q.vec_id % 10 = 0 AND q.vec_id <> c.vec_id)
+      |  WHERE rank <= 5),
+      |votes AS (
+      |  SELECT k.query_id, e.label AS n_label, COUNT(*) AS votes, MIN(k.rank) AS best_rank
+      |  FROM knn k JOIN embeddings e ON k.neighbor_id = e.vec_id
+      |  GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT query_id, n_label AS predicted FROM (
+      |    SELECT query_id, n_label,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY votes DESC, best_rank ASC, n_label ASC) AS rn
+      |    FROM votes) WHERE rn = 1)
+      |SELECT t.label AS true_label, p.predicted, COUNT(*) AS n
+      |FROM pred p JOIN embeddings t ON p.query_id = t.vec_id
+      |GROUP BY 1, 2
+      |ORDER BY true_label, predicted""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q50_knn_bruteforce", q50 _, Some(q50Sql)),
     ("q51_vector_stats", q51 _, Some(q51Sql)),
@@ -388,6 +445,7 @@ object Vectors {
     ("q56_semantic_dedup", q56 _, Some(q56Sql)),
     ("q57_quantize_int8", q57 _, Some(q57Sql)),
     ("q122_kmeans_train", q122 _, Some(q122Sql)),
+    ("q130_knn_label_vote", q130 _, Some(q130Sql)),
     ("q55_multimodal_decode", q55 _, Some(q55Sql)),
     ("q85_frame_features", q85 _, Some(q85Sql)),
     ("q86_media_resize", q86 _, Some(q86Sql)))

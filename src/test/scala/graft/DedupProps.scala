@@ -86,4 +86,56 @@ object DedupProps extends Properties("graft.dedup") {
       } yield (a, b)).toSet
       got == expect
     }
+
+  // --- round-7 line operators: brute-force equivalence over random corpora --
+
+  // docs as explicit line lists over a tiny line vocabulary, so duplicate
+  // lines (within AND across docs) are common
+  private val linesGen: Gen[List[List[String]]] =
+    Gen.chooseNum(3, 8).flatMap { nDocs =>
+      Gen.listOfN(nDocs, Gen.chooseNum(1, 6).flatMap { nLines =>
+        Gen.listOfN(nLines, Gen.oneOf("aa", "bb", "cc", "dd", "longer line"))
+      })
+    }
+
+  private def lineRowsDf(corpora: List[List[String]]) = {
+    import spark.implicits._
+    corpora.zipWithIndex.flatMap { case (lines, d) =>
+      lines.zipWithIndex.map { case (l, p) => (d.toLong, p, l) }
+    }.toDF("doc_id", "pos", "line")
+  }
+
+  property("duplicateLineRowStats equals brute force on arbitrary corpora") =
+    forAll(linesGen) { corpora =>
+      val got = Dedup.duplicateLineRowStats(lineRowsDf(corpora))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+      val expect = corpora.zipWithIndex.map { case (lines, d) =>
+        val byLine = lines.groupBy(identity).view.mapValues(_.size).toMap
+        val dupLines = byLine.collect { case (_, c) if c >= 2 => c }.sum
+        val chars = lines.map(_.length).sum
+        val dupChars = byLine.collect { case (l, c) if c >= 2 => c * l.length }.sum
+        d.toLong -> (lines.size.toLong, dupLines.toLong, chars.toLong, dupChars.toLong)
+      }.toMap
+      got == expect
+    }
+
+  property("removeBoilerplateLines conserves lines and drops exactly the hot ones") =
+    forAll(linesGen) { corpora =>
+      val minDocs = 2
+      val got = Dedup.removeBoilerplateLines(lineRowsDf(corpora), minDocs = minDocs)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+      val docCount = corpora.zipWithIndex
+        .flatMap { case (lines, d) => lines.distinct.map(_ -> d) }
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val boiler = docCount.collect { case (l, n) if n >= minDocs => l }.toSet
+      val expect = corpora.zipWithIndex.flatMap { case (lines, d) =>
+        val kept = lines.filterNot(boiler)
+        if (kept.isEmpty) None
+        else Some(d.toLong ->
+          (kept.mkString("\n"), kept.size.toLong, (lines.size - kept.size).toLong))
+      }.toMap
+      got == expect
+    }
 }

@@ -1901,6 +1901,80 @@ object Text {
       |ORDER BY key_e9 DESC, doc_id
       |LIMIT 50""".stripMargin
 
+  // --- q131: BPE pair counting (tokenizer-training core op) ----------------
+  // One iteration of byte-pair-encoding training: over the word-frequency
+  // table, count adjacent SYMBOL pairs weighted by word frequency — the
+  // operation a distributed tokenizer trainer runs once per merge. Words
+  // aggregate first (vocab-sized, Heaps' law), so the pair explosion runs
+  // over unique words × word length, not corpus tokens. Top-20 pairs by
+  // (count desc, pair asc) — exact integers, engine-independent.
+  def q131(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("wc"))
+    val wOrd = Window.partitionBy($"w").orderBy($"pos")
+    words
+      .select($"w", $"wc", posexplode(split($"w", "")).as(Seq("pos", "ch")))
+      .withColumn("ch2", lead($"ch", 1).over(wOrd))
+      .filter($"ch2".isNotNull)
+      .select(concat($"ch", lit(" "), $"ch2").as("pair"), $"wc")
+      .groupBy($"pair").agg(sum($"wc").as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(20)
+  }
+  val q131Sql: String =
+    """WITH words AS (
+      |  SELECT w, COUNT(*) AS wc FROM (
+      |    SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+      |    FROM documents)
+      |  GROUP BY w),
+      |pairs AS (
+      |  SELECT w, wc, s[i] || ' ' || s[i+1] AS pair
+      |  FROM (SELECT w, wc, string_split(w, '') AS s FROM words), unnest(range(1, len(s)))  AS t(i))
+      |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+      |FROM pairs
+      |GROUP BY pair
+      |ORDER BY n DESC, pair
+      |LIMIT 20""".stripMargin
+
+  // --- q132: vocabulary coverage curve (tokenizer sizing) ------------------
+  // The cumulative fraction of corpus tokens covered by the top-N most
+  // frequent words — the curve that sizes a tokenizer's vocabulary.
+  // Rank/cumsum over exact integer counts with a word tiebreak; coverage
+  // is a single int/int division (IEEE-exact both engines).
+  def q132(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("wc"))
+    val tot = vocab.agg(sum($"wc").as("n_total"))
+    val wRank = Window.orderBy($"wc".desc, $"w")
+    vocab.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("cum", sum($"wc").over(wRank.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter($"rank" <= 30)
+      .select($"rank", $"w", $"wc", ($"cum" / $"n_total").as("coverage"))
+      .orderBy($"rank")
+  }
+  val q132Sql: String =
+    """WITH vocab AS (
+      |  SELECT w, COUNT(*) AS wc FROM (
+      |    SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+      |    FROM documents)
+      |  GROUP BY w),
+      |tot AS (SELECT CAST(SUM(wc) AS BIGINT) AS n_total FROM vocab),
+      |ranked AS (
+      |  SELECT w, wc,
+      |    ROW_NUMBER() OVER (ORDER BY wc DESC, w) AS rank,
+      |    SUM(wc) OVER (ORDER BY wc DESC, w ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM vocab)
+      |SELECT rank, w, CAST(wc AS BIGINT) AS wc,
+      |  CAST(cum AS BIGINT) / CAST(n_total AS BIGINT) AS coverage
+      |FROM ranked CROSS JOIN tot
+      |WHERE rank <= 30
+      |ORDER BY rank""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),
@@ -1944,5 +2018,7 @@ object Text {
     ("q124_boilerplate_lines", q124 _, Some(q124Sql)),
     ("q125_dsir_importance", q125 _, Some(q125Sql)),
     ("q126_ccnet_buckets", q126 _, Some(q126Sql)),
-    ("q128_dsir_resample", q128 _, Some(q128Sql)))
+    ("q128_dsir_resample", q128 _, Some(q128Sql)),
+    ("q131_bpe_pairs", q131 _, Some(q131Sql)),
+    ("q132_vocab_coverage", q132 _, Some(q132Sql)))
 }

@@ -635,10 +635,19 @@ object Events {
   // (decimal-mergeable sums make merge order irrelevant).
   def q129(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_rollup").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_rollup")
+    // bench sweeps invoke this repeatedly; reclaim each run's table +
+    // checkpoint at JVM exit (the returned DataFrame reads the dir lazily,
+    // so an eager delete here would pull the rug out from under the caller)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.util.Comparator
+      if (java.nio.file.Files.exists(base))
+        java.nio.file.Files.walk(base).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }))
     graft.streaming.Rollup.hourlyRollupSink(s, d,
       tablePath = s"$base/table", checkpointDir = s"$base/ckpt")
-    s.read.parquet(s"$base/table")
+    graft.streaming.Rollup.readRollup(s, s"$base/table")
       .select($"event_type", $"hour_start", $"n_events",
         $"sum_value".cast("double").as("sum_value"))
       .orderBy($"event_type", $"hour_start")

@@ -21,19 +21,25 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   *    result (decimal addition is exact; double addition is not
   *    associative).
   *  - exactly-once across replays: foreachBatch re-delivers a batch after
-  *    checkpoint recovery, and a blind merge would double-count it. A
-  *    per-table ledger of committed batch ids (one marker file per batch,
-  *    written AFTER the table commit) makes [[mergeInto]] idempotent: a
-  *    replayed batch id is a no-op. Marker-after-data ordering means a
-  *    crash between the two re-merges the batch — the ledger converts
-  *    at-least-once delivery into exactly-once table state.
+  *    checkpoint recovery, and a blind merge would double-count it. Each
+  *    merge writes the WHOLE new table state to a fresh versioned
+  *    directory `v_<batchId>`; the `_SUCCESS` marker the Hadoop committer
+  *    writes LAST is simultaneously the data commit and the ledger entry,
+  *    so there is no window in which the table contains a batch that the
+  *    ledger does not know about. A crash mid-write leaves a version dir
+  *    without `_SUCCESS`; the replayed batch overwrites it from the last
+  *    committed version — no double count. Batch ids within one streaming
+  *    checkpoint lineage are monotonically increasing, so
+  *    `batchId <= max(committed versions)` ⇒ already applied (this also
+  *    keeps the check correct after old versions are pruned).
   *
   * Scale: each merge reads the current rollup (keys-cardinality-sized —
   * hours × event types, NOT event-count-sized), unions the batch partials,
-  * and re-aggregates — one shuffle over rollup-sized data per batch. The
-  * write is localCheckpointed first (the read-then-overwrite-same-path
-  * trap: without materialization the overwrite would delete its own
-  * input). Single-writer per table, like [[graft.etl.Upsert]].
+  * and re-aggregates — one shuffle over rollup-sized data per batch.
+  * Because the merge writes to a NEW version dir, it never overwrites its
+  * own input (no materialization barrier needed) and readers of the
+  * previous version are never disturbed mid-write. Old versions are pruned
+  * after each commit. Single-writer per table, like [[graft.etl.Upsert]].
   */
 object Rollup {
 
@@ -48,18 +54,43 @@ object Rollup {
     .agg(count(lit(1)).as("n_events"),
       sum(col("value").cast("decimal(18,2)")).as("sum_value"))
 
-  private def ledgerDir(tablePath: String) = s"$tablePath/_committed_batches"
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def committed(spark: SparkSession, tablePath: String, batchId: Long): Boolean = {
-    val p = new Path(s"${ledgerDir(tablePath)}/$batchId")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  private val VersionDir = "v_(\\d+)".r
+
+  /** Batch ids with a fully committed version dir (`_SUCCESS` present —
+    * the committer writes it after every task file is in place, so its
+    * existence is the atomic commit point). */
+  private def committedVersions(spark: SparkSession, tablePath: String): Seq[Long] = {
+    val root = new Path(tablePath)
+    val f = fs(spark, root)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq.collect {
+      case st if st.isDirectory =>
+        st.getPath.getName match {
+          case VersionDir(id) if f.exists(new Path(st.getPath, "_SUCCESS")) =>
+            Some(id.toLong)
+          case _ => None
+        }
+    }.flatten
   }
 
-  private def markCommitted(spark: SparkSession, tablePath: String, batchId: Long): Unit = {
-    val p = new Path(s"${ledgerDir(tablePath)}/$batchId")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.create(p, true).close()
-  }
+  private def currentVersion(spark: SparkSession, tablePath: String): Option[Long] =
+    committedVersions(spark, tablePath).maxOption
+
+  /** True iff `batchId` is already reflected in the table state. */
+  def committed(spark: SparkSession, tablePath: String, batchId: Long): Boolean =
+    currentVersion(spark, tablePath).exists(_ >= batchId)
+
+  /** The current table state (latest committed version). Empty-schema-less
+    * read is impossible before the first commit — callers drain at least
+    * one batch first; fail loudly otherwise. */
+  def readRollup(spark: SparkSession, tablePath: String): DataFrame =
+    currentVersion(spark, tablePath) match {
+      case Some(v) => spark.read.parquet(s"$tablePath/v_$v")
+      case None => sys.error(s"no committed rollup version under $tablePath")
+    }
 
   /** Merge one batch of partial aggregates into the rollup table at
     * `tablePath`. `keys` are the grouping columns; every other column is
@@ -69,28 +100,33 @@ object Rollup {
       keys: Seq[String], batchId: Long): Boolean = {
     if (committed(spark, tablePath, batchId)) return false
     val aggCols = partials.columns.filterNot(keys.contains)
-    val existing =
-      try spark.read.parquet(tablePath).select(partials.columns.map(col): _*)
-      catch { case e: org.apache.spark.sql.AnalysisException
-          if e.getCondition == "PATH_NOT_FOUND" =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], partials.schema)
-      }
+    val existing = currentVersion(spark, tablePath) match {
+      case Some(v) =>
+        spark.read.parquet(s"$tablePath/v_$v").select(partials.columns.map(col): _*)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], partials.schema)
+    }
     val merged = existing.unionByName(partials)
       .groupBy(keys.map(col): _*)
       .agg(aggCols.map(c => sum(col(c)).as(c)).toSeq.head,
         aggCols.map(c => sum(col(c)).as(c)).toSeq.tail: _*)
-      // materialize BEFORE the overwrite deletes the input files
-      .localCheckpoint(eager = true)
-    merged.write.mode("overwrite").parquet(tablePath)
-    markCommitted(spark, tablePath, batchId)
+    // overwrite cleans any partial leftover of a crashed attempt at this id;
+    // the committer's final _SUCCESS create is the atomic data+ledger commit
+    merged.write.mode("overwrite").parquet(s"$tablePath/v_$batchId")
+    // prune superseded versions (idempotence survives pruning: the check
+    // above is `batchId <= max`, not per-id marker existence)
+    val root = new Path(tablePath)
+    val f = fs(spark, root)
+    committedVersions(spark, tablePath).filter(_ < batchId).foreach { v =>
+      f.delete(new Path(root, s"v_$v"), true)
+    }
     true
   }
 
   /** Drain the events backlog into an incrementally-maintained hourly
     * rollup at `tablePath` (AvailableNow, the reference's catchup=False
     * batch shape). Restart-safe: the streaming checkpoint resumes the
-    * source position, and the batch ledger absorbs any replayed batch. */
+    * source position, and the versioned commit absorbs any replayed batch. */
   def hourlyRollupSink(spark: SparkSession, dir: String, tablePath: String,
       checkpointDir: String, glob: String = "events.parquet",
       maxFilesPerTrigger: Option[Int] = None): Unit = {

@@ -237,7 +237,12 @@ class StreamingSpec extends AnyFunSuite {
     // replayed batch (same id) must be a no-op
     assert(!Rollup.mergeInto(spark, b1, table, Seq("event_type", "hour_start"), 1L),
       "replayed batch id must be skipped")
-    val got = spark.read.parquet(table)
+    // EARLIER batch replays must also be no-ops — the ledger has to survive
+    // later merges (a ledger stored inside an overwritten table path would
+    // fail exactly this)
+    assert(!Rollup.mergeInto(spark, b0, table, Seq("event_type", "hour_start"), 0L),
+      "batch 0's commit record must survive batch 1's merge")
+    val got = Rollup.readRollup(spark, table)
       .select(col("event_type"), col("hour_start"), col("n_events"),
         col("sum_value").cast("double").as("sum_value"))
       .collect().map(r => (r.getString(0), r.getString(1)) ->
@@ -250,6 +255,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected,
       s"incremental != from-scratch: ${(got.toSet diff expected.toSet).take(3)}")
     assert(ev.schema.fieldNames.contains("ts_us"))
+  }
+
+  test("rollup crash mid-write does not double-count the replayed batch") {
+    import graft.streaming.Rollup
+    val base = java.nio.file.Files.createTempDirectory("graft_rollup_crash").toString
+    val table = s"$base/table"
+    val evBatch = Tables.events(spark, sf)
+      .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+    val keys = Seq("event_type", "hour_start")
+    val b0 = Rollup.hourlyPartials(evBatch.filter(col("user_id") % 2 === 0))
+    val b1 = Rollup.hourlyPartials(evBatch.filter(col("user_id") % 2 === 1))
+    assert(Rollup.mergeInto(spark, b0, table, keys, 0L))
+    // simulate a crash DURING batch 1's write: partial task files landed in
+    // the version dir but the committer's _SUCCESS (the atomic commit point)
+    // never did — v_0 is still the committed state (pruning only runs after
+    // a successful commit), and batch 1 must NOT count as applied
+    val torn = new java.io.File(s"$table/v_1")
+    assert(torn.mkdirs())
+    java.nio.file.Files.write(torn.toPath.resolve("part-00000-torn.parquet"),
+      Array[Byte](0, 1, 2, 3))
+    assert(!Rollup.committed(spark, table, 1L),
+      "a version dir without _SUCCESS must not count as committed")
+    // the replayed batch re-merges from the last COMMITTED state (v_0) and
+    // overwrites the torn dir — final table equals the from-scratch answer
+    assert(Rollup.mergeInto(spark, b1, table, keys, 1L),
+      "replay of a torn batch must run")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"), col("hour_start"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(key(Rollup.readRollup(spark, table)) == key(Rollup.hourlyPartials(evBatch)),
+      "torn-write replay must yield the exact from-scratch rollup")
   }
 
   test("streaming freshness gate reads event-time lag from query progress") {

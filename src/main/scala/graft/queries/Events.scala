@@ -595,13 +595,13 @@ object Events {
 
   // --- q127: streaming freshness observability (A10's streaming twin) ------
   // Drains the watermarked hourly-trend stream and reports the engine's own
-  // event-time telemetry (StreamingQueryProgress) as data: the high-water
-  // mark, the final watermark, informative-batch count, and the gate
-  // verdict against a monitor clock fixed 1 hour past the high-water mark
-  // (explicit clock = reproducible, like the batch gate's `now`
-  // parameter). Observability is not SQL-expressible, so this entry is
-  // rows-only checked; the value equivalences (progress max == batch
-  // max(ts); Pass/Warn/Fail ladder) are spec'd in StreamingSpec.
+  // event-time telemetry (StreamingQueryProgress) AS DATA, hash-checked
+  // against the batch table: the progress high-water mark must equal
+  // max(ts) and the summed per-batch input counts must equal count(*).
+  // This turns the observability path into an oracle-checked query — if
+  // the telemetry ever drifts from the data it claims to describe, the
+  // hash compare fails. The non-SQL-expressible parts (watermark ladder,
+  // gate verdict vs a monitor clock) are spec'd in StreamingSpec.
   def q127(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.streaming.{StreamingFreshness, Streams}
@@ -609,22 +609,23 @@ object Events {
       Streams.hourlyTrend(Streams.eventsStream(s, d)), "q127_sink")
     val informative = progress.map(StreamingFreshness.fromProgress)
       .filter(_.maxEventTime.isDefined)
-    val latest = informative.lastOption
-    val maxEt = latest.flatMap(_.maxEventTime)
-    val monitorClock = maxEt.map(t => new java.sql.Timestamp(t.getTime + 3600000L))
-    val verdict = monitorClock.map(c => StreamingFreshness.gate(latest, c).message)
-    // a batch's progress carries the watermark IN EFFECT during that batch
-    // (pre-advancement); on a one-batch AvailableNow drain this is the
-    // initial epoch-0 mark — named accordingly
+    val maxEt = informative.lastOption.flatMap(_.maxEventTime)
+    // the two hash-checkable values the telemetry must agree with the data
+    // on: the event-time high-water mark (progress reports it at ms
+    // precision — epoch ms matches DuckDB's epoch_ms floor of the µs max)
+    // and the total rows the drain ingested (summed across batches, so the
+    // check is batching-independent). Watermark/gate-verdict telemetry is
+    // NOT SQL-expressible and lives in StreamingSpec's severity-ladder and
+    // value-equivalence tests instead.
     Seq((
-      maxEt.map(_.toString).getOrElse("none"),
-      latest.flatMap(_.watermark).map(_.toString).getOrElse("none"),
-      informative.length.toLong,
-      latest.map(_.numInputRows).getOrElse(0L),
-      verdict.getOrElse("fail")
-    )).toDF("max_event_time", "pre_batch_watermark", "n_informative_batches",
-      "last_batch_rows", "gate_at_plus_1h")
+      maxEt.map(_.getTime).getOrElse(-1L),
+      progress.map(p => StreamingFreshness.fromProgress(p).numInputRows).sum
+    )).toDF("max_event_time_ms", "ingested_rows")
   }
+  val q127Sql: String =
+    """SELECT epoch_ms(max(ts)) AS max_event_time_ms,
+      |  CAST(count(*) AS BIGINT) AS ingested_rows
+      |FROM events""".stripMargin
 
   // --- q129: incrementally-maintained hourly rollup (materialized view) ----
   // The streaming-materialized-view loop end-to-end: drain the events
@@ -678,6 +679,6 @@ object Events {
     ("q99_scd2_intervals", q99 _, Some(q99Sql)),
     ("q114_last_touch", q114 _, Some(q114Sql)),
     ("q121_stream_static_join", q121 _, Some(q121Sql)),
-    ("q127_stream_freshness", q127 _, None),
+    ("q127_stream_freshness", q127 _, Some(q127Sql)),
     ("q129_incremental_rollup", q129 _, Some(q129Sql)))
 }

@@ -1943,6 +1943,14 @@ object Text {
   // frequent words — the curve that sizes a tokenizer's vocabulary.
   // Rank/cumsum over exact integer counts with a word tiebreak; coverage
   // is a single int/int division (IEEE-exact both engines).
+  //
+  // Scale shape: a running sum at rank r depends only on rows ranked ≤ r,
+  // so the curve's top-30 prefix is computed by CUTTING first — a
+  // distributed TakeOrderedAndProject over the vocab (per-partition top-30,
+  // driver merge of 30-row heads) — and only then windowing over the
+  // 30 surviving rows. The global-ordered window never sees more than the
+  // display constant, regardless of vocabulary size (TrainingSpec pins
+  // this plan: no full-vocab single-partition window).
   def q132(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val vocab = Tables.documents(s, d)
@@ -1950,10 +1958,10 @@ object Text {
       .groupBy($"w").agg(count(lit(1)).as("wc"))
     val tot = vocab.agg(sum($"wc").as("n_total"))
     val wRank = Window.orderBy($"wc".desc, $"w")
-    vocab.crossJoin(broadcast(tot))
+    vocab.orderBy($"wc".desc, $"w").limit(30)
+      .crossJoin(broadcast(tot))
       .withColumn("rank", row_number().over(wRank))
       .withColumn("cum", sum($"wc").over(wRank.rowsBetween(Window.unboundedPreceding, 0)))
-      .filter($"rank" <= 30)
       .select($"rank", $"w", $"wc", ($"cum" / $"n_total").as("coverage"))
       .orderBy($"rank")
   }

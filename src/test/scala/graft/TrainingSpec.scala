@@ -514,4 +514,31 @@ class TrainingSpec extends AnyFunSuite {
     assert(got.toSeq == expected,
       s"BM25 divergence: got ${got.take(3).toSeq} expected ${expected.take(3)}")
   }
+
+  test("vocab coverage cuts to top-30 BEFORE the global-ordered window") {
+    val df = SparkEntry.queries("q132_vocab_coverage")(spark, sf)
+    // the full vocabulary must be reduced by a distributed
+    // TakeOrderedAndProject first; the single-partition window then runs
+    // over the 30-row display prefix, never the whole vocab
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"no TakeOrderedAndProject in plan:\n$phys")
+    val win = phys.indexOf("Window")
+    val cut = phys.indexOf("TakeOrderedAndProject")
+    assert(win >= 0 && win < cut,
+      s"Window must sit ABOVE the top-30 cut (win=$win cut=$cut):\n$phys")
+    // and the prefix sum over the cut is still the true global prefix sum
+    val rows = df.collect()
+    assert(rows.length == 30)
+    val byRank = rows.map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val cums = rows.map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    val total = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .count()
+    (1 to 30).foreach { r =>
+      val expect = (1 to r).map(byRank).sum.toDouble / total
+      assert(math.abs(cums(r) - expect) < 1e-12,
+        s"rank $r coverage ${cums(r)} != $expect")
+    }
+  }
 }

@@ -1,4 +1,5 @@
 package graft
+import graft.CacheLifecycle.TrackedPersistOps
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 /** Dev utility: time queries (args = names) or dump plans (-plan name). */
@@ -39,7 +40,7 @@ object QTime {
       time("lsh pairs")(println("pairs=" + pairs.count()))
       val pairs2 = operators.Similarity.lshSimilarPairs(emb, 0.4,
           numTables = 6, planesPerTable = 5)
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")).persist()
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")).persistTracked()
       time("lsh pairs persisted")(println("pairs=" + pairs2.count()))
       time("clusterPairs on persisted")(
         println("rows=" + operators.Dedup.clusterPairs(pairs2).count()))
@@ -50,7 +51,7 @@ object QTime {
       time("scan+groupBy(v) count")(
         println("groups=" + li.groupBy(col("l_extendedprice")).count().count()))
       val byVal = li.groupBy(col("l_extendedprice").as("v"))
-        .agg(count(lit(1)).as("c")).persist()
+        .agg(count(lit(1)).as("c")).persistTracked()
       time("byVal persist")(println("n=" + byVal.count()))
       val bounds = byVal.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
       time("bounds")(bounds.collect())

@@ -42,6 +42,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Release each query's operator-persisted intermediates once its
+      // output is on disk — without this the sweep accumulates every
+      // query's cached stages for the session's lifetime (the
+      // CacheLifecycle contract; Bench does the same via clearCache).
+      CacheLifecycle.releaseAll(spark)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

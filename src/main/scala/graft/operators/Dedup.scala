@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheLifecycle.TrackedPersistOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -55,7 +56,7 @@ object Dedup {
     // ~16 bytes/shingle, far smaller than the text — feed both the
     // signature agg and the verification-set agg; LRU-evicted, no caller
     // lifecycle.
-    val shingleRows = shingleHashRows(docs, idCol, textCol, k).persist()
+    val shingleRows = shingleHashRows(docs, idCol, textCol, k).persistTracked()
 
     // The signature agg stays PURE codegen: 64 MIN longs run as a
     // partial+final HashAggregate with map-side combine. Round 2 rode
@@ -82,7 +83,7 @@ object Dedup {
         "doc_id", skewMaxBucket, skewChunk, eagerProbe = eagerSkewProbe)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .distinct()
-      .persist()
+      .persistTracked()
 
     // Exact shingle sets are built ONLY for documents that survived
     // banding: a semi-join on candidate doc ids gates the collect_set, so
@@ -147,7 +148,7 @@ object Dedup {
     val grams = shingleHashRows(docs, idCol, textCol, n)
       .withColumnRenamed("h", "g")
       .distinct()
-      .persist()
+      .persistTracked()
 
     val gramFreq = grams.groupBy("g").agg(count(lit(1)).as("gf"))
     val wDoc = Window.partitionBy(col("doc_id"))
@@ -168,7 +169,7 @@ object Dedup {
     val prefix = ranked
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - 1e-6) + 1)
       .select(col("doc_id"), col("g"), col("sz"), col("gf"))
-      .persist()
+      .persistTracked()
 
     // Skew routing for the prefix self-join: rarest-first ordering keeps
     // posting lists on the low-frequency tail NORMALLY, but a corpus with a
@@ -205,7 +206,7 @@ object Dedup {
         col("sz_a") >= col("sz_b") * threshold)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .distinct()
-      .persist()
+      .persistTracked()
 
     // Same candidate-gating as nearDuplicatePairs: the object-mode
     // collect_set builds sets only for docs that survived the prefix
@@ -248,9 +249,9 @@ object Dedup {
       skewMaxBucket: Int = 4096, skewChunk: Int = 1024,
       eagerSkewProbe: Boolean = false): DataFrame = {
     val ga = shingleHashRows(probe, idCol, textCol, n)
-      .withColumnRenamed("h", "g").distinct().persist()
+      .withColumnRenamed("h", "g").distinct().persistTracked()
     val gb = shingleHashRows(corpus, idCol, textCol, n)
-      .withColumnRenamed("h", "g").distinct().persist()
+      .withColumnRenamed("h", "g").distinct().persistTracked()
 
     val freq = gb.groupBy("g").agg(count(lit(1)).as("gf"))
     val wDoc = Window.partitionBy(col("doc_id"))
@@ -264,7 +265,7 @@ object Dedup {
     val prefix = ranked
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - 1e-6) + 1)
       .select(col("doc_id").as("doc_a"), col("g"), col("gf"))
-      .persist()
+      .persistTracked()
 
     // Skew routing for the probe-prefix ⋈ corpus-posting-list join: this
     // operator's actual use case is CROSS-corpus subsumption, where a gram
@@ -312,7 +313,7 @@ object Dedup {
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-      .persist()
+      .persistTracked()
 
     val setsA = ga.join(candidates.select(col("doc_a").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
@@ -630,7 +631,7 @@ object Dedup {
       explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("sh64"),
         col("band.bpos").as("bpos"), col("band.bval").as("bval"))
-      .persist()
+      .persistTracked()
     banded.as("a")
       .join(banded.as("b"),
         col("a.bpos") === col("b.bpos") && col("a.bval") === col("b.bval") &&

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheLifecycle.TrackedPersistOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -60,7 +61,7 @@ object Dsir {
         (conv(substring(md5(col("f")), 1, 14), 16, 10).cast("long") % buckets).as("b"))
       .groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).as("c"))
-      .persist()
+      .persistTracked()
     val flags = docs.select(col(idCol).as("doc_id"), isTarget.as("tgt"))
     val bc = dc.join(flags, "doc_id")
       .groupBy(col("b"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheLifecycle.TrackedPersistOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -47,7 +48,7 @@ object EquiDepth {
     // the rows vanished from the output while still inflating N — every
     // bucket boundary shifted.)
     val byVal = df.where(valueCol.isNotNull)
-      .groupBy(valueCol.as("v")).agg(count(lit(1)).as("c")).persist()
+      .groupBy(valueCol.as("v")).agg(count(lit(1)).as("c")).persistTracked()
     val bounds = byVal.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
     // monotone slice id: equal lo/hi (degenerate domain) collapses to slice 0
     val sliced = byVal.crossJoin(broadcast(bounds))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheLifecycle.TrackedPersistOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -61,7 +62,7 @@ object Similarity {
       l2Norm(col("embedding")).as("c_norm"))
     val nQ = if (queryCountHint >= 0L) queryCountHint else q.count()
     val nShards = math.max(1L, (nQ + maxBroadcastQueries - 1) / maxBroadcastQueries).toInt
-    val qSrc = if (nShards == 1) q else q.persist()
+    val qSrc = if (nShards == 1) q else q.persistTracked()
     val scored = (0 until nShards).map { s =>
       val shard =
         if (nShards == 1) qSrc
@@ -184,18 +185,26 @@ object Similarity {
     *    (the repo-wide portable-mean convention, see q52).
     * Empty cells drop out (both engines agree on which).
     *
-    * Lineage depth grows linearly with `iters` (iteration i's centroid agg
-    * is a subplan of iteration i+1); the corpus is scanned iters+1 times
-    * total — callers should persist/checkpoint `corpus` for large `iters`.
+    * Iteration hygiene (what keeps per-iteration cost FLAT in `iters`):
+    *  - the embedding projection is persisted once (tracked — released by
+    *    the session owner via [[graft.CacheLifecycle.releaseAll]]), so
+    *    iteration i reads the cache instead of rescanning the corpus;
+    *  - each iteration's centroid table (k×dim values — tiny) is eagerly
+    *    localCheckpointed, truncating the lineage that would otherwise
+    *    nest iteration i's whole plan inside iteration i+1's and make both
+    *    planning time and any recompute grow linearly with `iters`.
+    *    ScaleStress `--kmeans` measures the flatness.
     *
     * @return (cell: long, centroid: array<double>) — feed `corpus` joined
     *         on [[assignKMeansCells]]'s `cell` into [[ivfTopK]]'s `cellCol`
     */
   def trainKMeansCells(corpus: DataFrame, k: Int, iters: Int,
       initCells: Option[DataFrame] = None): DataFrame = {
+    import graft.CacheLifecycle.TrackedPersistOps
     require(k >= 1, s"k must be >= 1; got $k")
     require(iters >= 0, s"iters must be >= 0; got $iters")
     val emb = corpus.select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+      .persistTracked()
     val seeds = initCells.getOrElse(
       emb.orderBy(col("vec_id")).limit(k)
         .select(col("vec_id").cast("long").as("cell"), col("embedding").as("centroid")))
@@ -209,6 +218,7 @@ object Similarity {
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("cv"))))
           .getField("cv").as("centroid"))
+        .localCheckpoint(true)
     }
   }
 

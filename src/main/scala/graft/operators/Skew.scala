@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheLifecycle.TrackedPersistOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -154,7 +155,7 @@ object Skew {
     val byBucket = Window.partitionBy(bucketCols.map(col): _*)
     val keyed = rows
       .withColumn("__bn", count(lit(1)).over(byBucket))
-      .persist()
+      .persistTracked()
     val bigSide = keyed.filter(col("__bn") > maxBucketRows)
     if (eagerProbe && bigSide.isEmpty)
       return plainPairs(keyed.drop("__bn"), bucketCols, idCol, payload)
@@ -195,8 +196,8 @@ object Skew {
       eagerProbe: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byBucket = Window.partitionBy(bucketCols.map(col): _*)
-    val lk = left.withColumn("__cnl", count(lit(1)).over(byBucket)).persist()
-    val rk = right.withColumn("__cnr", count(lit(1)).over(byBucket)).persist()
+    val lk = left.withColumn("__cnl", count(lit(1)).over(byBucket)).persistTracked()
+    val rk = right.withColumn("__cnr", count(lit(1)).over(byBucket)).persistTracked()
     // Hot list with BOTH sides' chunk counts, even when only one side is
     // big. Per-bucket size tables reduce each cache without an exchange
     // (already bucket-partitioned); the inner join also drops buckets

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.CacheLifecycle.TrackedPersistOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -276,7 +277,7 @@ object Text {
     val docs = Tables.documents(s, d)
     val tc = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-      .persist()
+      .persistTracked()
     val df = tc.groupBy($"tok").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tc.join(df, "tok").crossJoin(n)
@@ -505,7 +506,7 @@ object Text {
     // persist so the regex tokenize runs once
     val toks = Tables.documents(s, d)
       .select(explode(tokens($"text")).as("tok"))
-      .persist()
+      .persistTracked()
     val cms = toks
       .select(explode(array((0 until D).map(i =>
         struct(lit(i).as("r"), bucket(i, $"tok").as("b"))): _*)).as("rb"))

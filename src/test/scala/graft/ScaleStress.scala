@@ -156,6 +156,25 @@ object ScaleStress {
       }
     }
 
+    // k-means trainer flatness (round-7 verdict #5): cumulative train time
+    // at iters=1,2,4,8 over the replicated embeddings. With the persisted
+    // embedding projection + per-iteration centroid checkpoint, time must
+    // grow LINEARLY in iters (flat per-iteration deltas); super-linear
+    // growth would mean lineage is re-nesting or the corpus is rescanned
+    // from parquet each round.
+    if (args.contains("--kmeans")) rs.foreach { r =>
+      val (_, eDir) = gen(r)
+      val emb = spark.read.parquet(eDir)
+      Seq(1, 2, 4, 8).foreach { iters =>
+        CacheLifecycle.releaseAll(spark)
+        spark.catalog.clearCache()
+        System.gc()
+        val (n, sec) = time(
+          Similarity.trainKMeansCells(emb, k = 64, iters = iters).count())
+        println(f"[scale] R=$r%-2d p=$partitions%-3s kmeans_i$iters%-10s rows=$n%-8d sec=$sec%.2f")
+      }
+    }
+
     // Cumulative stage timings for the ngram-Jaccard pipeline (diagnosis
     // aid for time-growth curvature: each stage re-runs its predecessors
     // from cold, so stage deltas attribute growth). Mirrors

@@ -397,6 +397,69 @@ object Dedup {
         min(when(col("is_dup") === 1, col("pos"))).as("first_dup_pos"))
   }
 
+  /** Exact substring-dedup with span REMOVAL — the action step completing
+    * [[duplicateSpanStats]]'s detection (Lee et al. 2022, arXiv:2107.06499
+    * "Deduplicating Training Data Makes Language Models Better",
+    * re-expressed relationally; cf. PAPERS.md): every k-token span
+    * appearing in ≥ 2 distinct documents keeps its occurrence in ONE
+    * canonical document (the smallest doc_id containing the span — a
+    * deterministic, engine-portable choice) and is removed everywhere
+    * else; surviving tokens are reassembled in original order. A token is
+    * removed when ANY duplicated non-canonical span covers it, so
+    * overlapping duplicated regions excise as one contiguous cut, like the
+    * suffix-array original.
+    *
+    * Returns (doc_id, text, n_kept, n_removed). Documents shorter than k
+    * tokens carry no spans and pass through intact; documents whose every
+    * token is covered drop out (mirroring [[removeBoilerplateLines]]).
+    *
+    * Scale: grams shuffle once on a bounded 16-hex fingerprint; the
+    * duplicated-span table (fp, canon) reuses that exchange; coverage
+    * explodes duplicated starts ×k (k small, linear) and dedups on
+    * doc-prefixed (doc_id, tp); the anti join and reassembly shuffle on
+    * doc_id. Linear in corpus grams end-to-end — no all-pairs product, the
+    * property that lets the suffix-array algorithm scale and that this
+    * relational restatement preserves.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    // one explode serves both the token table and the gram table: grams
+    // are built with lead() windows over the exploded rows (codegen'd),
+    // not array HOFs (interpreted — measured 4x slower, PLANS.md r6)
+    val toks = docs
+      .select(col(idCol).as("doc_id"), posexplode(tokens(col(textCol))).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("tp"), col("tok"))
+      .persistTracked()
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("tp"))
+    val withLeads = (1 until k).foldLeft(toks)((df, i) =>
+      df.withColumn(s"t$i", lead(col("tok"), i).over(wOrd)))
+    // consumed twice (duplicate-span table + coverage join) — cache the
+    // windowed gram rows rather than re-running the per-doc window
+    val grams = withLeads
+      .filter(col(s"t${k - 1}").isNotNull)
+      .select(col("doc_id"), col("tp").as("pos"),
+        substring(md5(concat_ws(" ",
+          col("tok") +: (1 until k).map(i => col(s"t$i")): _*)), 1, 16).as("fp"))
+      .persistTracked()
+    val dup = grams.groupBy(col("fp"))
+      .agg(count_distinct(col("doc_id")).as("nd"), min(col("doc_id")).as("canon"))
+      .filter(col("nd") >= 2)
+      .select(col("fp"), col("canon"))
+    val covered = grams.join(dup, "fp")
+      .filter(col("doc_id") =!= col("canon"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
+      .distinct()
+    val total = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"))
+    toks.join(covered, Seq("doc_id", "tp"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", array_sort(collect_list(struct(col("tp"), col("tok"))))
+          .getField("tok")).as("text"))
+      .join(total, "doc_id")
+      .select(col("doc_id"), col("text"), col("n_kept"),
+        (col("n_toks") - col("n_kept")).as("n_removed"))
+  }
+
   /** Gopher line-level repetition rules (Rae et al. 2021, table A1 — the
     * line-granularity complement of the n-gram families in
     * queries.Text.q119): the fraction of a document's line occurrences

@@ -1984,6 +1984,53 @@ object Text {
       |WHERE rank <= 30
       |ORDER BY rank""".stripMargin
 
+  // --- q133: exact substring dedup with span REMOVAL -----------------------
+  // Completes the Lee et al. 2022 pipeline q48 only detects: duplicated
+  // 5-token spans keep their canonical (min doc_id) occurrence and are cut
+  // from every other document, with surviving tokens reassembled in order.
+  // The oracle rebuilds the exact post-removal text per doc, so the hash
+  // check proves cut placement, overlap merging, and reassembly order —
+  // not just counts — agree across engines (the q124 convention).
+  def q133(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text", k = 5)
+      .orderBy($"doc_id")
+  }
+  val q133Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS s
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, i AS tp, s[i] AS tok
+      |  FROM (SELECT doc_id, s, unnest(range(1, len(s) + 1)) AS i FROM base)
+      |), grams AS (
+      |  SELECT doc_id, i AS pos,
+      |    substr(md5(s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] || ' ' || s[i+4]),
+      |           1, 16) AS fp
+      |  FROM (SELECT doc_id, s, unnest(range(1, len(s) - 3)) AS i
+      |        FROM base WHERE len(s) >= 5)
+      |), dup AS (
+      |  SELECT fp, MIN(doc_id) AS canon FROM grams
+      |  GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+      |), covered AS (
+      |  SELECT DISTINCT g.doc_id, g.pos + o AS tp
+      |  FROM grams g JOIN dup d ON g.fp = d.fp AND g.doc_id <> d.canon,
+      |       unnest(range(0, 5)) AS t(o)
+      |), tot AS (
+      |  SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id
+      |), kept AS (
+      |  SELECT t.doc_id, t.tp, t.tok
+      |  FROM toks t ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.tp = c.tp
+      |)
+      |SELECT k.doc_id,
+      |  string_agg(k.tok, ' ' ORDER BY k.tp) AS text,
+      |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  CAST(ANY_VALUE(tot.n_toks) - COUNT(*) AS BIGINT) AS n_removed
+      |FROM kept k JOIN tot ON k.doc_id = tot.doc_id
+      |GROUP BY k.doc_id
+      |ORDER BY k.doc_id""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),
@@ -2029,5 +2076,6 @@ object Text {
     ("q126_ccnet_buckets", q126 _, Some(q126Sql)),
     ("q128_dsir_resample", q128 _, Some(q128Sql)),
     ("q131_bpe_pairs", q131 _, Some(q131Sql)),
-    ("q132_vocab_coverage", q132 _, Some(q132Sql)))
+    ("q132_vocab_coverage", q132 _, Some(q132Sql)),
+    ("q133_span_removal", q133 _, Some(q133Sql)))
 }

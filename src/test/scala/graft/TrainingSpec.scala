@@ -515,6 +515,30 @@ class TrainingSpec extends AnyFunSuite {
       s"BM25 divergence: got ${got.take(3).toSeq} expected ${expected.take(3)}")
   }
 
+  test("span removal keeps the canonical copy and excises overlapping spans as one cut") {
+    import spark.implicits._
+    // doc 1 is canonical (smallest id) for the shared 6-token run; docs 2
+    // and 3 repeat it with different surroundings; doc 4 is clean; doc 5
+    // is shorter than k and must pass through untouched
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta ONE unique tail here now"),
+      (2L, "TWO head alpha beta gamma delta epsilon zeta and more text"),
+      (3L, "alpha beta gamma delta epsilon zeta THREE something else entirely"),
+      (4L, "totally different content with no repeated spans at all ok"),
+      (5L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val got = operators.Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1 keeps everything: it is canonical for every duplicated gram
+    assert(got(1L) == (("alpha beta gamma delta epsilon zeta one unique tail here now", 11L, 0L)))
+    // docs 2/3: the shared 6-token run carries two overlapping duplicated
+    // 5-grams — their union (all 6 tokens) excises as ONE contiguous cut
+    assert(got(2L) == (("two head and more text", 5L, 6L)))
+    assert(got(3L) == (("three something else entirely", 4L, 6L)))
+    assert(got(4L)._3 == 0L, "clean doc must lose nothing")
+    assert(got(5L) == (("tiny doc", 2L, 0L)), "sub-k doc passes through")
+  }
+
   test("vocab coverage cuts to top-30 BEFORE the global-ordered window") {
     val df = SparkEntry.queries("q132_vocab_coverage")(spark, sf)
     // the full vocabulary must be reduced by a distributed

@@ -85,11 +85,21 @@ object Dedup {
       .distinct()
       .persistTracked()
 
-    // Exact shingle sets are built ONLY for documents that survived
-    // banding: a semi-join on candidate doc ids gates the collect_set, so
-    // the object-mode agg state is proportional to |candidate docs| ≪
-    // corpus — the 100 TB shape. AQE broadcasts the candidate side of the
-    // semi-join and verification joins when it is small.
+    exactJaccardRerank(shingleRows, candidates, threshold)
+  }
+
+  /** Exact-Jaccard verification of a candidate pair set against per-doc
+    * shingle hashes — the rerank tail of [[nearDuplicatePairs]], shared
+    * with the streaming candidate generator
+    * ([[graft.streaming.Streams.streamingNearDupCandidates]]).
+    *
+    * Exact shingle sets are built ONLY for documents that appear in a
+    * candidate pair: a semi-join on candidate doc ids gates the
+    * collect_set, so the object-mode agg state is proportional to
+    * |candidate docs| ≪ corpus — the 100 TB shape. AQE broadcasts the
+    * candidate side of the semi-join and verification joins when small. */
+  private[graft] def exactJaccardRerank(shingleRows: DataFrame,
+      candidates: DataFrame, threshold: Double): DataFrame = {
     val candDocs = candidates.select(col("doc_a").as("doc_id"))
       .union(candidates.select(col("doc_b").as("doc_id")))
       .distinct()

@@ -2031,6 +2031,22 @@ object Text {
       |GROUP BY k.doc_id
       |ORDER BY k.doc_id""".stripMargin
 
+  // --- q134: streaming incremental near-dup --------------------------------
+  // The q45 pair set produced INCREMENTALLY: documents stream through a
+  // per-row MinHash projection into band buckets whose RocksDB ListState
+  // emits candidate pairs on collision (Streams.streamingNearDupCandidates),
+  // then the shared exact-Jaccard rerank verifies survivors. Because the
+  // streaming signatures reproduce the batch banding bit-for-bit, the
+  // result hash-equals q45's brute-force all-pairs oracle — the check that
+  // the incremental path loses nothing relative to the batch operator.
+  def q134(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cand = graft.streaming.Streams.streamingNearDupCandidates(s, d)
+    val sh = Dedup.shingleHashRows(Tables.documents(s, d), "doc_id", "text", 3)
+    Dedup.exactJaccardRerank(sh, cand, 0.6)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),
@@ -2077,5 +2093,6 @@ object Text {
     ("q128_dsir_resample", q128 _, Some(q128Sql)),
     ("q131_bpe_pairs", q131 _, Some(q131Sql)),
     ("q132_vocab_coverage", q132 _, Some(q132Sql)),
-    ("q133_span_removal", q133 _, Some(q133Sql)))
+    ("q133_span_removal", q133 _, Some(q133Sql)),
+    ("q134_stream_neardup", q134 _, Some(q45Sql)))
 }

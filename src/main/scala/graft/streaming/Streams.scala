@@ -287,6 +287,134 @@ object Streams {
     .withWatermark("ts_us", watermark)
     .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming incremental near-duplicate candidate generation — the
+    * continuous form of [[graft.operators.Dedup.nearDuplicatePairs]]'s
+    * banding: documents arrive as a stream, each computes its MinHash
+    * signature in a PER-ROW projection (no shuffle, no window — the price
+    * of not having the batch's 64-column MIN aggregation is an interpreted
+    * per-row fold over the doc's shingles, linear and embarrassingly
+    * parallel), explodes into its 32 band buckets, and a
+    * [[BandBucketProcessor]] keyed on (band, bucket-hash) holds the doc
+    * ids seen so far in RocksDB ListState, emitting a candidate pair the
+    * moment a new arrival collides with any prior occupant. Signatures
+    * reproduce the batch operator bit-for-bit (same shingle hash, same
+    * per-permutation xxhash64, same band hash), so the drained candidate
+    * set equals batch banding's and the exact-Jaccard rerank
+    * ([[graft.operators.Dedup.exactJaccardRerank]]) yields the identical
+    * oracle-checkable pair set — q134 hash-checks this against the q45
+    * brute-force oracle.
+    *
+    * Scale: state per bucket is the bucket's doc-id list — the same
+    * population the batch self-join sees; emission per arrival is
+    * |bucket| pairs. A production deployment would cap per-bucket state
+    * (route buckets past the cap to the batch skew path, as
+    * Skew.hybridBucketPairs does) and TTL-expire buckets once the corpus
+    * window closes; the mechanism here is the uncapped core.
+    *
+    * Returns the DISTINCT drained candidate pairs (doc_a < doc_b). */
+  final class BandBucketProcessor
+      extends StatefulProcessor[(Int, Long), (Int, Long, Long), (Long, Long)] {
+    @transient private var seen: org.apache.spark.sql.streaming.ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[Long]("docs", SEncoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: (Int, Long), rows: Iterator[(Int, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long)] = {
+      val incoming = rows.map(_._3).toArray.distinct.sorted
+      val prior = seen.get().toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var i = 0
+      while (i < incoming.length) {
+        val d = incoming(i)
+        prior.foreach(p => if (p != d) out += (if (p < d) (p, d) else (d, p)))
+        var j = 0
+        while (j < i) { out += ((incoming(j), d)); j += 1 }
+        i += 1
+      }
+      seen.appendList(incoming)
+      out.iterator
+    }
+  }
+
+  def streamingNearDupCandidates(spark: SparkSession, dir: String,
+      glob: String = "documents.parquet", k: Int = 3,
+      numPerm: Int = 64, bands: Int = 32,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val rowsPerBand = numPerm / bands
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    // Tokenization stays Catalyst (tokens = the repo-wide normalizeText +
+    // split — reimplementing its regex/lowercase semantics in Scala would
+    // risk divergence); everything downstream — k-gram join, shingle hash,
+    // 64 per-permutation minima, 32 band hashes — runs in ONE typed
+    // flatMap over the SAME XXH64 kernel the xxhash64 expression uses.
+    // Spark evaluates xxhash64(a, b, ...) as a left fold over the children
+    // with seed 42, hashing each by ITS type: a String goes through
+    // hashUTF8String, an Int literal through hashInt, a long column
+    // through hashLong — so gram hash = hashUTF8String(gram, 42),
+    // seed_i = hashInt(i, 42), and the band fold reproduce the batch
+    // operator bit-for-bit (StreamingSpec proves candidate-set EQUALITY
+    // against Dedup.nearDuplicatePairs at threshold 0). Earlier drafts
+    // computed this in Catalyst HOFs: 64 array_min(transform(...)) columns
+    // ran interpreted ×64 passes per doc (minutes at sf0.1), and even the
+    // single shingle-hash transform cost ~1s of interpreted lambda evals —
+    // the fused JVM loop is one pass over each doc's tokens.
+    val toksDs = reader.parquet(dir)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id").as[Long], col("toks").as[Seq[String]])
+    val permSeeds = Array.tabulate(numPerm)(i =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, 42L))
+    val nb = bands
+    val rpb = rowsPerBand
+    val banded = toksDs.flatMap { case (docId, toks) =>
+      import org.apache.spark.sql.catalyst.expressions.XXH64.{hashLong, hashUTF8String}
+      val mins = Array.fill(numPerm)(Long.MaxValue)
+      val arr = toks.toArray
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j + k <= arr.length) {
+        sb.setLength(0)
+        var t = 0
+        while (t < k) {
+          if (t > 0) sb.append(' ')
+          sb.append(arr(j + t))
+          t += 1
+        }
+        val h = hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString), 42L)
+        var i = 0
+        while (i < numPerm) {
+          val v = hashLong(h, permSeeds(i))
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+        j += 1
+      }
+      (0 until nb).map { b =>
+        var bh = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(b, 42L)
+        var r = 0
+        while (r < rpb) { bh = hashLong(mins(b * rpb + r), bh); r += 1 }
+        (b, bh, docId)
+      }
+    }
+    val pairs = banded
+      .groupByKey(r => (r._1, r._2))
+      .transformWithState(new BandBucketProcessor, TimeMode.None(), OutputMode.Append())
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runDatasetToMemory(spark, pairs, "neardup_cand_stream", OutputMode.Append())
+      .toDF("doc_a", "doc_b").distinct()
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Streaming insert-if-absent sink: each micro-batch goes through the
     * same anti-join upsert as the batch pipeline (A8), making the sink
     * idempotent — exactly-once results even when a batch replays after a

@@ -290,6 +290,38 @@ class StreamingSpec extends AnyFunSuite {
       "torn-write replay must yield the exact from-scratch rollup")
   }
 
+  test("incremental near-dup collides across micro-batches with no lost pairs") {
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_stream").toString
+    val docs = Tables.documents(spark, sf)
+    // two half-corpora delivered as SEPARATE micro-batches: pairs that
+    // straddle the halves can only be found through the band-bucket state
+    // carried from batch 1 into batch 2. The file-stream glob matches
+    // FILES, so stage each half and move its single part file into place.
+    Seq(("half_a", 0), ("half_b", 1)).foreach { case (name, parity) =>
+      val stage = s"$dir/_stage_$name"
+      docs.filter(col("doc_id") % 2 === parity).coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    val got = Streams.streamingNearDupCandidates(spark, dir,
+        glob = "half_*.parquet", maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // oracle: the batch operator's full candidate set (threshold 0 keeps
+    // every banded pair) over the SAME corpus — bit-identical signatures
+    // mean set equality, not just overlap
+    val want = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"streaming candidates diverge: missing=${(want diff got).take(3)} extra=${(got diff want).take(3)}")
+    val crossBatch = got.count { case (a, b) => a % 2 != b % 2 }
+    assert(crossBatch > 0,
+      "no cross-half pairs — the state never collided across batches")
+  }
+
   test("streaming freshness gate reads event-time lag from query progress") {
     import graft.streaming.StreamingFreshness
     val (_, progress) = Streams.runToMemoryTracked(spark,

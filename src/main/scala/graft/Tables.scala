@@ -57,16 +57,24 @@ object Tables {
     normalizeEventsTs(loadEventsRaw(s, d))
 
   /** Raw read of events.parquet. If the file is legacy TIMESTAMP(NANOS),
-    * the plain read fails schema conversion; retry with the nanosAsLong
-    * flag (which then yields the long form directly). The flag is scoped
-    * to that fallback branch — it stays set only when the data actually
-    * IS nanos, in which case it is required for execution too. */
+    * the plain read fails schema conversion with the PARQUET_TYPE_ILLEGAL
+    * error condition naming a NANOS type; retry with the nanosAsLong flag
+    * (which then yields the long form directly). The match is on the
+    * typed error condition — not a free-text message sniff, which could
+    * both false-positive on unrelated errors mentioning "nanos" and
+    * false-negative if the wording changes. The flag is set on a CLONED
+    * session so the caller's session conf is never mutated; the returned
+    * DataFrame executes under the clone, where the flag must stay set for
+    * the scan itself (it no-ops for non-NANOS files, so downstream plan
+    * reuse of the clone is safe). */
   private def loadEventsRaw(s: SparkSession, d: String): DataFrame =
     try load(s, d, "events")
-    catch { case e: Exception if e.getMessage != null &&
-        e.getMessage.toLowerCase.contains("nanos") =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      load(s, d, "events")
+    catch { case e: org.apache.spark.sql.AnalysisException
+        if e.getCondition == "PARQUET_TYPE_ILLEGAL" &&
+          e.getMessage.contains("NANOS") =>
+      val legacy = s.newSession()
+      legacy.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      load(legacy, d, "events")
     }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -275,4 +275,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.conf.getOption(advisoryKey) == advisoryBefore,
       "advisory-size override leaked into the session")
   }
+
+  test("legacy TIMESTAMP(NANOS) events load via typed fallback without mutating the session") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nanos").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("src/test/resources/events_nanos.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val flag = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(flag)
+    val ev = Tables.events(spark, dir)
+    // the nanos file surfaces as the canonical long epoch-ns form
+    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    val ts = ev.orderBy("event_id").select("ts").collect().map(_.getLong(0))
+    // fixture row 1 = 2024-01-01T00:00:00 UTC, +1 minute per row
+    val epoch0 = 1704067200L * 1000000000L
+    assert(ts.toSeq == (0 until 5).map(i => epoch0 + i * 60L * 1000000000L),
+      s"wrong nanos values: ${ts.toSeq}")
+    // the fallback must run on a cloned session — the caller's conf stays
+    // untouched (the round-7 ADVICE scoping contract)
+    assert(spark.conf.getOption(flag) == before,
+      "nanosAsLong leaked into the calling session")
+  }
 }

@@ -120,6 +120,38 @@ object DedupProps extends Properties("graft.dedup") {
       got == expect
     }
 
+  property("removeDuplicateSpans equals a brute-force reconstruction") =
+    forAll(corpusGen) { texts =>
+      import spark.implicits._
+      val k = 3
+      val norm = texts.map(_.toLowerCase.trim.replaceAll("\\s+", " ").split(" ").toVector)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = k)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+      // brute force: duplicated k-grams (>= 2 distinct docs), canonical =
+      // min doc id; a token is cut when any non-canonical dup gram covers it
+      val grams = norm.zipWithIndex.flatMap { case (toks, d) =>
+        toks.sliding(k).filter(_.length == k).map(_.mkString(" ") -> d)
+      }
+      val canon = grams.groupBy(_._1).view
+        .mapValues(_.map(_._2).distinct).toMap
+        .collect { case (g, ds) if ds.size >= 2 => g -> ds.min }
+      val expect = norm.zipWithIndex.flatMap { case (toks, d) =>
+        val covered = Array.fill(toks.length)(false)
+        toks.sliding(k).zipWithIndex.foreach { case (w, j) =>
+          if (w.length == k && canon.get(w.mkString(" ")).exists(_ != d))
+            (j until j + k).foreach(covered(_) = true)
+        }
+        val kept = toks.indices.filterNot(covered).map(toks)
+        if (kept.isEmpty) None
+        else Some(d.toLong ->
+          (kept.mkString(" "), kept.size.toLong, (toks.length - kept.size).toLong))
+      }.toMap
+      got == expect
+    }
+
   property("removeBoilerplateLines conserves lines and drops exactly the hot ones") =
     forAll(linesGen) { corpora =>
       val minDocs = 2

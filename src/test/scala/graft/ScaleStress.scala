@@ -156,6 +156,22 @@ object ScaleStress {
       }
     }
 
+    // Span-removal linearity (round 8): replicas are token-renamed and
+    // therefore gram-disjoint, so duplicated spans exist only WITHIN a
+    // replica and both the dup-span table and the removal output grow
+    // exactly linearly in R — measured super-linear growth would indicate
+    // the coverage explode or the reassembly shuffle is misbehaving.
+    if (args.contains("--spans")) rs.foreach { r =>
+      val (dDir, _) = gen(r)
+      val docs = spark.read.parquet(dDir)
+      CacheLifecycle.releaseAll(spark)
+      spark.catalog.clearCache()
+      System.gc()
+      val (n, sec) = time(
+        Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 5).count())
+      println(f"[scale] R=$r%-2d p=$partitions%-3s span_removal    rows=$n%-8d sec=$sec%.2f")
+    }
+
     // k-means trainer flatness (round-7 verdict #5): cumulative train time
     // at iters=1,2,4,8 over the replicated embeddings. With the persisted
     // embedding projection + per-iteration centroid checkpoint, time must

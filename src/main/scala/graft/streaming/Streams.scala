@@ -255,7 +255,8 @@ object Streams {
   }
 
   def runDatasetToMemory[T](spark: SparkSession, ds: Dataset[T], name: String,
-      mode: OutputMode): DataFrame = runToMemory(spark, ds.toDF(), name, mode)
+      mode: OutputMode, statePartitions: Int = 8): DataFrame =
+    runToMemory(spark, ds.toDF(), name, mode, statePartitions)
 
   /** Stream-static enrichment join — the remaining streaming join shape
     * after the stream-stream interval join ([[viewPurchaseIntervalJoin]]):

@@ -121,6 +121,55 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** Margin-based nearest-neighbor pair mining (Artetxe & Schwenk 2019,
+    * arXiv:1811.01136 "Margin-based Parallel Corpus Mining with Multilingual
+    * Sentence Embeddings", the LASER/CCMatrix criterion; cf. PAPERS.md):
+    * raw cosine over-fires in dense hubs, so each candidate pair (x, y) is
+    * scored by its RATIO margin against both sides' neighborhoods,
+    *
+    *   margin(x, y) = cos(x, y) / ( (avgF(x) + avgB(y)) / 2 )
+    *                = 2k · cos(x, y) / ( ΣF(x) + ΣB(y) )
+    *
+    * where ΣF(x) sums x's k nearest-target cosines and ΣB(y) sums y's k
+    * nearest-source cosines. The second form is what's computed: the sums
+    * of round(6) similarities stay EXACT in decimal(18,9), so the margin
+    * is one double division of two engine-identical operands, snapped once
+    * to the 1e-9 integer grid (the q106/q120 convention) for a
+    * float-tie-free total order.
+    *
+    * Candidates are the forward top-k pairs; output is the global top-N by
+    * (margin_e9 desc, src_id, tgt_id) — a TakeOrderedAndProject.
+    *
+    * Scale: two exact [[bruteForceTopK]] passes (the honest small-scale
+    * baseline — broadcast-sharded, never all-pairs materialized) plus two
+    * key-bounded aggregations and two joins on id keys. At 100 TB swap
+    * both passes to [[ivfTopK]] unchanged — the margin algebra only needs
+    * the per-side top-k lists, however they were found. */
+  def marginMining(src: DataFrame, tgt: DataFrame, k: Int, topN: Int,
+      srcCountHint: Long = -1L, tgtCountHint: Long = -1L): DataFrame = {
+    import graft.CacheLifecycle.TrackedPersistOps
+    require(k >= 1, s"k must be >= 1; got $k")
+    // consumed twice: candidate pairs + the forward neighborhood sums
+    val fwd = bruteForceTopK(src, tgt, k, queryCountHint = srcCountHint)
+      .persistTracked()
+    val bwd = bruteForceTopK(tgt, src, k, queryCountHint = tgtCountHint)
+    val sumF = fwd.groupBy(col("query_id"))
+      .agg(sum(col("sim").cast("decimal(18,9)")).as("sum_f"))
+    val sumB = bwd.groupBy(col("query_id"))
+      .agg(sum(col("sim").cast("decimal(18,9)")).as("sum_b"))
+      .withColumnRenamed("query_id", "neighbor_id")
+    fwd.join(sumF, "query_id")
+      .join(sumB, "neighbor_id")
+      .withColumn("margin_e9", round(
+        lit(2.0 * k) * col("sim") / (col("sum_f") + col("sum_b")).cast("double")
+          * lit(1e9)).cast("long"))
+      .orderBy(col("margin_e9").desc, col("query_id"), col("neighbor_id"))
+      .limit(topN)
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+        col("sim"),
+        (col("margin_e9").cast("double") / lit(1e9)).as("margin"))
+  }
+
   /** Rounded squared L2 distance via three dot products. The expansion
     * |e-c|^2 = e.e - 2 e.c + c.c reuses the codegen'd [[dotProduct]] and —
     * unlike a zip_with fold — evaluates in the exact arithmetic order a SQL

@@ -436,6 +436,51 @@ object Vectors {
       |GROUP BY 1, 2
       |ORDER BY true_label, predicted""".stripMargin
 
+  // --- q135: margin-based pair mining (LASER/CCMatrix criterion) ----------
+  // Ratio-margin mining between two embedding "corpora" (even vs odd
+  // vec_ids as the src/tgt stand-in): each src's top-4 target cosines are
+  // candidates, scored by 2k·cos / (ΣF(src) + ΣB(tgt)) — the hubness
+  // correction that makes mined pairs comparable across the space. Sums
+  // of round(6) sims stay exact in decimal, margins snap once to the 1e-9
+  // grid, output is the global top-40 via TakeOrderedAndProject.
+  def q135(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    Similarity.marginMining(
+      emb.filter($"vec_id" % 2 === 0), emb.filter($"vec_id" % 2 === 1),
+      k = 4, topN = 40)
+  }
+  val q135Sql: String =
+    """WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+      |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+      |sims AS (
+      |  SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+      |    ROUND(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |      / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+      |         * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS sim
+      |  FROM a CROSS JOIN b),
+      |fwd AS (
+      |  SELECT src_id, tgt_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id) AS rn
+      |  FROM sims),
+      |bwd AS (
+      |  SELECT src_id, tgt_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY sim DESC, src_id) AS rn
+      |  FROM sims),
+      |sumf AS (SELECT src_id, SUM(CAST(sim AS DECIMAL(18,9))) AS sum_f
+      |         FROM fwd WHERE rn <= 4 GROUP BY 1),
+      |sumb AS (SELECT tgt_id, SUM(CAST(sim AS DECIMAL(18,9))) AS sum_b
+      |         FROM bwd WHERE rn <= 4 GROUP BY 1),
+      |cand AS (SELECT src_id, tgt_id, sim FROM fwd WHERE rn <= 4),
+      |scored AS (
+      |  SELECT src_id, tgt_id, sim,
+      |    CAST(round(8.0 * sim / CAST(sum_f + sum_b AS DOUBLE) * 1e9) AS BIGINT) AS m9
+      |  FROM cand JOIN sumf USING (src_id) JOIN sumb USING (tgt_id))
+      |SELECT src_id, tgt_id, sim, CAST(m9 AS DOUBLE) / 1e9 AS margin
+      |FROM scored
+      |ORDER BY m9 DESC, src_id, tgt_id
+      |LIMIT 40""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q50_knn_bruteforce", q50 _, Some(q50Sql)),
     ("q51_vector_stats", q51 _, Some(q51Sql)),
@@ -448,5 +493,6 @@ object Vectors {
     ("q130_knn_label_vote", q130 _, Some(q130Sql)),
     ("q55_multimodal_decode", q55 _, Some(q55Sql)),
     ("q85_frame_features", q85 _, Some(q85Sql)),
-    ("q86_media_resize", q86 _, Some(q86Sql)))
+    ("q86_media_resize", q86 _, Some(q86Sql)),
+    ("q135_margin_mining", q135 _, Some(q135Sql)))
 }

@@ -248,4 +248,28 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected 2 added bounds in join condition ($joinConjBase -> $joinConj)")
     assert(joined.count() == joinQuery(spark).count())
   }
+
+  test("margin mining ranks a planted translation pair above hub neighbors") {
+    import spark.implicits._
+    // vec 0 (src) and vec 101 (tgt) are identical — a true pair. Vecs
+    // 102/103 form a dense hub near src 2/4: raw cosine scores the hub
+    // pairs as high as it scores anything, but the hub inflates their own
+    // neighborhood averages, so the ratio margin demotes them below the
+    // planted pair — the exact failure mode the criterion exists to fix.
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val src = Seq(
+      (0L, v(1, 0, 0, 0)), (2L, v(0.9, 0.1, 0, 0)), (4L, v(0.9, 0, 0.1, 0))
+    ).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (101L, v(1, 0, 0, 0)), (102L, v(0.92, 0.05, 0.05, 0)),
+      (103L, v(0.91, 0.06, 0.04, 0)), (105L, v(0, 0, 0, 1))
+    ).toDF("vec_id", "embedding")
+    val got = operators.Similarity.marginMining(src, tgt, k = 2, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.nonEmpty)
+    assert((got.head._1, got.head._2) == ((0L, 101L)),
+      s"planted identical pair must rank first, got ${got.take(3).toSeq}")
+    // margins are emitted in non-increasing order (the top-N cut is by margin)
+    assert(got.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
 }

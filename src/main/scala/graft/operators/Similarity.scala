@@ -271,6 +271,115 @@ object Similarity {
     }
   }
 
+  /** Subvector `sub` (0-based) of an `array<double>` embedding split into
+    * `m` contiguous subspaces: positions [sub·d/m, (sub+1)·d/m) with floor
+    * boundaries, so any dimension (not just multiples of m) splits cleanly
+    * and the DuckDB restatement (`list_slice(e, (sub*d)//m + 1,
+    * ((sub+1)*d)//m)`) selects the identical components. */
+  private def subSlice(emb: Column, sub: Int, m: Int): Column = {
+    val d = size(emb)
+    val lo = floor(d.cast("double") * sub / m).cast("int")
+    val hi = floor(d.cast("double") * (sub + 1) / m).cast("int")
+    slice(emb, lo + 1, hi - lo)
+  }
+
+  /** Product-quantization codebook trainer (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1)): the
+    * embedding is split into `m` contiguous subspaces and each subspace
+    * gets its OWN deterministic k-means quantizer ([[trainKMeansCells]] on
+    * the subvector slice — same smallest-id seeding, rounded-L2 argmin,
+    * decimal-mean update, so the whole trainer stays oracle-checkable).
+    * Codewords are re-indexed DENSE per subspace (`cw` = rank of the seed
+    * cell id, 0-based) because downstream ADC addresses lookup tables by
+    * position; the per-sub rank window runs over ≤ k rows — a driver-sized
+    * sort, never data-sized.
+    *
+    * Scale: m narrow training passes over the corpus (each reads only its
+    * d/m slice of the persisted projection); the returned codebook is
+    * m×k×(d/m) = k×d doubles — broadcast-sized at any corpus size.
+    *
+    * @return (sub: int, cw: long, cell: long, centroid: array<double>) */
+  def trainPqCodebooks(corpus: DataFrame, m: Int, k: Int, iters: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1; got $m")
+    (0 until m).map { s =>
+      val sub = corpus.select(col("vec_id"),
+        subSlice(asDouble(col("embedding")), s, m).as("embedding"))
+      trainKMeansCells(sub, k, iters)
+        .withColumn("cw",
+          row_number().over(Window.orderBy(col("cell"))).cast("long") - 1)
+        .select(lit(s).as("sub"), col("cw"), col("cell"), col("centroid"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ encoding: each vector's `m` subvectors are assigned to their
+    * nearest codeword ([[assignKMeansCells]] — broadcast codebook, per-row
+    * argmin, NO shuffle), producing an m-byte-per-vector `codes` array.
+    * This is the storage form a 100 TB vector lake keeps: m longs (m bytes
+    * in a real fixed-width layout) instead of d floats — a ~d·4/m×
+    * compression — and the ONLY thing [[pqTopK]] scans.
+    *
+    * @return (vec_id, codes: array<long>) with codes(s) ∈ [0, k) dense */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
+    val encoded = (0 until m).foldLeft(
+      corpus.select(col("vec_id"), asDouble(col("embedding")).as("graft_emb"))) {
+      (df, s) =>
+        val cents = codebooks.filter(col("sub") === s)
+          .select(col("cw").as("cell"), col("centroid"))
+        assignKMeansCells(
+            df.withColumn("graft_sub", subSlice(col("graft_emb"), s, m)),
+            cents, embCol = "graft_sub")
+          .withColumnRenamed("cell", s"graft_code_$s")
+          .drop("graft_sub")
+    }
+    encoded.select(col("vec_id"),
+      array((0 until m).map(s => col(s"graft_code_$s")): _*).as("codes"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: approximate squared-L2 search
+    * that never touches the original corpus vectors — only the m-long
+    * `codes` from [[pqEncode]] plus a per-query lookup table.
+    *
+    * Per query, the LUT holds the rounded squared L2 from each of its m
+    * subvectors to each of that subspace's k codewords (m×k rounded
+    * doubles). The approximate distance of a corpus vector is the sum of
+    * its m table entries — summed through decimal(18,6) (each entry is on
+    * the 1e-6 grid after round(6), so the sum is EXACT and
+    * order-independent; a plain double sum's merge order would differ
+    * between engines).
+    *
+    * Execution shape: codes posexplode to (neighbor, sub, code) — n×m
+    * narrow rows reading m longs per vector instead of d floats — joined
+    * against the BROADCAST LUT (Q×m×k rows) on (sub, cw), then one
+    * (query, neighbor)-keyed hash aggregation with map-side combine. One
+    * shuffle, sized n×Q pairs. At 100 TB this is the classic IVF-PQ inner
+    * loop; compose with [[ivfTopK]]-style cell probing to bound n per
+    * query.
+    *
+    * @return (query_id, neighbor_id, rank, adist) — rank by (adist asc,
+    *         neighbor_id) so ties are engine-portable */
+  def pqTopK(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
+      m: Int, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("q_emb"))
+    val qSubs = q.select(col("query_id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"), subSlice(col("q_emb"), s, m).as("se"))): _*)).as("x"))
+      .select(col("query_id"), col("x.sub").as("sub"), col("x.se").as("se"))
+    val lut = qSubs
+      .join(broadcast(codebooks.select(col("sub"), col("cw"), col("centroid"))), "sub")
+      .select(col("query_id"), col("sub"), col("cw"),
+        sqDistRounded(col("se"), col("centroid")).as("dist"))
+    val exploded = codes.select(col("vec_id").as("neighbor_id"),
+      posexplode(col("codes")).as(Seq("sub", "cw")))
+    val scored = exploded.join(broadcast(lut), Seq("sub", "cw"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dist").cast("decimal(18,6)")).cast("double").as("adist"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
+  }
+
   /** Cosine-LSH candidate pairs within the corpus, exact-reranked to
     * similarity ≥ threshold. Multi-table banding (numTables independent
     * signatures of planesPerTable hyperplanes each): a pair is a candidate

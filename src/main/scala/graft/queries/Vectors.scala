@@ -481,6 +481,82 @@ object Vectors {
       |ORDER BY m9 DESC, src_id, tgt_id
       |LIMIT 40""".stripMargin
 
+  // --- q136: product-quantization ADC search (the compressed-ANN path) ----
+  // Jégou et al. 2011 end-to-end: per-subspace deterministic k-means
+  // codebooks (m=4 subspaces × k=4 codewords, one Lloyd iteration — the
+  // q122 trainer verbatim on each slice), dense codeword re-index, m-long
+  // codes per vector, then asymmetric-distance top-5 for the 8 probe
+  // queries. Every arithmetic step is the engine-portable kind q122/q53
+  // proved (rounded squared L2, decimal means, decimal ADC sums), so the
+  // oracle restates the trainer, the encoder, AND the ADC search verbatim
+  // — the APPROXIMATE semantics are hash-checked exactly; recall vs brute
+  // force is SimilaritySpec's job.
+  def q136(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val cb = Similarity.trainPqCodebooks(emb, m = 4, k = 4, iters = 1)
+    val codes = Similarity.pqEncode(emb, cb, m = 4)
+    Similarity.pqTopK(emb.filter($"vec_id" < 8), codes, cb, m = 4, k = 5)
+      .orderBy($"query_id", $"rank")
+  }
+  // shared CTE text: rounded squared L2 between two DOUBLE[] lists — the
+  // exact arithmetic order Similarity.sqDistRounded evaluates in
+  private def sqd(a: String, b: String): String =
+    s"""ROUND(list_inner_product($a, $a) - 2*list_inner_product($a, $b)
+       |          + list_inner_product($b, $b), 6)""".stripMargin
+  val q136Sql: String =
+    s"""WITH emb AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e, len(embedding) AS d FROM embeddings
+      |), subs AS (
+      |  SELECT vec_id, s.sub,
+      |    list_slice(e, (s.sub*d)//4 + 1, ((s.sub+1)*d)//4) AS se
+      |  FROM emb, (SELECT unnest(range(0, 4)) AS sub) s
+      |), c0 AS (
+      |  SELECT sub, vec_id AS cell, se AS c FROM (
+      |    SELECT sub, vec_id, se,
+      |      ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+      |    FROM subs) WHERE rn <= 4
+      |), a0 AS (
+      |  SELECT vec_id, sub, se, cell FROM (
+      |    SELECT t.vec_id, t.sub, t.se, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
+      |        ${sqd("t.se", "c.c")} ASC, c.cell ASC) AS rn
+      |    FROM subs t JOIN c0 c ON t.sub = c.sub) WHERE rn = 1
+      |), c1 AS (
+      |  SELECT sub, cell, list(cv ORDER BY pos) AS c FROM (
+      |    SELECT sub, cell, pos,
+      |      ROUND(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS cv
+      |    FROM (SELECT sub, cell, unnest(range(0, len(se))) AS pos, unnest(se) AS v
+      |          FROM a0)
+      |    GROUP BY sub, cell, pos) GROUP BY sub, cell
+      |), cb AS (
+      |  SELECT sub, cell, c,
+      |    ROW_NUMBER() OVER (PARTITION BY sub ORDER BY cell) - 1 AS cw
+      |  FROM c1
+      |), codes AS (
+      |  SELECT vec_id, sub, cw FROM (
+      |    SELECT t.vec_id, t.sub, c.cw,
+      |      ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
+      |        ${sqd("t.se", "c.c")} ASC, c.cw ASC) AS rn
+      |    FROM subs t JOIN cb c ON t.sub = c.sub) WHERE rn = 1
+      |), lut AS (
+      |  SELECT q.vec_id AS query_id, c.sub, c.cw,
+      |    ${sqd("q.se", "c.c")} AS dist
+      |  FROM subs q JOIN cb c ON q.sub = c.sub WHERE q.vec_id < 8
+      |), adist AS (
+      |  SELECT l.query_id, k.vec_id AS neighbor_id,
+      |    CAST(SUM(CAST(l.dist AS DECIMAL(18,6))) AS DOUBLE) AS adist
+      |  FROM codes k JOIN lut l ON k.sub = l.sub AND k.cw = l.cw
+      |  WHERE k.vec_id <> l.query_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT query_id, neighbor_id, rank, adist FROM (
+      |  SELECT query_id, neighbor_id, adist,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY adist ASC, neighbor_id) AS rank
+      |  FROM adist) WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q50_knn_bruteforce", q50 _, Some(q50Sql)),
     ("q51_vector_stats", q51 _, Some(q51Sql)),
@@ -494,5 +570,6 @@ object Vectors {
     ("q55_multimodal_decode", q55 _, Some(q55Sql)),
     ("q85_frame_features", q85 _, Some(q85Sql)),
     ("q86_media_resize", q86 _, Some(q86Sql)),
-    ("q135_margin_mining", q135 _, Some(q135Sql)))
+    ("q135_margin_mining", q135 _, Some(q135Sql)),
+    ("q136_pq_adc", q136 _, Some(q136Sql)))
 }

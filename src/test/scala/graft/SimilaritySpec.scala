@@ -272,4 +272,79 @@ class SimilaritySpec extends AnyFunSuite {
     // margins are emitted in non-increasing order (the top-N cut is by margin)
     assert(got.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
+
+  test("PQ codes are dense, in-range, and idempotent under re-encoding") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val m = 4; val k = 4
+    val cb = Similarity.trainPqCodebooks(emb, m, k, iters = 1)
+    val cbRows = cb.collect()
+    // one dense 0-based cw range per subspace; centroid dim = d/m
+    (0 until m).foreach { s =>
+      val cws = cbRows.filter(_.getInt(0) == s).map(_.getLong(1)).sorted
+      assert(cws.sameElements(cws.indices.map(_.toLong)), s"sub $s cw not dense: ${cws.toSeq}")
+      assert(cws.length <= k)
+    }
+    assert(cbRows.forall(_.getSeq[Double](3).length == 64 / m))
+    val codes = Similarity.pqEncode(emb, cb, m).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes.values.forall(cs => cs.length == m && cs.forall(c => c >= 0 && c < k)))
+    // fixed-point: decoding each vector to its codeword concat and
+    // re-encoding must reproduce the codes (nearest codeword to a codeword
+    // is itself — rounded distance 0 beats every distinct codeword)
+    val cents = cbRows.map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](3)).toMap
+    val decoded = codes.toSeq.map { case (id, cs) =>
+      (id, (0 until m).flatMap(s => cents((s, cs(s)))).map(_.toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val reCodes = Similarity.pqEncode(decoded, cb, m).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(reCodes == codes, "re-encoding decoded vectors changed codes")
+  }
+
+  test("PQ ADC top-k has usable recall vs exact L2 on clustered vectors") {
+    import spark.implicits._
+    val dim = 16
+    val vecs = (0 until 200).map { i =>
+      val cluster = i % 10
+      val emb = (0 until dim).map { j =>
+        val center = ((cluster * 31 + j * 7) % 11 - 5) / 5.0f
+        center + ((i * 13 + j * 3) % 5 - 2) * 0.01f
+      }.toArray
+      (i.toLong, emb)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cb = Similarity.trainPqCodebooks(df, m = 4, k = 8, iters = 2)
+    val codes = Similarity.pqEncode(df, cb, m = 4)
+    val queries = df.filter($"vec_id" < 8)
+    val adc = Similarity.pqTopK(queries, codes, cb, m = 4, k = 5)
+    val got = adc.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact squared-L2 ground truth in the driver
+    val all = vecs.map { case (id, e) => id -> e.map(_.toDouble) }.toMap
+    val exact = (0L until 8L).flatMap { q =>
+      val qe = all(q)
+      all.toSeq.filter(_._1 != q)
+        .map { case (id, e) =>
+          (id, qe.zip(e).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (id, d2) => (d2, id) }.take(5).map(p => (q, p._1))
+    }.toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PQ ADC recall $recall too low on clustered data")
+    assert(got.groupBy(_._1).forall(_._2.size == 5))
+  }
+
+  test("PQ ADC results are invariant to corpus partitioning") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val cb = Similarity.trainPqCodebooks(emb, m = 4, k = 4, iters = 1)
+    def run(c: org.apache.spark.sql.DataFrame) = {
+      val codes = Similarity.pqEncode(c, cb, m = 4)
+      Similarity.pqTopK(emb.filter($"vec_id" < 8), codes, cb, m = 4, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    }
+    // decimal ADC sums + rounded LUT entries: any partitioning of the
+    // corpus (different partial-aggregation merge orders) must produce the
+    // bit-identical (query, neighbor, rank, adist) set
+    assert(run(emb) == run(emb.repartition(7)))
+    assert(run(emb).nonEmpty)
+  }
 }

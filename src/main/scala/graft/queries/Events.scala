@@ -627,6 +627,29 @@ object Events {
       |  CAST(count(*) AS BIGINT) AS ingested_rows
       |FROM events""".stripMargin
 
+  // --- q137: streaming heavy hitters (SpaceSaving over the event stream) ---
+  // The bounded-memory top-k form of q30's per-user counting: the events
+  // backlog drains through 8 hash-sharded SpaceSaving summaries held in
+  // transformWithState MapState (RocksDB), and the merged final summary
+  // yields the top-20 users. Capacity (4096/shard) far exceeds the
+  // testdata's key cardinality (1500 users at sf0.1), so the summary is
+  // EXACT and the oracle is the plain GROUP BY top-20 — the eviction
+  // regime's (est, err) bounds are StreamingSpec's job. Tie-break:
+  // (n_events desc, user_id) — engine-portable total order.
+  def q137(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Streams
+    Streams.streamingHeavyHitters(s, d, keyCol = "user_id")
+      .orderBy(col("est").desc, col("item"))
+      .limit(20)
+      .select(col("item").as("user_id"), col("est").as("n_events"))
+  }
+  val q137Sql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY n_events DESC, user_id
+      |LIMIT 20""".stripMargin
+
   // --- q129: incrementally-maintained hourly rollup (materialized view) ----
   // The streaming-materialized-view loop end-to-end: drain the events
   // backlog through Rollup.hourlyRollupSink (per-batch partial aggregates
@@ -680,5 +703,6 @@ object Events {
     ("q114_last_touch", q114 _, Some(q114Sql)),
     ("q121_stream_static_join", q121 _, Some(q121Sql)),
     ("q127_stream_freshness", q127 _, Some(q127Sql)),
-    ("q129_incremental_rollup", q129 _, Some(q129Sql)))
+    ("q129_incremental_rollup", q129 _, Some(q129Sql)),
+    ("q137_stream_heavy_hitters", q137 _, Some(q137Sql)))
 }

@@ -416,6 +416,104 @@ object Streams {
     }
   }
 
+  /** Streaming heavy hitters — a SpaceSaving summary (Metwally, Agrawal &
+    * El Abbadi 2005, "Efficient Computation of Frequent and Top-k Elements
+    * in Data Streams", ICDT) maintained per HASH SHARD in transformWithState
+    * MapState: bounded memory (≤ `capacity` counters per shard) regardless
+    * of how many distinct keys the stream carries, with the classic
+    * guarantees — est ≥ true count, est − err ≤ true count, err ≤ N_shard /
+    * capacity. Items hash to exactly one shard, so shard summaries are
+    * DISJOINT and their union is the global summary (the merge step other
+    * sketch topologies need is free here).
+    *
+    * Determinism (what makes the exact-capacity regime oracle-checkable):
+    * incoming items fold in ascending item order, and the eviction victim
+    * is the lexicographic minimum by (est, err, item) — a total order, so
+    * replays and both engines agree. When `capacity` ≥ the shard's distinct
+    * keys, no eviction ever fires and the summary IS the exact count table.
+    *
+    * Each batch re-emits the shard's full updated summary tagged with a
+    * per-shard batch sequence number; [[streamingHeavyHitters]] keeps only
+    * the final sequence per shard, so multi-batch backlogs (spec'd via
+    * maxFilesPerTrigger) and single-batch drains read identically.
+    *
+    * Input (shard, item, weight); output (shard, seq, item, est, err). */
+  final class SpaceSavingProcessor(capacity: Int)
+      extends StatefulProcessor[Int, (Int, Long, Long), (Int, Long, Long, Long, Long)] {
+    @transient private var summary: org.apache.spark.sql.streaming.MapState[Long, (Long, Long)] = _
+    @transient private var seqSt: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      summary = getHandle.getMapState[Long, (Long, Long)]("summary",
+        SEncoders.scalaLong,
+        SEncoders.tuple(SEncoders.scalaLong, SEncoders.scalaLong), TTLConfig.NONE)
+      seqSt = getHandle.getValueState[Long]("seq", SEncoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(shard: Int, rows: Iterator[(Int, Long, Long)],
+        timerValues: TimerValues): Iterator[(Int, Long, Long, Long, Long)] = {
+      val incoming = scala.collection.mutable.TreeMap.empty[Long, Long]
+      rows.foreach { case (_, item, w) =>
+        incoming.update(item, incoming.getOrElse(item, 0L) + w) }
+      val cur = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+      summary.iterator().foreach { case (k, v) => cur.update(k, v) }
+      incoming.foreach { case (item, w) =>
+        cur.get(item) match {
+          case Some((est, err)) => cur.update(item, (est + w, err))
+          case None if cur.size < capacity => cur.update(item, (w, 0L))
+          case None =>
+            // evict the minimum counter; the arrival inherits its estimate
+            // as overestimation error (the SpaceSaving invariant)
+            val (mi, (me, _)) = cur.minBy { case (k, (e, er)) => (e, er, k) }
+            cur.remove(mi)
+            cur.update(item, (me + w, me))
+        }
+      }
+      summary.clear()
+      cur.foreach { case (k, v) => summary.updateValue(k, v) }
+      val seq = (if (seqSt.exists()) seqSt.get() else 0L) + 1L
+      seqSt.update(seq)
+      cur.toSeq.sortBy(_._1)
+        .map { case (k, (e, er)) => (shard, seq, k, e, er) }.iterator
+    }
+  }
+
+  /** Drain `keyCol`'s stream through the sharded [[SpaceSavingProcessor]]
+    * and return the merged final summary (item, est, err). Shard routing is
+    * pmod(xxhash64(key), shards) — hash, not range, so hot keys spread
+    * evenly across state stores. With the default capacity the testdata's
+    * key cardinalities sit far below the bound, making the summary exact
+    * (the q137 oracle checks that regime); StreamingSpec exercises the
+    * eviction regime's bounds with a tiny capacity. */
+  def streamingHeavyHitters(spark: SparkSession, dir: String,
+      glob: String = "events.parquet", keyCol: String = "user_id",
+      shards: Int = 8, capacity: Int = 4096,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, dir, glob, maxFilesPerTrigger)
+    val rows = ev.select(
+        pmod(xxhash64(col(keyCol)), lit(shards.toLong)).cast("int").as("shard"),
+        col(keyCol).cast("long").as("item"), lit(1L).as("w"))
+      .as[(Int, Long, Long)]
+    val summary = rows.groupByKey(_._1)
+      .transformWithState(new SpaceSavingProcessor(capacity),
+        TimeMode.None(), OutputMode.Append())
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val drained =
+      try runDatasetToMemory(spark, summary, "heavy_hitters_stream", OutputMode.Append())
+        .toDF("shard", "seq", "item", "est", "err")
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    // per shard, the last emitted summary supersedes earlier batches'
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+    drained.withColumn("mx", max(col("seq")).over(w))
+      .filter(col("seq") === col("mx"))
+      .select(col("item"), col("est"), col("err"))
+  }
+
   /** Streaming insert-if-absent sink: each micro-batch goes through the
     * same anti-join upsert as the batch pipeline (A8), making the sink
     * idempotent — exactly-once results even when a batch replays after a

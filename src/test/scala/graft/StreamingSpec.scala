@@ -322,6 +322,48 @@ class StreamingSpec extends AnyFunSuite {
       "no cross-half pairs — the state never collided across batches")
   }
 
+  test("streaming heavy hitters accumulate exactly across micro-batches") {
+    // two time-split halves delivered as separate micro-batches: the final
+    // per-shard summary (seq-max selection) must equal the exact batch
+    // counts — state carries batch 1's counts into batch 2, and the
+    // re-emitted summary from batch 1 is superseded, not double-counted.
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh_stream").toString
+    val ev = Tables.events(spark, sf)
+    Seq(("hh_a", 0), ("hh_b", 1)).foreach { case (name, parity) =>
+      val stage = s"$dir/_stage_$name"
+      ev.filter(col("event_id") % 2 === parity).coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    val got = Streams.streamingHeavyHitters(spark, dir, glob = "hh_*.parquet",
+        shards = 4, capacity = 4096, maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = ev.groupBy(col("user_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.map(r => r._1 -> r._2).toMap == want,
+      "exact-capacity summary diverges from batch counts")
+    assert(got.forall(_._3 == 0L), "no eviction should occur below capacity")
+  }
+
+  test("streaming heavy hitters obey SpaceSaving bounds under eviction") {
+    // capacity 5 over 15 distinct users forces evictions; the classic
+    // invariants must hold for every surviving counter:
+    //   true ≤ est  and  est − err ≤ true  and  |summary| ≤ capacity.
+    val got = Streams.streamingHeavyHitters(spark, sf,
+        shards = 1, capacity = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = Tables.events(spark, sf).groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.length <= 5, s"summary exceeded capacity: ${got.length}")
+    got.foreach { case (item, est, err) =>
+      val t = want(item)
+      assert(est >= t, s"item $item: est $est < true $t")
+      assert(est - err <= t, s"item $item: est-err ${est - err} > true $t")
+    }
+  }
+
   test("streaming freshness gate reads event-time lag from query progress") {
     import graft.streaming.StreamingFreshness
     val (_, progress) = Streams.runToMemoryTracked(spark,

@@ -380,6 +380,55 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
   }
 
+  /** Greedy k-center coreset selection (Gonzalez 1985, "Clustering to
+    * minimize the maximum intercluster distance", TCS 38 — the classic
+    * 2-approximation for k-center, and the farthest-point-sampling shape
+    * data-selection pipelines use to pick a geometrically diverse subset):
+    * seed with the smallest `vec_id`, then k−1 rounds of "add the point
+    * farthest from the current center set".
+    *
+    * Each round is ONE narrow corpus pass (the center set — ≤ k vectors —
+    * is packed into a broadcast row, each point folds an array_min over the
+    * rounded squared L2s, the same argmin shape as [[assignKMeansCells]])
+    * followed by a TakeOrdered(1) argmax: no shuffle wider than one row per
+    * partition, ever. The corpus projection is persisted once (tracked, see
+    * [[graft.CacheLifecycle]]) so round i reads cache, and each round's
+    * one-row result is eagerly localCheckpointed — lineage stays flat in k
+    * exactly like [[trainKMeansCells]]'s iteration hygiene.
+    *
+    * Determinism: distances are [[sqDistRounded]] (engine-portable), the
+    * argmax tie-breaks on smaller `vec_id`, so the selection ORDER — and
+    * with it the whole radius sequence — is oracle-checkable. `radius` at
+    * step i is the farthest-point distance when center i was chosen: the
+    * non-increasing coverage-radius curve (radius(i) bounds the true
+    * k-center optimum for i centers within 2×).
+    *
+    * @return (ord: int, vec_id, radius: double) — ord 0 is the seed with
+    *         radius 0 */
+  def kCenterCoreset(corpus: DataFrame, k: Int): DataFrame = {
+    import graft.CacheLifecycle.TrackedPersistOps
+    require(k >= 1, s"k must be >= 1; got $k")
+    val emb = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .persistTracked()
+    val seed = emb.orderBy(col("vec_id")).limit(1)
+      .select(lit(0).as("ord"), col("vec_id"),
+        lit(0.0).as("radius"), col("emb").as("cent"))
+      .localCheckpoint(true)
+    val centers = (1 until k).foldLeft(seed) { (cents, i) =>
+      val packed = cents.select(col("cent"))
+        .groupBy().agg(collect_list(col("cent")).as("graft_cents"))
+      val far = emb.crossJoin(broadcast(packed))
+        .withColumn("dmin", array_min(transform(col("graft_cents"),
+          c => sqDistRounded(col("emb"), c))))
+        .orderBy(col("dmin").desc, col("vec_id"))
+        .limit(1)
+        .select(lit(i).as("ord"), col("vec_id"),
+          col("dmin").as("radius"), col("emb").as("cent"))
+      cents.unionByName(far).localCheckpoint(true)
+    }
+    centers.select(col("ord"), col("vec_id"), col("radius"))
+  }
+
   /** Cosine-LSH candidate pairs within the corpus, exact-reranked to
     * similarity ≥ threshold. Multi-table banding (numTables independent
     * signatures of planesPerTable hyperplanes each): a pair is a candidate

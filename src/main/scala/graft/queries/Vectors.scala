@@ -557,6 +557,43 @@ object Vectors {
       |  FROM adist) WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  // --- q138: greedy k-center coreset (Gonzalez farthest-point sampling) ---
+  // Diversity-driven data selection: 8 centers chosen by iterated
+  // farthest-point argmax, reported with the coverage-radius curve. The
+  // oracle UNROLLS the same greedy loop as 7 chained CTE steps — portable
+  // rounded distances + (d desc, vec_id) argmax tie-break make the whole
+  // selection order hash-checkable, the q122-trainer convention applied to
+  // an argmax recursion.
+  def q138(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Similarity.kCenterCoreset(Tables.embeddings(s, d), k = 8)
+      .orderBy($"ord")
+  }
+  val q138Sql: String = {
+    val steps = (1 until 8).map { i =>
+      s"""d$i AS (
+         |  SELECT t.vec_id, MIN(${sqd("t.e", "ce.ce")}) AS d
+         |  FROM emb t CROSS JOIN (
+         |    SELECT m.e AS ce FROM emb m JOIN c${i - 1} c ON m.vec_id = c.vec_id) ce
+         |  GROUP BY t.vec_id
+         |), sel$i AS (
+         |  SELECT $i AS ord, vec_id, d AS radius
+         |  FROM d$i ORDER BY d DESC, vec_id LIMIT 1
+         |), c$i AS (
+         |  SELECT vec_id FROM c${i - 1} UNION ALL SELECT vec_id FROM sel$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    val sels = (0 until 8).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       |), sel0 AS (
+       |  SELECT 0 AS ord, vec_id, CAST(0.0 AS DOUBLE) AS radius
+       |  FROM emb ORDER BY vec_id LIMIT 1
+       |), c0 AS (SELECT vec_id FROM sel0),
+       |$steps
+       |SELECT ord, vec_id, radius FROM ($sels) ORDER BY ord""".stripMargin
+  }
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q50_knn_bruteforce", q50 _, Some(q50Sql)),
     ("q51_vector_stats", q51 _, Some(q51Sql)),
@@ -571,5 +608,6 @@ object Vectors {
     ("q85_frame_features", q85 _, Some(q85Sql)),
     ("q86_media_resize", q86 _, Some(q86Sql)),
     ("q135_margin_mining", q135 _, Some(q135Sql)),
-    ("q136_pq_adc", q136 _, Some(q136Sql)))
+    ("q136_pq_adc", q136 _, Some(q136Sql)),
+    ("q138_kcenter_coreset", q138 _, Some(q138Sql)))
 }

@@ -332,6 +332,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("k-center coreset equals the brute-force greedy loop") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).filter($"vec_id" < 120)
+    val got = Similarity.kCenterCoreset(emb, k = 6)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // driver reconstruction with the same portable arithmetic: sequential
+    // dot products, round(6) HALF_UP on the canonical decimal expansion
+    val all = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def rd(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def sq(a: Array[Double], b: Array[Double]): Double =
+      rd(dot(a, a) - 2.0 * dot(a, b) + dot(b, b))
+    val seed = all.keys.min
+    val sel = scala.collection.mutable.ArrayBuffer((0, seed, 0.0))
+    while (sel.length < 6) {
+      val cents = sel.map(s => all(s._2))
+      val far = all.toSeq
+        .map { case (id, e) => (id, cents.map(c => sq(e, c)).min) }
+        .maxBy { case (id, dm) => (dm, -id) }
+      sel += ((sel.length, far._1, far._2))
+    }
+    assert(got.toSeq == sel.toSeq,
+      s"greedy selection diverges: got=${got.toSeq} want=${sel.toSeq}")
+    // coverage radii are non-increasing past the seed, centers distinct
+    assert(got.drop(1).map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    assert(got.map(_._2).distinct.length == got.length)
+  }
+
   test("PQ ADC results are invariant to corpus partitioning") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)

@@ -2047,6 +2047,134 @@ object Text {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  // --- q139: Naive-Bayes quality classifier (model-based filtering) --------
+  // The model-based quality-filter step (GPT-3/CCNet style: a cheap linear
+  // classifier scores every document against a target distribution;
+  // Brown et al. 2020 §A, Wenzek et al. 2020 §4.4) with the target class
+  // re-expressed on the testdata as lang='en'. Train on the even-doc_id
+  // half: per-token add-one-smoothed log-likelihood ratios
+  //   llr(t) = ln((cA(t)+1)/(NA+V)) − ln((cB(t)+1)/(NB+V))
+  // from EXACT integer counts; each llr and the class prior snap to the
+  // 1e-9 integer grid (the q120/q106 ln-ulp convention), so per-doc scores
+  // are integer sums — order-independent and engine-exact. Score ALL docs:
+  // one token explode, an inner join against the BROADCAST llr table
+  // (vocab-bounded — Heaps' law, the q126 convention), one doc-keyed agg.
+  // Unseen tokens contribute zero (they cancel in a shared-vocab LLR up to
+  // the smoothing mass — the standard deployment shortcut).
+  def q139(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val toks = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
+    val cls = docs.select($"doc_id", ($"lang" === "en").as("is_en"))
+    val train = toks.filter($"doc_id" % 2 === 0).join(cls, "doc_id")
+    val cnt = train.groupBy($"tok").agg(
+      sum(when($"is_en", 1L).otherwise(0L)).as("ca"),
+      sum(when(!$"is_en", 1L).otherwise(0L)).as("cb"))
+    val tot = cnt.agg(sum($"ca").as("na"), sum($"cb").as("nb"),
+      count(lit(1)).as("v"))
+    val llr = cnt.crossJoin(broadcast(tot))
+      .withColumn("e9", round((log(($"ca" + 1.0) / ($"na" + $"v"))
+        - log(($"cb" + 1.0) / ($"nb" + $"v"))) * lit(1e9)).cast("long"))
+      .select($"tok", $"e9")
+    val prior = cls.filter($"doc_id" % 2 === 0).agg(
+      round(log(sum(when($"is_en", 1L).otherwise(0L)).cast("double")
+        / sum(when(!$"is_en", 1L).otherwise(0L))) * lit(1e9)).cast("long")
+        .as("prior_e9"))
+    val scored = toks.join(broadcast(llr), "tok")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hits"), sum($"e9").as("s9"))
+    docs.select($"doc_id").join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(prior))
+      .withColumn("t9", $"prior_e9" + coalesce($"s9", lit(0L)))
+      .select($"doc_id", coalesce($"n_hits", lit(0L)).as("n_hits"),
+        ($"t9".cast("double") / 1e9).as("score"), ($"t9" > 0).as("pred_en"))
+      .orderBy($"doc_id")
+  }
+  val q139Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+      |  FROM documents),
+      |cls AS (SELECT doc_id, (lang = 'en') AS is_en FROM documents),
+      |train AS (
+      |  SELECT t.tok, c.is_en FROM toks t JOIN cls c USING (doc_id)
+      |  WHERE t.doc_id % 2 = 0),
+      |cnt AS (
+      |  SELECT tok,
+      |    CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN NOT is_en THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM train GROUP BY tok),
+      |tot AS (
+      |  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+      |    COUNT(*) AS v
+      |  FROM cnt),
+      |llr AS (
+      |  SELECT tok,
+      |    CAST(round((ln((ca + 1.0) / (na + v)) - ln((cb + 1.0) / (nb + v))) * 1e9)
+      |      AS BIGINT) AS e9
+      |  FROM cnt CROSS JOIN tot),
+      |prior AS (
+      |  SELECT CAST(round(ln(
+      |      CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)) * 1e9) AS BIGINT)
+      |    AS prior_e9
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |scored AS (
+      |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+      |    CAST(SUM(e9) AS BIGINT) AS s9
+      |  FROM toks t JOIN llr USING (tok) GROUP BY t.doc_id)
+      |SELECT d.doc_id, COALESCE(n_hits, 0) AS n_hits,
+      |  CAST(prior_e9 + COALESCE(s9, 0) AS DOUBLE) / 1e9 AS score,
+      |  (prior_e9 + COALESCE(s9, 0)) > 0 AS pred_en
+      |FROM documents d LEFT JOIN scored USING (doc_id) CROSS JOIN prior
+      |ORDER BY d.doc_id""".stripMargin
+
+  // --- q140: temperature-based source mixing (multilingual alpha-sampling) -
+  // The mixture-reweighting step every multilingual/multi-source training
+  // run applies (Conneau & Lample 2019 §3.1; Raffel 2020 §3.4.3):
+  // p_i ∝ n_i^α with α=0.3 flattens the source distribution so
+  // low-resource slices are upsampled. n_i^0.3 snaps to the 1e-6 grid
+  // (pow's cross-engine noise is ~1 ulp — q51's round(6) margin), the
+  // normalizer sums exactly in decimal(18,6), and the weight and per-doc
+  // sampling rate snap once to the 1e-9 integer grid (the q135
+  // margin convention). rate > 1 means upsampling (repeat factor).
+  def q140(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.documents(s, d).groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val p = c.withColumn("pa", round(pow($"n_docs".cast("double"), lit(0.3)), 6))
+    val t = p.agg(sum($"pa".cast("decimal(18,6)")).as("tot_pa"),
+      sum($"n_docs").as("tot_docs"))
+    p.crossJoin(broadcast(t))
+      .withColumn("w9", round($"pa" / $"tot_pa".cast("double") * lit(1e9)).cast("long"))
+      .withColumn("rate9",
+        round($"w9".cast("double") * $"tot_docs" / $"n_docs").cast("long"))
+      .select($"lang", $"n_docs", $"pa",
+        ($"w9".cast("double") / 1e9).as("weight"),
+        ($"rate9".cast("double") / 1e9).as("sample_rate"))
+      .orderBy($"lang")
+  }
+  val q140Sql: String =
+    """WITH c AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+      |p AS (
+      |  SELECT lang, n_docs, ROUND(pow(CAST(n_docs AS DOUBLE), 0.3), 6) AS pa FROM c),
+      |t AS (
+      |  SELECT SUM(CAST(pa AS DECIMAL(18,6))) AS tot_pa,
+      |    CAST(SUM(n_docs) AS BIGINT) AS tot_docs
+      |  FROM p),
+      |w AS (
+      |  SELECT lang, n_docs, pa,
+      |    CAST(round(pa / CAST(tot_pa AS DOUBLE) * 1e9) AS BIGINT) AS w9,
+      |    tot_docs
+      |  FROM p CROSS JOIN t)
+      |SELECT lang, n_docs, pa,
+      |  CAST(w9 AS DOUBLE) / 1e9 AS weight,
+      |  CAST(CAST(round(CAST(w9 AS DOUBLE) * tot_docs / n_docs) AS BIGINT) AS DOUBLE)
+      |    / 1e9 AS sample_rate
+      |FROM w
+      |ORDER BY lang""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),
@@ -2094,5 +2222,7 @@ object Text {
     ("q131_bpe_pairs", q131 _, Some(q131Sql)),
     ("q132_vocab_coverage", q132 _, Some(q132Sql)),
     ("q133_span_removal", q133 _, Some(q133Sql)),
-    ("q134_stream_neardup", q134 _, Some(q45Sql)))
+    ("q134_stream_neardup", q134 _, Some(q45Sql)),
+    ("q139_nb_quality_classifier", q139 _, Some(q139Sql)),
+    ("q140_temperature_mix", q140 _, Some(q140Sql)))
 }

@@ -565,4 +565,46 @@ class TrainingSpec extends AnyFunSuite {
         s"rank $r coverage ${cums(r)} != $expect")
     }
   }
+
+  test("NB quality classifier separates a planted vocabulary split") {
+    import spark.implicits._
+    // 8 train docs (even ids) + 2 held-out docs (odd ids) with DISJOINT
+    // class vocabularies: the classifier must score the held-out docs onto
+    // the right side of zero, with symmetric magnitudes (balanced classes,
+    // mirrored counts → prior 0, mirrored llr).
+    val docs = (0 until 8).map { i =>
+      val en = i % 4 < 2
+      (i.toLong, if (en) "good clean text here" else "mal texto aqui malo",
+        if (en) "en" else "es", "s", 4L)
+    } ++ Seq(
+      (9L, "good clean text here", "de", "s", 4L), // en-vocab doc, non-en label
+      (11L, "mal texto aqui malo", "en", "s", 4L)) // es-vocab doc, en label
+    val df = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val saved = java.nio.file.Files.createTempDirectory("graft_nb").toString
+    df.write.mode("overwrite").parquet(s"$saved/documents.parquet")
+    val got = queries.Text.q139(spark, saved)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got(9L)._3, "en-vocab held-out doc must be predicted en")
+    assert(!got(11L)._3, "es-vocab held-out doc must be predicted non-en")
+    assert(math.abs(got(9L)._2 + got(11L)._2) < 1e-9,
+      "mirrored vocabularies must give symmetric scores")
+    assert(got(9L)._1 == 4L && got(11L)._1 == 4L)
+  }
+
+  test("temperature mixing flattens toward uniform and conserves weight") {
+    val rows = queries.Text.q140(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    val weights = rows.map(_._3)
+    assert(math.abs(weights.sum - 1.0) < 1e-6, s"weights sum ${weights.sum}")
+    // α<1 compresses the ratio: weight ratio between the largest and
+    // smallest source must be strictly smaller than the raw count ratio
+    val byN = rows.sortBy(_._2)
+    val rawRatio = byN.last._2.toDouble / byN.head._2
+    val wRatio = byN.last._3 / byN.head._3
+    assert(wRatio < rawRatio && wRatio > 1.0,
+      s"temperature must flatten: wRatio $wRatio vs rawRatio $rawRatio")
+    // sampling rate is inverse-ordered: rarer sources get boosted more
+    assert(byN.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+      s"rates not non-increasing in count order: ${byN.toSeq}")
+  }
 }

@@ -283,56 +283,109 @@ object Similarity {
     slice(emb, lo + 1, hi - lo)
   }
 
+  /** The (vec_id, sub, se) exploded subvector view of a corpus: one row
+    * per vector per subspace. The narrow generator every PQ stage shares. */
+  private def subRows(corpus: DataFrame, m: Int): DataFrame =
+    corpus.select(col("vec_id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"),
+          subSlice(asDouble(col("embedding")), s, m).as("se"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.se").as("se"))
+
   /** Product-quantization codebook trainer (Jégou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1)): the
     * embedding is split into `m` contiguous subspaces and each subspace
-    * gets its OWN deterministic k-means quantizer ([[trainKMeansCells]] on
-    * the subvector slice — same smallest-id seeding, rounded-L2 argmin,
-    * decimal-mean update, so the whole trainer stays oracle-checkable).
-    * Codewords are re-indexed DENSE per subspace (`cw` = rank of the seed
-    * cell id, 0-based) because downstream ADC addresses lookup tables by
-    * position; the per-sub rank window runs over ≤ k rows — a driver-sized
-    * sort, never data-sized.
+    * gets its own deterministic k-means quantizer — smallest-id seeding,
+    * rounded-L2 argmin with cell tie-break, decimal-mean update, the exact
+    * [[trainKMeansCells]] conventions, so the whole trainer stays
+    * oracle-checkable.
     *
-    * Scale: m narrow training passes over the corpus (each reads only its
-    * d/m slice of the persisted projection); the returned codebook is
-    * m×k×(d/m) = k×d doubles — broadcast-sized at any corpus size.
+    * All m subspaces train TOGETHER in one plan: the corpus explodes once
+    * into (vec, sub) subvector rows (persisted — iteration i reads cache),
+    * and each Lloyd round is ONE broadcast-argmin pass plus ONE
+    * (sub, cell, pos)-keyed update shuffle covering every subspace — not m
+    * separate per-subspace pipelines (an earlier draft trained each
+    * subspace through its own persist/checkpoint chain: m× the job count
+    * and m× the corpus scans for identical output). Per-round results are
+    * eagerly localCheckpointed — flat lineage in `iters`, the trainer
+    * hygiene rule.
+    *
+    * Codewords are re-indexed DENSE per subspace (`cw` = rank of the seed
+    * cell id, 0-based) because ADC addresses lookup tables positionally;
+    * the rank window runs over ≤ m·k rows — driver-sized. The returned
+    * codebook is m×k×(d/m) = k×d doubles — broadcast-sized at any corpus
+    * size.
     *
     * @return (sub: int, cw: long, cell: long, centroid: array<double>) */
   def trainPqCodebooks(corpus: DataFrame, m: Int, k: Int, iters: Int): DataFrame = {
+    import graft.CacheLifecycle.TrackedPersistOps
     require(m >= 1, s"m must be >= 1; got $m")
-    (0 until m).map { s =>
-      val sub = corpus.select(col("vec_id"),
-        subSlice(asDouble(col("embedding")), s, m).as("embedding"))
-      trainKMeansCells(sub, k, iters)
-        .withColumn("cw",
-          row_number().over(Window.orderBy(col("cell"))).cast("long") - 1)
-        .select(lit(s).as("sub"), col("cw"), col("cell"), col("centroid"))
-    }.reduce(_ unionByName _)
+    require(k >= 1, s"k must be >= 1; got $k")
+    require(iters >= 0, s"iters must be >= 0; got $iters")
+    val subs = subRows(corpus, m).persistTracked()
+    // seeds: the k smallest vec_ids' subvectors, per subspace — the
+    // per-sub window form of trainKMeansCells' ORDER BY + LIMIT seeding
+    // (same unique-vec_id precondition)
+    val seeds = subs.withColumn("rn",
+        row_number().over(Window.partitionBy(col("sub")).orderBy(col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("sub"), col("vec_id").cast("long").as("cell"),
+        col("se").as("centroid"))
+    val trained = (0 until iters).foldLeft(seeds) { (cent, _) =>
+      val packed = cent.groupBy(col("sub"))
+        .agg(array_sort(collect_list(struct(col("cell"), col("centroid"))))
+          .as("cents"))
+      subs.join(broadcast(packed), "sub")
+        .withColumn("cell", array_min(transform(col("cents"), c =>
+          struct(sqDistRounded(col("se"), c.getField("centroid")).as("dist"),
+            c.getField("cell").as("cell")))).getField("cell"))
+        .select(col("sub"), col("cell"), posexplode(col("se")).as(Seq("pos", "v")))
+        .groupBy("sub", "cell", "pos")
+        // decimal-routed portable mean + round(6) — the q52 convention
+        .agg(round(sum(col("v").cast("decimal(18,9)")).cast("double") / count(lit(1)), 6)
+          .as("cv"))
+        .groupBy("sub", "cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv"))))
+          .getField("cv").as("centroid"))
+        // the codebook is m×k rows — coalesce before the eager checkpoint
+        // so materialization and every downstream read is 1 task, not
+        // shuffle-partitions-many near-empty ones (measured: the 32-task
+        // fan-out of driver-sized intermediates dominated the toy-scale
+        // wall clock; at real scale this table is no bigger)
+        .coalesce(1)
+        .localCheckpoint(true)
+    }
+    trained.coalesce(1)
+      .withColumn("cw",
+        row_number().over(Window.partitionBy(col("sub")).orderBy(col("cell")))
+          .cast("long") - 1)
+      .select(col("sub"), col("cw"), col("cell"), col("centroid"))
   }
 
   /** PQ encoding: each vector's `m` subvectors are assigned to their
-    * nearest codeword ([[assignKMeansCells]] — broadcast codebook, per-row
-    * argmin, NO shuffle), producing an m-byte-per-vector `codes` array.
-    * This is the storage form a 100 TB vector lake keeps: m longs (m bytes
-    * in a real fixed-width layout) instead of d floats — a ~d·4/m×
-    * compression — and the ONLY thing [[pqTopK]] scans.
+    * nearest codeword in ONE narrow pass — subvectors explode per row, the
+    * full m-subspace codebook broadcasts grouped by sub, the argmin is a
+    * per-row fold, and the m codes regroup into an array via one
+    * vec_id-keyed aggregation. The result is the storage form a 100 TB
+    * vector lake keeps: m small ints (m bytes in a fixed-width layout)
+    * instead of d floats — a ~d·4/m× compression — and the ONLY thing
+    * [[pqTopK]] scans.
     *
     * @return (vec_id, codes: array<long>) with codes(s) ∈ [0, k) dense */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
-    val encoded = (0 until m).foldLeft(
-      corpus.select(col("vec_id"), asDouble(col("embedding")).as("graft_emb"))) {
-      (df, s) =>
-        val cents = codebooks.filter(col("sub") === s)
-          .select(col("cw").as("cell"), col("centroid"))
-        assignKMeansCells(
-            df.withColumn("graft_sub", subSlice(col("graft_emb"), s, m)),
-            cents, embCol = "graft_sub")
-          .withColumnRenamed("cell", s"graft_code_$s")
-          .drop("graft_sub")
-    }
-    encoded.select(col("vec_id"),
-      array((0 until m).map(s => col(s"graft_code_$s")): _*).as("codes"))
+    // an empty codebook would make the inner join silently drop the whole
+    // corpus — fail loudly instead (one job over the tiny checkpointed
+    // codebook, the assignKMeansCells convention)
+    require(!codebooks.isEmpty, "pqEncode: codebooks is empty")
+    val packed = codebooks.groupBy(col("sub"))
+      .agg(array_sort(collect_list(struct(col("cw").as("cell"), col("centroid"))))
+        .as("cents"))
+    subRows(corpus, m).join(broadcast(packed), "sub")
+      .withColumn("code", array_min(transform(col("cents"), c =>
+        struct(sqDistRounded(col("se"), c.getField("centroid")).as("dist"),
+          c.getField("cell").as("cell")))).getField("cell"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code"))))
+        .getField("code").as("codes"))
   }
 
   /** PQ asymmetric-distance (ADC) top-k: approximate squared-L2 search

@@ -433,6 +433,58 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
   }
 
+  /** IVF-PQ: the composed 100 TB ANN search shape — coarse k-means cells
+    * bound WHICH vectors are scanned (the IVF half: queries probe their
+    * `nprobe` nearest cells by the same rounded squared L2 the assignment
+    * used), and product-quantization codes bound WHAT is read per vector
+    * (the PQ half: m longs instead of d floats, scored via the broadcast
+    * ADC lookup table). This is [[pqTopK]] with its corpus scan shrunk to
+    * probed cells — the standard Jégou 2011 "IVFADC" system layout. At
+    * real scale the codes table is written bucketed by `cell`, turning the
+    * probe join into a partition-pruned read.
+    *
+    * All inputs come from the deterministic trainers
+    * ([[trainKMeansCells]]/[[assignKMeansCells]] for cells,
+    * [[trainPqCodebooks]]/[[pqEncode]] for codes), so the whole pipeline —
+    * coarse training, probe ranking, ADC — is oracle-checkable end to end.
+    *
+    * @param corpusCells (vec_id, cell) coarse assignment
+    * @param centroids   (cell, centroid) the coarse quantizer
+    * @return (query_id, neighbor_id, rank, adist) within probed cells */
+  def ivfPqTopK(queries: DataFrame, corpusCells: DataFrame, codes: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame,
+      m: Int, k: Int, nprobe: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("q_emb"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cd", sqDistRounded(col("q_emb"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cd").asc, col("cell"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val qSubs = q.select(col("query_id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"), subSlice(col("q_emb"), s, m).as("se"))): _*)).as("x"))
+      .select(col("query_id"), col("x.sub").as("sub"), col("x.se").as("se"))
+    val lut = qSubs
+      .join(broadcast(codebooks.select(col("sub"), col("cw"), col("centroid"))), "sub")
+      .select(col("query_id"), col("sub"), col("cw"),
+        sqDistRounded(col("se"), col("centroid")).as("dist"))
+    // candidate codes: only vectors whose cell some query probes — the
+    // scan-shrinking join; probes is Q×nprobe rows, broadcast
+    val cand = codes.join(corpusCells.select(col("vec_id"), col("cell")), "vec_id")
+      .join(broadcast(probes), "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub", "cw")))
+    val scored = cand.join(broadcast(lut), Seq("query_id", "sub", "cw"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dist").cast("decimal(18,6)")).cast("double").as("adist"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
+  }
+
   /** Greedy k-center coreset selection (Gonzalez 1985, "Clustering to
     * minimize the maximum intercluster distance", TCS 38 — the classic
     * 2-approximation for k-center, and the farthest-point-sampling shape

@@ -375,6 +375,112 @@ object Analytics {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // --- q142: market-basket association rules (support/confidence/lift) ----
+  // Agrawal & Srikant 1994's measures over the part co-purchase graph:
+  // distinct (order, part) pairs self-join WITHIN an order (≤ 17 items per
+  // order → bounded fan-out, no skew), pair supports filter at ≥ 2, and
+  // the per-part supports + order count attach by BROADCAST (part-sized
+  // and one-row tables). confidence = supp/sa and lift = supp·N/(sa·sb)
+  // are ratios/products of exact small integers — IEEE-identical in both
+  // engines with no snapping needed (the Q.scala small-int-ratio rule).
+  // Top-20 by (lift desc, pa, pb) ends in TakeOrderedAndProject.
+  def q142(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val op = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val pairs = op.as("a").join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .groupBy($"a.p".as("pa"), $"b.p".as("pb"))
+      .agg(count(lit(1)).as("supp"))
+      .filter($"supp" >= 2)
+    val ps = op.groupBy($"p").agg(count(lit(1)).as("s1"))
+    val nOrders = op.agg(countDistinct($"o").as("n_orders"))
+    pairs
+      .join(broadcast(ps.select($"p".as("pa"), $"s1".as("sa"))), "pa")
+      .join(broadcast(ps.select($"p".as("pb"), $"s1".as("sb"))), "pb")
+      .crossJoin(broadcast(nOrders))
+      .select($"pa", $"pb", $"supp", $"sa", $"sb",
+        ($"supp".cast("double") / $"sa").as("confidence"),
+        (($"supp" * $"n_orders").cast("double") / ($"sa" * $"sb")).as("lift"))
+      .orderBy($"lift".desc, $"pa", $"pb")
+      .limit(20)
+  }
+  val q142Sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM op),
+      |ps AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS s1 FROM op GROUP BY p),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS supp
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT pa, pb, supp, sa, sb,
+      |  CAST(supp AS DOUBLE) / sa AS confidence,
+      |  CAST(supp * n_orders AS DOUBLE) / (sa * sb) AS lift
+      |FROM pairs
+      |JOIN (SELECT p AS pa, s1 AS sa FROM ps) USING (pa)
+      |JOIN (SELECT p AS pb, s1 AS sb FROM ps) USING (pb)
+      |CROSS JOIN n
+      |ORDER BY lift DESC, pa, pb
+      |LIMIT 20""".stripMargin
+
+  // --- q143: PageRank over the co-purchase graph (iterated sparse matvec) --
+  // operators.Graph.pageRank on q142's pair graph expanded to both
+  // directions (so every node has in- and out-edges — the operator's
+  // no-dangling precondition). Two unrolled power iterations on the 1e-9
+  // integer grid: contributions snap per-edge, per-node sums are exact
+  // integer arithmetic, so the ranks — and the top-20 cut — are
+  // bit-reproducible and the oracle restates both iterations verbatim.
+  def q143(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val op = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val pairs = op.as("a").join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .groupBy($"a.p".as("pa"), $"b.p".as("pb"))
+      .agg(count(lit(1)).as("supp"))
+      .filter($"supp" >= 2)
+    val edges = pairs.select($"pa".as("src"), $"pb".as("dst"))
+      .unionByName(pairs.select($"pb".as("src"), $"pa".as("dst")))
+    graft.operators.Graph.pageRank(edges, iters = 2)
+      .select($"node".as("part"), $"deg",
+        ($"pr9".cast("double") / 1e9).as("pagerank"), $"pr9")
+      .orderBy($"pr9".desc, $"part")
+      .limit(20)
+      .drop("pr9")
+  }
+  val q143Sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |edges AS (
+      |  SELECT pa AS src, pb AS dst FROM pairs
+      |  UNION ALL SELECT pb, pa FROM pairs),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+      |nv AS (SELECT COUNT(*) AS v FROM deg),
+      |p0 AS (
+      |  SELECT src AS node, deg, CAST(round(1e9 / v) AS BIGINT) AS pr9
+      |  FROM deg CROSS JOIN nv),
+      |s1 AS (
+      |  SELECT e.dst,
+      |    CAST(SUM(CAST(round(CAST(0.85 AS DOUBLE) * p.pr9 / p.deg) AS BIGINT)) AS BIGINT) AS s9
+      |  FROM edges e JOIN p0 p ON e.src = p.node GROUP BY e.dst),
+      |p1 AS (
+      |  SELECT d.src AS node, d.deg,
+      |    CAST(round(CAST(0.15 AS DOUBLE) * 1e9 / v) AS BIGINT) + s9 AS pr9
+      |  FROM deg d JOIN s1 ON d.src = s1.dst CROSS JOIN nv),
+      |s2 AS (
+      |  SELECT e.dst,
+      |    CAST(SUM(CAST(round(CAST(0.85 AS DOUBLE) * p.pr9 / p.deg) AS BIGINT)) AS BIGINT) AS s9
+      |  FROM edges e JOIN p1 p ON e.src = p.node GROUP BY e.dst),
+      |p2 AS (
+      |  SELECT d.src AS node, d.deg,
+      |    CAST(round(CAST(0.15 AS DOUBLE) * 1e9 / v) AS BIGINT) + s9 AS pr9
+      |  FROM deg d JOIN s2 ON d.src = s2.dst CROSS JOIN nv)
+      |SELECT node AS part, deg, CAST(pr9 AS DOUBLE) / 1e9 AS pagerank
+      |FROM p2
+      |ORDER BY pr9 DESC, part
+      |LIMIT 20""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q60_stat_aggs", q60 _, Some(q60Sql)),
     ("q61_sql_entry", q61 _, Some(q61Text)),
@@ -388,5 +494,7 @@ object Analytics {
     ("q69_map_funcs", q69 _, Some(q69Sql)),
     ("q70_disjunctive_preds", q70 _, Some(q70Sql)),
     ("q71_cohort_retention", q71 _, Some(q71Sql)),
-    ("q87_approx_percentile", q87 _, Some(q87Sql)))
+    ("q87_approx_percentile", q87 _, Some(q87Sql)),
+    ("q142_market_basket", q142 _, Some(q142Sql)),
+    ("q143_pagerank", q143 _, Some(q143Sql)))
 }

@@ -504,10 +504,10 @@ object Vectors {
   private def sqd(a: String, b: String): String =
     s"""ROUND(list_inner_product($a, $a) - 2*list_inner_product($a, $b)
        |          + list_inner_product($b, $b), 6)""".stripMargin
-  val q136Sql: String =
-    s"""WITH emb AS (
-      |  SELECT vec_id, embedding::DOUBLE[] AS e, len(embedding) AS d FROM embeddings
-      |), subs AS (
+  // the PQ trainer/encoder/LUT CTE block shared by q136 (flat ADC) and
+  // q141 (IVF-PQ): expects an `emb` CTE with (vec_id, e DOUBLE[], d)
+  private def pqCtes: String =
+    s"""subs AS (
       |  SELECT vec_id, s.sub,
       |    list_slice(e, (s.sub*d)//4 + 1, ((s.sub+1)*d)//4) AS se
       |  FROM emb, (SELECT unnest(range(0, 4)) AS sub) s
@@ -543,11 +543,66 @@ object Vectors {
       |  SELECT q.vec_id AS query_id, c.sub, c.cw,
       |    ${sqd("q.se", "c.c")} AS dist
       |  FROM subs q JOIN cb c ON q.sub = c.sub WHERE q.vec_id < 8
-      |), adist AS (
+      |)""".stripMargin
+  val q136Sql: String =
+    s"""WITH emb AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e, len(embedding) AS d FROM embeddings
+      |), $pqCtes, adist AS (
       |  SELECT l.query_id, k.vec_id AS neighbor_id,
       |    CAST(SUM(CAST(l.dist AS DECIMAL(18,6))) AS DOUBLE) AS adist
       |  FROM codes k JOIN lut l ON k.sub = l.sub AND k.cw = l.cw
       |  WHERE k.vec_id <> l.query_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT query_id, neighbor_id, rank, adist FROM (
+      |  SELECT query_id, neighbor_id, adist,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY adist ASC, neighbor_id) AS rank
+      |  FROM adist) WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  // --- q141: IVF-PQ — the composed 100 TB ANN system layout ----------------
+  // q53 (probed cells) × q136 (compressed codes) as ONE pipeline, the
+  // Jégou 2011 IVFADC shape: a 1-iteration coarse k-means (k=8) bounds
+  // WHICH vectors are scanned (probe 3 of 8 cells by the same rounded L2
+  // the assignment uses), PQ codes bound WHAT is read per vector (m longs
+  // via the broadcast ADC LUT). Every stage reuses a proven-portable
+  // fragment — the oracle is literally q122's trainer CTEs + q136's PQ
+  // CTEs + a probe CTE — so the full system is hash-checked end to end.
+  def q141(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val cent = Similarity.trainKMeansCells(emb, k = 8, iters = 1)
+    val cells = Similarity.assignKMeansCells(emb, cent).select($"vec_id", $"cell")
+    val cb = Similarity.trainPqCodebooks(emb, m = 4, k = 4, iters = 1)
+    val codes = Similarity.pqEncode(emb, cb, m = 4)
+    Similarity.ivfPqTopK(emb.filter($"vec_id" < 8), cells, codes, cent, cb,
+        m = 4, k = 5, nprobe = 3)
+      .orderBy($"query_id", $"rank")
+  }
+  val q141Sql: String =
+    s"""WITH emb AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e, len(embedding) AS d FROM embeddings
+      |), kc0 AS (SELECT vec_id AS cell, e AS c FROM emb ORDER BY vec_id LIMIT 8),
+      |ka0 AS (${kmAssign("kc0")}),
+      |kc1 AS (${kmUpdate("ka0")}),
+      |cells AS (SELECT vec_id, cell FROM (${kmAssign("kc1")}) t),
+      |$pqCtes,
+      |probes AS (
+      |  SELECT query_id, cell FROM (
+      |    SELECT q.vec_id AS query_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        ${sqd("q.e", "c.c")} ASC, c.cell ASC) AS crank
+      |    FROM emb q CROSS JOIN kc1 c WHERE q.vec_id < 8)
+      |  WHERE crank <= 3
+      |), adist AS (
+      |  SELECT p.query_id, k.vec_id AS neighbor_id,
+      |    CAST(SUM(CAST(l.dist AS DECIMAL(18,6))) AS DOUBLE) AS adist
+      |  FROM codes k
+      |  JOIN cells ce ON k.vec_id = ce.vec_id
+      |  JOIN probes p ON ce.cell = p.cell
+      |  JOIN lut l ON l.query_id = p.query_id AND l.sub = k.sub AND l.cw = k.cw
+      |  WHERE k.vec_id <> p.query_id
       |  GROUP BY 1, 2
       |)
       |SELECT query_id, neighbor_id, rank, adist FROM (
@@ -609,5 +664,6 @@ object Vectors {
     ("q86_media_resize", q86 _, Some(q86Sql)),
     ("q135_margin_mining", q135 _, Some(q135Sql)),
     ("q136_pq_adc", q136 _, Some(q136Sql)),
-    ("q138_kcenter_coreset", q138 _, Some(q138Sql)))
+    ("q138_kcenter_coreset", q138 _, Some(q138Sql)),
+    ("q141_ivf_pq", q141 _, Some(q141Sql)))
 }

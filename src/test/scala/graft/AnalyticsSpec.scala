@@ -117,4 +117,59 @@ class AnalyticsSpec extends AnyFunSuite {
       else assert(sumDelay.isEmpty, "'none' bucket must have null delay sum")
     }
   }
+
+  test("PageRank matches the closed form on a star graph") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // undirected star: hub 0 — leaves 1..4. Closed form on the 1e-9 grid:
+    //   hub:  base + 4·round(0.85·leaf9/1)   leaf: base + round(0.85·hub9/4)
+    // starting from pr9 = round(1e9/5) = 2e8 for all.
+    val pairs = (1L to 4L).map(l => (0L, l))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val got = operators.Graph.pageRank(edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def rd(x: Double): Long = math.round(x)
+    val base = rd(0.15 * 1e9 / 5)
+    var hub = 200000000L; var leaf = 200000000L
+    (0 until 2).foreach { _ =>
+      val h2 = base + 4L * rd(0.85 * leaf / 1.0)
+      val l2 = base + rd(0.85 * hub / 4.0)
+      hub = h2; leaf = l2
+    }
+    assert(got(0L) == ((4L, hub)), s"hub ${got(0L)} != (4, $hub)")
+    (1L to 4L).foreach(l => assert(got(l) == ((1L, leaf)), s"leaf $l: ${got(l)}"))
+    // hub outranks leaves; total mass stays within grid loss of 1e9
+    assert(hub > leaf)
+    val mass = got.values.map(_._2).sum
+    assert(math.abs(mass - 1000000000L) < 100L, s"mass $mass drifted")
+  }
+
+  test("association-rule lift isolates the planted always-together pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // parts 100/101 co-occur in exactly their 2 shared orders and nowhere
+    // else → lift = 2·N/(2·2); part 200 appears in every order (lift-diluted)
+    val rows = Seq(
+      (1L, 100L), (1L, 101L), (1L, 200L),
+      (2L, 100L), (2L, 101L), (2L, 200L),
+      (3L, 300L), (3L, 200L),
+      (4L, 300L), (4L, 200L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mb").toString
+    rows.toDF("l_orderkey", "l_partkey")
+      .withColumn("l_suppkey", lit(1L)).withColumn("l_linenumber", lit(1))
+      .withColumn("l_quantity", lit(1.0)).withColumn("l_extendedprice", lit(1.0))
+      .withColumn("l_discount", lit(0.0)).withColumn("l_tax", lit(0.0))
+      .withColumn("l_returnflag", lit("N")).withColumn("l_linestatus", lit("O"))
+      .withColumn("l_shipdate", to_date(lit("1996-01-01")))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = queries.Analytics.q142(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(5), r.getDouble(6)))).toMap
+    // N=4 orders. (100,101): supp 2, sa=sb=2 → conf 1.0, lift 2·4/4 = 2.0
+    assert(got((100L, 101L)) == ((2L, 1.0, 2.0)), s"${got.toSeq}")
+    // (300,200): supp 2, sa 2, sb 4 → conf 1.0, lift 2·4/8 = 1.0
+    assert(got((200L, 300L))._3 == 1.0)
+    // the planted exclusive pair has the strictly highest lift
+    assert(got.values.map(_._3).max == 2.0)
+  }
 }

@@ -365,6 +365,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(_._2).distinct.length == got.length)
   }
 
+  test("IVF-PQ has usable recall vs exact L2 on clustered vectors") {
+    import spark.implicits._
+    val dim = 16
+    val vecs = (0 until 200).map { i =>
+      val cluster = i % 10
+      val emb = (0 until dim).map { j =>
+        val center = ((cluster * 31 + j * 7) % 11 - 5) / 5.0f
+        center + ((i * 13 + j * 3) % 5 - 2) * 0.01f
+      }.toArray
+      (i.toLong, emb)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cent = Similarity.trainKMeansCells(df, k = 10, iters = 2)
+    val cells = Similarity.assignKMeansCells(df, cent).select($"vec_id", $"cell")
+    val cb = Similarity.trainPqCodebooks(df, m = 4, k = 8, iters = 2)
+    val codes = Similarity.pqEncode(df, cb, m = 4)
+    val got = Similarity.ivfPqTopK(df.filter($"vec_id" < 8), cells, codes, cent,
+        cb, m = 4, k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = vecs.map { case (id, e) => id -> e.map(_.toDouble) }.toMap
+    val exact = (0L until 8L).flatMap { q =>
+      val qe = all(q)
+      all.toSeq.filter(_._1 != q)
+        .map { case (id, e) =>
+          (id, qe.zip(e).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (id, d2) => (d2, id) }.take(5).map(p => (q, p._1))
+    }.toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF-PQ recall $recall too low on clustered data")
+    assert(got.groupBy(_._1).forall(_._2.size == 5))
+  }
+
   test("PQ ADC results are invariant to corpus partitioning") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)

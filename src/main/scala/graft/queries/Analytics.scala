@@ -481,6 +481,73 @@ object Analytics {
       |ORDER BY pr9 DESC, part
       |LIMIT 20""".stripMargin
 
+  // --- q144: skyline / Pareto front (cheapest-per-size part frontier) ------
+  // operators.Skyline.skyline2D over part (minimize p_retailprice, maximize
+  // p_size): the dominance query engines rarely ship natively, computed
+  // with the EquiDepth two-phase distributed prefix max instead of the
+  // single-task sorted window. The oracle states the naive O(n²) NOT
+  // EXISTS dominance form — same survivors, the scalable plan just
+  // computes them distributed.
+  def q144(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Skyline.skyline2D(Tables.part(s, d),
+        $"p_retailprice", $"p_size")
+      .select($"x".as("price"), $"y".as("size"), $"n_rows")
+      .orderBy($"price", $"size")
+  }
+  val q144Sql: String =
+    """WITH pts AS (
+      |  SELECT p_retailprice AS x, p_size AS y, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM part GROUP BY 1, 2)
+      |SELECT x AS price, y AS size, n AS n_rows
+      |FROM pts p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts q
+      |  WHERE q.x <= p.x AND q.y >= p.y AND (q.x < p.x OR q.y > p.y))
+      |ORDER BY price, size""".stripMargin
+
+  // --- q145: BFS hop distances (recursive-CTE semantics, iterated) ---------
+  // operators.Graph.bfsHops from the smallest part in the co-purchase
+  // graph: Spark SQL has no WITH RECURSIVE, so the engine re-expresses the
+  // reachability recursion as frontier expansion (join + distinct +
+  // anti-join per hop, reached table checkpointed). The oracle IS the
+  // recursive CTE — DuckDB walks the same graph recursively and the
+  // min-hop tables must hash-match.
+  def q145(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val op = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    // the FULL co-purchase graph (every within-order pair, no support
+    // floor — at sf0.1 the 3-hop ball from the seed covers ~20k nodes, a
+    // real frontier workload; q142/q143 use the supp≥2 subgraph)
+    val pairs = op.as("a").join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .select($"a.p".as("pa"), $"b.p".as("pb")).distinct()
+    val edges = pairs.select($"pa".as("src"), $"pb".as("dst"))
+      .unionByName(pairs.select($"pb".as("src"), $"pa".as("dst")))
+    // seed = global min node; pairs are pa < pb, so min(pa) is it — reading
+    // pairs, not edges, keeps the seed job off the operator's edge cache
+    val seeds = pairs.agg(min($"pa").as("node"))
+    graft.operators.Graph.bfsHops(edges, seeds, maxHops = 3)
+      .orderBy($"hop", $"node")
+  }
+  val q145Sql: String =
+    """WITH RECURSIVE op AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pairs AS MATERIALIZED (
+      |  SELECT DISTINCT a.p AS pa, b.p AS pb
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+      |edges AS MATERIALIZED (
+      |  SELECT pa AS src, pb AS dst FROM pairs
+      |  UNION ALL SELECT pb, pa FROM pairs),
+      |walk AS (
+      |  SELECT MIN(src) AS node, 0 AS hop FROM edges
+      |  UNION
+      |  SELECT e.dst, w.hop + 1
+      |  FROM walk w JOIN edges e ON e.src = w.node
+      |  WHERE w.hop < 3)
+      |SELECT node, MIN(hop) AS hop FROM walk GROUP BY node
+      |ORDER BY hop, node""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q60_stat_aggs", q60 _, Some(q60Sql)),
     ("q61_sql_entry", q61 _, Some(q61Text)),
@@ -496,5 +563,7 @@ object Analytics {
     ("q71_cohort_retention", q71 _, Some(q71Sql)),
     ("q87_approx_percentile", q87 _, Some(q87Sql)),
     ("q142_market_basket", q142 _, Some(q142Sql)),
-    ("q143_pagerank", q143 _, Some(q143Sql)))
+    ("q143_pagerank", q143 _, Some(q143Sql)),
+    ("q144_skyline", q144 _, Some(q144Sql)),
+    ("q145_graph_bfs", q145 _, Some(q145Sql)))
 }

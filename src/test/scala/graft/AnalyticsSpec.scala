@@ -144,6 +144,36 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(mass - 1000000000L) < 100L, s"mass $mass drifted")
   }
 
+  test("skyline2D equals the brute-force dominance filter on random points") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (0 until 5).foreach { trial =>
+      // duplicates on purpose: tied (x, y) points must all survive
+      val pts = Seq.fill(300)((rnd.nextInt(40) / 2.0, rnd.nextInt(30))) ++
+        Seq((1.0, 5), (1.0, 5))
+      val got = operators.Skyline.skyline2D(
+          pts.toDF("price", "size"), $"price", $"size", slices = 7)
+        .collect().map(r => (r.getDouble(0), r.getInt(1), r.getLong(2))).toSet
+      val grouped = pts.groupBy(identity).map { case ((x, y), g) => (x, y, g.size.toLong) }
+      val want = grouped.filter { case (x, y, _) =>
+        !grouped.exists { case (qx, qy, _) =>
+          qx <= x && qy >= y && (qx < x || qy > y) }
+      }.toSet
+      assert(got == want, s"trial $trial: got=${got.toSeq.sorted} want=${want.toSeq.sorted}")
+    }
+  }
+
+  test("BFS hop distances match the hand graph and stop at maxHops") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus isolated pair 8-9: from seed {1}, hops are the
+    // path positions; 5 is beyond maxHops=3; 8/9 unreachable
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val got = operators.Graph.bfsHops(edges, Seq(1L).toDF("node"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3), s"got $got")
+  }
+
   test("association-rule lift isolates the planted always-together pair") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

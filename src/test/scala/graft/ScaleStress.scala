@@ -191,6 +191,36 @@ object ScaleStress {
       }
     }
 
+    // Graph-operator linearity: a synthetic degree-6 circulant graph
+    // (node i ↔ i+1, i+7, i+31 mod N) scales nodes AND edges exactly
+    // linearly in R with constant degree, so PageRank's per-round cost
+    // (one src-keyed join + one dst-keyed agg) must grow linearly — and
+    // BFS's fixed-radius ball is R-independent, so its cost is the edge
+    // scans alone. Super-linear growth would indicate the rank join
+    // stopped being key-bounded or the frontier anti-join degenerated.
+    if (args.contains("--graph")) rs.foreach { r =>
+      import graft.operators.Graph
+      val n = r * 200000L
+      val base = spark.range(n).toDF("src")
+      val fwd = Seq(1L, 7L, 31L).map(o =>
+          base.select(col("src"), ((col("src") + o) % n).as("dst")))
+        .reduce(_ unionByName _)
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      CacheLifecycle.releaseAll(spark)
+      spark.catalog.clearCache()
+      System.gc()
+      val (pn, psec) = time(Graph.pageRank(edges, iters = 2).count())
+      println(f"[scale] R=$r%-2d p=$partitions%-3s pagerank_i2    rows=$pn%-8d sec=$psec%.2f")
+      CacheLifecycle.releaseAll(spark)
+      spark.catalog.clearCache()
+      System.gc()
+      import spark.implicits._
+      val (bn, bsec) = time(
+        Graph.bfsHops(edges, Seq(0L).toDF("node"), maxHops = 3).count())
+      println(f"[scale] R=$r%-2d p=$partitions%-3s bfs_h3         rows=$bn%-8d sec=$bsec%.2f")
+    }
+
     // Cumulative stage timings for the ngram-Jaccard pipeline (diagnosis
     // aid for time-growth curvature: each stage re-runs its predecessors
     // from cold, so stage deltas attribute growth). Mirrors

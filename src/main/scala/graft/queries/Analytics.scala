@@ -548,6 +548,44 @@ object Analytics {
       |SELECT node, MIN(hop) AS hop FROM walk GROUP BY node
       |ORDER BY hop, node""".stripMargin
 
+  // --- q147: triangle counting (degree-ordered, the clustering primitive) --
+  // operators.Graph.triangleCounts over the supp≥2 co-purchase graph:
+  // degree-ordered orientation caps every wedge apex at O(√E) out-degree,
+  // wedges close with ONE equi-join (the wedge endpoint order matches the
+  // orientation order). The oracle enumerates canonical a<b<c triangles
+  // directly from the pa<pb pair list — the same triangle set by a
+  // different (quadratic-safe-at-this-size) route. Top-10 nodes by count.
+  def q147(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val op = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val pairs = op.as("x").join(op.as("y"), $"x.o" === $"y.o" && $"x.p" < $"y.p")
+      .groupBy($"x.p".as("a"), $"y.p".as("b"))
+      .agg(count(lit(1)).as("supp"))
+      .filter($"supp" >= 2)
+      .select($"a", $"b")
+    graft.operators.Graph.triangleCounts(pairs)
+      .orderBy($"n_triangles".desc, $"node")
+      .limit(10)
+  }
+  val q147Sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |p AS (
+      |  SELECT x.p AS a, y.p AS b
+      |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |tri AS (
+      |  SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+      |  FROM p e1
+      |  JOIN p e2 ON e2.a = e1.b
+      |  JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |nodes AS (
+      |  SELECT unnest(list_value(ta, tb, tc)) AS node FROM tri)
+      |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |FROM nodes GROUP BY node
+      |ORDER BY n_triangles DESC, node
+      |LIMIT 10""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q60_stat_aggs", q60 _, Some(q60Sql)),
     ("q61_sql_entry", q61 _, Some(q61Text)),
@@ -565,5 +603,6 @@ object Analytics {
     ("q142_market_basket", q142 _, Some(q142Sql)),
     ("q143_pagerank", q143 _, Some(q143Sql)),
     ("q144_skyline", q144 _, Some(q144Sql)),
-    ("q145_graph_bfs", q145 _, Some(q145Sql)))
+    ("q145_graph_bfs", q145 _, Some(q145Sql)),
+    ("q147_triangle_count", q147 _, Some(q147Sql)))
 }

@@ -650,6 +650,43 @@ object Events {
       |ORDER BY n_events DESC, user_id
       |LIMIT 20""".stripMargin
 
+  // --- q146: event-transition matrix (first-order Markov analytics) --------
+  // The sequence-mining primitive behind next-event prediction and funnel
+  // diagnosis: per user, order events by (ts, event_id) — event_id breaks
+  // equal-timestamp ties deterministically — take (event_type →
+  // next_type) bigrams via lead(), count transitions, and attach each
+  // source type's row-share. One user-keyed window shuffle + one
+  // (type, type)-keyed agg; probabilities are exact small-int ratios
+  // (IEEE-identical cross-engine, the Q.scala rule).
+  def q146(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = Tables.events(s, d)
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type", $"next_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy($"event_type").agg(sum($"n").as("tot"))
+    trans.join(broadcast(totals), "event_type")
+      .select($"event_type", $"next_type", $"n",
+        ($"n".cast("double") / $"tot").as("p"))
+      .orderBy($"event_type", $"next_type")
+  }
+  val q146Sql: String =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS next_type
+      |  FROM events),
+      |trans AS (
+      |  SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot FROM trans GROUP BY 1)
+      |SELECT event_type, next_type, n, CAST(n AS DOUBLE) / tot AS p
+      |FROM trans JOIN tot USING (event_type)
+      |ORDER BY event_type, next_type""".stripMargin
+
   // --- q129: incrementally-maintained hourly rollup (materialized view) ----
   // The streaming-materialized-view loop end-to-end: drain the events
   // backlog through Rollup.hourlyRollupSink (per-batch partial aggregates
@@ -704,5 +741,6 @@ object Events {
     ("q121_stream_static_join", q121 _, Some(q121Sql)),
     ("q127_stream_freshness", q127 _, Some(q127Sql)),
     ("q129_incremental_rollup", q129 _, Some(q129Sql)),
-    ("q137_stream_heavy_hitters", q137 _, Some(q137Sql)))
+    ("q137_stream_heavy_hitters", q137 _, Some(q137Sql)),
+    ("q146_event_transitions", q146 _, Some(q146Sql)))
 }

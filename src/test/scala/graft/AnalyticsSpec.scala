@@ -174,6 +174,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3), s"got $got")
   }
 
+  test("triangle counts are exact on K4-plus-pendant") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} has 4 triangles — every vertex sits in C(3,2) = 3;
+    // pendant 5-1 and isolated edge 8-9 contribute none
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (8L, 9L)).toDF("a", "b")
+    val got = operators.Graph.triangleCounts(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+    // total credit = 3 × triangle count
+    assert(got.values.sum == 12L)
+  }
+
+  test("event transition probabilities are a proper distribution per source") {
+    val rows = queries.Events.q146(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val pSum = g.map(_._4).sum
+      assert(math.abs(pSum - 1.0) < 1e-9, s"$src: probabilities sum $pSum")
+      assert(g.forall(t => t._4 > 0 && t._4 <= 1.0))
+    }
+    // bigram conservation: transitions out of all sources = events - one
+    // terminal event per user
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == nEvents - nUsers)
+  }
+
   test("association-rule lift isolates the planted always-together pair") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -112,6 +112,38 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Bounded-round single-source shortest paths — Bellman-Ford relaxation
+    * as iterated min-plus: round i's distance table is the min of the
+    * previous table and every edge-relaxed candidate. With INTEGER weights
+    * the whole fixpoint is exact arithmetic — engine-portable at any
+    * round count, the reason SSSP can be oracle-checked while
+    * floating-point shortest paths could not.
+    *
+    * Per round: one src-keyed join (candidates fan out along edges) + one
+    * node-keyed min aggregation with map-side combine — two shuffles,
+    * both node/edge-bounded; the distance table is node-sized and eagerly
+    * localCheckpointed (the frontier-algorithm lineage rule). `rounds`
+    * bounds path length: round r holds exact distances over paths of
+    * ≤ r edges (full convergence needs |V|−1 rounds; scoring passes use
+    * small bounds).
+    *
+    * @param edges (src, dst, w) directed, integer weights ≥ 0
+    * @param seeds (node) — distance-0 sources
+    * @return (node, dist) minimal ≤rounds-edge path weight per reached node */
+  def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    import graft.CacheLifecycle.TrackedPersistOps
+    require(rounds >= 0, s"rounds must be >= 0; got $rounds")
+    val e = edges.persistTracked()
+    val init = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint(true)
+    (1 to rounds).foldLeft(init) { (dist, _) =>
+      val relax = e.join(dist, e("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist.unionByName(relax)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+  }
+
   /** Breadth-first hop distances from a seed set — the frontier-expansion
     * re-expression of the recursive CTE Spark SQL lacks (the DuckDB oracle
     * states the WITH RECURSIVE form; this computes the identical min-hop

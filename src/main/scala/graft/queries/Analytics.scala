@@ -586,6 +586,51 @@ object Analytics {
       |ORDER BY n_triangles DESC, node
       |LIMIT 10""".stripMargin
 
+  // --- q148: weighted shortest paths (bounded Bellman-Ford) ----------------
+  // operators.Graph.sssp on the supp≥2 co-purchase graph with integer
+  // affinity weights w = max(1, 6 − supp) (stronger co-purchase = closer):
+  // 3 relaxation rounds from the smallest part. Integer min-plus is exact
+  // arithmetic, so the oracle unrolls the identical three steps and the
+  // distance tables hash-match — the weighted generalization of q145's
+  // recursion check.
+  def q148(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val op = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val pairs = op.as("a").join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .groupBy($"a.p".as("pa"), $"b.p".as("pb"))
+      .agg(count(lit(1)).as("supp"))
+      .filter($"supp" >= 2)
+    val wpairs = pairs.withColumn("w", greatest(lit(1L), lit(6L) - $"supp"))
+    val edges = wpairs.select($"pa".as("src"), $"pb".as("dst"), $"w")
+      .unionByName(wpairs.select($"pb".as("src"), $"pa".as("dst"), $"w"))
+    val seeds = pairs.agg(min($"pa").as("node"))
+    graft.operators.Graph.sssp(edges, seeds, rounds = 3)
+      .orderBy($"dist", $"node")
+  }
+  private def ssspStep(prev: String): String =
+    s"""SELECT node, MIN(dist) AS dist FROM (
+       |    SELECT node, dist FROM $prev
+       |    UNION ALL
+       |    SELECT e.dst AS node, p.dist + e.w AS dist
+       |    FROM edges e JOIN $prev p ON e.src = p.node) t
+       |  GROUP BY node""".stripMargin
+  val q148Sql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS supp
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |wp AS (SELECT pa, pb, GREATEST(1, 6 - supp) AS w FROM pairs),
+      |edges AS (
+      |  SELECT pa AS src, pb AS dst, w FROM wp
+      |  UNION ALL SELECT pb, pa, w FROM wp),
+      |d0 AS (SELECT MIN(pa) AS node, CAST(0 AS BIGINT) AS dist FROM pairs),
+      |d1 AS (${ssspStep("d0")}),
+      |d2 AS (${ssspStep("d1")}),
+      |d3 AS (${ssspStep("d2")})
+      |SELECT node, dist FROM d3 ORDER BY dist, node""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q60_stat_aggs", q60 _, Some(q60Sql)),
     ("q61_sql_entry", q61 _, Some(q61Text)),
@@ -604,5 +649,6 @@ object Analytics {
     ("q143_pagerank", q143 _, Some(q143Sql)),
     ("q144_skyline", q144 _, Some(q144Sql)),
     ("q145_graph_bfs", q145 _, Some(q145Sql)),
-    ("q147_triangle_count", q147 _, Some(q147Sql)))
+    ("q147_triangle_count", q147 _, Some(q147Sql)),
+    ("q148_weighted_sssp", q148 _, Some(q148Sql)))
 }

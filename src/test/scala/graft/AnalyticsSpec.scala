@@ -203,6 +203,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == nEvents - nUsers)
   }
 
+  test("SSSP relaxation finds the cheaper two-edge detour within its bound") {
+    import spark.implicits._
+    // 1→2 costs 10 direct, but 1→3→2 costs 2; node 4 is 3 edges out, so
+    // rounds=2 must NOT reach it through the detour path's full length
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 1L), (2L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val r2 = operators.Graph.sssp(edges, Seq(1L).toDF("node"), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 0L, 2L -> 2L, 3L -> 1L, 4L -> 11L), s"got $r2")
+    // one more round relaxes 4 through the detour: 1→3→2→4 = 3
+    val r3 = operators.Graph.sssp(edges, Seq(1L).toDF("node"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3(4L) == 3L, s"round-3 distance to 4 was ${r3(4L)}")
+  }
+
   test("association-rule lift isolates the planted always-together pair") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -687,6 +687,49 @@ object Events {
       |FROM trans JOIN tot USING (event_type)
       |ORDER BY event_type, next_type""".stripMargin
 
+  // --- q149: cumulative-distinct-users curve (running COUNT(DISTINCT)) ----
+  // COUNT(DISTINCT) over a running window frame is unsupported in every
+  // major engine; the standard re-expression is first-occurrence flags —
+  // a user counts only in the hour of their first event (row_number over
+  // (user | ts, event_id) == 1), and the cumulative curve is a running
+  // SUM of per-hour first-touch counts. One user-keyed window shuffle +
+  // one hour-keyed agg + a running sum over the (small) hour domain —
+  // vs the naive per-frame re-scan, O(hours²) distinct work collapses to
+  // linear. The hour-ordered running window runs over the bucket table
+  // (≤ thousands of rows), not events — the q132/EquiDepth rule applies
+  // only to data-sized windows.
+  def q149(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val firsts = Tables.events(s, d)
+      .withColumn("rn", row_number().over(wUser))
+      .filter($"rn" === 1)
+      .groupBy(fmtS(expr("(ts div 1000000000) div 3600 * 3600"))
+        .as("hour_start"))
+      .agg(count(lit(1)).as("new_users"))
+    val wCum = Window.orderBy($"hour_start")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    firsts
+      .withColumn("cum_users", sum($"new_users").over(wCum))
+      .orderBy($"hour_start")
+  }
+  val q149Sql: String =
+    """WITH firsts AS (
+      |  SELECT user_id, ts FROM (
+      |    SELECT user_id, ts,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |    FROM events) t WHERE rn = 1),
+      |hourly AS (
+      |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |    CAST(COUNT(*) AS BIGINT) AS new_users
+      |  FROM firsts GROUP BY 1)
+      |SELECT hour_start, new_users,
+      |  CAST(SUM(new_users) OVER (ORDER BY hour_start
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_users
+      |FROM hourly
+      |ORDER BY hour_start""".stripMargin
+
   // --- q129: incrementally-maintained hourly rollup (materialized view) ----
   // The streaming-materialized-view loop end-to-end: drain the events
   // backlog through Rollup.hourlyRollupSink (per-batch partial aggregates
@@ -742,5 +785,6 @@ object Events {
     ("q127_stream_freshness", q127 _, Some(q127Sql)),
     ("q129_incremental_rollup", q129 _, Some(q129Sql)),
     ("q137_stream_heavy_hitters", q137 _, Some(q137Sql)),
-    ("q146_event_transitions", q146 _, Some(q146Sql)))
+    ("q146_event_transitions", q146 _, Some(q146Sql)),
+    ("q149_user_growth", q149 _, Some(q149Sql)))
 }

@@ -218,6 +218,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r3(4L) == 3L, s"round-3 distance to 4 was ${r3(4L)}")
   }
 
+  test("user-growth curve ends at the distinct-user count and never dips") {
+    val rows = queries.Events.q149(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.last._3 == users, s"final cum ${rows.last._3} != $users users")
+    assert(rows.map(_._2).sum == users)
+    // cumulative curve is strictly the running sum and monotone
+    rows.foldLeft(0L) { case (acc, (h, nu, cum)) =>
+      assert(cum == acc + nu, s"$h: cum $cum != ${acc + nu}"); cum
+    }
+  }
+
   test("association-rule lift isolates the planted always-together pair") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -631,6 +631,132 @@ object Analytics {
       |d3 AS (${ssspStep("d2")})
       |SELECT node, dist FROM d3 ORDER BY dist, node""".stripMargin
 
+  // --- q153: A/B contingency test (chi-square independence, exact grid) ---
+  // The experimentation primitive: users split into two arms by a
+  // deterministic assignment hash (parity of user_id here), outcome =
+  // whether the user ever made a high-value purchase (> 150 — chosen so
+  // all four cells are populated at every test SF; "ever purchased" is
+  // degenerate here, every user buys eventually). The 2×2 Pearson
+  // chi-square N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is a ratio of exact
+  // integers — decimal(38,0) in Spark, HUGEINT in DuckDB — so the
+  // statistic is two correctly-rounded int→double casts and ONE IEEE
+  // division, bit-identical cross-engine (the q60/q117 convention: never
+  // let partial-aggregation order touch a float). Shape: one user-keyed
+  // rollup collapses events to a user table, one global agg builds the
+  // 2×2 — at 100 TB the only event-sized shuffle is the per-user max.
+  def q153(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = "decimal(38,0)"
+    val users = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase" && $"value" > 150, 1)
+        .otherwise(0)).as("conv"))
+      .select(($"user_id" % 2).as("arm"), $"conv")
+    val cells = users.agg(
+      sum(when($"arm" === 0 && $"conv" === 1, 1L).otherwise(0L)).as("a"),
+      sum(when($"arm" === 0 && $"conv" === 0, 1L).otherwise(0L)).as("b"),
+      sum(when($"arm" === 1 && $"conv" === 1, 1L).otherwise(0L)).as("c"),
+      sum(when($"arm" === 1 && $"conv" === 0, 1L).otherwise(0L)).as("d"))
+    val diff = $"a".cast(big) * $"d".cast(big) - $"b".cast(big) * $"c".cast(big)
+    val n = ($"a" + $"b" + $"c" + $"d").cast(big)
+    val den = ($"a" + $"b").cast(big) * ($"c" + $"d").cast(big) *
+      ($"a" + $"c").cast(big) * ($"b" + $"d").cast(big)
+    cells.select($"a", $"b", $"c", $"d",
+      ($"a".cast("double") / ($"a" + $"b")).as("rate_a"),
+      ($"c".cast("double") / ($"c" + $"d")).as("rate_b"),
+      // degenerate margin (an empty cell row/column) → chi2 undefined;
+      // NULL on both sides instead of an ANSI divide-by-zero
+      when(den === lit(0).cast(big), lit(null).cast("double"))
+        .otherwise((n * diff * diff).cast("double") / den.cast("double"))
+        .as("chi2"))
+  }
+  val q153Sql: String =
+    """WITH u AS (
+      |  SELECT user_id % 2 AS arm,
+      |    MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id),
+      |cells AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(SUM(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(SUM(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |    CAST(SUM(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM u)
+      |SELECT a, b, c, d,
+      |  CAST(a AS DOUBLE) / (a + b) AS rate_a,
+      |  CAST(c AS DOUBLE) / (c + d) AS rate_b,
+      |  CASE WHEN CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d) = 0
+      |       THEN NULL
+      |       ELSE CAST(CAST(a + b + c + d AS HUGEINT)
+      |              * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+      |              * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) AS DOUBLE)
+      |         / CAST(CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d) AS DOUBLE)
+      |  END AS chi2
+      |FROM cells""".stripMargin
+
+  // --- q154: per-group OLS trend line (regression on the exact grid) ------
+  // Least-squares slope/intercept of event value vs time per event type —
+  // the trend-detection twin of q60's variance family. With values on the
+  // 1e-2 grid and x = seconds since 2024-01-01 (a fixed epoch anchor, so
+  // x is data-independent), every OLS sum (Σx, Σy, Σx², Σxy) is an exact
+  // integer; slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) and intercept =
+  // (ΣyΣx²−ΣxΣxy)/(nΣx²−(Σx)²) are ratios of exact decimal(38,0)/HUGEINT
+  // integers. The numerators exceed 2^53, and int→double conversion of
+  // such values is NOT correctly rounded in every engine (DuckDB converts
+  // int128 as upper·2^64 + lower — two roundings), so the ratio carries a
+  // ~1-ulp cross-engine wobble; per the Q.scala convention it is snapped
+  // ONCE to the 1e-9 integer grid (wobble ~1e-8 of a grid step — eight
+  // orders of margin). One aggregation, one scan — trivially
+  // partitionable.
+  def q154(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = "decimal(38,0)"
+    val anchor = 1704067200L // 2024-01-01T00:00:00Z
+    val grid = Tables.events(s, d)
+      .select($"event_type",
+        (expr("ts div 1000000000") - anchor).as("x"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("v"))
+    val sums = grid.groupBy($"event_type").agg(
+      count(lit(1)).as("n"),
+      sum($"x".cast(big)).as("sx"),
+      sum($"v".cast(big)).as("sy"),
+      sum(($"x" * $"x").cast(big)).as("sxx"),
+      sum(($"x" * $"v").cast(big)).as("sxy"))
+    val den = $"n".cast(big) * $"sxx" - $"sx" * $"sx"
+    val slopeNum = $"n".cast(big) * $"sxy" - $"sx" * $"sy"
+    val icptNum = $"sy" * $"sxx" - $"sx" * $"sxy"
+    def grid9(c: org.apache.spark.sql.Column) =
+      round(c * 1e9).cast("long").cast("double") / 1e9
+    sums.select($"event_type", $"n",
+      grid9(slopeNum.cast("double") / den.cast("double") * 864)
+        .as("slope_per_day"),
+      grid9(icptNum.cast("double") / den.cast("double") / 100)
+        .as("intercept"))
+      .orderBy($"event_type")
+  }
+  val q154Sql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    CAST(epoch_us(ts) // 1000000 - 1704067200 AS BIGINT) AS x,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(v AS HUGEINT)) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(x AS HUGEINT) * v) AS sxy
+      |  FROM g GROUP BY 1)
+      |SELECT event_type, n,
+      |  CAST(CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) * 864 * 1e9) AS BIGINT) AS DOUBLE)
+      |    / 1e9 AS slope_per_day,
+      |  CAST(CAST(round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) / 100 * 1e9) AS BIGINT) AS DOUBLE)
+      |    / 1e9 AS intercept
+      |FROM s
+      |ORDER BY event_type""".stripMargin
+
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q60_stat_aggs", q60 _, Some(q60Sql)),
     ("q61_sql_entry", q61 _, Some(q61Text)),
@@ -650,5 +776,7 @@ object Analytics {
     ("q144_skyline", q144 _, Some(q144Sql)),
     ("q145_graph_bfs", q145 _, Some(q145Sql)),
     ("q147_triangle_count", q147 _, Some(q147Sql)),
-    ("q148_weighted_sssp", q148 _, Some(q148Sql)))
+    ("q148_weighted_sssp", q148 _, Some(q148Sql)),
+    ("q153_ab_contingency", q153 _, Some(q153Sql)),
+    ("q154_ols_trend", q154 _, Some(q154Sql)))
 }

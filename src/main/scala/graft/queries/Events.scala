@@ -730,6 +730,78 @@ object Events {
       |FROM hourly
       |ORDER BY hour_start""".stripMargin
 
+  // --- q150: rolling-window anomaly detection (trailing z-score flag) ------
+  // Per event type, each event is tested against the trailing 24-hour
+  // window's mean/variance (RANGE frame on epoch seconds — event-TIME
+  // bounded state, the streaming-compatible shape; peers at equal seconds
+  // are in-frame by RANGE semantics, so no row-order tie-break is needed).
+  // The flag |v−μ| > 3σ is evaluated WITHOUT doubles or sqrt: with values
+  // on the 1e-2 integer grid, v·n−Σv and n·Σv²−(Σv)² are exact integers
+  // and the test squares to (v·n−Σv)² > 9·(n·Σv²−(Σv)²) — decimal(38,0)
+  // arithmetic in Spark, HUGEINT in DuckDB, bit-identical verdicts.
+  //
+  // Scale shape — boundary-replicated time slices: a naive
+  // Window.partitionBy(event_type) caps parallelism at #types (5 here,
+  // and a single reducer per type at 100 TB). Instead each event lands
+  // in its own (type, day) slice AND is replicated once into the NEXT
+  // day's slice as context-only; a trailing 24h frame never reaches
+  // further back than the previous calendar day (86400 = exactly one
+  // slice width), so every target row sees its full frame inside its
+  // slice and context rows are dropped after the window. One shuffle on
+  // (type, day) over 2× the data, parallelism ∝ types × days — the
+  // standard overlap-replication layout for sliding windows over
+  // time-partitioned lakes.
+  def q150(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type", $"slice").orderBy($"epoch_s")
+      .rangeBetween(-86400, 0)
+    val big = "decimal(38,0)"
+    val ev = withDerived(Tables.events(s, d))
+      .withColumn("v", ($"value".cast("decimal(18,2)") * 100).cast("long"))
+    val sliced = ev
+      .withColumn("slice", expr("epoch_s div 86400"))
+      .withColumn("ctx", lit(false))
+      .unionByName(ev
+        .withColumn("slice", expr("epoch_s div 86400 + 1"))
+        .withColumn("ctx", lit(true)))
+    val grid = sliced
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("s_win", sum($"v").over(w))
+      .withColumn("ss_win", sum($"v" * $"v").over(w))
+      .filter(!$"ctx")
+    val diff = $"v".cast(big) * $"n_win".cast(big) - $"s_win".cast(big)
+    val varN = $"n_win".cast(big) * $"ss_win".cast(big) -
+      $"s_win".cast(big) * $"s_win".cast(big)
+    grid
+      .filter($"n_win" >= 10 && diff * diff > lit(9).cast(big) * varN)
+      .select($"event_type", fmtS($"epoch_s").as("ts_s"), $"event_id",
+        $"value", $"n_win",
+        ($"s_win".cast("double") / ($"n_win" * 100)).as("win_mean"))
+      .orderBy($"event_type", $"ts_s", $"event_id")
+  }
+  val q150Sql: String =
+    """WITH g AS (
+      |  SELECT event_type, ts, event_id, value,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    CAST(epoch_us(ts) // 1000000 AS BIGINT) AS es
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type, ts, event_id, value, v, es,
+      |    CAST(COUNT(*) OVER fr AS BIGINT) AS n_win,
+      |    CAST(SUM(v) OVER fr AS BIGINT) AS s_win,
+      |    CAST(SUM(v * v) OVER fr AS BIGINT) AS ss_win
+      |  FROM g
+      |  WINDOW fr AS (PARTITION BY event_type ORDER BY es
+      |    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW))
+      |SELECT event_type, strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |  event_id, value, n_win,
+      |  CAST(s_win AS DOUBLE) / (n_win * 100) AS win_mean
+      |FROM w
+      |WHERE n_win >= 10
+      |  AND (CAST(v AS HUGEINT) * n_win - s_win) * (CAST(v AS HUGEINT) * n_win - s_win)
+      |      > 9 * (CAST(n_win AS HUGEINT) * ss_win - CAST(s_win AS HUGEINT) * s_win)
+      |ORDER BY event_type, ts_s, event_id""".stripMargin
+
   // --- q129: incrementally-maintained hourly rollup (materialized view) ----
   // The streaming-materialized-view loop end-to-end: drain the events
   // backlog through Rollup.hourlyRollupSink (per-batch partial aggregates
@@ -786,5 +858,6 @@ object Events {
     ("q129_incremental_rollup", q129 _, Some(q129Sql)),
     ("q137_stream_heavy_hitters", q137 _, Some(q137Sql)),
     ("q146_event_transitions", q146 _, Some(q146Sql)),
-    ("q149_user_growth", q149 _, Some(q149Sql)))
+    ("q149_user_growth", q149 _, Some(q149Sql)),
+    ("q150_rolling_anomaly", q150 _, Some(q150Sql)))
 }

@@ -2175,6 +2175,113 @@ object Text {
       |FROM w
       |ORDER BY lang""".stripMargin
 
+  // --- q151: edit-distance similarity join (typo/variant mining) ----------
+  // The string-similarity join family's third member after Jaccard (q83)
+  // and containment (q113): token pairs within Levenshtein distance 1 over
+  // the corpus VOCABULARY — the spelling-variant / OCR-noise miner that
+  // feeds tokenizer normalization. All-pairs levenshtein is O(V²·L²);
+  // the FastSS deletion-neighborhood filter is lossless for distance k:
+  // if ed(a,b) ≤ k, an optimal alignment has ≤ k non-match columns —
+  // deleting a's chars in sub/del columns (≤ k) and b's in sub/ins
+  // columns (≤ k) leaves the SAME string, so a and b share a key in
+  // their ≤k-deletion neighborhoods. For k=2 that is 1 + L + L(L−1)/2
+  // keys per token — a key-bucketed self-join linear in the vocabulary,
+  // then the exact levenshtein ≤ 2 rerank runs only on survivors.
+  // Vocab-sized input (Heaps' law), not corpus-sized: the explode and
+  // join never see raw documents.
+  def q151(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("tok"))
+      .filter(length($"tok") >= 4)
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    // keys = {tok} ∪ del1(tok) ∪ del2(tok); sequence() bounds are always
+    // ascending (L ≥ 4), so no reversed-sequence surprises
+    val keyed = vocab.withColumn("key", explode(expr(
+      """array_distinct(concat(
+        |  array(tok),
+        |  transform(sequence(1, length(tok)),
+        |    i -> concat(substr(tok, 1, i - 1),
+        |                substr(tok, i + 1, length(tok) - i))),
+        |  flatten(transform(sequence(1, length(tok) - 1),
+        |    i -> transform(sequence(i + 1, length(tok)),
+        |      j -> concat(substr(tok, 1, i - 1),
+        |                  substr(tok, i + 1, j - i - 1),
+        |                  substr(tok, j + 1, length(tok) - j)))))))""".stripMargin)))
+    val a = keyed.select($"key", $"tok".as("t1"), $"cnt".as("cnt1"))
+    val b = keyed.select($"key", $"tok".as("t2"), $"cnt".as("cnt2"))
+    a.join(b, "key")
+      .filter($"t1" < $"t2")
+      .select($"t1", $"t2", $"cnt1", $"cnt2").distinct()
+      .filter(levenshtein($"t1", $"t2") <= 2)
+      .orderBy($"t1", $"t2")
+  }
+  val q151Sql: String =
+    """WITH v AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM (
+      |    SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+      |    FROM documents)
+      |  WHERE length(tok) >= 4
+      |  GROUP BY tok)
+      |SELECT a.tok AS t1, b.tok AS t2, a.cnt AS cnt1, b.cnt AS cnt2
+      |FROM v a JOIN v b
+      |  ON a.tok < b.tok
+      | AND abs(length(a.tok) - length(b.tok)) <= 2
+      | AND levenshtein(a.tok, b.tok) <= 2
+      |ORDER BY t1, t2""".stripMargin
+
+  // --- q152: positional phrase search (inverted-index adjacency) ----------
+  // Exact multi-token phrase matching — the IR primitive BM25 (q120) can't
+  // express: "slow hash batch" must occur as CONSECUTIVE tokens. Instead
+  // of an n-way postings self-join, each occurrence of phrase term i at
+  // position p votes for anchor p−i; an anchor where all n distinct
+  // offsets voted is a match (terms are distinct here, so a token matches
+  // exactly one offset). One posexplode + one (doc, anchor)-keyed count
+  // + one doc rollup — a single corpus-sized shuffle on (doc, anchor),
+  // exactly the shape of a distributed inverted-index phrase probe; the
+  // non-phrase tokens are filtered before the shuffle, so the exchange
+  // carries only phrase-term postings.
+  def q152(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq("slow", "hash", "batch")
+    val off = terms.zipWithIndex
+      .foldLeft(lit(null).cast("int")) { case (acc, (t, i)) =>
+        when($"tok" === t, lit(i)).otherwise(acc) }
+    Tables.documents(s, d)
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
+      .filter($"tok".isin(terms: _*))
+      .select($"doc_id", ($"pos" - off).as("anchor"), off.as("i"))
+      .groupBy($"doc_id", $"anchor")
+      .agg(countDistinct($"i").as("hits"))
+      .filter($"hits" === terms.size)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        (min($"anchor") + 1).cast("long").as("first_pos"))
+      .orderBy($"n_matches".desc, $"doc_id")
+      .limit(20)
+  }
+  val q152Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS pos
+      |  FROM d),
+      |m AS (
+      |  SELECT doc_id,
+      |    pos - CASE tok WHEN 'slow' THEN 0 WHEN 'hash' THEN 1 ELSE 2 END AS anchor,
+      |    CASE tok WHEN 'slow' THEN 0 WHEN 'hash' THEN 1 ELSE 2 END AS i
+      |  FROM p WHERE tok IN ('slow', 'hash', 'batch')),
+      |hits AS (
+      |  SELECT doc_id, anchor FROM m GROUP BY 1, 2 HAVING COUNT(DISTINCT i) = 3)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+      |  CAST(MIN(anchor) AS BIGINT) AS first_pos
+      |FROM hits GROUP BY doc_id
+      |ORDER BY n_matches DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),
@@ -2224,5 +2331,7 @@ object Text {
     ("q133_span_removal", q133 _, Some(q133Sql)),
     ("q134_stream_neardup", q134 _, Some(q45Sql)),
     ("q139_nb_quality_classifier", q139 _, Some(q139Sql)),
-    ("q140_temperature_mix", q140 _, Some(q140Sql)))
+    ("q140_temperature_mix", q140 _, Some(q140Sql)),
+    ("q151_edit_distance_join", q151 _, Some(q151Sql)),
+    ("q152_phrase_search", q152 _, Some(q152Sql)))
 }

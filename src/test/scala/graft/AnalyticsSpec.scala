@@ -258,4 +258,67 @@ class AnalyticsSpec extends AnyFunSuite {
     // the planted exclusive pair has the strictly highest lift
     assert(got.values.map(_._3).max == 2.0)
   }
+
+  test("rolling anomaly flags exactly the planted spike against its trailing window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 30 flat values then one 50x spike then 10 more flat values, all
+    // inside one 24h window. Only the spike clears 3 sigma; flat rows
+    // before it have zero deviation and flat rows after it sit well
+    // inside the spike-inflated variance (driver-checked closed form).
+    val base = 1704412800L // 2024-01-05T00:00:00Z
+    val rows = (0 until 30).map(i => (i.toLong, base + i * 60L, 10.0)) ++
+      Seq((30L, base + 1800L, 500.0)) ++
+      (31 until 41).map(i => (i.toLong, base + i * 60L, 10.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom").toString
+    rows.toDF("event_id", "es", "value")
+      .select($"event_id", timestamp_seconds($"es").as("ts"),
+        lit(7L).as("user_id"), lit("click").as("event_type"), $"value",
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = queries.Events.q150(spark, dir).collect()
+      .map(r => (r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got.toList == List((30L, 500.0, 31L)), s"${got.toList}")
+  }
+
+  test("chi-square contingency matches the closed form on a hand-built 2x2") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // arm = user_id % 2; conv = purchase with value > 150
+    // users: 0,2 arm0-conv; 4 arm0-nonconv; 1 arm1-conv; 3,5 arm1-nonconv
+    // cells a=2 b=1 c=1 d=2, N=6, ad-bc=3 -> chi2 = 6*9/(3*3*3*3) = 2/3
+    val rows = Seq(
+      (0L, 200.0), (2L, 160.0), (4L, 100.0),
+      (1L, 151.0), (3L, 150.0), (5L, 10.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_chi").toString
+    rows.toDF("user_id", "value")
+      .select(($"user_id" + 1).cast("long").as("event_id"),
+        timestamp_seconds(lit(1704412800L) + $"user_id").as("ts"),
+        $"user_id", lit("purchase").as("event_type"), $"value",
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = queries.Analytics.q153(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 1L, 1L, 2L)))
+    assert(r.getDouble(4) == 2.0 / 3 && r.getDouble(5) == 1.0 / 3)
+    assert(r.getDouble(6) == 6.0 * 9 / 81, s"chi2 ${r.getDouble(6)}")
+  }
+
+  test("OLS trend recovers an exact planted line (slope per day, intercept)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // v = 1.00 + 0.01 * x over x = 0,100,200s since the 2024-01-01 anchor
+    // -> slope 0.01/s = 864 value-units/day, intercept 1.0 — both exact
+    // on the 1e-9 grid the query snaps to.
+    val rows = Seq((1L, 0L, 1.0), (2L, 100L, 2.0), (3L, 200L, 3.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ols").toString
+    rows.toDF("event_id", "x", "value")
+      .select($"event_id", timestamp_seconds(lit(1704067200L) + $"x").as("ts"),
+        lit(1L).as("user_id"), lit("view").as("event_type"), $"value",
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = queries.Analytics.q154(spark, dir).collect().head
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 864.0, s"slope ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 1.0, s"intercept ${r.getDouble(3)}")
+  }
 }

@@ -607,4 +607,52 @@ class TrainingSpec extends AnyFunSuite {
     assert(byN.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
       s"rates not non-increasing in count order: ${byN.toSeq}")
   }
+
+  test("edit-distance join equals brute-force levenshtein <= 2 on a typo corpus") {
+    import spark.implicits._
+    // planted variant family around "spark" (sub, del, ins, double-del)
+    // plus words that must NOT pair (distance 3+)
+    val docs = Seq(
+      (1L, "spark spork sprk sparkk table", "en", "s", 10L),
+      (2L, "spark stark tables batch", "en", "s", 10L),
+      (3L, "window widow windows spark", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ed").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = queries.Text.q151(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // driver-side brute force over the same vocabulary
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j => i.max(j)))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val vocab = Seq("spark", "spork", "sprk", "sparkk", "table", "stark",
+      "tables", "batch", "window", "widow", "windows")
+      .filter(_.length >= 4).distinct
+    val want = (for {
+      a <- vocab; b <- vocab if a < b && lev(a, b) <= 2
+    } yield (a, b)).toSet
+    assert(got == want, s"got $got\nwant $want")
+    // sanity: the planted family is in, the far words are out
+    assert(got.contains(("spark", "spork")) && got.contains(("spark", "sprk")))
+    assert(!got.contains(("spark", "batch")))
+  }
+
+  test("phrase search counts consecutive occurrences only, with 1-based first position") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "slow hash batch x slow hash batch", "en", "s", 10L), // 2 hits, pos 1
+      (2L, "slow hash x batch", "en", "s", 10L),                 // broken phrase
+      (3L, "batch hash slow", "en", "s", 10L),                   // reversed
+      (4L, "x slow hash batch", "en", "s", 10L))                 // 1 hit, pos 2
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ph").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = queries.Text.q152(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List((1L, 2L, 1L), (4L, 1L, 2L)), s"$got")
+  }
 }

@@ -802,6 +802,130 @@ object Events {
       |      > 9 * (CAST(n_win AS HUGEINT) * ss_win - CAST(s_win AS HUGEINT) * s_win)
       |ORDER BY event_type, ts_s, event_id""".stripMargin
 
+  // --- q155: streaming session windows (the built-in session_window op) ---
+  // The fifth streaming pillar's BUILT-IN form: q95 sessionizes with
+  // custom flatMapGroupsWithState logic; this registers Spark's native
+  // session_window aggregation (dynamic-gap merging session state,
+  // watermark-evicted) under the oracle gate. Semantics are µs-exact
+  // and inclusive: TOUCHING windows merge (an event at last_ts + exactly
+  // 30min extends the session; strictly beyond opens a new one —
+  // StreamingSpec pins this against a planted exact-gap pair), so the
+  // oracle sessionizes on epoch-µs gaps — NOT q27's second-TRUNCATED
+  // ones, which disagree on a 1800.000001s gap (truncates to 1800).
+  // Complete mode over an AvailableNow drain yields the final sessions.
+  def q155(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sessions = graft.streaming.Streams.sessionWindows(
+      graft.streaming.Streams.eventsStream(s, d))
+    graft.streaming.Streams.runToMemory(s, sessions, "q155_sink")
+      .select($"user_id", $"session_start", $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+  val q155Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+      |f AS (
+      |  SELECT user_id, ts, us,
+      |    CASE WHEN LAG(us) OVER w IS NULL
+      |           OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
+      |  FROM f)
+      |SELECT user_id,
+      |  strftime(date_trunc('second', MIN(ts)), '%Y-%m-%d %H:%M:%S')
+      |    AS session_start,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // --- q156: change-point detection (max cumulative deviation, CUSUM) -----
+  // q150 flags POINT outliers; this finds the LEVEL SHIFT: per event
+  // type, the time index maximizing |Σ_{j≤i}(v_j − μ)| — the classic
+  // CUSUM location estimate for a single mean change. Everything is
+  // exact-integer: with v on the 1e-2 grid, n·D_i = n·cum_i − i·Σv is a
+  // decimal(38,0)/HUGEINT integer, so the argmax (tie-broken by earliest
+  // index) is engine-deterministic, and |D_max|/n is grid-snapped once
+  // (the q154 rule — the numerator exceeds 2^53).
+  //
+  // Scale shape: the running sum NEVER runs as one global-ordered window
+  // (the q132/EquiDepth rule) — per-(type, day) slice-local cumsums plus
+  // broadcast per-slice offsets reconstruct the exact global prefix sum,
+  // and the argmax is two-phase: slice-local struct-max candidates, then
+  // a max over the tiny candidate table. Parallelism ∝ types × days.
+  def q156(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = "decimal(38,0)"
+    val ev = withDerived(Tables.events(s, d))
+      .withColumn("v", ($"value".cast("decimal(18,2)") * 100).cast("long"))
+      .withColumn("slice", expr("epoch_s div 86400"))
+    val totals = ev.groupBy($"event_type")
+      .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+    val wSl = Window.partitionBy($"event_type").orderBy($"slice")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val offsets = ev.groupBy($"event_type", $"slice")
+      .agg(sum($"v").as("ssum"), count(lit(1)).as("sc"))
+      .withColumn("voff", sum($"ssum").over(wSl) - $"ssum")
+      .withColumn("coff", sum($"sc").over(wSl) - $"sc")
+      .select($"event_type", $"slice", $"voff", $"coff")
+    val wLoc = Window.partitionBy($"event_type", $"slice")
+      .orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = ev
+      .withColumn("lcum", sum($"v").over(wLoc))
+      .withColumn("lrn", count(lit(1)).over(wLoc))
+      .join(broadcast(offsets), Seq("event_type", "slice"))
+      .join(broadcast(totals), Seq("event_type"))
+      .withColumn("i", $"coff" + $"lrn")
+      .withColumn("dev", abs($"n".cast(big) * ($"voff" + $"lcum").cast(big) -
+        $"i".cast(big) * $"sv".cast(big)))
+    val cand = cum.groupBy($"event_type", $"slice")
+      .agg(max(struct($"dev", (-$"i").as("ni"), $"epoch_s", $"event_id",
+        $"n")).as("m"))
+    cand.groupBy($"event_type").agg(max($"m").as("m"))
+      .select($"event_type", $"m.n".as("n"),
+        fmtS($"m.epoch_s").as("change_ts"), $"m.event_id".as("event_id"),
+        (round($"m.dev".cast("double") / $"m.n" / 100 * 1e9).cast("long")
+          .cast("double") / 1e9).as("max_cum_dev"))
+      .orderBy($"event_type")
+  }
+  val q156Sql: String =
+    """WITH g AS (
+      |  SELECT event_type, ts, event_id,
+      |    CAST(epoch_us(ts) // 1000000 AS BIGINT) AS es,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type, SUM(CAST(v AS HUGEINT)) AS sv,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM g GROUP BY 1),
+      |c AS (
+      |  SELECT event_type, es, event_id,
+      |    SUM(CAST(v AS HUGEINT)) OVER (PARTITION BY event_type
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+      |      AS i
+      |  FROM g),
+      |dv AS (
+      |  SELECT c.event_type, es, event_id, n, i,
+      |    abs(CAST(n AS HUGEINT) * cumv - CAST(i AS HUGEINT) * sv) AS dev
+      |  FROM c JOIN t USING (event_type)),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY dev DESC, i) AS rk
+      |  FROM dv)
+      |SELECT event_type, n,
+      |  strftime(make_timestamp(es * 1000000), '%Y-%m-%d %H:%M:%S') AS change_ts,
+      |  event_id,
+      |  CAST(CAST(round(CAST(dev AS DOUBLE) / n / 100 * 1e9) AS BIGINT)
+      |    AS DOUBLE) / 1e9 AS max_cum_dev
+      |FROM r WHERE rk = 1
+      |ORDER BY event_type""".stripMargin
+
   // --- q129: incrementally-maintained hourly rollup (materialized view) ----
   // The streaming-materialized-view loop end-to-end: drain the events
   // backlog through Rollup.hourlyRollupSink (per-batch partial aggregates
@@ -859,5 +983,7 @@ object Events {
     ("q137_stream_heavy_hitters", q137 _, Some(q137Sql)),
     ("q146_event_transitions", q146 _, Some(q146Sql)),
     ("q149_user_growth", q149 _, Some(q149Sql)),
-    ("q150_rolling_anomaly", q150 _, Some(q150Sql)))
+    ("q150_rolling_anomaly", q150 _, Some(q150Sql)),
+    ("q155_stream_session_window", q155 _, Some(q155Sql)),
+    ("q156_cusum_changepoint", q156 _, Some(q156Sql)))
 }

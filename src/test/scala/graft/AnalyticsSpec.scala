@@ -321,4 +321,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 864.0, s"slope ${r.getDouble(2)}")
     assert(r.getDouble(3) == 1.0, s"intercept ${r.getDouble(3)}")
   }
+
+  test("CUSUM change point lands on the planted level shift with its closed form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 20 events at 10.00 then 20 at 50.00 -> mu = 30; D_i = sum(v-mu) is
+    // -20i through the first regime, so |D| peaks at the boundary:
+    // argmax i=20 (event_id 20), |D_20| = 400.0 value units, exact.
+    val rows = (1 to 40).map(i => (i.toLong, 1704412800L + i * 60L,
+      if (i <= 20) 10.0 else 50.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cusum").toString
+    rows.toDF("event_id", "es", "value")
+      .select($"event_id", timestamp_seconds($"es").as("ts"),
+        lit(1L).as("user_id"), lit("view").as("event_type"), $"value",
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = queries.Events.q156(spark, dir).collect().head
+    assert(r.getLong(1) == 40L)
+    assert(r.getLong(3) == 20L, s"change event ${r.getLong(3)}")
+    assert(r.getDouble(4) == 400.0, s"max cum dev ${r.getDouble(4)}")
+  }
 }

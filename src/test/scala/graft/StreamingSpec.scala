@@ -408,4 +408,42 @@ class StreamingSpec extends AnyFunSuite {
         "listener high-water mark must match the query handle's")
     } finally spark.streams.removeListener(listener)
   }
+
+  test("q155 session_window merges a touching gap but splits one microsecond beyond") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // session_window semantics are microsecond-exact and INCLUSIVE:
+    // last_ts + exactly 1800.000000s still merges (touching windows),
+    // 1800.000001s opens a new session. Batch q27 truncates to seconds
+    // first, so the 1800.000001s pair MERGES there (diff 1800 is not
+    // > 1800) — the documented divergence this fixture pins. The
+    // production oracle (q155Sql) states the us-exact inclusive rule.
+    val base = 1704412800L * 1000000L
+    val rows = Seq(
+      (1L, base, 1L), (2L, base + 1800000000L, 1L),      // touching: merge
+      (3L, base, 2L), (4L, base + 1800000001L, 2L),      // 1us beyond: split
+      (5L, base, 3L), (6L, base + 1799000000L, 3L))      // inside: merge
+    val dir = java.nio.file.Files.createTempDirectory("graft_sw").toString
+    rows.toDF("event_id", "eus", "user_id")
+      .select($"event_id", timestamp_micros($"eus").as("ts"), $"user_id",
+        lit("click").as("event_type"), lit(1.0).as("value"),
+        lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stage")
+    // the file-stream glob expects a single FILE named events.parquet
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/stage"))
+      .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+    java.nio.file.Files.move(part,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val streamed = queries.Events.q155(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(streamed.count(_._1 == 1L) == 1,
+      s"touching windows must merge: ${streamed.toList}")
+    assert(streamed.count(_._1 == 2L) == 2,
+      s"one us beyond the gap must split: ${streamed.toList}")
+    assert(streamed.count(_._1 == 3L) == 1, "1799s gap must merge")
+    val batch = queries.Events.q27(spark, dir).collect()
+      .filter(_.getLong(0) == 2L)
+    assert(batch.length == 1,
+      "batch q27 (second-truncated, diff > 1800) merges the 1800.000001s pair")
+  }
 }

@@ -842,6 +842,53 @@ object Events {
       |FROM s GROUP BY user_id, session_id
       |ORDER BY user_id, session_start""".stripMargin
 
+  // --- q157: stream-stream LEFT OUTER interval join ------------------------
+  // q58's inner join answers "which purchases followed a view"; the outer
+  // form answers the ad-analytics question it cannot: "which views
+  // CONVERTED, and which did not" — unmatched views emit null-extended
+  // rows once the watermark proves no in-window purchase can still
+  // arrive. See Streams.viewPurchaseLeftOuterJoin for the cutoff
+  // machinery that makes a static-backlog drain complete. The oracle is
+  // the batch LEFT JOIN under the same µs-exact window and cutoff —
+  // null-completion semantics checked row-for-row at all SFs.
+  def q157(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val joined = graft.streaming.Streams.viewPurchaseLeftOuterJoin(s, d)
+    // multipleWatermarkPolicy=max for the drain: with the default min
+    // policy the cutoff-bounded view side stalls the global watermark and
+    // the last retained view's null row never emits (see
+    // Streams.viewPurchaseLeftOuterJoin). Restored after the drain — the
+    // harnesses are strictly sequential (the runToMemory conf convention).
+    val key = "spark.sql.streaming.multipleWatermarkPolicy"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "max")
+    val drained =
+      try graft.streaming.Streams.runToMemory(s, joined, "q157_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    drained
+      .select($"view_id", $"purchase_id",
+        expr("(p_ns - v_ns) div 1000000000").as("delta_s"))
+      .orderBy($"view_id", $"purchase_id")
+  }
+  val q157Sql: String =
+    """WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+      |v AS (
+      |  SELECT event_id AS view_id, user_id, epoch_us(ts) AS vus
+      |  FROM events, mx
+      |  WHERE event_type = 'view' AND epoch_us(ts) <= m - 14400000000),
+      |p AS (
+      |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT view_id, purchase_id,
+      |  CAST((pus - vus) // 1000000 AS BIGINT) AS delta_s
+      |FROM v LEFT JOIN p
+      |  ON v.user_id = p.user_id AND pus >= vus AND pus <= vus + 3600000000
+      |ORDER BY view_id, purchase_id""".stripMargin
+
   // --- q156: change-point detection (max cumulative deviation, CUSUM) -----
   // q150 flags POINT outliers; this finds the LEVEL SHIFT: per event
   // type, the time index maximizing |Σ_{j≤i}(v_j − μ)| — the classic
@@ -985,5 +1032,6 @@ object Events {
     ("q149_user_growth", q149 _, Some(q149Sql)),
     ("q150_rolling_anomaly", q150 _, Some(q150Sql)),
     ("q155_stream_session_window", q155 _, Some(q155Sql)),
-    ("q156_cusum_changepoint", q156 _, Some(q156Sql)))
+    ("q156_cusum_changepoint", q156 _, Some(q156Sql)),
+    ("q157_stream_outer_join", q157 _, Some(q157Sql)))
 }

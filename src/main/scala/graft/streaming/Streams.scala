@@ -200,6 +200,56 @@ object Streams {
       .filter(expr("p_ns - v_ns BETWEEN 0 AND 3600000000000"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the remaining streaming
+    * join semantics after the inner form ([[viewPurchaseIntervalJoin]]):
+    * views with NO purchase in their 1-hour window must still emit, as
+    * null-extended rows. Outer emission is watermark-driven — a view's
+    * null row appears only when state eviction PROVES no match can
+    * arrive (watermark past v_ts + 1h) — so a static-backlog drain
+    * leaves views near the stream's end unresolved in state forever.
+    * The operator therefore bounds its left side at max_ts − 4 hours
+    * (join range 1 h + watermark 2 h + 1 h slack): every retained view
+    * is provably resolvable by the post-backlog no-data batch. The
+    * cutoff lookup is a driver-side one-row aggregate over the batch
+    * table (the Upsert partition-pruning convention: bounded,
+    * load-bearing). Join semantics are µs-exact (the physical parquet
+    * is timestamp[us]; the ns residual that q58 filters is identically
+    * zero here, and an outer join cannot re-classify a pair post-join
+    * the way q58's stateless residual filter can). */
+  def viewPurchaseLeftOuterJoin(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val maxNs = graft.Tables.events(spark, dir)
+      .agg(org.apache.spark.sql.functions.max(col("ts"))).head.getLong(0)
+    val cutoffNs = maxNs - 4L * 3600 * 1000000000L
+    // Each side's watermark node observes only ITS side's rows (writing
+    // the filter after withWatermark does not help — Catalyst pushes
+    // non-watermark-column predicates back below the node), and Spark's
+    // GLOBAL watermark is the MIN across nodes. The view side's max
+    // event time is cutoff-bounded, so under the default min policy the
+    // global watermark stalls 2 h behind the LAST RETAINED VIEW, whose
+    // own state then never evicts and whose null row never emits
+    // (observed live: exactly one row missing at sf0.001). The caller
+    // must run the drain under multipleWatermarkPolicy=max ([[q157]]
+    // does, with restore): keyed to the freshest side, the final
+    // watermark is max_ts − 2 h and every retained view (≤ max_ts − 4 h)
+    // resolves with an hour of slack — no eviction-boundary sensitivity.
+    val views = eventsStream(spark, dir, glob, maxFilesPerTrigger)
+      .filter(col("event_type") === "view" && col("ts") <= cutoffNs)
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ns"), col("ts_us").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = eventsStream(spark, dir, glob, maxFilesPerTrigger)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ns"), col("ts_us").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    views.join(purchases,
+      expr("""v_user = p_user
+              AND p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour"""),
+      "leftOuter")
+  }
+
   /** Run a streaming DataFrame to completion against the backlog (one
     * AvailableNow pass), materialized in a memory sink; returns the sink
     * contents. Complete mode so closed-and-open windows are all visible —

@@ -446,4 +446,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.length == 1,
       "batch q27 (second-truncated, diff > 1800) merges the 1800.000001s pair")
   }
+
+  test("q157 outer interval join: inner pairs preserved, every cutoff view emits") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Events.q157(spark, sf).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(rows.exists(_._2.isEmpty), "some views must be unconverted")
+    assert(rows.exists(_._2.nonEmpty), "some views must convert")
+    // matched pairs == the batch inner join restricted to cutoff views
+    val maxNs = Tables.events(spark, sf).agg(max(col("ts"))).head.getLong(0)
+    val cutoff = maxNs - 4L * 3600 * 1000000000L
+    val ev = Tables.events(spark, sf)
+    val v = ev.filter(col("event_type") === "view" && col("ts") <= cutoff)
+      .select(col("event_id").as("view_id"), col("user_id").as("u"), col("ts").as("vts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("u"), col("ts").as("pts"))
+    val inner = v.join(p, "u")
+      .filter(col("pts") >= col("vts") && col("pts") <= col("vts") + 3600L * 1000000000L)
+      .select("view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), Some(r.getLong(1)))).toSet
+    assert(rows.filter(_._2.nonEmpty).toSet == inner,
+      "matched pairs must equal the batch inner join")
+    // completeness: every cutoff view appears (matched or null-extended)
+    val allViews = v.select("view_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == allViews,
+      "every retained view must emit at least one row")
+  }
 }

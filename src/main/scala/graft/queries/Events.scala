@@ -889,6 +889,156 @@ object Events {
       |  ON v.user_id = p.user_id AND pus >= vus AND pus <= vus + 3600000000
       |ORDER BY view_id, purchase_id""".stripMargin
 
+  // --- q158: time-weighted average (TWAP) over an irregular series --------
+  // The reference's domain is a price feed; a plain AVG over-weights
+  // bursts. TWAP treats the series as a step function — each event's
+  // value holds until the NEXT event — and integrates it over hour
+  // buckets: twap(H) = Σ v·overlap([ts,next), H) / Σ overlap. Durations
+  // are exact ns integers and v is on the 1e-2 grid, so the weighted
+  // sums are exact decimal(38,0)/HUGEINT integers; the final ratio is
+  // grid-snapped once (q154 rule — Σ v·dur exceeds 2^53).
+  //
+  // Scale shape: the next-event lookup never runs as one global-ordered
+  // window — lead() runs inside (type, day) slices, and each slice's
+  // LAST event resolves its successor from the lead of the per-slice
+  // first-event table (tiny: one row per non-empty slice, broadcast
+  // back). Exact across multi-day gaps, parallelism ∝ types × days.
+  // Segments spanning hours explode into per-hour overlaps via
+  // sequence() — linear in covered hours.
+  def q158(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = "decimal(38,0)"
+    val HR = 3600L * 1000000000L
+    val ev = Tables.events(s, d)
+      .select($"event_type", $"ts", $"event_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .withColumn("slice", expr("(ts div 1000000000) div 86400"))
+    val wLoc = Window.partitionBy($"event_type", $"slice")
+      .orderBy($"ts", $"event_id")
+    val sliceFirsts = ev.groupBy($"event_type", $"slice")
+      .agg(min($"ts").as("first_ts"))
+    val wSl = Window.partitionBy($"event_type").orderBy($"slice")
+    val nextFirsts = sliceFirsts
+      .withColumn("next_slice_ts", lead($"first_ts", 1).over(wSl))
+      .select($"event_type", $"slice", $"next_slice_ts")
+    val segs = ev
+      .withColumn("next_local", lead($"ts", 1).over(wLoc))
+      .join(broadcast(nextFirsts), Seq("event_type", "slice"))
+      .withColumn("next_ts", coalesce($"next_local", $"next_slice_ts"))
+      .filter($"next_ts".isNotNull && $"next_ts" > $"ts")
+    val hours = segs
+      .withColumn("h", explode(expr(
+        s"sequence(ts div $HR, (next_ts - 1) div $HR)")))
+      .withColumn("dur",
+        least($"next_ts", ($"h" + 1) * HR) - greatest($"ts", $"h" * HR))
+    hours.groupBy($"event_type", $"h")
+      .agg(sum(($"v" * $"dur").cast(big)).as("num"),
+        sum($"dur".cast(big)).as("den"),
+        count(lit(1)).as("n_segments"))
+      .select($"event_type",
+        fmtS($"h" * 3600).as("hour_start"),
+        (round($"num".cast("double") / $"den".cast("double") / 100 * 1e9)
+          .cast("long").cast("double") / 1e9).as("twap"),
+        expr("cast(den div 1000000000 as bigint)").as("covered_s"),
+        $"n_segments")
+      .orderBy($"event_type", $"hour_start")
+  }
+  val q158Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, event_id,
+      |    epoch_us(ts) * 1000 AS tns,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events),
+      |segs AS (
+      |  SELECT event_type, v, tns,
+      |    LEAD(tns) OVER (PARTITION BY event_type ORDER BY tns, event_id)
+      |      AS next_ts
+      |  FROM ev),
+      |live AS (SELECT * FROM segs WHERE next_ts IS NOT NULL AND next_ts > tns),
+      |hours AS (
+      |  SELECT event_type, v,
+      |    unnest(range(tns // 3600000000000, (next_ts - 1) // 3600000000000 + 1))
+      |      AS h,
+      |    tns, next_ts
+      |  FROM live),
+      |overl AS (
+      |  SELECT event_type, h, v,
+      |    least(next_ts, (h + 1) * 3600000000000)
+      |      - greatest(tns, h * 3600000000000) AS dur
+      |  FROM hours),
+      |agg AS (
+      |  SELECT event_type, h,
+      |    SUM(CAST(v AS HUGEINT) * dur) AS num,
+      |    SUM(CAST(dur AS HUGEINT)) AS den,
+      |    CAST(COUNT(*) AS BIGINT) AS n_segments
+      |  FROM overl GROUP BY 1, 2)
+      |SELECT event_type,
+      |  strftime(make_timestamp(h * 3600000000), '%Y-%m-%d %H:%M:%S')
+      |    AS hour_start,
+      |  CAST(CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100 * 1e9)
+      |    AS BIGINT) AS DOUBLE) / 1e9 AS twap,
+      |  CAST(den // 1000000000 AS BIGINT) AS covered_s,
+      |  n_segments
+      |FROM agg
+      |ORDER BY event_type, hour_start""".stripMargin
+
+  // --- q159: OHLC candlestick bars + VWAP (the reference's dashboard) -----
+  // The crypto-dashboard aggregate the reference's Metabase chart implies:
+  // per (type, hour) open/high/low/close plus volume-weighted average
+  // price, with volume = the props JSON's k field (exercising JSON
+  // extraction inside an aggregation). ZERO windows: open/close are
+  // struct-ordered min/max aggregates — min(struct(ts, event_id, v))
+  // carries the first event's value out of a plain hash aggregate — so
+  // the whole query is one key-bounded shuffle, the ideal 100 TB shape.
+  // VWAP's Σ v·k is exact on the integer grid and grid-snapped once.
+  def q159(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = "decimal(38,0)"
+    val ev = Tables.events(s, d)
+      .select($"event_type", $"ts", $"event_id", $"value",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("v"),
+        get_json_object($"props", "$.k").cast("long").as("k"),
+        expr("(ts div 1000000000) div 3600 * 3600").as("hs"))
+    ev.groupBy($"event_type", $"hs")
+      .agg(count(lit(1)).as("n_trades"),
+        min(struct($"ts", $"event_id", $"value")).getField("value").as("open"),
+        max($"value").as("high"), min($"value").as("low"),
+        max(struct($"ts", $"event_id", $"value")).getField("value").as("close"),
+        sum(($"v" * $"k").cast(big)).as("num"),
+        sum($"k".cast(big)).as("den"))
+      .select($"event_type", fmtS($"hs").as("hour_start"), $"n_trades",
+        $"open", $"high", $"low", $"close",
+        when($"den" === lit(0).cast(big), lit(null).cast("double"))
+          .otherwise(round($"num".cast("double") / $"den".cast("double")
+            / 100 * 1e9).cast("long").cast("double") / 1e9).as("vwap"))
+      .orderBy($"event_type", $"hour_start")
+  }
+  val q159Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, ts, event_id, value,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+      |    date_trunc('hour', ts) AS hs,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |      ORDER BY ts, event_id) AS rn_a,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |      ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM events)
+      |SELECT event_type,
+      |  strftime(hs, '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |  CAST(COUNT(*) AS BIGINT) AS n_trades,
+      |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |  MAX(value) AS high, MIN(value) AS low,
+      |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+      |  CASE WHEN SUM(CAST(k AS HUGEINT)) = 0 THEN NULL
+      |       ELSE CAST(CAST(round(CAST(SUM(CAST(v AS HUGEINT) * k) AS DOUBLE)
+      |              / CAST(SUM(CAST(k AS HUGEINT)) AS DOUBLE) / 100 * 1e9)
+      |              AS BIGINT) AS DOUBLE) / 1e9
+      |  END AS vwap
+      |FROM ev
+      |GROUP BY event_type, hs
+      |ORDER BY event_type, hour_start""".stripMargin
+
   // --- q156: change-point detection (max cumulative deviation, CUSUM) -----
   // q150 flags POINT outliers; this finds the LEVEL SHIFT: per event
   // type, the time index maximizing |Σ_{j≤i}(v_j − μ)| — the classic
@@ -1033,5 +1183,7 @@ object Events {
     ("q150_rolling_anomaly", q150 _, Some(q150Sql)),
     ("q155_stream_session_window", q155 _, Some(q155Sql)),
     ("q156_cusum_changepoint", q156 _, Some(q156Sql)),
-    ("q157_stream_outer_join", q157 _, Some(q157Sql)))
+    ("q157_stream_outer_join", q157 _, Some(q157Sql)),
+    ("q158_twap", q158 _, Some(q158Sql)),
+    ("q159_ohlc_bars", q159 _, Some(q159Sql)))
 }

@@ -341,4 +341,62 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getLong(3) == 20L, s"change event ${r.getLong(3)}")
     assert(r.getDouble(4) == 400.0, s"max cum dev ${r.getDouble(4)}")
   }
+
+  test("TWAP integrates the step function exactly, across hour and day boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val day = 86400L
+    // type A, one day: [0,1800)@10 + [1800,7200)@30, last event open (drops)
+    // -> hour 0 twap (10+30)/2 = 20, hour 1 twap 30
+    val a = Seq((1L, 0L, 10.0, "A"), (2L, 1800L, 30.0, "A"),
+      (3L, 7200L, 50.0, "A"))
+    // type B: day-0 23:59:50 -> day-2 00:00:10 with day 1 EMPTY: the
+    // next-event lookup must cross the empty slice via the slice-firsts
+    // table; every covered hour holds 10.0
+    val b = Seq((4L, day - 10L, 10.0, "B"), (5L, 2 * day + 10L, 99.0, "B"),
+      (6L, 2 * day + 20L, 99.0, "B"))
+    val base = 1704067200L
+    val dir = java.nio.file.Files.createTempDirectory("graft_twap").toString
+    (a ++ b).toDF("event_id", "off", "value", "event_type")
+      .select($"event_id", timestamp_seconds(lit(base) + $"off").as("ts"),
+        lit(1L).as("user_id"), $"event_type", $"value", lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = queries.Events.q158(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(2), r.getLong(3), r.getLong(4))))
+    val m = got.toMap
+    assert(m(("A", "2024-01-01 00:00:00")) == ((20.0, 3600L, 2L)), s"${got.toList}")
+    assert(m(("A", "2024-01-01 01:00:00")) == ((30.0, 3600L, 1L)))
+    val bHours = got.filter(_._1._1 == "B")
+    assert(bHours.length == 26, s"B must cover 26 hours, got ${bHours.length}")
+    // all carried hours hold 10.0; the final hour mixes 10s@10 + 10s@99
+    assert(bHours.filter(_._1._2 != "2024-01-03 00:00:00")
+      .forall(_._2._1 == 10.0), "carried value must be 10.0")
+    assert(m(("B", "2024-01-03 00:00:00")) == ((54.5, 20L, 2L)))
+    assert(m(("B", "2024-01-02 05:00:00"))._2 == 3600L, "empty day fully covered")
+  }
+
+  test("OHLC bars pick first/last by (ts, event_id) and VWAP is the exact ratio") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = 1704067200L
+    val rows = Seq(
+      (1L, 10L, 5.0, 2L), (2L, 20L, 9.0, 0L), (3L, 30L, 1.0, 1L),
+      // same-ts tie in hour 2: open must be the LOWER event_id's value
+      (4L, 7200L, 7.0, 1L), (5L, 7200L, 2.0, 1L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ohlc").toString
+    rows.toDF("event_id", "off", "value", "k")
+      .select($"event_id", timestamp_seconds(lit(base) + $"off").as("ts"),
+        lit(1L).as("user_id"), lit("view").as("event_type"), $"value",
+        concat(lit("{\"k\": "), $"k", lit("}")).as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = queries.Events.q159(spark, dir).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    // hour 0: open 5 high 9 low 1 close 1, vwap (500*2+100*1)/3/100 grid-snapped
+    assert(got("2024-01-01 00:00:00") ==
+      ((3L, 5.0, 9.0, 1.0, 1.0, 3.666666667)), s"$got")
+    // hour 2: tie on ts -> open from event_id 4, close from event_id 5
+    assert(got("2024-01-01 02:00:00") == ((2L, 7.0, 7.0, 2.0, 2.0, 4.5)))
+  }
 }

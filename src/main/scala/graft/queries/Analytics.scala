@@ -757,6 +757,96 @@ object Analytics {
       |ORDER BY event_type""".stripMargin
 
 
+
+  // --- q160: CUPED variance reduction (pre-period covariate adjustment) ---
+  // The standard follow-up to q153's chi-square: adjust each user's
+  // experiment-period metric Y by their PRE-period covariate X,
+  // Y' = Y − θ(X − X̄), θ = cov(X,Y)/var(X) pooled over all users —
+  // CUPED (Deng et al. 2013) removes the variance X explains, tightening
+  // the A/B comparison without biasing it (E[X] is arm-independent under
+  // random assignment). θ's numerator/denominator are the q154 OLS sums —
+  // exact decimal(38,0)/HUGEINT integers over the 1e-2 value grid — and
+  // θ, the per-arm means, and the global mean are each snapped ONCE to
+  // the 1e-9 grid; the final adjustment is then a fixed three-op IEEE
+  // chain on exact grid doubles, bit-identical cross-engine. Shape: one
+  // user-keyed rollup (the only event-sized shuffle) + two tiny
+  // aggregates; the split date is the corpus midpoint (2024-01-16).
+  def q160(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = "decimal(38,0)"
+    def grid9(c: org.apache.spark.sql.Column) =
+      round(c * 1e9).cast("long").cast("double") / 1e9
+    val SPLIT = 19738L // (epoch of 2024-01-16) div 86400
+    val users = Tables.events(s, d)
+      .select($"user_id", expr("(ts div 1000000000) div 86400").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .groupBy($"user_id")
+      .agg(sum(when($"day" < SPLIT, $"v").otherwise(0L)).as("x"),
+        sum(when($"day" >= SPLIT, $"v").otherwise(0L)).as("y"))
+      .withColumn("arm", $"user_id" % 2)
+    val g = users.agg(count(lit(1)).as("nn"),
+      sum($"x".cast(big)).as("gx"), sum($"y".cast(big)).as("gy"),
+      sum(($"x" * $"x").cast(big)).as("gxx"),
+      sum(($"x" * $"y").cast(big)).as("gxy"))
+      .select($"nn", $"gx",
+        ($"nn".cast(big) * $"gxy" - $"gx" * $"gy").as("tnum"),
+        ($"nn".cast(big) * $"gxx" - $"gx" * $"gx").as("tden"))
+      .select($"nn", $"gx",
+        when($"tden" === lit(0).cast(big), lit(null).cast("double"))
+          .otherwise(grid9($"tnum".cast("double") / $"tden".cast("double")))
+          .as("theta"),
+        grid9($"gx".cast("double") / $"nn" / 100).as("mx_all"))
+    val arms = users.groupBy($"arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"x".cast(big)).as("sx"), sum($"y".cast(big)).as("sy"))
+    arms.crossJoin(broadcast(g))
+      .select($"arm", $"n_users", $"theta",
+        grid9($"sy".cast("double") / $"n_users" / 100).as("mean_y"),
+        (grid9($"sy".cast("double") / $"n_users" / 100) -
+          $"theta" * (grid9($"sx".cast("double") / $"n_users" / 100) - $"mx_all"))
+          .as("mean_y_cuped"))
+      .orderBy($"arm")
+  }
+  val q160Sql: String =
+    """WITH u AS (
+      |  SELECT user_id, user_id % 2 AS arm,
+      |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+      |        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |        ELSE 0 END) AS x,
+      |    SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |        ELSE 0 END) AS y
+      |  FROM events GROUP BY user_id),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+      |    SUM(CAST(x AS HUGEINT)) AS gx, SUM(CAST(y AS HUGEINT)) AS gy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS gxx,
+      |    SUM(CAST(x AS HUGEINT) * y) AS gxy
+      |  FROM u),
+      |t AS (
+      |  SELECT nn, gx,
+      |    CASE WHEN nn * gxx - gx * gx = 0 THEN NULL
+      |         ELSE CAST(CAST(round(CAST(nn * gxy - gx * gy AS DOUBLE)
+      |                / CAST(nn * gxx - gx * gx AS DOUBLE) * 1e9) AS BIGINT)
+      |              AS DOUBLE) / 1e9
+      |    END AS theta,
+      |    CAST(CAST(round(CAST(gx AS DOUBLE) / nn / 100 * 1e9) AS BIGINT)
+      |      AS DOUBLE) / 1e9 AS mx_all
+      |  FROM g),
+      |a AS (
+      |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy
+      |  FROM u GROUP BY arm)
+      |SELECT arm, n_users, theta,
+      |  CAST(CAST(round(CAST(sy AS DOUBLE) / n_users / 100 * 1e9) AS BIGINT)
+      |    AS DOUBLE) / 1e9 AS mean_y,
+      |  CAST(CAST(round(CAST(sy AS DOUBLE) / n_users / 100 * 1e9) AS BIGINT)
+      |      AS DOUBLE) / 1e9
+      |    - theta * (CAST(CAST(round(CAST(sx AS DOUBLE) / n_users / 100 * 1e9)
+      |        AS BIGINT) AS DOUBLE) / 1e9 - mx_all) AS mean_y_cuped
+      |FROM a CROSS JOIN t
+      |ORDER BY arm""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q60_stat_aggs", q60 _, Some(q60Sql)),
     ("q61_sql_entry", q61 _, Some(q61Text)),
@@ -778,5 +868,6 @@ object Analytics {
     ("q147_triangle_count", q147 _, Some(q147Sql)),
     ("q148_weighted_sssp", q148 _, Some(q148Sql)),
     ("q153_ab_contingency", q153 _, Some(q153Sql)),
-    ("q154_ols_trend", q154 _, Some(q154Sql)))
+    ("q154_ols_trend", q154 _, Some(q154Sql)),
+    ("q160_cuped", q160 _, Some(q160Sql)))
 }

@@ -399,4 +399,28 @@ class AnalyticsSpec extends AnyFunSuite {
     // hour 2: tie on ts -> open from event_id 4, close from event_id 5
     assert(got("2024-01-01 02:00:00") == ((2L, 7.0, 7.0, 2.0, 2.0, 4.5)))
   }
+
+  test("CUPED: perfectly correlated covariate equalizes the arms at theta = 2") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user u: one pre-period event value u, one post-period event 2u
+    // -> theta = cov/var = 2 exactly; Y' = Y - 2(X - mean X) collapses to
+    // 2*mean(X) = 9.0 for BOTH arms (arm means 10 vs 8 before adjustment)
+    val pre = 1704067200L + 60L          // 2024-01-01, pre-period
+    val post = 1704067200L + 20L * 86400 // 2024-01-21, post-period
+    val rows = (1 to 8).flatMap { u =>
+      Seq((u.toLong * 2, pre + u, u.toLong, u * 1.0),
+        (u.toLong * 2 + 1, post + u, u.toLong, u * 2.0))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_cuped").toString
+    rows.toDF("event_id", "es", "user_id", "value")
+      .select($"event_id", timestamp_seconds($"es").as("ts"), $"user_id",
+        lit("purchase").as("event_type"), $"value", lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = queries.Analytics.q160(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(0L) == ((4L, 2.0, 10.0, 9.0)), s"$got")
+    assert(got(1L) == ((4L, 2.0, 8.0, 9.0)), s"$got")
+  }
 }

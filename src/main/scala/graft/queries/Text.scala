@@ -2282,6 +2282,28 @@ object Text {
       |ORDER BY n_matches DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  // --- q161: phrase search through the materialized inverted index --------
+  // Same answer as q152 (the oracle IS q152Sql), different physical path:
+  // the corpus is exploded ONCE into a term_bucket-partitioned positional
+  // index (sources/InvertedIndex — the ZOrder-of-text layout), and the
+  // probe reads only the phrase terms' partitions. The oracle equality
+  // proves the index path answer-identical to the scan path; SourcesSpec
+  // proves the partition pruning live. Index built into a temp dir per
+  // invocation (reclaimed at JVM exit, the q129 convention) — at 100 TB
+  // the build is an ingest-time step and the probe is the steady state.
+  def q161(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_invidx")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.util.Comparator
+      if (java.nio.file.Files.exists(base))
+        java.nio.file.Files.walk(base).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }))
+    graft.sources.InvertedIndex.build(Tables.documents(s, d), base.toString)
+    graft.sources.InvertedIndex.phraseProbe(s, base.toString,
+      Seq("slow", "hash", "batch")).limit(20)
+  }
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),
@@ -2333,5 +2355,6 @@ object Text {
     ("q139_nb_quality_classifier", q139 _, Some(q139Sql)),
     ("q140_temperature_mix", q140 _, Some(q140Sql)),
     ("q151_edit_distance_join", q151 _, Some(q151Sql)),
-    ("q152_phrase_search", q152 _, Some(q152Sql)))
+    ("q152_phrase_search", q152 _, Some(q152Sql)),
+    ("q161_indexed_phrase", q161 _, Some(q152Sql)))
 }

@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Materialized positional inverted index — the text analogue of the
+  * [[ZOrder]] layout: pay one explode at INGEST so that every later
+  * phrase/term probe is a partition-pruned read instead of a corpus scan.
+  *
+  * Layout: one row per (term, doc_id, pos), written
+  * `partitionBy(term_bucket)` where term_bucket = md5(term) mod buckets —
+  * the engine-portable hash convention (q89/q93). A probe for an n-term
+  * phrase touches at most n of the `buckets` partitions: the scan's
+  * partition filter prunes the rest at planning time (proven live in
+  * SourcesSpec, the ZOrder-spec pattern), and the residual `term IN (...)`
+  * predicate pushes into the parquet row-group stats of what remains. At
+  * 100 TB the index is ~tokens-count rows, but a probe reads only
+  * n/buckets of it — the classic search-engine posting-list contract from
+  * pure Spark primitives.
+  *
+  * Positions are 0-based (posexplode); consumers emit 1-based like q152.
+  */
+object InvertedIndex {
+
+  private def bucketCol(term: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(term), 1, 14), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Driver-side twin of [[bucketCol]] — must agree bit-for-bit so probe
+    * partition filters are literals, never a join. md5 hex is lowercase in
+    * both; 14 hex chars < 2^56 parse exactly into a Long. */
+  def bucketOf(term: String, buckets: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.substring(0, 14)
+    java.lang.Long.parseLong(hex, 16) % buckets
+  }
+
+  /** Explode the corpus once and write the bucket-partitioned index. */
+  def build(docs: DataFrame, path: String, buckets: Int = 64): Unit =
+    docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .filter(length(col("term")) > 0)
+      .withColumn("term_bucket", bucketCol(col("term"), buckets))
+      .write.mode("overwrite").partitionBy("term_bucket").parquet(path)
+
+  /** Phrase probe against a built index: q152's anchor-vote logic (term i
+    * at position p votes for anchor p−i; an anchor with all n distinct
+    * offsets is a match), but reading ONLY the phrase terms' partitions.
+    * Output schema matches q152: (doc_id, n_matches, first_pos 1-based). */
+  def phraseProbe(spark: SparkSession, path: String, terms: Seq[String],
+      buckets: Int = 64): DataFrame = {
+    require(terms.distinct.size == terms.size,
+      "anchor-vote counting needs distinct phrase terms")
+    val termBuckets = terms.map(bucketOf(_, buckets)).distinct
+    val off = terms.zipWithIndex
+      .foldLeft(lit(null).cast("int")) { case (acc, (t, i)) =>
+        when(col("term") === t, lit(i)).otherwise(acc) }
+    spark.read.parquet(path)
+      .filter(col("term_bucket").isin(termBuckets: _*) &&
+        col("term").isin(terms: _*))
+      .select(col("doc_id"), (col("pos") - off).as("anchor"), off.as("i"))
+      .groupBy(col("doc_id"), col("anchor"))
+      .agg(countDistinct(col("i")).as("hits"))
+      .filter(col("hits") === terms.size)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        (min(col("anchor")) + 1).cast("long").as("first_pos"))
+      .orderBy(col("n_matches").desc, col("doc_id"))
+  }
+}

@@ -296,4 +296,55 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.conf.getOption(flag) == before,
       "nanosAsLong leaked into the calling session")
   }
+
+  test("inverted-index phrase probe is partition-pruned and answer-identical") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // sf0.01: the probe phrase occurs (at sf0.001 it does not, and AQE
+    // then collapses the whole probe to EmptyRelation — no scan to audit)
+    val sf = "/root/testdata/sf0.01"
+    val dir = tmp("graft_iidx")
+    sources.InvertedIndex.build(Tables.documents(spark, sf), dir, buckets = 64)
+    // driver-side bucket function must agree with the engine-side column
+    // for every term actually in the index (the probe's partition filter
+    // is built from the driver twin)
+    val byEngine = spark.read.parquet(dir)
+      .select(col("term"), col("term_bucket")).distinct().collect()
+      .map(r => r.getString(0) -> r.getAs[Number](1).longValue)
+    assert(byEngine.nonEmpty)
+    byEngine.foreach { case (t, b) =>
+      assert(sources.InvertedIndex.bucketOf(t, 64) == b,
+        s"bucket mismatch for '$t'") }
+    val terms = Seq("slow", "hash", "batch")
+    val probe = sources.InvertedIndex.phraseProbe(spark, dir, terms)
+    val got = probe.limit(20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val viaScan = queries.Text.q152(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got.nonEmpty, "probe phrase must occur at this SF")
+    assert(got == viaScan, "index path must equal the corpus-scan path")
+    // pruning proof: the scan reads exactly the probed buckets' files
+    probe.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findScans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+      case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+      case q: QueryStageExec => findScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(findScans)
+    }
+    val scan = findScans(probe.queryExecution.executedPlan)
+    assert(scan.nonEmpty, "probe must read through a file scan")
+    val filesRead = scan.map(_.metrics("numFiles").value).sum
+    val probedBuckets = terms.map(sources.InvertedIndex.bucketOf(_, 64)).distinct
+    def filesUnder(p: java.nio.file.Path): Long =
+      java.nio.file.Files.walk(p).filter(_.toString.endsWith(".parquet")).count()
+    val probedFiles = probedBuckets.map(b =>
+      filesUnder(java.nio.file.Paths.get(s"$dir/term_bucket=$b"))).sum
+    val totalFiles = filesUnder(java.nio.file.Paths.get(dir))
+    assert(filesRead == probedFiles,
+      s"scan read $filesRead files, probed partitions hold $probedFiles")
+    assert(totalFiles > probedFiles * 3,
+      s"premise: index must span many more partitions ($totalFiles vs $probedFiles)")
+  }
 }

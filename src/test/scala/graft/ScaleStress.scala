@@ -221,6 +221,37 @@ object ScaleStress {
       println(f"[scale] R=$r%-2d p=$partitions%-3s bfs_h3         rows=$bn%-8d sec=$bsec%.2f")
     }
 
+
+    // Event-analytics slice-window family (round 8): replicate the events
+    // table R times with each replica shifted +31·k days — days (and
+    // therefore (type, day) slices) grow linearly while per-slice density
+    // stays constant, which is exactly the axis the boundary-replicated
+    // window shapes (q150 rolling anomaly, q156 CUSUM prefix sums, q158
+    // TWAP segment explode) are supposed to parallelize over. Replicas
+    // are time-disjoint, so q150/q158 outputs must grow EXACTLY linearly
+    // in R; super-linear time would indicate a window stopped being
+    // slice-keyed or the hour explode degenerated.
+    if (args.contains("--events")) rs.foreach { r =>
+      val evDir = s"$out/events_r$r"
+      val reps = spark.range(r).select(col("id").cast("int").as("r"))
+      spark.read.parquet(s"$sf/events.parquet").crossJoin(reps)
+        .select((col("event_id") + col("r") * 100000000L).as("event_id"),
+          expr("timestampadd(DAY, r * 31, ts)").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").parquet(s"$evDir/events.parquet")
+      val cases: Seq[(String, () => Long)] = Seq(
+        "rolling_anomaly" -> (() => queries.Events.q150(spark, evDir).count()),
+        "cusum"           -> (() => queries.Events.q156(spark, evDir).count()),
+        "twap"            -> (() => queries.Events.q158(spark, evDir).count()))
+      cases.foreach { case (name, f) =>
+        CacheLifecycle.releaseAll(spark)
+        spark.catalog.clearCache()
+        System.gc()
+        val (n, sec) = time(f())
+        println(f"[scale] R=$r%-2d p=$partitions%-3s $name%-15s rows=$n%-8d sec=$sec%.2f")
+      }
+    }
+
     // Cumulative stage timings for the ngram-Jaccard pipeline (diagnosis
     // aid for time-growth curvature: each stage re-runs its predecessors
     // from cold, so stage deltas attribute growth). Mirrors

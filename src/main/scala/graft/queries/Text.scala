@@ -2304,6 +2304,82 @@ object Text {
       Seq("slow", "hash", "batch")).limit(20)
   }
 
+
+  // --- q162: BPE merge application (tokenizer encode step) ----------------
+  // Closes the tokenizer loop q131 (pair counting) and q132 (vocab sizing)
+  // opened: APPLY a merge table to the vocabulary. Merges = the top-5
+  // initial character pairs by q131's exact ranking (count desc, pair
+  // asc) — a one-shot static merge TABLE (true iterative BPE training
+  // recounts between merges; the apply step demonstrated here is
+  // identical either way). Each word becomes a space-joined symbol
+  // sequence; merge k rewrites " a b " → " ab ", repeated to fixpoint
+  // (each scan halves remaining occurrences — 6 passes cover words to
+  // 128 chars) — reproducing iterative leftmost-first BPE merging. The
+  // merge table is driver-collected (≤5 rows, vocab-bounded — the Upsert
+  // convention); the oracle re-derives the same table and applies it via
+  // scalar subqueries, so both engines select and apply identical merges.
+  // Vocab-sized work end to end: the only corpus-sized stage is the word
+  // count.
+  def q162(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("wc"))
+    val wOrd = Window.partitionBy($"w").orderBy($"pos")
+    val merges = words
+      .select($"w", $"wc", posexplode(split($"w", "")).as(Seq("pos", "ch")))
+      .withColumn("ch2", lead($"ch", 1).over(wOrd))
+      .filter($"ch2".isNotNull)
+      .select(concat($"ch", lit(" "), $"ch2").as("pair"), $"wc")
+      .groupBy($"pair").agg(sum($"wc").as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(5)
+      .collect().map(_.getString(0)).toSeq // bounded: 5 vocab-level rows
+    val spaced = concat(lit(" "), concat_ws(" ", split($"w", "")), lit(" "))
+    val encoded = merges.foldLeft(spaced) { (c, pair) =>
+      val rep = " " + pair.replace(" ", "") + " "
+      (1 to 6).foldLeft(c)((cc, _) =>
+        org.apache.spark.sql.functions.replace(cc, lit(s" $pair "), lit(rep)))
+    }
+    words.select($"w", $"wc",
+        trim(encoded).as("encoded"),
+        length($"w").as("n_chars"),
+        size(split(trim(encoded), " ")).as("n_symbols"))
+      .orderBy($"w")
+  }
+  val q162Sql: String = {
+    def applyMerge(inner: String, rk: Int): String =
+      (1 to 6).foldLeft(inner)((c, _) =>
+        s"""replace($c,
+           |  COALESCE((SELECT ' ' || pair || ' ' FROM m WHERE rk = $rk), chr(1)),
+           |  COALESCE((SELECT ' ' || replace(pair, ' ', '') || ' ' FROM m WHERE rk = $rk), ''))""".stripMargin)
+    val chain = (1 to 5).foldLeft("sp")((c, rk) => applyMerge(c, rk))
+    s"""WITH words AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+       |    SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+       |    FROM documents)
+       |  GROUP BY w),
+       |pairs AS (
+       |  SELECT s[i] || ' ' || s[i+1] AS pair, wc
+       |  FROM (SELECT w, wc, string_split(w, '') AS s FROM words),
+       |       unnest(range(1, len(s))) AS t(i)),
+       |ranked AS (
+       |  SELECT pair, SUM(wc) AS n FROM pairs GROUP BY pair),
+       |m AS (
+       |  SELECT pair, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rk
+       |  FROM ranked QUALIFY rk <= 5),
+       |enc AS (
+       |  SELECT w, wc,
+       |    ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS sp
+       |  FROM words)
+       |SELECT w, wc,
+       |  trim($chain) AS encoded,
+       |  CAST(length(w) AS BIGINT) AS n_chars,
+       |  CAST(len(string_split(trim($chain), ' ')) AS BIGINT) AS n_symbols
+       |FROM enc
+       |ORDER BY w""".stripMargin
+  }
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),
@@ -2356,5 +2432,6 @@ object Text {
     ("q140_temperature_mix", q140 _, Some(q140Sql)),
     ("q151_edit_distance_join", q151 _, Some(q151Sql)),
     ("q152_phrase_search", q152 _, Some(q152Sql)),
-    ("q161_indexed_phrase", q161 _, Some(q152Sql)))
+    ("q161_indexed_phrase", q161 _, Some(q152Sql)),
+    ("q162_bpe_encode", q162 _, Some(q162Sql)))
 }

@@ -655,4 +655,23 @@ class TrainingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
     assert(got == List((1L, 2L, 1L), (4L, 1L, 2L)), s"$got")
   }
+
+  test("BPE encode applies ranked merges to fixpoint (adjacent occurrences included)") {
+    import spark.implicits._
+    // corpus: "aaaa aaaa bb ab" -> words aaaa(2) bb(1) ab(1)
+    // pairs: "a a" n=6 (rank 1), then ties n=1: "a b" (rank 2) < "b b" (3)
+    // "aaaa" needs the fixpoint passes: one scan leaves " aa a a ",
+    // convergence gives "aa aa" (static merge table, no re-ranking)
+    val docs = Seq((1L, "aaaa aaaa bb ab", "en", "s", 15L),
+      (2L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    docs.filter($"n_chars" > 0)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = queries.Text.q162(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getString(2), r.getInt(4)))).toMap
+    assert(got("aaaa") == (("aa aa", 2)), s"$got")
+    assert(got("bb") == (("bb", 1)))
+    assert(got("ab") == (("ab", 1)))
+  }
 }

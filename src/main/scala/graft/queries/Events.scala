@@ -1158,6 +1158,66 @@ object Events {
       |GROUP BY event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
       |ORDER BY event_type, hour_start""".stripMargin
 
+
+  // --- q163: seasonal-naive forecast backtest (hour-of-day baseline) ------
+  // The simplest defensible time-series forecast — predict each hour of
+  // the LAST day from the same hour-of-day's mean over all prior days —
+  // evaluated per (type, hour-of-day) against the holdout day. Exactness:
+  // train and holdout means are exact-integer ratios grid-snapped once
+  // (the q154 rule), and the error is ONE |a−b| IEEE op on two snapped
+  // doubles — deterministic cross-engine. No per-hod error is summed
+  // across groups (cross-group double summation is merge-order-dependent;
+  // the per-row table IS the backtest report). Shape: one (type, hod)
+  // agg per split + a broadcast one-row max-day lookup — two key-bounded
+  // shuffles over events, join on a 120-row key space.
+  def q163(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def grid9(c: Column) = round(c * 1e9).cast("long").cast("double") / 1e9
+    val ev = Tables.events(s, d)
+      .select($"event_type",
+        expr("(ts div 1000000000) div 86400").as("day"),
+        expr("((ts div 1000000000) div 3600) % 24").as("hod"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("v"))
+    val maxDay = ev.agg(max($"day").as("max_day"))
+    val split = ev.crossJoin(broadcast(maxDay))
+    val train = split.filter($"day" < $"max_day")
+      .groupBy($"event_type", $"hod")
+      .agg(count(lit(1)).as("n_train"), sum($"v").as("sv"))
+      .select($"event_type", $"hod", $"n_train",
+        grid9($"sv".cast("double") / $"n_train" / 100).as("pred"))
+    val hold = split.filter($"day" === $"max_day")
+      .groupBy($"event_type", $"hod")
+      .agg(count(lit(1)).as("n_holdout"), sum($"v").as("svh"))
+      .select($"event_type", $"hod", $"n_holdout",
+        grid9($"svh".cast("double") / $"n_holdout" / 100).as("actual"))
+    train.join(hold, Seq("event_type", "hod"))
+      .select($"event_type", $"hod", $"n_train", $"n_holdout",
+        $"pred", $"actual", abs($"pred" - $"actual").as("abs_err"))
+      .orderBy($"event_type", $"hod")
+  }
+  val q163Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day,
+      |    CAST((epoch_us(ts) // 1000000 // 3600) % 24 AS BIGINT) AS hod,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events),
+      |mx AS (SELECT MAX(day) AS max_day FROM ev),
+      |train AS (
+      |  SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n_train,
+      |    CAST(CAST(round(CAST(SUM(CAST(v AS HUGEINT)) AS DOUBLE) / COUNT(*)
+      |      / 100 * 1e9) AS BIGINT) AS DOUBLE) / 1e9 AS pred
+      |  FROM ev, mx WHERE day < max_day GROUP BY 1, 2),
+      |hold AS (
+      |  SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n_holdout,
+      |    CAST(CAST(round(CAST(SUM(CAST(v AS HUGEINT)) AS DOUBLE) / COUNT(*)
+      |      / 100 * 1e9) AS BIGINT) AS DOUBLE) / 1e9 AS actual
+      |  FROM ev, mx WHERE day = max_day GROUP BY 1, 2)
+      |SELECT event_type, hod, n_train, n_holdout, pred, actual,
+      |  abs(pred - actual) AS abs_err
+      |FROM train JOIN hold USING (event_type, hod)
+      |ORDER BY event_type, hod""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q24_hourly_trend", q24 _, Some(q24Sql)),
     ("q25_tumbling_window", q25 _, Some(q25Sql)),
@@ -1185,5 +1245,6 @@ object Events {
     ("q156_cusum_changepoint", q156 _, Some(q156Sql)),
     ("q157_stream_outer_join", q157 _, Some(q157Sql)),
     ("q158_twap", q158 _, Some(q158Sql)),
-    ("q159_ohlc_bars", q159 _, Some(q159Sql)))
+    ("q159_ohlc_bars", q159 _, Some(q159Sql)),
+    ("q163_seasonal_baseline", q163 _, Some(q163Sql)))
 }

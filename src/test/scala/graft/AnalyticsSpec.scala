@@ -423,4 +423,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(0L) == ((4L, 2.0, 10.0, 9.0)), s"$got")
     assert(got(1L) == ((4L, 2.0, 8.0, 9.0)), s"$got")
   }
+
+  test("seasonal baseline predicts the planted hour-of-day pattern exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 3 train days with value = 10*(hod+1) at hours 0 and 1, holdout day
+    // with the same pattern at hour 0 but +6 at hour 1:
+    // pred == actual at hod 0 (err 0), abs_err == 6.0 at hod 1
+    val base = 1704067200L
+    val rows = for (day <- 0 to 3; hod <- 0 to 1) yield
+      ((day * 2 + hod + 1).toLong, base + day * 86400L + hod * 3600L,
+        10.0 * (hod + 1) + (if (day == 3 && hod == 1) 6.0 else 0.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_seas").toString
+    rows.toDF("event_id", "es", "value")
+      .select($"event_id", timestamp_seconds($"es").as("ts"),
+        lit(1L).as("user_id"), lit("view").as("event_type"), $"value",
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = queries.Events.q163(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got(0L) == ((3L, 10.0, 10.0, 0.0)), s"$got")
+    assert(got(1L) == ((3L, 20.0, 26.0, 6.0)), s"$got")
+  }
 }

@@ -1218,6 +1218,46 @@ object Events {
       |FROM train JOIN hold USING (event_type, hod)
       |ORDER BY event_type, hod""".stripMargin
 
+
+  // --- q164: stateful streaming dedup (dropDuplicatesWithinWatermark) -----
+  // The last spec-only streaming pillar brought under the oracle gate:
+  // the event backlog is fed through the stream TWICE (two file copies in
+  // one AvailableNow batch), deduplicated on event_id within the
+  // watermark horizon, and rolled up per type. The oracle aggregates the
+  // SINGLE batch table — if the dedup state failed to drop the second
+  // copy every count and sum would double and the hash would miss.
+  // Cross-batch state EVICTION semantics (the horizon bound) are pinned
+  // separately in StreamingSpec; state here is ∝ the horizon, not the
+  // stream.
+  def q164(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sdedup")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.util.Comparator
+      if (java.nio.file.Files.exists(base))
+        java.nio.file.Files.walk(base).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }))
+    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    java.nio.file.Files.copy(src, base.resolve("events_a.parquet"))
+    java.nio.file.Files.copy(src, base.resolve("events_b.parquet"))
+    val stream = graft.streaming.Streams.eventsStream(s, base.toString,
+      glob = "events_*.parquet")
+    val deduped = graft.streaming.Streams.dedupWithinWatermark(
+      stream, Seq("event_id"))
+    graft.streaming.Streams.runToMemory(s, deduped, "q164_sink",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .orderBy($"event_type")
+  }
+  val q164Sql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q24_hourly_trend", q24 _, Some(q24Sql)),
     ("q25_tumbling_window", q25 _, Some(q25Sql)),
@@ -1246,5 +1286,6 @@ object Events {
     ("q157_stream_outer_join", q157 _, Some(q157Sql)),
     ("q158_twap", q158 _, Some(q158Sql)),
     ("q159_ohlc_bars", q159 _, Some(q159Sql)),
-    ("q163_seasonal_baseline", q163 _, Some(q163Sql)))
+    ("q163_seasonal_baseline", q163 _, Some(q163Sql)),
+    ("q164_stream_dedup", q164 _, Some(q164Sql)))
 }

@@ -1258,6 +1258,64 @@ object Events {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+
+  // --- q165: session path mining (the Sankey-flow primitive) --------------
+  // Which journeys do sessions actually take? Sessionize (q27's 30-min
+  // lag+cumsum rule), take each session's first five event types in
+  // order, and count the path strings — the aggregation behind flow/
+  // funnel-discovery dashboards. Order inside a path is made engine-proof
+  // the collect_list way: array_sort over (ts, event_id, type) structs
+  // (collect_list alone has no cross-partition order guarantee), vs the
+  // oracle's string_agg(... ORDER BY ts, event_id). One user-keyed window
+  // shuffle + one path-keyed agg ending in TakeOrderedAndProject.
+  def q165(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val sess = withDerived(Tables.events(s, d))
+      .withColumn("new_session",
+        when(($"epoch_s" - lag($"epoch_s", 1).over(wOrd)) > 1800 ||
+          lag($"epoch_s", 1).over(wOrd).isNull, 1).otherwise(0))
+      .withColumn("session_id",
+        sum($"new_session").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id", $"session_id").orderBy($"ts", $"event_id")))
+      .filter($"rn" <= 5)
+    sess.groupBy($"user_id", $"session_id")
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct($"ts", $"event_id", $"event_type"))),
+        x => x.getField("event_type"))).as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"n_sessions".desc, $"path")
+      .limit(20)
+  }
+  val q165Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN CAST(epoch_us(ts) // 1000000 AS BIGINT)
+      |           - LAG(CAST(epoch_us(ts) // 1000000 AS BIGINT)) OVER w > 1800
+      |           OR LAG(ts) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged),
+      |limited AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+      |      ORDER BY ts, event_id) AS rn
+      |    FROM sessions) t WHERE rn <= 5),
+      |paths AS (
+      |  SELECT user_id, session_id,
+      |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      |  FROM limited GROUP BY user_id, session_id)
+      |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      |FROM paths GROUP BY path
+      |ORDER BY n_sessions DESC, path
+      |LIMIT 20""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q24_hourly_trend", q24 _, Some(q24Sql)),
     ("q25_tumbling_window", q25 _, Some(q25Sql)),
@@ -1287,5 +1345,6 @@ object Events {
     ("q158_twap", q158 _, Some(q158Sql)),
     ("q159_ohlc_bars", q159 _, Some(q159Sql)),
     ("q163_seasonal_baseline", q163 _, Some(q163Sql)),
-    ("q164_stream_dedup", q164 _, Some(q164Sql)))
+    ("q164_stream_dedup", q164 _, Some(q164Sql)),
+    ("q165_session_paths", q165 _, Some(q165Sql)))
 }

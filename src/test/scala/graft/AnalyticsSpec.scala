@@ -446,4 +446,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(0L) == ((3L, 10.0, 10.0, 0.0)), s"$got")
     assert(got(1L) == ((3L, 20.0, 26.0, 6.0)), s"$got")
   }
+
+  test("session paths cut at five steps and split on the 30-minute gap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = 1704412800L
+    // user 1: view>click session, then a 2h-later lone purchase session
+    // user 2: seven events in one session -> path keeps the FIRST FIVE
+    val rows = Seq(
+      (1L, base, 1L, "view"), (2L, base + 600L, 1L, "click"),
+      (3L, base + 8000L, 1L, "purchase")) ++
+      (0 until 7).map(i => (10L + i, base + i * 60L, 2L,
+        if (i % 2 == 0) "view" else "click"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_paths").toString
+    rows.toDF("event_id", "es", "user_id", "event_type")
+      .select($"event_id", timestamp_seconds($"es").as("ts"), $"user_id",
+        $"event_type", lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = queries.Events.q165(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("view>click" -> 1L, "purchase" -> 1L,
+      "view>click>view>click>view" -> 1L), s"$got")
+  }
 }

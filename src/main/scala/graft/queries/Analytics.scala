@@ -847,6 +847,68 @@ object Analytics {
       |FROM a CROSS JOIN t
       |ORDER BY arm""".stripMargin
 
+
+  // --- q166: Wilson confidence intervals for conversion rates -------------
+  // The uncertainty report q153's point rates lack: per arm, the 95%
+  // Wilson score interval for the conversion rate. sqrt and division are
+  // correctly-rounded IEEE ops, so with the SAME literal z and the SAME
+  // op order on both sides the whole chain is bit-deterministic; the
+  // bounds are still grid-snapped once (belt and suspenders, the q154
+  // convention). z enters as the literal 1.96 multiplied in-expression —
+  // precomputing 3.8416 would be a DIFFERENT double than 1.96*1.96.
+  // Shape: the q153 user rollup (one event-sized shuffle) + a two-row agg.
+  def q166(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def grid9(c: org.apache.spark.sql.Column) =
+      round(c * 1e9).cast("long").cast("double") / 1e9
+    val users = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase" && $"value" > 150, 1)
+        .otherwise(0)).as("conv"))
+      .select(($"user_id" % 2).as("arm"), $"conv")
+    val arms = users.groupBy($"arm")
+      .agg(count(lit(1)).as("n"), sum($"conv").cast("long").as("c"))
+    val z = lit(1.96)
+    val nd = $"n".cast("double")
+    val p = $"c".cast("double") / nd
+    val half = z * sqrt(p * (lit(1.0) - p) / nd + z * z / (lit(4.0) * nd * nd))
+    val center = p + z * z / (lit(2.0) * nd)
+    val denom = lit(1.0) + z * z / nd
+    arms.select($"arm", $"n", $"c",
+        grid9(p).as("rate"),
+        grid9((center - half) / denom).as("wilson_lo"),
+        grid9((center + half) / denom).as("wilson_hi"))
+      .orderBy($"arm")
+  }
+  val q166Sql: String =
+    """WITH u AS (
+      |  SELECT user_id % 2 AS arm,
+      |    MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(conv) AS BIGINT) AS c
+      |  FROM u GROUP BY arm),
+      |f AS (
+      |  SELECT arm, n, c,
+      |    CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+      |    CAST(n AS DOUBLE) AS nd
+      |  FROM a)
+      |SELECT arm, n, c,
+      |  CAST(CAST(round(p * 1e9) AS BIGINT) AS DOUBLE) / 1e9 AS rate,
+      |  CAST(CAST(round(
+      |    ((p + 1.96 * 1.96 / (2.0 * nd))
+      |     - 1.96 * sqrt(p * (1.0 - p) / nd + 1.96 * 1.96 / (4.0 * nd * nd)))
+      |    / (1.0 + 1.96 * 1.96 / nd) * 1e9) AS BIGINT) AS DOUBLE) / 1e9
+      |    AS wilson_lo,
+      |  CAST(CAST(round(
+      |    ((p + 1.96 * 1.96 / (2.0 * nd))
+      |     + 1.96 * sqrt(p * (1.0 - p) / nd + 1.96 * 1.96 / (4.0 * nd * nd)))
+      |    / (1.0 + 1.96 * 1.96 / nd) * 1e9) AS BIGINT) AS DOUBLE) / 1e9
+      |    AS wilson_hi
+      |FROM f
+      |ORDER BY arm""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q60_stat_aggs", q60 _, Some(q60Sql)),
     ("q61_sql_entry", q61 _, Some(q61Text)),
@@ -869,5 +931,6 @@ object Analytics {
     ("q148_weighted_sssp", q148 _, Some(q148Sql)),
     ("q153_ab_contingency", q153 _, Some(q153Sql)),
     ("q154_ols_trend", q154 _, Some(q154Sql)),
-    ("q160_cuped", q160 _, Some(q160Sql)))
+    ("q160_cuped", q160 _, Some(q160Sql)),
+    ("q166_wilson_ci", q166 _, Some(q166Sql)))
 }

@@ -468,4 +468,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == Map("view>click" -> 1L, "purchase" -> 1L,
       "view>click>view>click>view" -> 1L), s"$got")
   }
+
+  test("Wilson intervals bracket the rate and match a driver-side recomputation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (0L, 200.0), (2L, 160.0), (4L, 100.0),
+      (1L, 151.0), (3L, 150.0), (5L, 10.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_wil").toString
+    rows.toDF("user_id", "value")
+      .select(($"user_id" + 1).cast("long").as("event_id"),
+        timestamp_seconds(lit(1704412800L) + $"user_id").as("ts"),
+        $"user_id", lit("purchase").as("event_type"), $"value",
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def wilson(c: Long, n: Long): (Double, Double) = {
+      val z = 1.96; val nd = n.toDouble; val p = c.toDouble / nd
+      val half = z * math.sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd))
+      val center = p + z * z / (2.0 * nd); val den = 1.0 + z * z / nd
+      def g9(x: Double) = math.round(x * 1e9).toDouble / 1e9
+      (g9((center - half) / den), g9((center + half) / den))
+    }
+    val got = queries.Analytics.q166(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // arm0: 2/3 conv, arm1: 1/3
+    for ((arm, c) <- Seq((0L, 2L), (1L, 1L))) {
+      val (n, cc, rate, lo, hi) = got(arm)
+      assert((n, cc) == ((3L, c)))
+      val (wlo, whi) = wilson(c, n)
+      assert(lo == wlo && hi == whi, s"arm $arm: ($lo,$hi) vs ($wlo,$whi)")
+      assert(lo < rate && rate < hi)
+    }
+  }
 }

@@ -720,17 +720,22 @@ object Analytics {
       count(lit(1)).as("n"),
       sum($"x".cast(big)).as("sx"),
       sum($"v".cast(big)).as("sy"),
-      sum(($"x" * $"x").cast(big)).as("sxx"),
-      sum(($"x" * $"v").cast(big)).as("sxy"))
+      sum($"x".cast(big) * $"x".cast(big)).as("sxx"),
+      sum($"x".cast(big) * $"v".cast(big)).as("sxy"))
     val den = $"n".cast(big) * $"sxx" - $"sx" * $"sx"
     val slopeNum = $"n".cast(big) * $"sxy" - $"sx" * $"sy"
     val icptNum = $"sy" * $"sxx" - $"sx" * $"sxy"
     def grid9(c: org.apache.spark.sql.Column) =
       round(c * 1e9).cast("long").cast("double") / 1e9
+    // degenerate x spread (a single event, or all events at one second)
+    // makes den exactly 0 → slope undefined; NULL on both sides instead
+    // of an ANSI divide-by-zero / NaN-cast error (the q153/q160 rule)
     sums.select($"event_type", $"n",
-      grid9(slopeNum.cast("double") / den.cast("double") * 864)
+      when(den === lit(0).cast(big), lit(null).cast("double"))
+        .otherwise(grid9(slopeNum.cast("double") / den.cast("double") * 864))
         .as("slope_per_day"),
-      grid9(icptNum.cast("double") / den.cast("double") / 100)
+      when(den === lit(0).cast(big), lit(null).cast("double"))
+        .otherwise(grid9(icptNum.cast("double") / den.cast("double") / 100))
         .as("intercept"))
       .orderBy($"event_type")
   }
@@ -747,12 +752,16 @@ object Analytics {
       |    SUM(CAST(x AS HUGEINT) * v) AS sxy
       |  FROM g GROUP BY 1)
       |SELECT event_type, n,
-      |  CAST(CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
-      |    / CAST(n * sxx - sx * sx AS DOUBLE) * 864 * 1e9) AS BIGINT) AS DOUBLE)
-      |    / 1e9 AS slope_per_day,
-      |  CAST(CAST(round(CAST(sy * sxx - sx * sxy AS DOUBLE)
-      |    / CAST(n * sxx - sx * sx AS DOUBLE) / 100 * 1e9) AS BIGINT) AS DOUBLE)
-      |    / 1e9 AS intercept
+      |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      |       ELSE CAST(CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |         / CAST(n * sxx - sx * sx AS DOUBLE) * 864 * 1e9) AS BIGINT)
+      |         AS DOUBLE) / 1e9
+      |  END AS slope_per_day,
+      |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      |       ELSE CAST(CAST(round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+      |         / CAST(n * sxx - sx * sx AS DOUBLE) / 100 * 1e9) AS BIGINT)
+      |         AS DOUBLE) / 1e9
+      |  END AS intercept
       |FROM s
       |ORDER BY event_type""".stripMargin
 
@@ -786,8 +795,8 @@ object Analytics {
       .withColumn("arm", $"user_id" % 2)
     val g = users.agg(count(lit(1)).as("nn"),
       sum($"x".cast(big)).as("gx"), sum($"y".cast(big)).as("gy"),
-      sum(($"x" * $"x").cast(big)).as("gxx"),
-      sum(($"x" * $"y").cast(big)).as("gxy"))
+      sum($"x".cast(big) * $"x".cast(big)).as("gxx"),
+      sum($"x".cast(big) * $"y".cast(big)).as("gxy"))
       .select($"nn", $"gx",
         ($"nn".cast(big) * $"gxy" - $"gx" * $"gy").as("tnum"),
         ($"nn".cast(big) * $"gxx" - $"gx" * $"gx").as("tden"))

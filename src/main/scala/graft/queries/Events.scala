@@ -932,7 +932,7 @@ object Events {
       .withColumn("dur",
         least($"next_ts", ($"h" + 1) * HR) - greatest($"ts", $"h" * HR))
     hours.groupBy($"event_type", $"h")
-      .agg(sum(($"v" * $"dur").cast(big)).as("num"),
+      .agg(sum($"v".cast(big) * $"dur".cast(big)).as("num"),
         sum($"dur".cast(big)).as("den"),
         count(lit(1)).as("n_segments"))
       .select($"event_type",
@@ -1004,7 +1004,7 @@ object Events {
         min(struct($"ts", $"event_id", $"value")).getField("value").as("open"),
         max($"value").as("high"), min($"value").as("low"),
         max(struct($"ts", $"event_id", $"value")).getField("value").as("close"),
-        sum(($"v" * $"k").cast(big)).as("num"),
+        sum($"v".cast(big) * $"k".cast(big)).as("num"),
         sum($"k".cast(big)).as("den"))
       .select($"event_type", fmtS($"hs").as("hour_start"), $"n_trades",
         $"open", $"high", $"low", $"close",

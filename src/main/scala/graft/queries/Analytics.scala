@@ -612,6 +612,71 @@ object Analytics {
       |d3 AS (${ssspStep("d2")})
       |SELECT node, dist FROM d3 ORDER BY dist, node""".stripMargin
 
+  // --- q167: PageRank with dangling nodes (directed citation-style graph) --
+  // q143's graph is bidirected by construction, so every correction term
+  // in the operator is zero there; this query runs the SAME operator on
+  // the DIRECTED pair graph (pa→pb only, supp≥2) where dangling structure
+  // is guaranteed: the globally largest part in any pair is always a pb
+  // (a sink — out-degree 0) and the smallest is always a pa (no
+  // in-edges). Sink mass d9 = Σ pr9 over sinks is an exact integer sum
+  // redistributed as round(0.85·d9/|V|) per round — the standard Brin &
+  // Page correction on the 1e-9 grid — and no-in-edge nodes coalesce
+  // their contribution to 0 instead of dropping out. The oracle restates
+  // both dangling-aware iterations verbatim; a hash match proves the
+  // correction itself is engine-exact, not just the sink-free special
+  // case. Shape: per round one src-keyed join + one dst-keyed agg + a
+  // one-row broadcast dangling total — no extra node-sized shuffle.
+  def q167(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = graft.operators.CoPurchase.pairs(s, d, minSupp = 2)
+    val edges = pairs.select($"pa".as("src"), $"pb".as("dst"))
+    graft.operators.Graph.pageRank(edges, iters = 2)
+      .select($"node".as("part"), $"deg",
+        ($"pr9".cast("double") / 1e9).as("pagerank"), $"pr9")
+      .orderBy($"pr9".desc, $"part")
+      .limit(20)
+      .drop("pr9")
+  }
+  private def prDangStep(prev: String): String =
+    s"""SELECT n.node, n.deg,
+       |    CAST(round(CAST(0.15 AS DOUBLE) * 1e9 / v) AS BIGINT)
+       |    + CAST(round(CAST(0.85 AS DOUBLE) * d9 / v) AS BIGINT)
+       |    + COALESCE(s9, 0) AS pr9
+       |  FROM nodes n
+       |  LEFT JOIN (
+       |    SELECT e.dst,
+       |      CAST(SUM(CAST(round(CAST(0.85 AS DOUBLE) * p.pr9 / p.deg)
+       |        AS BIGINT)) AS BIGINT) AS s9
+       |    FROM edges e JOIN $prev p ON e.src = p.node GROUP BY e.dst
+       |  ) s ON n.node = s.dst
+       |  CROSS JOIN nv
+       |  CROSS JOIN (SELECT CAST(COALESCE(SUM(pr9), 0) AS BIGINT) AS d9
+       |              FROM $prev WHERE deg = 0) dang""".stripMargin
+  val q167Sql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |edges AS (SELECT pa AS src, pb AS dst FROM pairs),
+      |outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+      |           FROM edges GROUP BY src),
+      |nodes AS (
+      |  SELECT n.node, COALESCE(o.deg, 0) AS deg
+      |  FROM (SELECT src AS node FROM edges
+      |        UNION SELECT dst FROM edges) n
+      |  LEFT JOIN outdeg o ON n.node = o.src),
+      |nv AS (SELECT COUNT(*) AS v FROM nodes),
+      |p0 AS (
+      |  SELECT node, deg, CAST(round(1e9 / v) AS BIGINT) AS pr9
+      |  FROM nodes CROSS JOIN nv),
+      |p1 AS (${prDangStep("p0")}),
+      |p2 AS (${prDangStep("p1")})
+      |SELECT node AS part, deg, CAST(pr9 AS DOUBLE) / 1e9 AS pagerank
+      |FROM p2
+      |ORDER BY pr9 DESC, part
+      |LIMIT 20""".stripMargin
+
   // --- q153: A/B contingency test (chi-square independence, exact grid) ---
   // The experimentation primitive: users split into two arms by a
   // deterministic assignment hash (parity of user_id here), outcome =
@@ -922,5 +987,6 @@ object Analytics {
     ("q153_ab_contingency", q153 _, Some(q153Sql)),
     ("q154_ols_trend", q154 _, Some(q154Sql)),
     ("q160_cuped", q160 _, Some(q160Sql)),
-    ("q166_wilson_ci", q166 _, Some(q166Sql)))
+    ("q166_wilson_ci", q166 _, Some(q166Sql)),
+    ("q167_pagerank_dangling", q167 _, Some(q167Sql)))
 }

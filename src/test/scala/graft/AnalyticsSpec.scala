@@ -144,6 +144,75 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(mass - 1000000000L) < 100L, s"mass $mass drifted")
   }
 
+  test("PageRank redistributes dangling mass on a graph with sinks") {
+    import spark.implicits._
+    // directed: 1→2, 1→3, 2→1. Node 3 is a SINK (no out-edges) and node 1
+    // has in-edges only from 2 — the graph the old no-dangling contract
+    // silently mis-ranked. Hand-roll the grid recurrence: each round
+    //   d9 = pr9(3);  base = round(0.15e9/3);  dshare = round(0.85·d9/3)
+    //   pr9'(1) = base + dshare + round(0.85·pr9(2)/1)
+    //   pr9'(2) = base + dshare + round(0.85·pr9(1)/2)
+    //   pr9'(3) = base + dshare + round(0.85·pr9(1)/2)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L)).toDF("src", "dst")
+    val got = operators.Graph.pageRank(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def rd(x: Double): Long = math.round(x)
+    val base = rd(0.15 * 1e9 / 3)
+    var p1 = rd(1e9 / 3); var p2 = p1; var p3 = p1
+    (0 until 3).foreach { _ =>
+      val dshare = rd(0.85 * p3 / 3)
+      val n1 = base + dshare + rd(0.85 * p2 / 1.0)
+      val n2 = base + dshare + rd(0.85 * p1 / 2.0)
+      val n3 = base + dshare + rd(0.85 * p1 / 2.0)
+      p1 = n1; p2 = n2; p3 = n3
+    }
+    assert(got(1L) == ((2L, p1)), s"node1 ${got(1L)} != (2, $p1)")
+    assert(got(2L) == ((1L, p2)), s"node2 ${got(2L)} != (1, $p2)")
+    assert(got(3L) == ((0L, p3)), s"sink  ${got(3L)} != (0, $p3)")
+    // dangling redistribution conserves mass (within grid loss)
+    val mass = got.values.map(_._2).sum
+    assert(math.abs(mass - 1000000000L) < 100L, s"mass $mass leaked")
+  }
+
+  test("BFS convergence status: early exit on exhausted frontier") {
+    import spark.implicits._
+    // path 0-1-2-3: full closure takes 3 hops; a budget of 10 must stop
+    // at round 4 (the first empty frontier) and report converged
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val full = operators.Graph.bfsHopsWithStatus(
+      edges, Seq(0L).toDF("node"), maxHops = 10)
+    assert(full.converged, "closure within budget must report converged")
+    assert(full.roundsRun == 4, s"expected early exit at round 4, " +
+      s"ran ${full.roundsRun}")
+    val hops = full.result.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hops == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3))
+    // a budget that cuts the walk short must say so
+    val cut = operators.Graph.bfsHopsWithStatus(
+      edges, Seq(0L).toDF("node"), maxHops = 2)
+    assert(!cut.converged, "non-empty last frontier must report unconverged")
+    assert(cut.roundsRun == 2)
+  }
+
+  test("SSSP convergence status: fixpoint detection ends the loop") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 1L), (2L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    // distances stabilize after round 3; a budget of 10 must detect the
+    // round-4 no-change and stop
+    val full = operators.Graph.ssspWithStatus(
+      edges, Seq(1L).toDF("node"), rounds = 10)
+    assert(full.converged)
+    assert(full.roundsRun == 4, s"expected fixpoint at round 4, " +
+      s"ran ${full.roundsRun}")
+    val d = full.result.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 2L, 3L -> 1L, 4L -> 3L))
+    // a 2-round budget leaves node 4 on the expensive path → unconverged
+    val cut = operators.Graph.ssspWithStatus(
+      edges, Seq(1L).toDF("node"), rounds = 2)
+    assert(!cut.converged)
+  }
+
   test("skyline2D equals the brute-force dominance filter on random points") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -175,7 +175,7 @@ object Similarity {
     * unlike a zip_with fold — evaluates in the exact arithmetic order a SQL
     * engine's `ip(e,e) - 2*ip(e,c) + ip(c,c)` does, so the rounded value is
     * engine-portable (the oracle restates it verbatim). */
-  private def sqDistRounded(e: Column, c: Column): Column =
+  private[graft] def sqDistRounded(e: Column, c: Column): Column =
     round(dotProduct(e, e) - lit(2.0) * dotProduct(e, c) + dotProduct(c, c), 6)
 
   /** Nearest-centroid assignment: adds `cell` to `corpus` (argmin rounded
@@ -276,7 +276,7 @@ object Similarity {
     * boundaries, so any dimension (not just multiples of m) splits cleanly
     * and the DuckDB restatement (`list_slice(e, (sub*d)//m + 1,
     * ((sub+1)*d)//m)`) selects the identical components. */
-  private def subSlice(emb: Column, sub: Int, m: Int): Column = {
+  private[graft] def subSlice(emb: Column, sub: Int, m: Int): Column = {
     val d = size(emb)
     val lo = floor(d.cast("double") * sub / m).cast("int")
     val hi = floor(d.cast("double") * (sub + 1) / m).cast("int")

@@ -612,6 +612,31 @@ object Vectors {
       |  FROM adist) WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  // --- q168: IVF-PQ probe through the materialized cell-bucketed layout ---
+  // Same answer as q141 (the oracle IS q141Sql), different physical path —
+  // the q161/q152 pattern applied to vectors: coarse training, cell
+  // assignment, and PQ encoding run ONCE per dataset dir and the codes
+  // table is written partitionBy(cell) (sources/VectorIndex); the probe
+  // computes its cells against the centroid sidecar, collects the ≤kCells
+  // distinct probed cells driver-side, and filters the codes read with a
+  // LITERAL IN list — Catalyst prunes the unprobed cells' files at
+  // planning time (proven live in SourcesSpec, the InvertedIndex-spec
+  // pattern). Oracle equality proves the staged path answer-identical to
+  // the in-plan operator; at 100 TB the probe reads nprobe/kCells of the
+  // index's files instead of all of them.
+  def q168(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val canon = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+    val base = graft.TempDirs.scoped(s"vecidx|$canon|8x4x4", "graft_vecidx") { p =>
+      graft.sources.VectorIndex.build(Tables.embeddings(s, d), p.toString,
+        kCells = 8, cellIters = 1, m = 4, kCw = 4, pqIters = 1)
+    }
+    graft.sources.VectorIndex.probeTopK(s, base.toString,
+        Tables.embeddings(s, d).filter($"vec_id" < 8), m = 4, k = 5, nprobe = 3)
+      .orderBy($"query_id", $"rank")
+  }
+  val q168Sql: String = q141Sql
+
   // --- q138: greedy k-center coreset (Gonzalez farthest-point sampling) ---
   // Diversity-driven data selection: 8 centers chosen by iterated
   // farthest-point argmax, reported with the coverage-radius curve. The
@@ -665,5 +690,6 @@ object Vectors {
     ("q135_margin_mining", q135 _, Some(q135Sql)),
     ("q136_pq_adc", q136 _, Some(q136Sql)),
     ("q138_kcenter_coreset", q138 _, Some(q138Sql)),
-    ("q141_ivf_pq", q141 _, Some(q141Sql)))
+    ("q141_ivf_pq", q141 _, Some(q141Sql)),
+    ("q168_ivfpq_indexed", q168 _, Some(q168Sql)))
 }

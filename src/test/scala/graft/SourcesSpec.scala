@@ -347,4 +347,63 @@ class SourcesSpec extends AnyFunSuite {
     assert(totalFiles > probedFiles * 3,
       s"premise: index must span many more partitions ($totalFiles vs $probedFiles)")
   }
+
+  test("IVF-PQ vector index probe is partition-pruned and answer-identical") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmp("graft_vidx")
+    sources.VectorIndex.build(Tables.embeddings(spark, sf), dir,
+      kCells = 8, cellIters = 1, m = 4, kCw = 4, pqIters = 1)
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 2)
+    val probe = sources.VectorIndex.probeTopK(spark, dir, queries,
+      m = 4, k = 5, nprobe = 2)
+    val got = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    // answer-identical to the in-plan operator on identical inputs
+    val emb = Tables.embeddings(spark, sf)
+    val cent = operators.Similarity.trainKMeansCells(emb, k = 8, iters = 1)
+    val cells = operators.Similarity.assignKMeansCells(emb, cent)
+      .select(col("vec_id"), col("cell"))
+    val cb = operators.Similarity.trainPqCodebooks(emb, m = 4, k = 4, iters = 1)
+    val codes = operators.Similarity.pqEncode(emb, cb, m = 4)
+    val inPlan = operators.Similarity.ivfPqTopK(queries, cells, codes, cent, cb,
+        m = 4, k = 5, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got.nonEmpty && got == inPlan,
+      "staged probe must equal the in-plan IVF-PQ operator")
+    // pruning proof: the codes scan reads exactly the probed cells' files
+    def findScans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+      case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+      case q: QueryStageExec => findScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(findScans)
+    }
+    val codesScans = findScans(probe.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/codes")))
+    assert(codesScans.nonEmpty, "probe must read the codes table")
+    val filesRead = codesScans.map(_.metrics("numFiles").value).sum
+    // recompute the probed cell set the way the probe did
+    val probedCells = queries
+      .select(col("vec_id").as("query_id"),
+        functions.VectorFunctions.asDouble(col("embedding")).as("q_emb"))
+      .crossJoin(broadcast(spark.read.parquet(s"$dir/centroids")))
+      .withColumn("cd",
+        operators.Similarity.sqDistRounded(col("q_emb"), col("centroid")))
+      .withColumn("crank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cd").asc, col("cell"))))
+      .filter(col("crank") <= 2).select(col("cell")).distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSet
+    def filesUnder(p: java.nio.file.Path): Long =
+      java.nio.file.Files.walk(p).filter(_.toString.endsWith(".parquet")).count()
+    val probedFiles = probedCells.toSeq.map(c =>
+      filesUnder(java.nio.file.Paths.get(s"$dir/codes/cell=$c"))).sum
+    val totalFiles = filesUnder(java.nio.file.Paths.get(s"$dir/codes"))
+    assert(filesRead == probedFiles,
+      s"codes scan read $filesRead files, probed cells hold $probedFiles")
+    assert(totalFiles > probedFiles,
+      s"premise: some cells must be UNprobed ($totalFiles vs $probedFiles)")
+  }
 }

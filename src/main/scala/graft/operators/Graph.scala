@@ -131,6 +131,66 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Iterative k-core peeling (Seidman 1983's "Network structure and
+    * minimum degree" decomposition step, restated declaratively): delete
+    * every node of degree < k, recompute degrees, repeat to fixpoint. The
+    * surviving subgraph is the k-core — the standard density filter for
+    * graph sampling and community pre-processing.
+    *
+    * Per round: one src-keyed degree aggregation + two semi-joins
+    * restricting edges to surviving endpoints — three shuffles, all
+    * edge-bounded, each round's edge set eagerly localCheckpointed (the
+    * frontier-lineage rule). The edge count is monotonically
+    * non-increasing; convergence = a round that drops nothing, detected
+    * from the checkpointed counts (no extra jobs). Peeling is IDEMPOTENT
+    * past the fixpoint, which is what lets a fixed-round oracle
+    * restatement equal the converged answer as long as convergence
+    * happens within the unrolled budget — callers who rely on that must
+    * check `converged` (q169 throws loudly if not, the clusterPairs
+    * precedent).
+    *
+    * @param pairs distinct undirected edges (a, b), any canonical order
+    * @return FixpointResult whose table is (node, core_deg: long) — the
+    *         degree WITHIN the k-core, for surviving nodes only */
+  def kCore(pairs: DataFrame, k: Int, maxRounds: Int): FixpointResult = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1; got $maxRounds")
+    var edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var nEdges = edges.count()
+    var round = 0
+    var changed = true
+    while (round < maxRounds && changed) {
+      round += 1
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("src").as("node"))
+      val next = edges
+        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      val nNext = next.count()
+      changed = nNext != nEdges
+      edges = next
+      nEdges = nNext
+    }
+    val core = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_deg"))
+    FixpointResult(core, converged = !changed, roundsRun = round)
+  }
+
+  /** Connected components over an undirected pair list — the graph-family
+    * face of [[graft.operators.Dedup.clusterPairs]]'s distributed
+    * union-find (iterated star contraction, O(log) rounds, loud
+    * iteration-cap failure). Returns (node, component) where component is
+    * the minimum node id in the component — the same min-label contract
+    * the DuckDB recursive-CTE oracle states. */
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    graft.operators.Dedup.clusterPairs(
+        pairs.select(col("a").as("doc_a"), col("b").as("doc_b")))
+      .select(col("doc_id").as("node"), col("cluster_rep").as("component"))
+
   /** Bounded-round single-source shortest paths — Bellman-Ford relaxation
     * as iterated min-plus: round i's distance table is the min of the
     * previous table and every edge-relaxed candidate. With INTEGER weights

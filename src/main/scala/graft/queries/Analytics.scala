@@ -677,6 +677,148 @@ object Analytics {
       |ORDER BY pr9 DESC, part
       |LIMIT 20""".stripMargin
 
+  // --- q169: 2-core extraction (iterative degree peeling) ------------------
+  // Seidman's k-core as a declarative fixpoint (operators.Graph.kCore):
+  // drop degree-<2 nodes, recompute, repeat — the density filter that
+  // strips pendant trees before community/cycle analysis. The oracle
+  // unrolls EIGHT peel rounds (measured convergence: ≤6 rounds at every
+  // test SF; peeling is idempotent past the fixpoint, so extra unrolled
+  // rounds are provably no-ops) and the engine iterates to the true
+  // fixpoint with convergence ASSERTED — if data drift ever needed more
+  // than the unrolled budget the query throws loudly (the clusterPairs
+  // precedent) instead of hash-mismatching. Exact integer degrees
+  // end-to-end; per round one degree agg + two semi-joins, edge-bounded.
+  def q169(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = graft.operators.CoPurchase.pairs(s, d, minSupp = 2)
+      .select($"pa".as("a"), $"pb".as("b"))
+    val fx = graft.operators.Graph.kCore(pairs, k = 2, maxRounds = 8)
+    if (!fx.converged) throw new IllegalStateException(
+      s"2-core peeling did not converge within 8 rounds (oracle unrolls 8)")
+    fx.result.orderBy($"node")
+  }
+  private def peelStep(prev: String): String =
+    s"""SELECT e.src, e.dst FROM $prev e
+       |  JOIN (SELECT src FROM $prev GROUP BY src HAVING COUNT(*) >= 2) ka
+       |    ON e.src = ka.src
+       |  JOIN (SELECT src FROM $prev GROUP BY src HAVING COUNT(*) >= 2) kb
+       |    ON e.dst = kb.src""".stripMargin
+  val q169Sql: String = {
+    // MATERIALIZED per step: each peel round references its predecessor
+    // three times — without the hints DuckDB re-inlines the whole chain
+    // into every reference (8 rounds deep) and exhausts file handles on
+    // the repeated base-table scans (the q82 lesson)
+    val steps = (1 to 8).map(i => s"e$i AS MATERIALIZED (${peelStep(s"e${i - 1}")})")
+      .mkString(",\n")
+    s"""WITH op AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.p AS pa, b.p AS pb
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |e0 AS MATERIALIZED (
+      |  SELECT pa AS src, pb AS dst FROM pairs
+      |  UNION ALL SELECT pb, pa FROM pairs),
+      |$steps
+      |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+      |FROM e8 GROUP BY src
+      |ORDER BY node""".stripMargin
+  }
+
+  // --- q170: connected components + component sizes -------------------------
+  // operators.Graph.connectedComponents (the q82 distributed union-find
+  // generalized to the graph family) over the supp≥2 co-purchase graph,
+  // rolled up to the component-size census — the first question asked of
+  // any entity-resolution or community graph. Component = min node id
+  // (exact integer min-label), size = exact count; the oracle states the
+  // same closure as a recursive CTE (feasible because Σ|component|² stays
+  // bounded at the test SFs) and must produce the identical census.
+  def q170(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = graft.operators.CoPurchase.pairs(s, d, minSupp = 2)
+      .select($"pa".as("a"), $"pb".as("b"))
+    graft.operators.Graph.connectedComponents(pairs)
+      .groupBy($"component").agg(count(lit(1)).as("size"))
+      .orderBy($"size".desc, $"component")
+      .limit(20)
+  }
+  val q170Sql: String =
+    """WITH RECURSIVE op AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.p AS pa, b.p AS pb
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |edges AS MATERIALIZED (
+      |  SELECT pa AS src, pb AS dst FROM pairs
+      |  UNION ALL SELECT pb, pa FROM pairs),
+      |reach AS (
+      |  SELECT src AS node, dst AS r FROM edges
+      |  UNION
+      |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+      |),
+      |comp AS (
+      |  SELECT node, LEAST(node, MIN(r)) AS component
+      |  FROM reach GROUP BY node)
+      |SELECT component, CAST(COUNT(*) AS BIGINT) AS size
+      |FROM comp GROUP BY component
+      |ORDER BY size DESC, component
+      |LIMIT 20""".stripMargin
+
+  // --- q171: local clustering coefficient (triangles over wedges) ----------
+  // Watts & Strogatz 1998's per-node transitivity: cc(n) =
+  // 2·tri(n)/(deg(n)·(deg(n)−1)) — how close a node's neighborhood is to
+  // a clique, the standard community-structure score. Composes q147's
+  // degree-ordered triangle counter with the exact degree table
+  // (triangle-free nodes coalesce to 0). Numerator and denominator are
+  // exact small integers, so the single IEEE division is bit-identical
+  // cross-engine (the q142 small-int-ratio rule). Top-20 by
+  // (cc desc, node) among degree-≥2 nodes, TakeOrderedAndProject.
+  def q171(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = graft.operators.CoPurchase.pairs(s, d, minSupp = 2)
+      .select($"pa".as("a"), $"pb".as("b"))
+    val deg = pairs.select($"a".as("node"))
+      .unionByName(pairs.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val tri = graft.operators.Graph.triangleCounts(pairs)
+    deg.filter($"deg" >= 2)
+      .join(tri, Seq("node"), "left")
+      .select($"node", $"deg",
+        coalesce($"n_triangles", lit(0L)).as("n_triangles"),
+        ((coalesce($"n_triangles", lit(0L)) * 2).cast("double") /
+          ($"deg" * ($"deg" - 1))).as("clustering_coeff"))
+      .orderBy($"clustering_coeff".desc, $"node")
+      .limit(20)
+  }
+  val q171Sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |p AS (
+      |  SELECT a.p AS a, b.p AS b
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |deg AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      |    SELECT a AS node FROM p UNION ALL SELECT b FROM p)
+      |  GROUP BY node),
+      |tri AS (
+      |  SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+      |  FROM p e1
+      |  JOIN p e2 ON e2.a = e1.b
+      |  JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |tcnt AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+      |    SELECT unnest(list_value(ta, tb, tc)) AS node FROM tri)
+      |  GROUP BY node)
+      |SELECT d.node, d.deg,
+      |  COALESCE(t.n_triangles, 0) AS n_triangles,
+      |  CAST(COALESCE(t.n_triangles, 0) * 2 AS DOUBLE)
+      |    / (d.deg * (d.deg - 1)) AS clustering_coeff
+      |FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+      |WHERE d.deg >= 2
+      |ORDER BY clustering_coeff DESC, d.node
+      |LIMIT 20""".stripMargin
+
   // --- q153: A/B contingency test (chi-square independence, exact grid) ---
   // The experimentation primitive: users split into two arms by a
   // deterministic assignment hash (parity of user_id here), outcome =
@@ -988,5 +1130,8 @@ object Analytics {
     ("q154_ols_trend", q154 _, Some(q154Sql)),
     ("q160_cuped", q160 _, Some(q160Sql)),
     ("q166_wilson_ci", q166 _, Some(q166Sql)),
-    ("q167_pagerank_dangling", q167 _, Some(q167Sql)))
+    ("q167_pagerank_dangling", q167 _, Some(q167Sql)),
+    ("q169_kcore", q169 _, Some(q169Sql)),
+    ("q170_connected_components", q170 _, Some(q170Sql)),
+    ("q171_clustering_coeff", q171 _, Some(q171Sql)))
 }

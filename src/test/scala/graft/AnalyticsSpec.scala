@@ -213,6 +213,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(!cut.converged)
   }
 
+  test("k-core peeling matches hand peeling and reports convergence") {
+    import spark.implicits._
+    // triangle {1,2,3} + chain 3-4-5: peeling k=2 strips 5 then 4, the
+    // triangle survives with in-core degree 2 everywhere
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val fx = operators.Graph.kCore(pairs, k = 2, maxRounds = 8)
+    assert(fx.converged)
+    // round 1 drops 5, round 2 drops 4, round 3 confirms the fixpoint
+    assert(fx.roundsRun == 3, s"ran ${fx.roundsRun}")
+    val core = fx.result.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $core")
+    // a budget too small to finish must report unconverged
+    val cut = operators.Graph.kCore(pairs, k = 2, maxRounds = 1)
+    assert(!cut.converged)
+    // k above the max degree peels everything — empty core, converged
+    val empty = operators.Graph.kCore(pairs, k = 4, maxRounds = 8)
+    assert(empty.converged && empty.result.count() == 0)
+  }
+
+  test("connected components assign min-id labels per component") {
+    import spark.implicits._
+    // components {1,2,3}, {7,9}, {10,11,12} (chain)
+    val pairs = Seq((2L, 3L), (1L, 2L), (9L, 7L), (10L, 11L), (11L, 12L))
+      .toDF("a", "b")
+    val got = operators.Graph.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L), s"got $got")
+  }
+
   test("skyline2D equals the brute-force dominance filter on random points") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

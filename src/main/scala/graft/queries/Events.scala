@@ -1155,6 +1155,55 @@ object Events {
       |ORDER BY event_type, hour_start""".stripMargin
 
 
+  // --- q172: stream-stream FULL OUTER interval join ------------------------
+  // Completes the streaming join matrix q58 (inner) and q157 (left outer)
+  // built: both unmatched views AND unmatched purchases null-complete.
+  // The watermark geometry (Streams.viewPurchaseFullOuterJoin) forces an
+  // asymmetric shape — the purchase side stays unbounded to anchor the
+  // global watermark near max, which leaves the last 2 h of purchases
+  // unresolved in state — so the drained result is restricted to the
+  // PROVABLY-RESOLVED region: every view row, plus null-purchase rows
+  // with p_ts ≤ max−4h. The oracle is the batch FULL JOIN under the
+  // identical cutoffs and restriction — null completion on BOTH sides
+  // checked row-for-row.
+  def q172(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val joined = graft.streaming.Streams.viewPurchaseFullOuterJoin(s, d)
+    val key = "spark.sql.streaming.multipleWatermarkPolicy"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "max")
+    val drained =
+      try graft.streaming.Streams.runToMemory(s, joined, "q172_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    val maxNs = Tables.events(s, d).agg(max($"ts")).head.getLong(0)
+    val cutoffNs = maxNs - 4L * 3600 * 1000000000L
+    drained
+      .filter($"view_id".isNotNull || $"p_ns" <= cutoffNs)
+      .select($"view_id", $"purchase_id",
+        expr("(p_ns - v_ns) div 1000000000").as("delta_s"))
+      .orderBy($"view_id", $"purchase_id")
+  }
+  val q172Sql: String =
+    """WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+      |v AS (
+      |  SELECT event_id AS view_id, user_id, epoch_us(ts) AS vus
+      |  FROM events, mx
+      |  WHERE event_type = 'view' AND epoch_us(ts) <= m - 14400000000),
+      |p AS (
+      |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT view_id, purchase_id,
+      |  CAST((pus - vus) // 1000000 AS BIGINT) AS delta_s
+      |FROM v FULL JOIN p
+      |  ON v.user_id = p.user_id AND pus >= vus AND pus <= vus + 3600000000
+      |WHERE view_id IS NOT NULL
+      |   OR pus <= (SELECT m FROM mx) - 14400000000
+      |ORDER BY view_id, purchase_id""".stripMargin
+
   // --- q163: seasonal-naive forecast backtest (hour-of-day baseline) ------
   // The simplest defensible time-series forecast — predict each hour of
   // the LAST day from the same hour-of-day's mean over all prior days —
@@ -1339,6 +1388,7 @@ object Events {
     ("q155_stream_session_window", q155 _, Some(q155Sql)),
     ("q156_cusum_changepoint", q156 _, Some(q156Sql)),
     ("q157_stream_outer_join", q157 _, Some(q157Sql)),
+    ("q172_stream_full_outer_join", q172 _, Some(q172Sql)),
     ("q158_twap", q158 _, Some(q158Sql)),
     ("q159_ohlc_bars", q159 _, Some(q159Sql)),
     ("q163_seasonal_baseline", q163 _, Some(q163Sql)),

@@ -250,6 +250,47 @@ object Streams {
       "leftOuter")
   }
 
+  /** Stream-stream FULL OUTER interval join — completes the streaming
+    * join matrix (inner [[viewPurchaseIntervalJoin]], left outer
+    * [[viewPurchaseLeftOuterJoin]]): unmatched VIEWS and unmatched
+    * PURCHASES both emit null-extended rows once eviction proves no
+    * partner can arrive.
+    *
+    * The two outer sides cannot BOTH be cutoff-bounded: the global
+    * watermark derives from the sides' own max event times, so bounding
+    * both stalls it below what either side's null rows need — the
+    * left-outer trick (bound one side, let the other anchor the
+    * watermark near max) is the only self-consistent shape. Views are
+    * bounded at max−4h exactly as in the left-outer form (all resolve:
+    * final watermark max−2h > v_ts+1h+slack); purchases stay UNBOUNDED
+    * so the watermark stays fresh, which leaves purchases in the last
+    * 2 h unresolved in state — the CALLER must restrict the drained
+    * null-purchase rows to p_ts ≤ max−4h (q172 does, and its oracle
+    * states the identical restriction). That region is provably
+    * resolved: watermark max−2h ≥ p_ts+2h ≥ the p_ts window end + slack.
+    * Run under multipleWatermarkPolicy=max (the q157 rule). */
+  def viewPurchaseFullOuterJoin(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val maxNs = graft.Tables.events(spark, dir)
+      .agg(org.apache.spark.sql.functions.max(col("ts"))).head.getLong(0)
+    val cutoffNs = maxNs - 4L * 3600 * 1000000000L
+    val views = eventsStream(spark, dir, glob, maxFilesPerTrigger)
+      .filter(col("event_type") === "view" && col("ts") <= cutoffNs)
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ns"), col("ts_us").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = eventsStream(spark, dir, glob, maxFilesPerTrigger)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ns"), col("ts_us").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    views.join(purchases,
+      expr("""v_user = p_user
+              AND p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour"""),
+      "fullOuter")
+  }
+
   /** Run a streaming DataFrame to completion against the backlog (one
     * AvailableNow pass), materialized in a memory sink; returns the sink
     * contents. Complete mode so closed-and-open windows are all visible —

@@ -472,4 +472,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSet == allViews,
       "every retained view must emit at least one row")
   }
+
+  test("q172 full outer join: null completion on BOTH sides") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Events.q172(spark, sf).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(rows.exists(r => r._1.nonEmpty && r._2.isEmpty),
+      "unmatched views must null-complete")
+    assert(rows.exists(r => r._1.isEmpty && r._2.nonEmpty),
+      "unmatched purchases must null-complete")
+    assert(rows.forall(r => r._1.nonEmpty || r._2.nonEmpty))
+    // the view-side rows must equal q157's left-outer result exactly
+    val left = queries.Events.q157(spark, sf).collect()
+      .map(r => (Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(rows.filter(_._1.nonEmpty).toSet == left,
+      "view-side rows must equal the left-outer join")
+    // unmatched-purchase rows: exactly the cutoff-bounded purchases with
+    // no retained view in the preceding hour (batch recomputation)
+    val maxNs = Tables.events(spark, sf).agg(max(col("ts"))).head.getLong(0)
+    val cutoff = maxNs - 4L * 3600 * 1000000000L
+    val ev = Tables.events(spark, sf)
+    val v = ev.filter(col("event_type") === "view" && col("ts") <= cutoff)
+      .select(col("user_id").as("u"), col("ts").as("vts"))
+    val p = ev.filter(col("event_type") === "purchase" && col("ts") <= cutoff)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("u"),
+        col("ts").as("pts"))
+    val matched = p.join(v, "u")
+      .filter(col("pts") >= col("vts") && col("pts") <= col("vts") + 3600L * 1000000000L)
+      .select("purchase_id").collect().map(_.getLong(0)).toSet
+    val unmatchedWant = p.select("purchase_id").collect().map(_.getLong(0)).toSet
+      .diff(matched)
+    assert(rows.filter(_._1.isEmpty).flatMap(_._2).toSet == unmatchedWant,
+      "null-purchase rows must equal the batch unmatched set under the cutoff")
+  }
 }

@@ -1204,6 +1204,39 @@ object Events {
       |   OR pus <= (SELECT m FROM mx) - 14400000000
       |ORDER BY view_id, purchase_id""".stripMargin
 
+  // --- q173: delete propagation through the incremental rollup -------------
+  // The retraction half of q129's materialized-view loop — the GDPR /
+  // right-to-be-forgotten shape: after draining the full backlog into the
+  // versioned rollup, a delete batch (every event of users with
+  // user_id % 10 = 3) is applied as NEGATED partials through the same
+  // exactly-once merge (Rollup.retractHourly), groups netting to zero
+  // vanish, and the table must equal a from-scratch recompute over the
+  // surviving events — which is exactly what the oracle computes. Exact
+  // decimal sums make subtract-by-merge order-independent; the event
+  // history is never rescanned (the merge touches rollup-sized data +
+  // the delete batch only — the IVM asymmetry that matters at 100 TB).
+  def q173(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = graft.TempDirs.fresh("graft_gdpr")
+    graft.streaming.Rollup.hourlyRollupSink(s, d,
+      tablePath = s"$base/table", checkpointDir = s"$base/ckpt")
+    val deleted = Tables.events(s, d).filter($"user_id" % 10 === 3)
+    graft.streaming.Rollup.retractHourly(s, deleted, s"$base/table")
+    graft.streaming.Rollup.readRollup(s, s"$base/table")
+      .select($"event_type", $"hour_start", $"n_events",
+        $"sum_value".cast("double").as("sum_value"))
+      .orderBy($"event_type", $"hour_start")
+  }
+  val q173Sql: String =
+    """SELECT event_type,
+      |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE user_id % 10 <> 3
+      |GROUP BY event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+      |ORDER BY event_type, hour_start""".stripMargin
+
   // --- q163: seasonal-naive forecast backtest (hour-of-day baseline) ------
   // The simplest defensible time-series forecast — predict each hour of
   // the LAST day from the same hour-of-day's mean over all prior days —
@@ -1389,6 +1422,7 @@ object Events {
     ("q156_cusum_changepoint", q156 _, Some(q156Sql)),
     ("q157_stream_outer_join", q157 _, Some(q157Sql)),
     ("q172_stream_full_outer_join", q172 _, Some(q172Sql)),
+    ("q173_rollup_retraction", q173 _, Some(q173Sql)),
     ("q158_twap", q158 _, Some(q158Sql)),
     ("q159_ohlc_bars", q159 _, Some(q159Sql)),
     ("q163_seasonal_baseline", q163 _, Some(q163Sql)),

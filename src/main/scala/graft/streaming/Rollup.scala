@@ -95,9 +95,15 @@ object Rollup {
   /** Merge one batch of partial aggregates into the rollup table at
     * `tablePath`. `keys` are the grouping columns; every other column is
     * summed. Idempotent per `batchId` (see class doc). Returns true when
-    * the merge ran, false when the batch id was already committed. */
+    * the merge ran, false when the batch id was already committed.
+    *
+    * `dropEmptied = true` removes groups whose measures all reach exactly
+    * zero after the merge — the retraction path sets it so a fully
+    * deleted group leaves no tombstone row (sound because sums are exact
+    * decimals/longs: a group netting to all-zero measures holds no
+    * remaining contribution). */
   def mergeInto(spark: SparkSession, partials: DataFrame, tablePath: String,
-      keys: Seq[String], batchId: Long): Boolean = {
+      keys: Seq[String], batchId: Long, dropEmptied: Boolean = false): Boolean = {
     if (committed(spark, tablePath, batchId)) return false
     val aggCols = partials.columns.filterNot(keys.contains)
     val existing = currentVersion(spark, tablePath) match {
@@ -106,10 +112,14 @@ object Rollup {
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], partials.schema)
     }
-    val merged = existing.unionByName(partials)
+    val summed = existing.unionByName(partials)
       .groupBy(keys.map(col): _*)
       .agg(aggCols.map(c => sum(col(c)).as(c)).toSeq.head,
         aggCols.map(c => sum(col(c)).as(c)).toSeq.tail: _*)
+    val merged =
+      if (dropEmptied)
+        summed.filter(not(aggCols.map(col(_) === 0).reduce(_ && _)))
+      else summed
     // overwrite cleans any partial leftover of a crashed attempt at this id;
     // the committer's final _SUCCESS create is the atomic data+ledger commit
     merged.write.mode("overwrite").parquet(s"$tablePath/v_$batchId")
@@ -121,6 +131,36 @@ object Rollup {
       f.delete(new Path(root, s"v_$v"), true)
     }
     true
+  }
+
+  /** Propagate a DELETE through the maintained rollup — the
+    * incremental-view-maintenance retraction path (the GDPR /
+    * right-to-be-forgotten shape: purge a user's events without
+    * recomputing the view from history). Deleted rows become NEGATED
+    * partials — the same (keys, measures) shape [[hourlyPartials]] emits,
+    * every measure multiplied by −1 — and ride the ordinary
+    * [[mergeInto]]: exact decimal/long sums make subtraction-by-merge
+    * correct under any merge order, and the versioned commit keeps the
+    * retraction exactly-once under replay, identical to an insert batch.
+    * Groups whose measures net to zero are dropped (no tombstones). The
+    * version id is allocated past the current head, so a retraction is
+    * just the next committed version.
+    *
+    * At 100 TB: the merge touches rollup-sized data (keys cardinality) +
+    * the delete batch — never the event history. That asymmetry is the
+    * whole point of maintaining the view incrementally. */
+  def retractHourly(spark: SparkSession, deletedEvents: DataFrame,
+      tablePath: String): Unit = {
+    val head = currentVersion(spark, tablePath).getOrElse(
+      sys.error(s"no committed rollup under $tablePath to retract from"))
+    val neg = hourlyPartials(
+        deletedEvents.withColumn("ts_us", expr("timestamp_micros(ts div 1000)")))
+      .select(col("event_type"), col("hour_start"),
+        (-col("n_events")).as("n_events"),
+        (-col("sum_value")).as("sum_value"))
+    mergeInto(spark, neg, tablePath, Seq("event_type", "hour_start"),
+      head + 1, dropEmptied = true)
+    ()
   }
 
   /** Drain the events backlog into an incrementally-maintained hourly

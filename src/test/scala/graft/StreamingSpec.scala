@@ -290,6 +290,42 @@ class StreamingSpec extends AnyFunSuite {
       "torn-write replay must yield the exact from-scratch rollup")
   }
 
+  test("rollup retraction subtracts exactly, drops emptied groups, survives replay") {
+    import graft.streaming.Rollup
+    val base = java.nio.file.Files.createTempDirectory("graft_rollup_retr").toString
+    val table = s"$base/table"
+    val evBatch = Tables.events(spark, sf)
+      .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+    val keys = Seq("event_type", "hour_start")
+    assert(Rollup.mergeInto(spark, Rollup.hourlyPartials(evBatch), table, keys, 0L))
+    val nBefore = Rollup.readRollup(spark, table).count()
+    // retract one user-slice; table must equal the from-scratch recompute
+    val del = Tables.events(spark, sf).filter(col("user_id") % 10 === 3)
+    Rollup.retractHourly(spark, del, table)
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"), col("hour_start"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val want = snap(Rollup.hourlyPartials(
+      evBatch.filter(col("user_id") % 10 =!= 3)))
+    assert(snap(Rollup.readRollup(spark, table)) == want,
+      "retraction must equal the from-scratch recompute over survivors")
+    // no tombstones: every surviving group has a positive count
+    val counts = Rollup.readRollup(spark, table)
+      .select(col("n_events")).collect().map(_.getLong(0))
+    assert(counts.forall(_ > 0), "fully-deleted groups must leave no row")
+    // retracting EVERYTHING empties the table without tombstone rows
+    Rollup.retractHourly(spark,
+      Tables.events(spark, sf).filter(col("user_id") % 10 =!= 3), table)
+    assert(Rollup.readRollup(spark, table).count() == 0)
+    assert(nBefore > 0)
+    // replaying a retraction version id is a no-op (the ledger check):
+    // mergeInto with an already-committed id returns false
+    assert(!Rollup.mergeInto(spark,
+      Rollup.hourlyPartials(evBatch), table, keys, 0L))
+  }
+
   test("incremental near-dup collides across micro-batches with no lost pairs") {
     import graft.operators.Dedup
     val dir = java.nio.file.Files.createTempDirectory("graft_neardup_stream").toString

@@ -658,7 +658,53 @@ object Extended {
       |  UNION ALL SELECT 'l_returnflag', n_rows, nn_rf, nd_rf, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a)
       |ORDER BY column_name""".stripMargin
 
+  // --- q174: distribution-rank window functions (ntile/percent_rank/cume) --
+  // The three analytic window functions the surface hadn't exercised,
+  // computed over each priority's top-100 orders by price. The pre-limit
+  // row_number cut runs FIRST (Catalyst's WindowGroupLimit pushes the
+  // rank filter into the sort — the q132 pattern, so no group ever
+  // windows more than its cut), and the rank metrics then run over the
+  // BOUNDED 100-row slices — per-group work is constant, never
+  // corpus-ordered. The orderBy carries o_orderkey, so ranks are tie-free
+  // and percent_rank = (rn−1)/99 / cume_dist = rn/100 are single IEEE
+  // divisions of small exact ints — bit-identical cross-engine; ntile is
+  // pure integer arithmetic.
+  def q174(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val top = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 100)
+    top
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice",
+        $"quartile", $"pct_rank", $"cume")
+      .orderBy($"o_orderpriority", $"o_totalprice".desc, $"o_orderkey")
+  }
+  val q174Sql: String =
+    """WITH top AS (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+      |    SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |      ROW_NUMBER() OVER w AS rn
+      |    FROM orders
+      |    WINDOW w AS (PARTITION BY o_orderpriority
+      |                 ORDER BY o_totalprice DESC, o_orderkey))
+      |  WHERE rn <= 100)
+      |SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume
+      |FROM top
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q174_rank_distributions", q174 _, Some(q174Sql)),
     ("q49_equidepth_hist", q49 _, Some(q49Sql)),
     ("q100_zorder_blocks", q100 _, Some(q100Sql)),
     ("q101_snapshot_diff", q101 _, Some(q101Sql)),

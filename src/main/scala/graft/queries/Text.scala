@@ -175,6 +175,64 @@ object Text {
       |ORDER BY n DESC, bigram
       |LIMIT 50""".stripMargin
 
+  // --- q175: word2phrase collocation detection -----------------------------
+  // Mikolov et al. 2013's phrase-induction score (the word2vec
+  // `word2phrase` pass tokenizer pipelines run before training):
+  // score(a b) = (count(ab) − δ) / (count(a) · count(b)), δ = 5,
+  // over adjacent-token bigrams; high scorers become single vocabulary
+  // units. Exactness: count(ab) − δ and the count product are exact
+  // integers well inside 2^53 at the test SFs (≤ ~2e5² ≈ 4e10), so the
+  // single IEEE division is bit-identical cross-engine (the q142
+  // small-int-ratio rule; at true 100 TB counts the product would cross
+  // 2^53 and need the q154 grid snap). Shape: one token explode feeding
+  // BOTH count tables (unigrams and bigrams are separate aggregations of
+  // the same scan), unigram counts attach to the bigram table by two
+  // joins on the word — vocab-sized (Heaps' law), corpus touched once —
+  // then TakeOrderedAndProject top-30 by (score desc, bigram).
+  def q175(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .withColumn("toks", tokens($"text"))
+      .filter(size($"toks") >= 2)
+    val uni = toks.select(explode($"toks").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c1"))
+    val bi = toks
+      .select(explode(transform(sequence(lit(1), size($"toks") - 1),
+        i => struct(element_at($"toks", i).as("wa"),
+          element_at($"toks", i + 1).as("wb")))).as("b"))
+      .groupBy($"b.wa".as("wa"), $"b.wb".as("wb"))
+      .agg(count(lit(1)).as("cab"))
+      .filter($"cab" >= 10)
+    bi.join(uni.select($"w".as("wa"), $"c1".as("ca")), "wa")
+      .join(uni.select($"w".as("wb"), $"c1".as("cb")), "wb")
+      .select(concat_ws(" ", $"wa", $"wb").as("bigram"),
+        $"cab", $"ca", $"cb",
+        (($"cab" - 5).cast("double") / ($"ca" * $"cb")).as("score"))
+      .orderBy($"score".desc, $"bigram")
+      .limit(30)
+  }
+  val q175Sql: String =
+    """WITH d AS (
+      |  SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |  FROM documents),
+      |dd AS (SELECT t FROM d WHERE len(t) >= 2),
+      |uni AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+      |  FROM (SELECT unnest(t) AS w FROM dd) GROUP BY w),
+      |bi AS (
+      |  SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS cab FROM (
+      |    SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS wa,
+      |           unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS wb
+      |    FROM dd)
+      |  GROUP BY wa, wb HAVING COUNT(*) >= 10)
+      |SELECT wa || ' ' || wb AS bigram, cab, ca, cb,
+      |  CAST(cab - 5 AS DOUBLE) / (ca * cb) AS score
+      |FROM bi
+      |JOIN (SELECT w AS wa, c1 AS ca FROM uni) USING (wa)
+      |JOIN (SELECT w AS wb, c1 AS cb FROM uni) USING (wb)
+      |ORDER BY score DESC, bigram
+      |LIMIT 30""".stripMargin
+
   // --- q45: MinHash-LSH near-duplicate pairs ------------------------------
   // The LSH candidate set is verified with exact Jaccard, and recall at
   // threshold 0.6 is 1 - O(1e-7) (Dedup.nearDuplicatePairs) — so the
@@ -2394,6 +2452,7 @@ object Text {
     ("q42_lang_id", q42 _, Some(q42Sql)),
     ("q43_dedup_exact", q43 _, Some(q43Sql)),
     ("q44_bigram_freq", q44 _, Some(q44Sql)),
+    ("q175_word2phrase", q175 _, Some(q175Sql)),
     ("q45_neardup_minhash", q45 _, Some(q45Sql)),
     ("q46_neardup_simhash", q46 _, Some(q46Sql)),
     ("q47_winnowing", q47 _, Some(q47Sql)),

@@ -637,6 +637,109 @@ object Vectors {
   }
   val q168Sql: String = q141Sql
 
+  // --- q176: hybrid retrieval via reciprocal-rank fusion --------------------
+  // The retrieval-stack staple (Cormack et al. 2009): fuse a LEXICAL
+  // ranking (q120's grid-snapped Okapi BM25 for a fixed term set) with a
+  // VECTOR ranking (q50's rounded-cosine brute-force top-k for one query
+  // embedding) by rrf(d) = Σ_systems 1/(60 + rank_sys(d)) over each
+  // system's top-50 list. Documents and embeddings align by id (the
+  // corpus construction), so the fusion is a full outer join of two
+  // 50-row lists. Exactness: each 1/(60+r) is a single IEEE division of
+  // exact small ints, and the fusion is ONE fixed two-term sum — no
+  // merge-order ambiguity; both input rankings are already
+  // engine-portable (grid-snapped BM25 e9 integers, rounded cosine).
+  // Scale shape: each arm ends in TakeOrderedAndProject(50) BEFORE any
+  // ranking window touches it — the global row_number runs on a bounded
+  // 50-row slice (the q174/q132 pre-limit rule), never on the corpus.
+  def q176(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq("spark", "join", "window")
+    // lexical arm — q120's scoring verbatim, cut to 50 THEN ranked
+    val tokRows = Tables.documents(s, d)
+      .select($"doc_id", explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+    val dl = tokRows.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot_dl"))
+    val tf = tokRows.filter($"tok".isin(terms: _*))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val k1 = lit(1.5); val b = lit(0.75)
+    val dlRatio = ($"dl" * $"n_docs").cast("double") / $"tot_dl".cast("double")
+    val idf = log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0)
+    val contrib = idf * ($"tf" * (k1 + 1.0)) /
+      ($"tf" + k1 * (lit(1.0) - b + b * dlRatio))
+    val lexTop = tf.join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("e9", round(contrib * lit(1e9)).cast("long"))
+      .groupBy($"doc_id").agg(sum($"e9").as("score_e9"))
+      .orderBy($"score_e9".desc, $"doc_id")
+      .limit(50)
+    val lex = lexTop.withColumn("rank_lex", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy($"score_e9".desc, $"doc_id")))
+      .select($"doc_id", $"rank_lex")
+    // vector arm — q50's rounded-cosine brute force for query vec 0
+    val emb = Tables.embeddings(s, d)
+    val vec = Similarity.bruteForceTopK(emb.filter($"vec_id" === 0), emb,
+        k = 50, queryCountHint = 1)
+      .select($"neighbor_id".as("doc_id"), $"rank".as("rank_vec"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select($"doc_id", $"rank_lex", $"rank_vec",
+        (coalesce(lit(1.0) / (lit(60) + $"rank_lex"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + $"rank_vec"), lit(0.0))).as("rrf"))
+      .orderBy($"rrf".desc, $"doc_id")
+      .limit(20)
+  }
+  val q176Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+      |  FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+      |stats AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_dl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      |  WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    CAST(round(
+      |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      |        * (tf * (1.5 + 1.0))
+      |        / (tf + 1.5 * (1.0 - 0.75 + 0.75 *
+      |            (CAST(dl.dl * n_docs AS DOUBLE) / CAST(tot_dl AS DOUBLE))))
+      |      * 1e9) AS BIGINT) AS e9
+      |  FROM tf JOIN df USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN stats),
+      |lex_top AS (
+      |  SELECT doc_id, CAST(SUM(e9) AS BIGINT) AS score_e9
+      |  FROM scored GROUP BY doc_id
+      |  ORDER BY score_e9 DESC, doc_id LIMIT 50),
+      |lex AS (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY score_e9 DESC, doc_id) AS rank_lex
+      |  FROM lex_top),
+      |vec AS (
+      |  SELECT neighbor_id AS doc_id, rank AS rank_vec FROM (
+      |    SELECT c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (ORDER BY
+      |        ROUND(list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+      |          / (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+      |             * sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) DESC,
+      |        c.vec_id) AS rank
+      |    FROM embeddings q JOIN embeddings c
+      |      ON q.vec_id = 0 AND q.vec_id <> c.vec_id)
+      |  WHERE rank <= 50)
+      |SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+      |  rank_lex, rank_vec,
+      |  COALESCE(CAST(1 AS DOUBLE) / (60 + rank_lex), CAST(0 AS DOUBLE))
+      |    + COALESCE(CAST(1 AS DOUBLE) / (60 + rank_vec), CAST(0 AS DOUBLE))
+      |    AS rrf
+      |FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id
+      |ORDER BY rrf DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   // --- q138: greedy k-center coreset (Gonzalez farthest-point sampling) ---
   // Diversity-driven data selection: 8 centers chosen by iterated
   // farthest-point argmax, reported with the coverage-radius curve. The
@@ -691,5 +794,6 @@ object Vectors {
     ("q136_pq_adc", q136 _, Some(q136Sql)),
     ("q138_kcenter_coreset", q138 _, Some(q138Sql)),
     ("q141_ivf_pq", q141 _, Some(q141Sql)),
-    ("q168_ivfpq_indexed", q168 _, Some(q168Sql)))
+    ("q168_ivfpq_indexed", q168 _, Some(q168Sql)),
+    ("q176_rrf_fusion", q176 _, Some(q176Sql)))
 }

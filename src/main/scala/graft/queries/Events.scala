@@ -1204,6 +1204,46 @@ object Events {
       |   OR pus <= (SELECT m FROM mx) - 14400000000
       |ORDER BY view_id, purchase_id""".stripMargin
 
+  // --- q177: stream-stream LEFT SEMI interval join --------------------------
+  // "Which views converted" as a semi join: each view emits AT MOST once
+  // iff some purchase lands in its hour — the dedup-free form of q58's
+  // answer and the last streaming join semantics after q157/q172. Semi
+  // emission is match-driven, so no resolution cutoff is needed (every
+  // possible match is in the backlog; unmatched views evict silently) —
+  // µs-exact window semantics as in q157 (physical parquet is
+  // timestamp[us]; the ns residual is identically zero). The oracle is
+  // the batch EXISTS under the same window. Rolled up per user to keep
+  // the check shape-rich (count + id extremes).
+  def q177(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val joined = graft.streaming.Streams.viewPurchaseSemiJoin(s, d)
+    graft.streaming.Streams.runToMemory(s, joined, "q177_sink",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .groupBy($"v_user".as("user_id"))
+      .agg(count(lit(1)).as("n_converted_views"),
+        min($"view_id").as("first_view_id"),
+        max($"view_id").as("last_view_id"))
+      .orderBy($"user_id")
+  }
+  val q177Sql: String =
+    """WITH v AS (
+      |  SELECT event_id AS view_id, user_id, epoch_us(ts) AS vus
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT user_id, epoch_us(ts) AS pus
+      |  FROM events WHERE event_type = 'purchase'),
+      |conv AS (
+      |  SELECT view_id, user_id FROM v
+      |  WHERE EXISTS (
+      |    SELECT 1 FROM p
+      |    WHERE p.user_id = v.user_id
+      |      AND pus >= vus AND pus <= vus + 3600000000))
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_converted_views,
+      |  CAST(MIN(view_id) AS BIGINT) AS first_view_id,
+      |  CAST(MAX(view_id) AS BIGINT) AS last_view_id
+      |FROM conv GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   // --- q173: delete propagation through the incremental rollup -------------
   // The retraction half of q129's materialized-view loop — the GDPR /
   // right-to-be-forgotten shape: after draining the full backlog into the
@@ -1423,6 +1463,7 @@ object Events {
     ("q157_stream_outer_join", q157 _, Some(q157Sql)),
     ("q172_stream_full_outer_join", q172 _, Some(q172Sql)),
     ("q173_rollup_retraction", q173 _, Some(q173Sql)),
+    ("q177_stream_semi_join", q177 _, Some(q177Sql)),
     ("q158_twap", q158 _, Some(q158Sql)),
     ("q159_ohlc_bars", q159 _, Some(q159Sql)),
     ("q163_seasonal_baseline", q163 _, Some(q163Sql)),

@@ -291,6 +291,34 @@ object Streams {
       "fullOuter")
   }
 
+  /** Stream-stream LEFT SEMI interval join — the last member of the
+    * streaming join matrix (inner q58, left outer q157, full outer q172):
+    * emit each view AT MOST ONCE iff some purchase lands in its 1-hour
+    * window. Semi emission is match-driven (a view emits on its FIRST
+    * match and drops from state), so unlike the outer forms no side needs
+    * a resolution cutoff: every possible match is in the backlog, and
+    * non-matching views simply evict silently. State ∝ one window of
+    * unmatched views + buffered purchases — strictly smaller than the
+    * inner join's (matched views leave state early). */
+  def viewPurchaseSemiJoin(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val views = eventsStream(spark, dir, glob, maxFilesPerTrigger)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ns"), col("ts_us").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = eventsStream(spark, dir, glob, maxFilesPerTrigger)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ns"), col("ts_us").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    views.join(purchases,
+      expr("""v_user = p_user
+              AND p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour"""),
+      "leftSemi")
+  }
+
   /** Run a streaming DataFrame to completion against the backlog (one
     * AvailableNow pass), materialized in a memory sink; returns the sink
     * contents. Complete mode so closed-and-open windows are all visible —

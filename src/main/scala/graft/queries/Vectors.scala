@@ -637,6 +637,99 @@ object Vectors {
   }
   val q168Sql: String = q141Sql
 
+  // --- q178: classifier evaluation (per-class precision/recall/F1) ----------
+  // Closes the eval loop over q130's kNN label votes: from the
+  // (true_label, predicted) prediction table, per class c —
+  // tp = n(c,c), fp = predicted-c minus tp, fn = true-c minus tp,
+  // precision = tp/(tp+fp), recall = tp/(tp+fn), and F1 computed
+  // DIRECTLY from integers as 2·tp/(2·tp+fp+fn) — one IEEE division of
+  // exact small ints rather than the chained 2pr/(p+r) form (which
+  // compounds two divisions and hits 0/0 whenever a class is never
+  // predicted). Degenerate denominators guard with NULL on both sides
+  // (the q153 rule). One prediction-table-sized aggregation; the heavy
+  // stage is the same brute-force kNN q130 audits.
+  def q178(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter($"vec_id" % 10 === 0)
+    val knn = Similarity.bruteForceTopK(probes, emb, k = 5)
+    val nbrLab = emb.select($"vec_id".as("neighbor_id"), $"label".as("n_label"))
+    val votes = knn.join(nbrLab, "neighbor_id")
+      .groupBy($"query_id", $"n_label")
+      .agg(count(lit(1)).as("votes"), min($"rank").as("best_rank"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"votes".desc, $"best_rank".asc, $"n_label".asc)
+    val pred = votes.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"query_id", $"n_label".as("predicted"))
+      .join(probes.select($"vec_id".as("query_id"), $"label".as("true_label")),
+        "query_id")
+    val byTrue = pred.groupBy($"true_label".as("label"))
+      .agg(count(lit(1)).as("support"),
+        sum(when($"predicted" === $"true_label", 1L).otherwise(0L)).as("tp"))
+    val byPred = pred.groupBy($"predicted".as("label"))
+      .agg(count(lit(1)).as("n_predicted"))
+    byTrue.join(byPred, Seq("label"), "left")
+      .select($"label", $"support", $"tp",
+        (coalesce($"n_predicted", lit(0L)) - $"tp").as("fp"),
+        ($"support" - $"tp").as("fn"))
+      .select($"label", $"support", $"tp", $"fp", $"fn",
+        when($"tp" + $"fp" === 0, lit(null).cast("double"))
+          .otherwise($"tp".cast("double") / ($"tp" + $"fp")).as("precision"),
+        ($"tp".cast("double") / $"support").as("recall"),
+        when($"tp" * 2 + $"fp" + $"fn" === 0, lit(null).cast("double"))
+          .otherwise(($"tp" * 2).cast("double") / ($"tp" * 2 + $"fp" + $"fn"))
+          .as("f1"))
+      .orderBy($"label")
+  }
+  val q178Sql: String =
+    """WITH knn AS (
+      |  SELECT query_id, neighbor_id, rank FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        ROUND(list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+      |          / (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+      |             * sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) DESC,
+      |        c.vec_id) AS rank
+      |    FROM embeddings q JOIN embeddings c
+      |      ON q.vec_id % 10 = 0 AND q.vec_id <> c.vec_id)
+      |  WHERE rank <= 5),
+      |votes AS (
+      |  SELECT k.query_id, e.label AS n_label,
+      |    COUNT(*) AS votes, MIN(k.rank) AS best_rank
+      |  FROM knn k JOIN embeddings e ON k.neighbor_id = e.vec_id
+      |  GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT v.query_id, v.n_label AS predicted, q.label AS true_label
+      |  FROM (
+      |    SELECT query_id, n_label,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY votes DESC, best_rank ASC, n_label ASC) AS rn
+      |    FROM votes) v
+      |  JOIN embeddings q ON v.query_id = q.vec_id
+      |  WHERE v.rn = 1),
+      |bt AS (
+      |  SELECT true_label AS label, CAST(COUNT(*) AS BIGINT) AS support,
+      |    CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS tp
+      |  FROM pred GROUP BY 1),
+      |bp AS (
+      |  SELECT predicted AS label, CAST(COUNT(*) AS BIGINT) AS n_predicted
+      |  FROM pred GROUP BY 1),
+      |m AS (
+      |  SELECT bt.label, support, tp,
+      |    COALESCE(n_predicted, 0) - tp AS fp,
+      |    support - tp AS fn
+      |  FROM bt LEFT JOIN bp ON bt.label = bp.label)
+      |SELECT label, support, tp, fp, fn,
+      |  CASE WHEN tp + fp = 0 THEN NULL
+      |       ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+      |  CAST(tp AS DOUBLE) / support AS recall,
+      |  CASE WHEN tp * 2 + fp + fn = 0 THEN NULL
+      |       ELSE CAST(tp * 2 AS DOUBLE) / (tp * 2 + fp + fn) END AS f1
+      |FROM m
+      |ORDER BY label""".stripMargin
+
   // --- q176: hybrid retrieval via reciprocal-rank fusion --------------------
   // The retrieval-stack staple (Cormack et al. 2009): fuse a LEXICAL
   // ranking (q120's grid-snapped Okapi BM25 for a fixed term set) with a
@@ -795,5 +888,6 @@ object Vectors {
     ("q138_kcenter_coreset", q138 _, Some(q138Sql)),
     ("q141_ivf_pq", q141 _, Some(q141Sql)),
     ("q168_ivfpq_indexed", q168 _, Some(q168Sql)),
-    ("q176_rrf_fusion", q176 _, Some(q176Sql)))
+    ("q176_rrf_fusion", q176 _, Some(q176Sql)),
+    ("q178_classifier_eval", q178 _, Some(q178Sql)))
 }

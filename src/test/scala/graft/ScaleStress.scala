@@ -219,6 +219,20 @@ object ScaleStress {
       val (bn, bsec) = time(
         Graph.bfsHops(edges, Seq(0L).toDF("node"), maxHops = 3).count())
       println(f"[scale] R=$r%-2d p=$partitions%-3s bfs_h3         rows=$bn%-8d sec=$bsec%.2f")
+      // k-core on the degree-6 circulant: every node has degree 6, so
+      // peeling at k=7 deletes EVERYTHING in one round and k=6 deletes
+      // nothing — both converge in O(1) rounds at any N; cost must be
+      // the edge scans alone (linear in R)
+      CacheLifecycle.releaseAll(spark)
+      spark.catalog.clearCache()
+      System.gc()
+      val pairs = fwd.select(col("src").as("a"), col("dst").as("b"))
+      val (kn, ksec) = time {
+        val fx = Graph.kCore(pairs, k = 6, maxRounds = 4)
+        assert(fx.converged, "uniform-degree graph must converge instantly")
+        fx.result.count()
+      }
+      println(f"[scale] R=$r%-2d p=$partitions%-3s kcore_k6       rows=$kn%-8d sec=$ksec%.2f")
     }
 
 

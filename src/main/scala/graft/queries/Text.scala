@@ -233,6 +233,63 @@ object Text {
       |ORDER BY score DESC, bigram
       |LIMIT 30""".stripMargin
 
+  // --- q179: pointwise mutual information + corpus MI -----------------------
+  // The dependence diagnostic between two categorical document facets
+  // (lang × source): per-cell PMI = ln(c·n / (ca·cb)) and the corpus
+  // MI = Σ (c/n)·PMI — the feature-relevance score used for metadata
+  // audit and stratification design. Exactness is the q106 convention:
+  // every ln argument is a ratio of exact integer products (c·n ≤ ~2.5e9
+  // ≪ 2^53), each cell's MI contribution is computed in ONE fixed op
+  // chain and snapped to the 1e-9 integer grid, and the corpus sum is
+  // exact integer addition — merge-order-proof. Shape: one (lang,
+  // source) cell aggregation (the only corpus-sized shuffle) + two
+  // broadcast margin tables; per-cell output + the global MI attached by
+  // a one-row broadcast.
+  def q179(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.documents(s, d)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("c"))
+    val byLang = cells.groupBy($"lang").agg(sum($"c").as("ca"))
+    val bySrc = cells.groupBy($"source").agg(sum($"c").as("cb"))
+    val tot = cells.agg(sum($"c").as("n"))
+    val scored = cells
+      .join(broadcast(byLang), "lang")
+      .join(broadcast(bySrc), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi9", round(
+        log(($"c" * $"n").cast("double") / ($"ca" * $"cb")) * lit(1e9))
+        .cast("long"))
+      .withColumn("mi9", round(
+        log(($"c" * $"n").cast("double") / ($"ca" * $"cb"))
+          * $"c" / $"n" * lit(1e9)).cast("long"))
+    val mi = scored.agg(sum($"mi9").as("mi9_total"))
+    scored.crossJoin(broadcast(mi))
+      .select($"lang", $"source", $"c", $"ca", $"cb",
+        ($"pmi9".cast("double") / 1e9).as("pmi"),
+        ($"mi9_total".cast("double") / 1e9).as("corpus_mi"))
+      .orderBy($"lang", $"source")
+  }
+  val q179Sql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |bl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS ca FROM cells GROUP BY 1),
+      |bs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS cb FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+      |scored AS (
+      |  SELECT lang, source, c, ca, cb,
+      |    CAST(round(ln(CAST(c * n AS DOUBLE) / (ca * cb)) * 1e9) AS BIGINT)
+      |      AS pmi9,
+      |    CAST(round(ln(CAST(c * n AS DOUBLE) / (ca * cb)) * c / n * 1e9)
+      |      AS BIGINT) AS mi9
+      |  FROM cells JOIN bl USING (lang) JOIN bs USING (source) CROSS JOIN tot),
+      |mi AS (SELECT CAST(SUM(mi9) AS BIGINT) AS mi9_total FROM scored)
+      |SELECT lang, source, c, ca, cb,
+      |  CAST(pmi9 AS DOUBLE) / 1e9 AS pmi,
+      |  CAST(mi9_total AS DOUBLE) / 1e9 AS corpus_mi
+      |FROM scored CROSS JOIN mi
+      |ORDER BY lang, source""".stripMargin
+
   // --- q45: MinHash-LSH near-duplicate pairs ------------------------------
   // The LSH candidate set is verified with exact Jaccard, and recall at
   // threshold 0.6 is 1 - O(1e-7) (Dedup.nearDuplicatePairs) — so the
@@ -2453,6 +2510,7 @@ object Text {
     ("q43_dedup_exact", q43 _, Some(q43Sql)),
     ("q44_bigram_freq", q44 _, Some(q44Sql)),
     ("q175_word2phrase", q175 _, Some(q175Sql)),
+    ("q179_facet_mi", q179 _, Some(q179Sql)),
     ("q45_neardup_minhash", q45 _, Some(q45Sql)),
     ("q46_neardup_simhash", q46 _, Some(q46Sql)),
     ("q47_winnowing", q47 _, Some(q47Sql)),

@@ -244,6 +244,15 @@ class AnalyticsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L), s"got $got")
   }
 
+  test("q174 plans its rank cut as WindowGroupLimit above the bounded slice") {
+    // the pre-limit cut must plan as WindowGroupLimit (each map task keeps
+    // only its top-100 per priority before the shuffle) — the q132 rule;
+    // without it the rank metrics would order whole priority groups
+    val phys = queries.Extended.q174(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$phys")
+  }
+
   test("skyline2D equals the brute-force dominance filter on random points") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

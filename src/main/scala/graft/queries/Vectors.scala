@@ -730,6 +730,96 @@ object Vectors {
       |FROM m
       |ORDER BY label""".stripMargin
 
+  // --- q180: chance-corrected agreement (Cohen's kappa) ---------------------
+  // The aggregate companion to q178's per-class table: observed accuracy
+  // po = Σ tp / N, chance agreement pe = Σ_c (true_c · pred_c) / N², and
+  // κ = (po − pe)/(1 − pe) — the standard chance-corrected agreement
+  // between the kNN predictions and the true labels. All inputs are
+  // exact integers; po and pe are single divisions, and κ is computed
+  // from INTEGERS in one division — (N·Σtp − Σ(true_c·pred_c)) /
+  // (N² − Σ(true_c·pred_c)) — rather than chaining (po−pe)/(1−pe)
+  // through intermediate doubles. Products ≤ N² ≪ 2^53 at the test SFs.
+  // Degenerate pe = 1 (all mass in one cell) guards NULL on both sides.
+  def q180(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter($"vec_id" % 10 === 0)
+    val knn = Similarity.bruteForceTopK(probes, emb, k = 5)
+    val nbrLab = emb.select($"vec_id".as("neighbor_id"), $"label".as("n_label"))
+    val votes = knn.join(nbrLab, "neighbor_id")
+      .groupBy($"query_id", $"n_label")
+      .agg(count(lit(1)).as("votes"), min($"rank").as("best_rank"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"votes".desc, $"best_rank".asc, $"n_label".asc)
+    val pred = votes.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"query_id", $"n_label".as("predicted"))
+      .join(probes.select($"vec_id".as("query_id"), $"label".as("true_label")),
+        "query_id")
+    val byTrue = pred.groupBy($"true_label".as("label"))
+      .agg(count(lit(1)).as("n_true"))
+    val byPred = pred.groupBy($"predicted".as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    val chance = byTrue.join(byPred, Seq("label"), "full_outer")
+      .agg(coalesce(sum(coalesce($"n_true", lit(0L)) *
+        coalesce($"n_pred", lit(0L))), lit(0L)).as("s_chance"))
+    val agg = pred.agg(count(lit(1)).as("n"),
+      sum(when($"predicted" === $"true_label", 1L).otherwise(0L)).as("s_tp"))
+    agg.crossJoin(broadcast(chance))
+      .select($"n", $"s_tp",
+        ($"s_tp".cast("double") / $"n").as("accuracy"),
+        ($"s_chance".cast("double") / ($"n" * $"n")).as("chance_agreement"),
+        when($"n" * $"n" - $"s_chance" === 0, lit(null).cast("double"))
+          .otherwise(($"n" * $"s_tp" - $"s_chance").cast("double") /
+            ($"n" * $"n" - $"s_chance")).as("kappa"))
+  }
+  val q180Sql: String =
+    """WITH knn AS (
+      |  SELECT query_id, neighbor_id, rank FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        ROUND(list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+      |          / (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+      |             * sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) DESC,
+      |        c.vec_id) AS rank
+      |    FROM embeddings q JOIN embeddings c
+      |      ON q.vec_id % 10 = 0 AND q.vec_id <> c.vec_id)
+      |  WHERE rank <= 5),
+      |votes AS (
+      |  SELECT k.query_id, e.label AS n_label,
+      |    COUNT(*) AS votes, MIN(k.rank) AS best_rank
+      |  FROM knn k JOIN embeddings e ON k.neighbor_id = e.vec_id
+      |  GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT v.query_id, v.n_label AS predicted, q.label AS true_label
+      |  FROM (
+      |    SELECT query_id, n_label,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY votes DESC, best_rank ASC, n_label ASC) AS rn
+      |    FROM votes) v
+      |  JOIN embeddings q ON v.query_id = q.vec_id
+      |  WHERE v.rn = 1),
+      |bt AS (SELECT true_label AS label, CAST(COUNT(*) AS BIGINT) AS n_true
+      |       FROM pred GROUP BY 1),
+      |bp AS (SELECT predicted AS label, CAST(COUNT(*) AS BIGINT) AS n_pred
+      |       FROM pred GROUP BY 1),
+      |ch AS (
+      |  SELECT CAST(COALESCE(SUM(COALESCE(n_true, 0) * COALESCE(n_pred, 0)), 0)
+      |    AS BIGINT) AS s_chance
+      |  FROM bt FULL JOIN bp USING (label)),
+      |ag AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS s_tp
+      |  FROM pred)
+      |SELECT n, s_tp,
+      |  CAST(s_tp AS DOUBLE) / n AS accuracy,
+      |  CAST(s_chance AS DOUBLE) / (n * n) AS chance_agreement,
+      |  CASE WHEN n * n - s_chance = 0 THEN NULL
+      |       ELSE CAST(n * s_tp - s_chance AS DOUBLE) / (n * n - s_chance)
+      |  END AS kappa
+      |FROM ag CROSS JOIN ch""".stripMargin
+
   // --- q176: hybrid retrieval via reciprocal-rank fusion --------------------
   // The retrieval-stack staple (Cormack et al. 2009): fuse a LEXICAL
   // ranking (q120's grid-snapped Okapi BM25 for a fixed term set) with a
@@ -889,5 +979,6 @@ object Vectors {
     ("q141_ivf_pq", q141 _, Some(q141Sql)),
     ("q168_ivfpq_indexed", q168 _, Some(q168Sql)),
     ("q176_rrf_fusion", q176 _, Some(q176Sql)),
-    ("q178_classifier_eval", q178 _, Some(q178Sql)))
+    ("q178_classifier_eval", q178 _, Some(q178Sql)),
+    ("q180_cohens_kappa", q180 _, Some(q180Sql)))
 }

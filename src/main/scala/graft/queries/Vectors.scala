@@ -730,6 +730,89 @@ object Vectors {
       |FROM m
       |ORDER BY label""".stripMargin
 
+  // --- q181: ANN recall@k under the oracle gate ------------------------------
+  // Recall of the IVF probe path (q53) against the brute-force truth
+  // (q50) — previously a spec-only assertion (SimilaritySpec), now a
+  // hash-gated query: both search paths are deterministic (rounded
+  // cosine, portable probe ranking), so per-query |IVF∩BF|/k and the
+  // corpus mean Σ|∩|/(Q·k) are exact small-int ratios both engines
+  // reproduce bit-for-bit. This is the eval loop every ANN deployment
+  // needs: measure what the probed-cells approximation actually loses.
+  def q181(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter($"vec_id" < 8)
+    val bf = Similarity.bruteForceTopK(probes, emb, k = 5, queryCountHint = 8)
+      .select($"query_id", $"neighbor_id")
+    val ivf = Similarity.ivfTopK(probes, emb, $"label", k = 5, nprobe = 3)
+      .select($"query_id", $"neighbor_id")
+    val hits = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
+    val per = bf.groupBy($"query_id").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select($"query_id", $"k",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        (coalesce($"n_hits", lit(0L)).cast("double") / $"k").as("recall"))
+    val mean = per.agg(sum($"n_hits").as("sh"), sum($"k").as("sk"))
+      .select(($"sh".cast("double") / $"sk").as("mean_recall"))
+    per.crossJoin(broadcast(mean))
+      .orderBy($"query_id")
+  }
+  val q181Sql: String =
+    s"""WITH bf AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        ROUND(${cosSql("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")}, 6) DESC,
+      |        c.vec_id) AS rank
+      |    FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+      |  WHERE rank <= 5),
+      |cent AS (
+      |  SELECT label AS cell, pos,
+      |    ROUND(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS cv
+      |  FROM (SELECT label, unnest(range(0, len(embedding))) AS pos,
+      |               unnest(embedding::DOUBLE[]) AS v
+      |        FROM embeddings)
+      |  GROUP BY label, pos),
+      |centv AS (SELECT cell, list(cv ORDER BY pos) AS centroid FROM cent GROUP BY cell),
+      |pr AS (
+      |  SELECT query_id, cell FROM (
+      |    SELECT q.vec_id AS query_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        ROUND(${cosSql("q.embedding::DOUBLE[]", "c.centroid")}, 6) DESC, c.cell) AS crank
+      |    FROM embeddings q, centv c WHERE q.vec_id < 8)
+      |  WHERE crank <= 3),
+      |ivf AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT s.query_id, s.neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY s.query_id
+      |        ORDER BY s.sim DESC, s.neighbor_id) AS rank
+      |    FROM (
+      |      SELECT p.query_id, e.vec_id AS neighbor_id,
+      |        ROUND(${cosSql("q.embedding::DOUBLE[]", "e.embedding::DOUBLE[]")}, 6) AS sim
+      |      FROM pr p
+      |      JOIN embeddings e ON e.label = p.cell
+      |      JOIN embeddings q ON q.vec_id = p.query_id
+      |      WHERE e.vec_id <> p.query_id) s)
+      |  WHERE rank <= 5),
+      |hits AS (
+      |  SELECT bf.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |  FROM bf JOIN ivf ON bf.query_id = ivf.query_id
+      |    AND bf.neighbor_id = ivf.neighbor_id
+      |  GROUP BY 1),
+      |per AS (
+      |  SELECT bf.query_id, CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM bf GROUP BY 1),
+      |j AS (
+      |  SELECT per.query_id, per.k, COALESCE(n_hits, 0) AS n_hits,
+      |    CAST(COALESCE(n_hits, 0) AS DOUBLE) / per.k AS recall
+      |  FROM per LEFT JOIN hits ON per.query_id = hits.query_id),
+      |m AS (
+      |  SELECT CAST(SUM(n_hits) AS DOUBLE) / SUM(k) AS mean_recall FROM j)
+      |SELECT query_id, k, n_hits, recall, mean_recall
+      |FROM j CROSS JOIN m
+      |ORDER BY query_id""".stripMargin
+
   // --- q180: chance-corrected agreement (Cohen's kappa) ---------------------
   // The aggregate companion to q178's per-class table: observed accuracy
   // po = Σ tp / N, chance agreement pe = Σ_c (true_c · pred_c) / N², and
@@ -980,5 +1063,6 @@ object Vectors {
     ("q168_ivfpq_indexed", q168 _, Some(q168Sql)),
     ("q176_rrf_fusion", q176 _, Some(q176Sql)),
     ("q178_classifier_eval", q178 _, Some(q178Sql)),
-    ("q180_cohens_kappa", q180 _, Some(q180Sql)))
+    ("q180_cohens_kappa", q180 _, Some(q180Sql)),
+    ("q181_ann_recall", q181 _, Some(q181Sql)))
 }

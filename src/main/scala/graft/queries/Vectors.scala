@@ -730,6 +730,102 @@ object Vectors {
       |FROM m
       |ORDER BY label""".stripMargin
 
+  // --- q182: random-projection (JL) dim reduction + neighborhood eval -------
+  // Achlioptas 2003-style database-friendly random projection: a ±1 sign
+  // matrix S (16 × d) projects every embedding to 16 dims, and the eval
+  // half measures what the projection does to neighborhoods —
+  // agreement@5 between top-5 cosine in PROJECTED space and the full-dim
+  // truth (q50), the exact-ratio shape of q181. Determinism without a
+  // seeded RNG: S(j,k) = +1 iff the first hex digit of md5("j|k") is
+  // even — both engines compute the identical md5 hex, and the sign rows
+  // enter the Spark side as driver-built literal arrays (16·d values, a
+  // few KB — the broadcast-constant analogue of a stored projection
+  // matrix). Each projected coordinate is ONE rounded dot product (the
+  // same codegen dot + round(6) the whole vector family rides, proven
+  // bit-equal to DuckDB's list_inner_product), so projections, projected
+  // cosines, ranks, and agreement are all hash-exact. At 100 TB the
+  // projection is a d→16 map-side narrowing — 4×d/16 less data into
+  // every downstream shuffle, the point of JL in a pipeline.
+  def q182(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val dim = emb.select(size($"embedding")).head.getInt(0)
+    val dims = 16
+    def sign(j: Int, k: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j|$k".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if ("02468ace".contains(hex.charAt(0))) 1.0 else -1.0
+    }
+    val e = asDouble($"embedding")
+    val proj = array((0 until dims).map { j =>
+      round(dotProduct(e, lit((0 until dim).map(k => sign(j, k)).toArray)), 6)
+    }: _*)
+    val projected = emb.select($"vec_id", proj.as("p"))
+    val probes = projected.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"p".as("qp"))
+    val scored = probes.join(projected, $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        round(dotProduct($"qp", $"p") /
+          (sqrt(dotProduct($"qp", $"qp")) * sqrt(dotProduct($"p", $"p"))), 6)
+          .as("sim"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+      .orderBy($"sim".desc, $"neighbor_id")
+    val projTop = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5).select($"query_id", $"neighbor_id")
+    val bf = Similarity.bruteForceTopK(emb.filter($"vec_id" < 8), emb,
+        k = 5, queryCountHint = 8)
+      .select($"query_id", $"neighbor_id")
+    val hits = bf.join(projTop, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
+    bf.groupBy($"query_id").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select($"query_id", $"k", coalesce($"n_hits", lit(0L)).as("n_hits"),
+        (coalesce($"n_hits", lit(0L)).cast("double") / $"k").as("agreement"))
+      .orderBy($"query_id")
+  }
+  val q182Sql: String =
+    s"""WITH dd AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1),
+      |signs AS (
+      |  SELECT j, list(CASE WHEN substring(md5(CAST(j AS VARCHAR) || '|' ||
+      |        CAST(k AS VARCHAR)), 1, 1) IN
+      |        ('0','2','4','6','8','a','c','e')
+      |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END ORDER BY k)
+      |    AS s
+      |  FROM (SELECT unnest(range(0, 16)) AS j),
+      |       (SELECT unnest(range(0, (SELECT d FROM dd))) AS k)
+      |  GROUP BY j),
+      |proj AS (
+      |  SELECT vec_id,
+      |    list(ROUND(list_inner_product(embedding::DOUBLE[], s), 6)
+      |      ORDER BY j) AS p
+      |  FROM embeddings CROSS JOIN signs
+      |  GROUP BY vec_id),
+      |pt AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        ROUND(${cosSql("q.p", "c.p")}, 6) DESC, c.vec_id) AS rank
+      |    FROM proj q JOIN proj c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+      |  WHERE rank <= 5),
+      |bf AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        ROUND(${cosSql("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")}, 6) DESC,
+      |        c.vec_id) AS rank
+      |    FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+      |  WHERE rank <= 5),
+      |hits AS (
+      |  SELECT bf.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |  FROM bf JOIN pt ON bf.query_id = pt.query_id
+      |    AND bf.neighbor_id = pt.neighbor_id
+      |  GROUP BY 1),
+      |per AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k FROM bf GROUP BY 1)
+      |SELECT per.query_id, per.k, COALESCE(n_hits, 0) AS n_hits,
+      |  CAST(COALESCE(n_hits, 0) AS DOUBLE) / per.k AS agreement
+      |FROM per LEFT JOIN hits ON per.query_id = hits.query_id
+      |ORDER BY per.query_id""".stripMargin
+
   // --- q181: ANN recall@k under the oracle gate ------------------------------
   // Recall of the IVF probe path (q53) against the brute-force truth
   // (q50) — previously a spec-only assertion (SimilaritySpec), now a
@@ -1064,5 +1160,6 @@ object Vectors {
     ("q176_rrf_fusion", q176 _, Some(q176Sql)),
     ("q178_classifier_eval", q178 _, Some(q178Sql)),
     ("q180_cohens_kappa", q180 _, Some(q180Sql)),
-    ("q181_ann_recall", q181 _, Some(q181Sql)))
+    ("q181_ann_recall", q181 _, Some(q181Sql)),
+    ("q182_jl_projection", q182 _, Some(q182Sql)))
 }

@@ -703,8 +703,102 @@ object Extended {
       |             ORDER BY o_totalprice DESC, o_orderkey)
       |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
 
+  // --- q183: referential-integrity + functional-dependency audit ------------
+  // The warehouse-wide constraint audit the reference's soda checks imply
+  // but never run: orphan counts for every foreign-key edge in the schema
+  // graph (lineitem→orders, lineitem→part, lineitem→supplier,
+  // orders→customer, customer→nation, supplier→nation, nation→region)
+  // plus a functional-dependency probe (nation determines region). Each
+  // check is one LEFT ANTI join (orphans) or one grouped
+  // count-distinct > 1 (FD violations) — all exact integers — and the
+  // result is a fixed small (check_name, n_rows, n_violations) table:
+  // the shape a data-quality dashboard reads. At 100 TB each anti join
+  // broadcasts its dimension side; the fact scans are column-pruned to
+  // the key alone.
+  def q183(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // one pass per check: left-join the (distinct, broadcast) dimension
+    // keys, count rows + null-marker orphans in the same aggregate —
+    // fully lazy, no driver-side counts
+    def fkCheck(name: String, fact: DataFrame, fk: String,
+        dim: DataFrame, pk: String): DataFrame =
+      fact.select(col(fk))
+        .join(broadcast(dim.select(col(pk).as(fk)).distinct()
+          .withColumn("graft_ok", lit(1))), Seq(fk), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("graft_ok").isNull, 1L).otherwise(0L))
+            .as("n_violations"))
+        .select(lit(name).as("check_name"), $"n_rows", $"n_violations")
+    val li = Tables.lineitem(s, d)
+    val ords = Tables.orders(s, d)
+    val cust = Tables.customer(s, d)
+    val supp = Tables.supplier(s, d)
+    val nat = Tables.nation(s, d)
+    val fd = nat.groupBy($"n_nationkey")
+      .agg(countDistinct($"n_regionkey").as("nr"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"nr" > 1, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit("fd_nation_region").as("check_name"),
+        $"n_rows", $"n_violations")
+    Seq(
+      fkCheck("fk_lineitem_orders", li, "l_orderkey", ords, "o_orderkey"),
+      fkCheck("fk_lineitem_part", li, "l_partkey",
+        Tables.part(s, d), "p_partkey"),
+      fkCheck("fk_lineitem_supplier", li, "l_suppkey", supp, "s_suppkey"),
+      fkCheck("fk_orders_customer", ords, "o_custkey", cust, "c_custkey"),
+      fkCheck("fk_customer_nation", cust, "c_nationkey", nat, "n_nationkey"),
+      fkCheck("fk_supplier_nation", supp, "s_nationkey", nat, "n_nationkey"),
+      fkCheck("fk_nation_region", nat, "n_regionkey",
+        Tables.region(s, d), "r_regionkey"),
+      fd).reduce(_ unionByName _)
+      .orderBy($"check_name")
+  }
+  val q183Sql: String =
+    """SELECT 'fd_nation_region' AS check_name,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS n_rows,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+      |     SELECT n_nationkey FROM nation GROUP BY n_nationkey
+      |     HAVING COUNT(DISTINCT n_regionkey) > 1)) AS n_violations
+      |UNION ALL
+      |SELECT 'fk_customer_nation',
+      |  (SELECT COUNT(*) FROM customer),
+      |  (SELECT COUNT(*) FROM customer
+      |   WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+      |UNION ALL
+      |SELECT 'fk_lineitem_orders',
+      |  (SELECT COUNT(*) FROM lineitem),
+      |  (SELECT COUNT(*) FROM lineitem
+      |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      |UNION ALL
+      |SELECT 'fk_lineitem_part',
+      |  (SELECT COUNT(*) FROM lineitem),
+      |  (SELECT COUNT(*) FROM lineitem
+      |   WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+      |UNION ALL
+      |SELECT 'fk_lineitem_supplier',
+      |  (SELECT COUNT(*) FROM lineitem),
+      |  (SELECT COUNT(*) FROM lineitem
+      |   WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+      |UNION ALL
+      |SELECT 'fk_nation_region',
+      |  (SELECT COUNT(*) FROM nation),
+      |  (SELECT COUNT(*) FROM nation
+      |   WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+      |UNION ALL
+      |SELECT 'fk_orders_customer',
+      |  (SELECT COUNT(*) FROM orders),
+      |  (SELECT COUNT(*) FROM orders
+      |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |UNION ALL
+      |SELECT 'fk_supplier_nation',
+      |  (SELECT COUNT(*) FROM supplier),
+      |  (SELECT COUNT(*) FROM supplier
+      |   WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+      |ORDER BY check_name""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q174_rank_distributions", q174 _, Some(q174Sql)),
+    ("q183_integrity_audit", q183 _, Some(q183Sql)),
     ("q49_equidepth_hist", q49 _, Some(q49Sql)),
     ("q100_zorder_blocks", q100 _, Some(q100Sql)),
     ("q101_snapshot_diff", q101 _, Some(q101Sql)),

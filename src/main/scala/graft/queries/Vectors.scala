@@ -730,6 +730,51 @@ object Vectors {
       |FROM m
       |ORDER BY label""".stripMargin
 
+  // --- q184: hard-negative mining (contrastive-training pairs) --------------
+  // The contrastive-learning data op (DPR/Contriever pipelines): for each
+  // probe, the top-5 most similar vectors whose LABEL DIFFERS — maximally
+  // confusable negatives, the examples that actually move a contrastive
+  // loss. Same rounded-cosine arithmetic as q50 with a label-inequality
+  // predicate inside the score join; ranks tie-break on neighbor id, so
+  // the mined set is hash-exact. Shape: the brute-force scored join is
+  // the audit baseline; at scale the candidate set would come from
+  // ivfTopK with an over-fetch and the same label filter on top.
+  def q184(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"label".as("q_label"),
+        asDouble($"embedding").as("qe"))
+    val cand = emb.select($"vec_id".as("neighbor_id"),
+      $"label".as("n_label"), asDouble($"embedding").as("ne"))
+    val scored = probes.join(cand,
+        $"neighbor_id" =!= $"query_id" && $"n_label" =!= $"q_label")
+      .select($"query_id", $"q_label", $"neighbor_id", $"n_label",
+        round(dotProduct($"qe", $"ne") /
+          (sqrt(dotProduct($"qe", $"qe")) * sqrt(dotProduct($"ne", $"ne"))), 6)
+          .as("sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"q_label", $"neighbor_id", $"n_label",
+        $"rank", $"sim")
+      .orderBy($"query_id", $"rank")
+  }
+  val q184Sql: String =
+    s"""SELECT query_id, q_label, neighbor_id, n_label, rank, sim FROM (
+      |  SELECT q.vec_id AS query_id, q.label AS q_label,
+      |    c.vec_id AS neighbor_id, c.label AS n_label,
+      |    ROUND(${cosSql("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")}, 6)
+      |      AS sim,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |      ROUND(${cosSql("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")}, 6) DESC,
+      |      c.vec_id) AS rank
+      |  FROM embeddings q JOIN embeddings c
+      |    ON q.vec_id < 8 AND q.vec_id <> c.vec_id AND q.label <> c.label)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   // --- q182: random-projection (JL) dim reduction + neighborhood eval -------
   // Achlioptas 2003-style database-friendly random projection: a ±1 sign
   // matrix S (16 × d) projects every embedding to 16 dims, and the eval
@@ -1161,5 +1206,6 @@ object Vectors {
     ("q178_classifier_eval", q178 _, Some(q178Sql)),
     ("q180_cohens_kappa", q180 _, Some(q180Sql)),
     ("q181_ann_recall", q181 _, Some(q181Sql)),
-    ("q182_jl_projection", q182 _, Some(q182Sql)))
+    ("q182_jl_projection", q182 _, Some(q182Sql)),
+    ("q184_hard_negatives", q184 _, Some(q184Sql)))
 }

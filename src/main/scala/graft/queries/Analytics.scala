@@ -612,6 +612,36 @@ object Analytics {
       |d3 AS (${ssspStep("d2")})
       |SELECT node, dist FROM d3 ORDER BY dist, node""".stripMargin
 
+  // --- q185: frequent triples (Apriori level 3) ------------------------------
+  // One lattice level above q142's pair rules: 3-itemsets by exact
+  // order-cooccurrence support, top-20 by (supp desc, keys). The triple
+  // enumeration is the within-order 3-way self-join of the STAGED
+  // incidence list (operators.CoPurchase) — per-order fan-out is
+  // C(items, 3) ≤ C(17, 3), bounded, so the candidate volume is
+  // orders-linear with a constant factor, never combinatorial in the
+  // catalog. Exact integer supports end-to-end; TakeOrderedAndProject.
+  def q185(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val op = graft.operators.CoPurchase.orderParts(s, d)
+    op.as("a")
+      .join(op.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .join(op.as("c"), $"b.o" === $"c.o" && $"b.p" < $"c.p")
+      .groupBy($"a.p".as("pa"), $"b.p".as("pb"), $"c.p".as("pc"))
+      .agg(count(lit(1)).as("supp"))
+      .orderBy($"supp".desc, $"pa", $"pb", $"pc")
+      .limit(20)
+  }
+  val q185Sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+      |SELECT a.p AS pa, b.p AS pb, c.p AS pc,
+      |  CAST(COUNT(*) AS BIGINT) AS supp
+      |FROM op a
+      |JOIN op b ON a.o = b.o AND a.p < b.p
+      |JOIN op c ON b.o = c.o AND b.p < c.p
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp DESC, pa, pb, pc
+      |LIMIT 20""".stripMargin
+
   // --- q167: PageRank with dangling nodes (directed citation-style graph) --
   // q143's graph is bidirected by construction, so every correction term
   // in the operator is zero there; this query runs the SAME operator on
@@ -1133,5 +1163,6 @@ object Analytics {
     ("q167_pagerank_dangling", q167 _, Some(q167Sql)),
     ("q169_kcore", q169 _, Some(q169Sql)),
     ("q170_connected_components", q170 _, Some(q170Sql)),
-    ("q171_clustering_coeff", q171 _, Some(q171Sql)))
+    ("q171_clustering_coeff", q171 _, Some(q171Sql)),
+    ("q185_frequent_triples", q185 _, Some(q185Sql)))
 }

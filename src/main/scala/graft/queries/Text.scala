@@ -290,6 +290,119 @@ object Text {
       |FROM scored CROSS JOIN mi
       |ORDER BY lang, source""".stripMargin
 
+  // --- q186: language-ID quality evaluation ---------------------------------
+  // q42 produces the langid confusion matrix; this scores it — per-language
+  // precision/recall/F1 of the stopword-marker heuristic against the
+  // labeled truth, the q178 convention applied to the text family:
+  // tp/fp/fn from two matrix-sized aggregations, F1 directly from
+  // integers as 2·tp/(2·tp+fp+fn), NULL on degenerate denominators. The
+  // heavy stage is q42's single corpus scan; everything after is
+  // vocab-of-languages-sized.
+  def q186(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cm = q42(s, d) // (lang, lang_pred, n_docs)
+    val byTrue = cm.groupBy($"lang".as("language"))
+      .agg(sum($"n_docs").as("support"),
+        sum(when($"lang" === $"lang_pred", $"n_docs").otherwise(0L)).as("tp"))
+    val byPred = cm.groupBy($"lang_pred".as("language"))
+      .agg(sum($"n_docs").as("n_predicted"))
+    byTrue.join(byPred, Seq("language"), "left")
+      .select($"language", $"support", $"tp",
+        (coalesce($"n_predicted", lit(0L)) - $"tp").as("fp"),
+        ($"support" - $"tp").as("fn"))
+      .select($"language", $"support", $"tp", $"fp", $"fn",
+        when($"tp" + $"fp" === 0, lit(null).cast("double"))
+          .otherwise($"tp".cast("double") / ($"tp" + $"fp")).as("precision"),
+        ($"tp".cast("double") / $"support").as("recall"),
+        when($"tp" * 2 + $"fp" + $"fn" === 0, lit(null).cast("double"))
+          .otherwise(($"tp" * 2).cast("double") / ($"tp" * 2 + $"fp" + $"fn"))
+          .as("f1"))
+      .orderBy($"language")
+  }
+  val q186Sql: String =
+    """WITH cm AS (
+      |  SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM (
+      |    SELECT lang,
+      |      CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+      |           WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+      |           WHEN s_de >= s_fr THEN 'de'
+      |           ELSE 'fr' END AS lang_pred
+      |    FROM (
+      |      SELECT lang,
+      |        len(list_filter(t, x -> x IN ('the','a','and','of'))) AS s_en,
+      |        len(list_filter(t, x -> x IN ('el','la','de','y'))) AS s_es,
+      |        len(list_filter(t, x -> x IN ('der','die','und','das'))) AS s_de,
+      |        len(list_filter(t, x -> x IN ('le','les','et','une'))) AS s_fr
+      |      FROM (SELECT lang,
+      |              string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |            FROM documents)))
+      |  GROUP BY lang, lang_pred),
+      |bt AS (
+      |  SELECT lang AS language, CAST(SUM(n_docs) AS BIGINT) AS support,
+      |    CAST(SUM(CASE WHEN lang = lang_pred THEN n_docs ELSE 0 END)
+      |      AS BIGINT) AS tp
+      |  FROM cm GROUP BY 1),
+      |bp AS (
+      |  SELECT lang_pred AS language, CAST(SUM(n_docs) AS BIGINT) AS n_predicted
+      |  FROM cm GROUP BY 1),
+      |m AS (
+      |  SELECT bt.language, support, tp,
+      |    COALESCE(n_predicted, 0) - tp AS fp, support - tp AS fn
+      |  FROM bt LEFT JOIN bp ON bt.language = bp.language)
+      |SELECT language, support, tp, fp, fn,
+      |  CASE WHEN tp + fp = 0 THEN NULL
+      |       ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+      |  CAST(tp AS DOUBLE) / support AS recall,
+      |  CASE WHEN tp * 2 + fp + fn = 0 THEN NULL
+      |       ELSE CAST(tp * 2 AS DOUBLE) / (tp * 2 + fp + fn) END AS f1
+      |FROM m
+      |ORDER BY language""".stripMargin
+
+  // --- q187: per-source duplication-rate dashboard --------------------------
+  // The curation metric behind source weighting decisions: per source,
+  // how much of it is exact-duplicate mass (q43's md5 fingerprint rule),
+  // both at the doc level (share of docs that are non-canonical copies)
+  // and the within-source unique-text ratio. Exact integer counts and
+  // single-division ratios; one fingerprint aggregation + one
+  // source-keyed rollup.
+  def q187(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        md5(normalizeText($"text")).as("fp"))
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
+      .orderBy($"doc_id")
+    val flagged = docs.withColumn("is_copy",
+      when(row_number().over(wFp) === 1, 0L).otherwise(1L))
+    flagged.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"is_copy").as("n_copies"),
+        countDistinct($"fp").as("n_unique_texts"))
+      .select($"source", $"n_docs", $"n_copies", $"n_unique_texts",
+        ($"n_copies".cast("double") / $"n_docs").as("copy_rate"),
+        ($"n_unique_texts".cast("double") / $"n_docs").as("unique_ratio"))
+      .orderBy($"source")
+  }
+  val q187Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id, source,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM documents),
+      |flagged AS (
+      |  SELECT source, fp,
+      |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+      |         THEN 0 ELSE 1 END AS is_copy
+      |  FROM f)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(is_copy) AS BIGINT) AS n_copies,
+      |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_texts,
+      |  CAST(SUM(is_copy) AS DOUBLE) / COUNT(*) AS copy_rate,
+      |  CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*) AS unique_ratio
+      |FROM flagged
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   // --- q45: MinHash-LSH near-duplicate pairs ------------------------------
   // The LSH candidate set is verified with exact Jaccard, and recall at
   // threshold 0.6 is 1 - O(1e-7) (Dedup.nearDuplicatePairs) — so the
@@ -2511,6 +2624,8 @@ object Text {
     ("q44_bigram_freq", q44 _, Some(q44Sql)),
     ("q175_word2phrase", q175 _, Some(q175Sql)),
     ("q179_facet_mi", q179 _, Some(q179Sql)),
+    ("q186_langid_eval", q186 _, Some(q186Sql)),
+    ("q187_source_dup_rate", q187 _, Some(q187Sql)),
     ("q45_neardup_minhash", q45 _, Some(q45Sql)),
     ("q46_neardup_simhash", q46 _, Some(q46Sql)),
     ("q47_winnowing", q47 _, Some(q47Sql)),

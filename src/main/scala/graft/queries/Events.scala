@@ -1277,6 +1277,86 @@ object Events {
       |GROUP BY event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
       |ORDER BY event_type, hour_start""".stripMargin
 
+  // --- q188: autocorrelation function of the hourly series ------------------
+  // The time-series diagnostic behind seasonality detection (q163 assumes
+  // a 24 h cycle; this MEASURES it): Pearson autocorrelation of the
+  // gap-filled global hourly event-count series at lags 1–12 h + 24 h.
+  // Exactness is the q154 sums route per lag: counts are exact ints on a
+  // zero-filled spine, every moment (Σx, Σy, Σxy, Σx², Σy²) is an exact
+  // decimal(38,0)/HUGEINT integer over the lag-aligned pairs, and
+  // r = (nΣxy−ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) is evaluated with the
+  // sqrt SPLIT (each radicand ≤ ~1e12 converts exactly to double; their
+  // PRODUCT would cross 2^53) in one fixed IEEE chain, grid-snapped once.
+  // Lag alignment is a spine self-join on t+k — embarrassingly parallel,
+  // no global-ordered window; the series is hours-sized (time-bounded,
+  // never event-sized), so every stage after the hourly rollup is tiny.
+  def q188(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = "decimal(38,0)"
+    def grid9(c: Column) = round(c * 1e9).cast("long").cast("double") / 1e9
+    val hourly = Tables.events(s, d)
+      .select(expr("(ts div 1000000000) div 3600").as("h"))
+      .groupBy($"h").agg(count(lit(1)).as("c"))
+    val bounds = hourly.agg(min($"h").as("h0"), max($"h").as("h1"))
+    val spine = bounds.select(explode(sequence($"h0", $"h1")).as("h"))
+      .join(hourly, Seq("h"), "left")
+      .select($"h", coalesce($"c", lit(0L)).as("y"))
+    val lags = s.range(1, 13).select($"id".as("lag"))
+      .unionByName(s.range(24, 25).select($"id".as("lag")))
+    val pairs = spine.as("a")
+      .crossJoin(broadcast(lags))
+      .join(spine.as("b"), $"a.h" + $"lag" === $"b.h")
+      .select($"lag", $"a.y".as("x"), $"b.y".as("yl"))
+    val sums = pairs.groupBy($"lag").agg(
+      count(lit(1)).as("n"),
+      sum($"x".cast(big)).as("sx"), sum($"yl".cast(big)).as("sy"),
+      sum($"x".cast(big) * $"yl".cast(big)).as("sxy"),
+      sum($"x".cast(big) * $"x".cast(big)).as("sxx"),
+      sum($"yl".cast(big) * $"yl".cast(big)).as("syy"))
+    val vx = $"n".cast(big) * $"sxx" - $"sx" * $"sx"
+    val vy = $"n".cast(big) * $"syy" - $"sy" * $"sy"
+    val cov = $"n".cast(big) * $"sxy" - $"sx" * $"sy"
+    sums.select($"lag", $"n".as("n_pairs"),
+      when(vx === lit(0).cast(big) || vy === lit(0).cast(big),
+          lit(null).cast("double"))
+        .otherwise(grid9(cov.cast("double") /
+          (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))))
+        .as("acf"))
+      .orderBy($"lag")
+  }
+  val q188Sql: String =
+    """WITH hr AS (
+      |  SELECT CAST(epoch_us(ts) // 1000000 // 3600 AS BIGINT) AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hr),
+      |spine AS (
+      |  SELECT t.h, COALESCE(hr.c, 0) AS y
+      |  FROM (SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds) t
+      |  LEFT JOIN hr ON t.h = hr.h),
+      |lags AS (SELECT unnest(range(1, 13)) AS lag UNION ALL SELECT 24),
+      |pairs AS (
+      |  SELECT lag, a.y AS x, b.y AS yl
+      |  FROM spine a CROSS JOIN lags JOIN spine b ON a.h + lag = b.h),
+      |s AS (
+      |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(yl AS HUGEINT)) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * yl) AS sxy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(yl AS HUGEINT) * yl) AS syy
+      |  FROM pairs GROUP BY 1)
+      |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+      |  CASE WHEN n_pairs * sxx - sx * sx = 0 OR n_pairs * syy - sy * sy = 0
+      |       THEN NULL
+      |       ELSE CAST(CAST(round(
+      |         CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+      |           / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+      |              * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+      |         * 1e9) AS BIGINT) AS DOUBLE) / 1e9
+      |  END AS acf
+      |FROM s
+      |ORDER BY lag""".stripMargin
+
   // --- q163: seasonal-naive forecast backtest (hour-of-day baseline) ------
   // The simplest defensible time-series forecast — predict each hour of
   // the LAST day from the same hour-of-day's mean over all prior days —
@@ -1464,6 +1544,7 @@ object Events {
     ("q172_stream_full_outer_join", q172 _, Some(q172Sql)),
     ("q173_rollup_retraction", q173 _, Some(q173Sql)),
     ("q177_stream_semi_join", q177 _, Some(q177Sql)),
+    ("q188_hourly_acf", q188 _, Some(q188Sql)),
     ("q158_twap", q158 _, Some(q158Sql)),
     ("q159_ohlc_bars", q159 _, Some(q159Sql)),
     ("q163_seasonal_baseline", q163 _, Some(q163Sql)),

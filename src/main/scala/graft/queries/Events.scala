@@ -1277,6 +1277,28 @@ object Events {
       |GROUP BY event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
       |ORDER BY event_type, hour_start""".stripMargin
 
+  // --- q190: streaming exact distinct users per hour ------------------------
+  // Streaming COUNT(DISTINCT) — the aggregate Structured Streaming lacks
+  // natively — by composition (Streams.hourlyDistinctUsers): a
+  // watermark-bounded dedup on (user, hour) feeds the windowed count, so
+  // the count IS the exact distinct-user number and state stays ∝
+  // distinct pairs in the horizon. The oracle is the batch
+  // COUNT(DISTINCT user_id) per hour; any dedup leak or loss would shift
+  // a count and miss the hash.
+  def q190(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val du = graft.streaming.Streams.hourlyDistinctUsers(
+      graft.streaming.Streams.eventsStream(s, d))
+    graft.streaming.Streams.runToMemory(s, du, "q190_sink")
+      .orderBy($"hour_start")
+  }
+  val q190Sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY hour_start""".stripMargin
+
   // --- q188: autocorrelation function of the hourly series ------------------
   // The time-series diagnostic behind seasonality detection (q163 assumes
   // a 24 h cycle; this MEASURES it): Pearson autocorrelation of the
@@ -1545,6 +1567,7 @@ object Events {
     ("q173_rollup_retraction", q173 _, Some(q173Sql)),
     ("q177_stream_semi_join", q177 _, Some(q177Sql)),
     ("q188_hourly_acf", q188 _, Some(q188Sql)),
+    ("q190_stream_distinct_users", q190 _, Some(q190Sql)),
     ("q158_twap", q158 _, Some(q158Sql)),
     ("q159_ohlc_bars", q159 _, Some(q159Sql)),
     ("q163_seasonal_baseline", q163 _, Some(q163Sql)),

@@ -2531,6 +2531,32 @@ object Text {
   }
 
 
+  // --- q189: incremental inverted-index maintenance -------------------------
+  // The index-maintenance contract q161's build-once layout implies: the
+  // corpus arrives as TWO batches (doc_id parity split), the first builds
+  // the index, the second APPENDS its postings (new files under only the
+  // touched term buckets — no rewrite of existing postings), and the
+  // probe over the maintained index must equal the single-scan answer —
+  // the oracle IS q152Sql, exactly like q161, so a lost or duplicated
+  // posting in the append path hash-misses. Staged once per dataset dir
+  // (TempDirs.scoped); at 100 TB this is how a search index absorbs
+  // daily document batches.
+  def q189(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val canon = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+    val base = graft.TempDirs.scoped(s"invidx_incr|$canon|64",
+        "graft_invidx_incr") { p =>
+      val docs = Tables.documents(s, d)
+      graft.sources.InvertedIndex.build(
+        docs.filter($"doc_id" % 2 === 0), p.toString)
+      graft.sources.InvertedIndex.append(
+        docs.filter($"doc_id" % 2 === 1), p.toString)
+    }
+    graft.sources.InvertedIndex.phraseProbe(s, base.toString,
+      Seq("slow", "hash", "batch")).limit(20)
+  }
+  val q189Sql: String = q152Sql
+
   // --- q162: BPE merge application (tokenizer encode step) ----------------
   // Closes the tokenizer loop q131 (pair counting) and q132 (vocab sizing)
   // opened: APPLY a merge table to the vocabulary. Merges = the top-5
@@ -2626,6 +2652,7 @@ object Text {
     ("q179_facet_mi", q179 _, Some(q179Sql)),
     ("q186_langid_eval", q186 _, Some(q186Sql)),
     ("q187_source_dup_rate", q187 _, Some(q187Sql)),
+    ("q189_index_append", q189 _, Some(q189Sql)),
     ("q45_neardup_minhash", q45 _, Some(q45Sql)),
     ("q46_neardup_simhash", q46 _, Some(q46Sql)),
     ("q47_winnowing", q47 _, Some(q47Sql)),

@@ -39,11 +39,29 @@ object InvertedIndex {
 
   /** Explode the corpus once and write the bucket-partitioned index. */
   def build(docs: DataFrame, path: String, buckets: Int = 64): Unit =
+    postings(docs, buckets)
+      .write.mode("overwrite").partitionBy("term_bucket").parquet(path)
+
+  /** Incremental index maintenance: APPEND a new document batch's
+    * postings into the existing layout. Parquet partition dirs take
+    * appended files natively — each new batch adds files only under the
+    * term buckets it actually touches, existing postings are never
+    * rewritten, and probes see old and new documents identically (the
+    * partition filter selects directories, not write generations). This
+    * is the ingest-time contract of a real search index: build once,
+    * then absorb document batches without a full rebuild. Callers own
+    * dedup (appending the same doc twice duplicates its postings, like
+    * any append-only log — route batches through the q108-style
+    * incremental dedup first). */
+  def append(newDocs: DataFrame, path: String, buckets: Int = 64): Unit =
+    postings(newDocs, buckets)
+      .write.mode("append").partitionBy("term_bucket").parquet(path)
+
+  private def postings(docs: DataFrame, buckets: Int): DataFrame =
     docs.select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("pos", "term")))
       .filter(length(col("term")) > 0)
       .withColumn("term_bucket", bucketCol(col("term"), buckets))
-      .write.mode("overwrite").partitionBy("term_bucket").parquet(path)
 
   /** Phrase probe against a built index: q152's anchor-vote logic (term i
     * at position p votes for anchor p−i; an anchor with all n distinct

@@ -60,6 +60,23 @@ object Streams {
     .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
       col("event_type"), col("n_events"), col("sum_value"))
 
+  /** EXACT distinct users per tumbling hour — streaming COUNT(DISTINCT)
+    * via composition (Spark has no native streaming distinct aggregate):
+    * a watermark-bounded stateful dedup on (user, hour) lets exactly one
+    * event per pair through, and the downstream windowed count then IS
+    * the distinct-user count. Dedup state ∝ distinct (user, hour) pairs
+    * inside the watermark horizon — the bounded-state form of a
+    * streaming distinct; the approximate alternative at extreme key
+    * cardinality is an HLL sketch per window (q63's batch shape). */
+  def hourlyDistinctUsers(events: DataFrame): DataFrame = events
+    .withColumn("hour_key", expr("(ts div 1000000000) div 3600"))
+    .withWatermark("ts_us", "2 hours")
+    .dropDuplicates("user_id", "hour_key")
+    .groupBy(window(col("ts_us"), "1 hour").as("w"))
+    .agg(count(lit(1)).as("n_distinct_users"))
+    .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+      col("n_distinct_users"))
+
   /** Event-time session windows (30-minute gap) per user. */
   def sessionWindows(events: DataFrame): DataFrame = events
     .withWatermark("ts_us", "2 hours")

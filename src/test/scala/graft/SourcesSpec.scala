@@ -348,6 +348,37 @@ class SourcesSpec extends AnyFunSuite {
       s"premise: index must span many more partitions ($totalFiles vs $probedFiles)")
   }
 
+  test("inverted-index append absorbs a batch without rewriting postings") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val dir = tmp("graft_iidx_incr")
+    sources.InvertedIndex.build(docs.filter(col("doc_id") % 2 === 0), dir)
+    def files(): Set[String] = {
+      val base = java.nio.file.Paths.get(dir)
+      val it = java.nio.file.Files.walk(base)
+      try it.filter(_.toString.endsWith(".parquet"))
+        .map[String](_.toString).toArray.map(_.toString).toSet
+      finally it.close()
+    }
+    val before = files()
+    sources.InvertedIndex.append(docs.filter(col("doc_id") % 2 === 1), dir)
+    val after = files()
+    // append-only: every pre-existing posting file survives untouched
+    assert(before.subsetOf(after), "append must not rewrite existing files")
+    assert(after.size > before.size, "append must add new posting files")
+    // maintained index answers identically to a from-scratch full build
+    val full = tmp("graft_iidx_full")
+    sources.InvertedIndex.build(docs, full)
+    val terms = Seq("slow", "hash", "batch")
+    val viaIncr = sources.InvertedIndex.phraseProbe(spark, dir, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaFull = sources.InvertedIndex.phraseProbe(spark, full, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaIncr == viaFull,
+      "maintained index must equal the from-scratch build")
+  }
+
   test("IVF-PQ vector index probe is partition-pruned and answer-identical") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}

@@ -394,6 +394,34 @@ object Events {
       |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
       |ORDER BY event_id""".stripMargin
 
+  // --- q191: stream-static ANTI join (blocklist suppression) ----------------
+  // Completes the stream-static join axis q121's enrichment opened: drop
+  // every event whose user sits in a static exclusion table (AUTOMOBILE-
+  // segment customers) — the opt-out/blocklist suppression every ingest
+  // pipeline runs. Stateless, broadcast, zero added shuffles
+  // (Streams.suppressByDimension); the oracle is the batch NOT EXISTS.
+  // Rolled up per type so the check is count-shaped (a leaked or
+  // over-suppressed event shifts a count and misses the hash).
+  def q191(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val kept = graft.streaming.Streams.suppressByDimension(s, d)
+    graft.streaming.Streams.runToMemory(s, kept, "q191_sink",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_kept"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+  val q191Sql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events e
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM customer c
+      |  WHERE c.c_custkey = e.user_id AND c.c_mktsegment = 'AUTOMOBILE')
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- q97: time-series gap fill — hourly spine + forward fill -------------
   // Resampling with interpolation: per event type, build the complete hourly
   // spine between its first and last active hour (sequence+explode — a
@@ -1568,6 +1596,7 @@ object Events {
     ("q177_stream_semi_join", q177 _, Some(q177Sql)),
     ("q188_hourly_acf", q188 _, Some(q188Sql)),
     ("q190_stream_distinct_users", q190 _, Some(q190Sql)),
+    ("q191_stream_suppression", q191 _, Some(q191Sql)),
     ("q158_twap", q158 _, Some(q158Sql)),
     ("q159_ohlc_bars", q159 _, Some(q159Sql)),
     ("q163_seasonal_baseline", q163 _, Some(q163Sql)),

@@ -796,7 +796,67 @@ object Extended {
       |   WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
       |ORDER BY check_name""".stripMargin
 
+  // --- q192: quantile transform (empirical-CDF normalization) ---------------
+  // The feature-engineering normalizer: map every l_extendedprice to its
+  // empirical percent-rank and report the 20-bucket quantile profile
+  // (row/value counts + value range per vigintile). The rank is computed
+  // WITHOUT a global sort — the EquiDepth two-phase shape: value-grouped
+  // counts, range-sliced local prefix sums, tiny broadcast slice-offset
+  // table — so cnt_lt(v) = rows strictly below v comes out of
+  // slice-parallel windows. Bucket assignment is INTEGER-ONLY,
+  // (cnt_lt·20) div (N−1) capped at 19 — identical to
+  // floor(PERCENT_RANK·20) but with no float boundary to disagree on
+  // (RANK−1 = cnt_lt for every tied row, so the oracle's global-window
+  // restatement lands in the same buckets). Exact decimal prices, exact
+  // integer counts end-to-end.
+  def q192(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val slices = 64
+    val byVal = Tables.lineitem(s, d)
+      .groupBy($"l_extendedprice".as("v")).agg(count(lit(1)).as("c"))
+      .persistTracked()
+    val bounds = byVal.agg(min($"v").as("lo"), max($"v").as("hi"),
+      sum($"c").as("n"))
+    val sliced = byVal.crossJoin(broadcast(bounds))
+      .withColumn("slice",
+        when($"hi" === $"lo", lit(0)).otherwise(
+          least(floor(($"v" - $"lo") / (($"hi" - $"lo") / slices)),
+            lit(slices - 1)).cast("int")))
+    val wLoc = Window.partitionBy($"slice").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = sliced.withColumn("lc", sum($"c").over(wLoc))
+    val offsets = local.groupBy($"slice").agg(sum($"c").as("st"))
+      .withColumn("off", coalesce(sum($"st").over(
+        Window.orderBy($"slice").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"slice", $"off")
+    local.join(broadcast(offsets), "slice")
+      // strictly-below count: global prefix THROUGH v minus v's own rows
+      .withColumn("cnt_lt", $"off" + $"lc" - $"c")
+      .withColumn("bucket",
+        least(expr(s"(cnt_lt * 20) div (n - 1)"), lit(19L)))
+      .groupBy($"bucket")
+      .agg(sum($"c").as("n_rows"), count(lit(1)).as("n_values"),
+        min($"v").as("min_value"), max($"v").as("max_value"))
+      .orderBy($"bucket")
+  }
+  val q192Sql: String =
+    """WITH r AS (
+      |  SELECT l_extendedprice AS v,
+      |    RANK() OVER (ORDER BY l_extendedprice) - 1 AS cnt_lt,
+      |    COUNT(*) OVER () AS n
+      |  FROM lineitem)
+      |SELECT LEAST((cnt_lt * 20) // (n - 1), 19) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_values,
+      |  MIN(v) AS min_value, MAX(v) AS max_value
+      |FROM r
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q192_quantile_transform", q192 _, Some(q192Sql)),
     ("q174_rank_distributions", q174 _, Some(q174Sql)),
     ("q183_integrity_audit", q183 _, Some(q183Sql)),
     ("q49_equidepth_hist", q49 _, Some(q49Sql)),

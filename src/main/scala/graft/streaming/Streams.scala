@@ -415,6 +415,26 @@ object Streams {
         coalesce(col("c_mktsegment"), lit("none")).as("segment"))
   }
 
+  /** Stream-static LEFT ANTI join — the blocklist/suppression topology:
+    * each micro-batch keeps only events whose user is ABSENT from a
+    * static exclusion table (here: customers in the AUTOMOBILE segment).
+    * Stateless like [[enrichAgainstDimension]] (the static side is
+    * complete by definition — no watermark, no join state) and the
+    * static side broadcasts, so suppression adds zero shuffles to the
+    * stream; the static table re-plans per micro-batch, so blocklist
+    * updates between batches take effect immediately — the streaming
+    * form of GDPR/opt-out suppression at ingest. */
+  def suppressByDimension(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val ev = eventsStream(spark, dir, glob, maxFilesPerTrigger)
+    val block = graft.Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey").as("user_id"))
+    ev.join(broadcast(block), Seq("user_id"), "left_anti")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+  }
+
   /** Stateful streaming dedup: drop repeated keys arriving within the
     * watermark horizon (the bounded-state form of exact dedup for streams —
     * state for a key is released once the watermark passes it, so memory is

@@ -1010,6 +1010,85 @@ object Events {
       |FROM agg
       |ORDER BY event_type, hour_start""".stripMargin
 
+  // --- q193: linear-interpolation resampling to the hourly grid -------------
+  // The other half of resampling (q97 forward-fills a step function; this
+  // INTERPOLATES): each event_type's irregular series maps onto exact
+  // hour boundaries with v(H) = v0 + (v1−v0)·(H−t0)/(t1−t0) between the
+  // bracketing events. Segments come from q158's slice construction
+  // (lead within (type, day) slices + broadcast slice-first boundary
+  // resolution — no per-type single-task window), now carrying BOTH
+  // endpoint values; each segment emits the grid hours in (t0, t1], so
+  // every grid point appears exactly once and a point landing on an
+  // event's timestamp evaluates to that event's value. Exactness: all
+  // inputs are exact ints ≤ 2^53 (v on the 1e-2 grid, ns timestamps,
+  // durations); the product (v1−v0)·(H−t0) crosses 2^53, so the chain is
+  // evaluated in IEEE doubles in ONE fixed op order and snapped once to
+  // the 1e-9 grid (the q154 rule). The ascending-sequence guard filters
+  // segments containing no grid hour (Spark's sequence(a,b) with a>b
+  // silently DESCENDS — the memory-listed trap).
+  def q193(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def grid9(c: Column) = round(c * 1e9).cast("long").cast("double") / 1e9
+    val HR = 3600L * 1000000000L
+    val ev = Tables.events(s, d)
+      .select($"event_type", $"ts", $"event_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .withColumn("slice", expr("(ts div 1000000000) div 86400"))
+    val wLoc = Window.partitionBy($"event_type", $"slice")
+      .orderBy($"ts", $"event_id")
+    val sliceFirsts = ev.groupBy($"event_type", $"slice")
+      .agg(min(struct($"ts", $"event_id", $"v")).as("f"))
+    val wSl = Window.partitionBy($"event_type").orderBy($"slice")
+    val nextFirsts = sliceFirsts
+      .withColumn("nf", lead($"f", 1).over(wSl))
+      .select($"event_type", $"slice",
+        $"nf.ts".as("next_slice_ts"), $"nf.v".as("next_slice_v"))
+    val segs = ev
+      .withColumn("next_local_ts", lead($"ts", 1).over(wLoc))
+      .withColumn("next_local_v", lead($"v", 1).over(wLoc))
+      .join(broadcast(nextFirsts), Seq("event_type", "slice"))
+      .withColumn("t1", coalesce($"next_local_ts", $"next_slice_ts"))
+      .withColumn("v1", coalesce($"next_local_v", $"next_slice_v"))
+      .filter($"t1".isNotNull && $"t1" > $"ts")
+      .filter(expr(s"t1 div $HR >= ts div $HR + 1"))
+    segs
+      .withColumn("h", explode(expr(
+        s"sequence(ts div $HR + 1, t1 div $HR)")))
+      .select($"event_type",
+        fmtS($"h" * 3600).as("hour_start"),
+        grid9(($"v" + ($"v1" - $"v").cast("double") * ($"h" * HR - $"ts")
+            / ($"t1" - $"ts")) / 100).as("value_interp"))
+      .orderBy($"event_type", $"hour_start")
+  }
+  val q193Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, event_id,
+      |    epoch_us(ts) * 1000 AS tns,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events),
+      |segs AS (
+      |  SELECT event_type, v, tns,
+      |    LEAD(tns) OVER w AS t1, LEAD(v) OVER w AS v1
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY tns, event_id)),
+      |live AS (
+      |  SELECT * FROM segs
+      |  WHERE t1 IS NOT NULL AND t1 > tns
+      |    AND t1 // 3600000000000 >= tns // 3600000000000 + 1),
+      |pts AS (
+      |  SELECT event_type, v, v1, tns, t1,
+      |    unnest(range(tns // 3600000000000 + 1, t1 // 3600000000000 + 1)) AS h
+      |  FROM live)
+      |SELECT event_type,
+      |  strftime(make_timestamp(h * 3600000000), '%Y-%m-%d %H:%M:%S')
+      |    AS hour_start,
+      |  CAST(CAST(round(
+      |    (v + CAST(v1 - v AS DOUBLE) * (h * 3600000000000 - tns) / (t1 - tns))
+      |      / 100 * 1e9)
+      |    AS BIGINT) AS DOUBLE) / 1e9 AS value_interp
+      |FROM pts
+      |ORDER BY event_type, hour_start""".stripMargin
+
   // --- q159: OHLC candlestick bars + VWAP (the reference's dashboard) -----
   // The crypto-dashboard aggregate the reference's Metabase chart implies:
   // per (type, hour) open/high/low/close plus volume-weighted average
@@ -1597,6 +1676,7 @@ object Events {
     ("q188_hourly_acf", q188 _, Some(q188Sql)),
     ("q190_stream_distinct_users", q190 _, Some(q190Sql)),
     ("q191_stream_suppression", q191 _, Some(q191Sql)),
+    ("q193_interp_resample", q193 _, Some(q193Sql)),
     ("q158_twap", q158 _, Some(q158Sql)),
     ("q159_ohlc_bars", q159 _, Some(q159Sql)),
     ("q163_seasonal_baseline", q163 _, Some(q163Sql)),

@@ -326,6 +326,48 @@ class StreamingSpec extends AnyFunSuite {
       Rollup.hourlyPartials(evBatch), table, keys, 0L))
   }
 
+  test("streaming distinct users dedups across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // A user active in both micro-batches within one hour must count ONCE —
+    // only dedup state carried from batch 1 into batch 2 can know that.
+    // The split is by TIME (not interleaved): a time-interleaved replay
+    // would land batch 2 below batch 1's advanced watermark and the
+    // dedup's late-data drop — the event-time contract, not a bug — so
+    // the fixture splits mid-hour: user 1 appears in hour H before AND
+    // after the split.
+    val base = 1704412800L * 1000000L // 2024-01-05 00:00:00 UTC, hour edge
+    val mk = (id: Long, offUs: Long, uid: Long) => (id, base + offUs, uid)
+    val batchA = Seq(
+      mk(1L, 5L * 60000000L, 1L),    // H0 00:05 user1
+      mk(2L, 20L * 60000000L, 2L))   // H0 00:20 user2
+    val batchB = Seq(
+      mk(3L, 40L * 60000000L, 1L),   // H0 00:40 user1 AGAIN (must dedup)
+      mk(4L, 70L * 60000000L, 1L),   // H1 01:10 user1 (new hour → counts)
+      mk(5L, 80L * 60000000L, 3L))   // H1 01:20 user3
+    val dir = java.nio.file.Files.createTempDirectory("graft_distu").toString
+    Seq(("half_a", batchA), ("half_b", batchB)).foreach { case (name, rows) =>
+      val stage = s"$dir/_stage_$name"
+      rows.toDF("event_id", "eus", "user_id")
+        .select($"event_id", timestamp_micros($"eus").as("ts"), $"user_id",
+          lit("click").as("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    val du = Streams.hourlyDistinctUsers(Streams.eventsStream(spark, dir,
+      glob = "half_*.parquet", maxFilesPerTrigger = Some(1)))
+    val got = Streams.runToMemory(spark, du, "distu_spec_sink")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hour 0: users {1, 2} — user1's second event arrived in batch 2 and
+    // must be suppressed by carried state; hour 1: users {1, 3}
+    assert(got == Map("2024-01-05 00:00:00" -> 2L, "2024-01-05 01:00:00" -> 2L),
+      s"got $got")
+  }
+
   test("incremental near-dup collides across micro-batches with no lost pairs") {
     import graft.operators.Dedup
     val dir = java.nio.file.Files.createTempDirectory("graft_neardup_stream").toString

@@ -32,6 +32,7 @@ object TempDirs {
   private val registered = new ConcurrentLinkedQueue[Path]()
   private val hookInstalled = new AtomicBoolean(false)
   private val scopedDirs = new ConcurrentHashMap[String, Path]()
+  private val scopedLocks = new ConcurrentHashMap[String, Object]()
 
   /** 0 before first use, 1 forever after — never one per invocation. */
   def hookCount: Int = if (hookInstalled.get) 1 else 0
@@ -55,7 +56,26 @@ object TempDirs {
   }
 
   /** Memoized temp dir per key: the first caller creates the dir and runs
-    * `build` against it; later callers get the finished dir instantly. */
-  def scoped(key: String, prefix: String)(build: Path => Unit): Path =
-    scopedDirs.computeIfAbsent(key, _ => { val p = fresh(prefix); build(p); p })
+    * `build` against it; later callers get the finished dir instantly.
+    *
+    * Contract (SESSION-scoped staging — for artifacts that must persist
+    * across JVMs and invalidate on source change, use [[Stage.derived]]):
+    *  - the key must fully determine the artifact for the JVM lifetime —
+    *    a key derived from a dataset path assumes that dataset dir is
+    *    immutable within the session (content staleness is Stage's job);
+    *  - `build` runs OUTSIDE the memo map (a per-key monitor serializes
+    *    duplicate builders), so a build may itself call `scoped` for a
+    *    different key without deadlocking; re-entering the SAME key from
+    *    inside its own build would self-deadlock on the monitor — don't.
+    */
+  def scoped(key: String, prefix: String)(build: Path => Unit): Path = {
+    val got = scopedDirs.get(key)
+    if (got != null) return got
+    val lock = scopedLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val again = scopedDirs.get(key)
+      if (again != null) again
+      else { val p = fresh(prefix); build(p); scopedDirs.put(key, p); p }
+    }
+  }
 }

@@ -834,8 +834,11 @@ object Extended {
     local.join(broadcast(offsets), "slice")
       // strictly-below count: global prefix THROUGH v minus v's own rows
       .withColumn("cnt_lt", $"off" + $"lc" - $"c")
+      // n = 1 makes the rank denominator 0 (an ANSI error, not a wrong
+      // answer) — the single row degenerates to bucket 0 on both sides
       .withColumn("bucket",
-        least(expr(s"(cnt_lt * 20) div (n - 1)"), lit(19L)))
+        least(when($"n" > 1, expr(s"(cnt_lt * 20) div (n - 1)"))
+          .otherwise(lit(0L)), lit(19L)))
       .groupBy($"bucket")
       .agg(sum($"c").as("n_rows"), count(lit(1)).as("n_values"),
         min($"v").as("min_value"), max($"v").as("max_value"))
@@ -847,7 +850,7 @@ object Extended {
       |    RANK() OVER (ORDER BY l_extendedprice) - 1 AS cnt_lt,
       |    COUNT(*) OVER () AS n
       |  FROM lineitem)
-      |SELECT LEAST((cnt_lt * 20) // (n - 1), 19) AS bucket,
+      |SELECT LEAST(CASE WHEN n > 1 THEN (cnt_lt * 20) // (n - 1) ELSE 0 END, 19) AS bucket,
       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
       |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_values,
       |  MIN(v) AS min_value, MAX(v) AS max_value

@@ -37,10 +37,48 @@ object InvertedIndex {
     java.lang.Long.parseLong(hex, 16) % buckets
   }
 
-  /** Explode the corpus once and write the bucket-partitioned index. */
-  def build(docs: DataFrame, path: String, buckets: Int = 64): Unit =
+  /** Explode the corpus once and write the bucket-partitioned index,
+    * plus a `_graft_meta` sidecar recording the bucket count — the layout
+    * parameter every later append/probe MUST agree with bit-for-bit
+    * (a mismatched count would route postings into, or probe, the wrong
+    * term_bucket partitions silently). */
+  def build(docs: DataFrame, path: String, buckets: Int = 64): Unit = {
     postings(docs, buckets)
       .write.mode("overwrite").partitionBy("term_bucket").parquet(path)
+    writeMeta(docs.sparkSession, path, buckets)
+  }
+
+  /** The sidecar is a one-line text file so any engine (or a human) can
+    * read the layout contract; Hadoop FS API keeps it portable to
+    * HDFS/object stores at scale. */
+  private def writeMeta(spark: SparkSession, path: String, buckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_meta")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(s"buckets=$buckets\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readMetaBuckets(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_meta")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"no _graft_meta under $path — not a built index " +
+      "(InvertedIndex.build writes it; append/probe refuse to guess the bucket count)")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.linesIterator.collectFirst {
+      case l if l.startsWith("buckets=") => l.stripPrefix("buckets=").trim.toInt
+    }.getOrElse(sys.error(s"malformed _graft_meta under $path: '$text'"))
+  }
+
+  /** Validate a caller-supplied bucket count against the built layout's —
+    * a mismatch is a silent-wrong-answer bug (postings land in / probes
+    * read the wrong partitions), so it throws loudly instead. */
+  private def requireBuckets(spark: SparkSession, path: String, buckets: Int): Unit = {
+    val built = readMetaBuckets(spark, path)
+    require(built == buckets,
+      s"bucket-count mismatch for index at $path: built with $built, called with $buckets")
+  }
 
   /** Incremental index maintenance: APPEND a new document batch's
     * postings into the existing layout. Parquet partition dirs take
@@ -52,10 +90,14 @@ object InvertedIndex {
     * then absorb document batches without a full rebuild. Callers own
     * dedup (appending the same doc twice duplicates its postings, like
     * any append-only log — route batches through the q108-style
-    * incremental dedup first). */
-  def append(newDocs: DataFrame, path: String, buckets: Int = 64): Unit =
+    * incremental dedup first). The bucket count is validated against the
+    * layout's `_graft_meta` sidecar — an append with a different count
+    * would silently write postings into wrong partitions. */
+  def append(newDocs: DataFrame, path: String, buckets: Int = 64): Unit = {
+    requireBuckets(newDocs.sparkSession, path, buckets)
     postings(newDocs, buckets)
       .write.mode("append").partitionBy("term_bucket").parquet(path)
+  }
 
   private def postings(docs: DataFrame, buckets: Int): DataFrame =
     docs.select(col("doc_id"),
@@ -71,6 +113,7 @@ object InvertedIndex {
       buckets: Int = 64): DataFrame = {
     require(terms.distinct.size == terms.size,
       "anchor-vote counting needs distinct phrase terms")
+    requireBuckets(spark, path, buckets)
     val termBuckets = terms.map(bucketOf(_, buckets)).distinct
     val off = terms.zipWithIndex
       .foldLeft(lit(null).cast("int")) { case (acc, (t, i)) =>

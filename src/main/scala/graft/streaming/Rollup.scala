@@ -118,7 +118,11 @@ object Rollup {
         aggCols.map(c => sum(col(c)).as(c)).toSeq.tail: _*)
     val merged =
       if (dropEmptied)
-        summed.filter(not(aggCols.map(col(_) === 0).reduce(_ && _)))
+        // null-safe <=>: a NULL measure must read "not emptied", not make
+        // the conjunction NULL (which the filter would silently drop) —
+        // impossible for the hourly rollup's NOT NULL sums, but mergeInto
+        // is generic and a caller with nullable measures keeps its groups
+        summed.filter(not(aggCols.map(col(_) <=> lit(0)).reduce(_ && _)))
       else summed
     // overwrite cleans any partial leftover of a crashed attempt at this id;
     // the committer's final _SUCCESS create is the atomic data+ledger commit

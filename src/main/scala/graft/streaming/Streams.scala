@@ -64,14 +64,24 @@ object Streams {
     * via composition (Spark has no native streaming distinct aggregate):
     * a watermark-bounded stateful dedup on (user, hour) lets exactly one
     * event per pair through, and the downstream windowed count then IS
-    * the distinct-user count. Dedup state ∝ distinct (user, hour) pairs
-    * inside the watermark horizon — the bounded-state form of a
-    * streaming distinct; the approximate alternative at extreme key
-    * cardinality is an HLL sketch per window (q63's batch shape). */
+    * the distinct-user count. The dedup is `dropDuplicatesWithinWatermark`
+    * — NOT plain `dropDuplicates`, whose state is only evicted when a
+    * dedup key column itself carries event-time watermark metadata
+    * (neither user_id nor the derived hour_key does, so its state would
+    * grow without bound in a continuous deployment). WithinWatermark
+    * evicts a key once the watermark passes its max-seen event time +
+    * delay, so state ∝ distinct (user, hour) pairs inside the horizon.
+    * Exactness survives the weaker within-horizon contract: two events
+    * sharing a (user, hour) key are < 1 h apart in event time, inside the
+    * 2 h delay — a later duplicate either finds the key still in state
+    * (dropped as a duplicate) or is itself beyond the watermark (dropped
+    * as late), never double-counted. The approximate alternative at
+    * extreme key cardinality is an HLL sketch per window (q63's batch
+    * shape). */
   def hourlyDistinctUsers(events: DataFrame): DataFrame = events
     .withColumn("hour_key", expr("(ts div 1000000000) div 3600"))
     .withWatermark("ts_us", "2 hours")
-    .dropDuplicates("user_id", "hour_key")
+    .dropDuplicatesWithinWatermark("user_id", "hour_key")
     .groupBy(window(col("ts_us"), "1 hour").as("w"))
     .agg(count(lit(1)).as("n_distinct_users"))
     .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),

@@ -3,7 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The co-purchase graph, materialized ONCE per dataset directory.
+/** The co-purchase graph, materialized ONCE per dataset CONTENT
+  * ([[graft.Stage]]: persistent across sessions, fingerprint-keyed so a
+  * refreshed fact table rebuilds instead of serving stale pairs).
   *
   * Every graph query (market basket q142, PageRank q143, BFS q145,
   * triangles q147, SSSP q148) consumes the same derived tables: the
@@ -27,11 +29,8 @@ import org.apache.spark.sql.functions._
   */
 object CoPurchase {
 
-  private def canon(d: String): String =
-    java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
-
   private def stagedDir(s: SparkSession, d: String): String =
-    graft.TempDirs.scoped(s"copurchase|${canon(d)}", "graft_copurchase") { p =>
+    graft.Stage.derived("copurchase", d) { p =>
       val li = graft.Tables.lineitem(s, d)
       val op = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()

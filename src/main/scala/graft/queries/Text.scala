@@ -2516,14 +2516,14 @@ object Text {
   // index (sources/InvertedIndex — the ZOrder-of-text layout), and the
   // probe reads only the phrase terms' partitions. The oracle equality
   // proves the index path answer-identical to the scan path; SourcesSpec
-  // proves the partition pruning live. The index is built ONCE per
-  // (dataset dir, buckets) — TempDirs.scoped memoizes the staged dir, so
-  // repeated invocations (a bench sweep runs each query 2–4×) pay the
-  // probe only, matching production where the build is an ingest-time
-  // step and the probe is the steady state.
+  // proves the partition pruning live. The index is staged ONCE per
+  // dataset CONTENT (Stage.derived: persistent across sessions,
+  // fingerprint-keyed so a refreshed corpus rebuilds), so repeated
+  // invocations — and every later JVM — pay the probe only, matching
+  // production where the build is an ingest-time step and the probe is
+  // the steady state.
   def q161(s: SparkSession, d: String): DataFrame = {
-    val canon = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
-    val base = graft.TempDirs.scoped(s"invidx|$canon|64", "graft_invidx") { p =>
+    val base = graft.Stage.derived("invidx_b64", d) { p =>
       graft.sources.InvertedIndex.build(Tables.documents(s, d), p.toString)
     }
     graft.sources.InvertedIndex.phraseProbe(s, base.toString,
@@ -2538,14 +2538,12 @@ object Text {
   // touched term buckets — no rewrite of existing postings), and the
   // probe over the maintained index must equal the single-scan answer —
   // the oracle IS q152Sql, exactly like q161, so a lost or duplicated
-  // posting in the append path hash-misses. Staged once per dataset dir
-  // (TempDirs.scoped); at 100 TB this is how a search index absorbs
-  // daily document batches.
+  // posting in the append path hash-misses. Staged once per dataset
+  // CONTENT (Stage.derived); at 100 TB this is how a search index
+  // absorbs daily document batches.
   def q189(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val canon = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
-    val base = graft.TempDirs.scoped(s"invidx_incr|$canon|64",
-        "graft_invidx_incr") { p =>
+    val base = graft.Stage.derived("invidx_incr_b64", d) { p =>
       val docs = Tables.documents(s, d)
       graft.sources.InvertedIndex.build(
         docs.filter($"doc_id" % 2 === 0), p.toString)

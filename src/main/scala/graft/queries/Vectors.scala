@@ -626,8 +626,7 @@ object Vectors {
   // index's files instead of all of them.
   def q168(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val canon = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
-    val base = graft.TempDirs.scoped(s"vecidx|$canon|8x4x4", "graft_vecidx") { p =>
+    val base = graft.Stage.derived("vecidx_8x4x4", d) { p =>
       graft.sources.VectorIndex.build(Tables.embeddings(s, d), p.toString,
         kCells = 8, cellIters = 1, m = 4, kCw = 4, pqIters = 1)
     }

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract of [[Stage]] — the persistent, staleness-aware staging layer:
+  * build once, serve every later session from disk, rebuild (never serve
+  * stale) when the source content changes, prune superseded versions. */
+class StageSpec extends AnyFunSuite {
+
+  private def freshSource(): Path = {
+    val src = TempDirs.fresh("stage_src")
+    Files.write(src.resolve("a.txt"), "one".getBytes("UTF-8"))
+    Files.write(src.resolve("b.txt"), "two".getBytes("UTF-8"))
+    src
+  }
+
+  test("derived builds once and reuses within the session") {
+    val src = freshSource()
+    val name = s"spec_${java.util.UUID.randomUUID}"
+    var built = 0
+    def build(p: Path): Unit = {
+      built += 1
+      Files.write(p.resolve("artifact.txt"), s"v$built".getBytes("UTF-8"))
+    }
+    val d1 = Stage.derived(name, src.toString)(build)
+    val d2 = Stage.derived(name, src.toString)(build)
+    assert(built == 1)
+    assert(d1 == d2)
+    assert(Files.exists(d1.resolve("_STAGED")))
+  }
+
+  test("a fresh session is served by the persisted artifact, no rebuild") {
+    val src = freshSource()
+    val name = s"spec_${java.util.UUID.randomUUID}"
+    var built = 0
+    def build(p: Path): Unit = {
+      built += 1
+      Files.write(p.resolve("artifact.txt"), "payload".getBytes("UTF-8"))
+    }
+    Stage.derived(name, src.toString)(build)
+    assert(built == 1)
+    Stage.clearMemo() // simulate a new JVM against the same stage root
+    val again = Stage.derived(name, src.toString)(build)
+    assert(built == 1, "second session must reuse the committed artifact")
+    assert(new String(Files.readAllBytes(again.resolve("artifact.txt")),
+      "UTF-8") == "payload")
+  }
+
+  test("mutated source content forces a rebuild and prunes the stale dir") {
+    val src = freshSource()
+    val name = s"spec_${java.util.UUID.randomUUID}"
+    var built = 0
+    def build(p: Path): Unit = {
+      built += 1
+      Files.write(p.resolve("artifact.txt"), s"v$built".getBytes("UTF-8"))
+    }
+    val v1 = Stage.derived(name, src.toString)(build)
+    // size change ⇒ fingerprint change even within mtime resolution —
+    // note NO clearMemo: in-session mutation must be caught too, the
+    // fingerprint is recomputed on every lookup
+    Files.write(src.resolve("a.txt"), "one-more-bytes".getBytes("UTF-8"))
+    val v2 = Stage.derived(name, src.toString)(build)
+    assert(built == 2, "mutated source must rebuild, not serve stale data")
+    assert(v1 != v2)
+    assert(new String(Files.readAllBytes(v2.resolve("artifact.txt")),
+      "UTF-8") == "v2")
+    assert(!Files.exists(v1), "superseded fingerprint dir must be pruned")
+  }
+
+  test("adding or removing a source file changes the fingerprint") {
+    val src = freshSource()
+    val f0 = Stage.fingerprint(src.toString)
+    Files.write(src.resolve("c.txt"), "three".getBytes("UTF-8"))
+    val f1 = Stage.fingerprint(src.toString)
+    assert(f0 != f1)
+    Files.delete(src.resolve("c.txt"))
+    assert(Stage.fingerprint(src.toString) == f0)
+  }
+
+  test("a failed build leaves no committed artifact and can be retried") {
+    val src = freshSource()
+    val name = s"spec_${java.util.UUID.randomUUID}"
+    intercept[RuntimeException] {
+      Stage.derived(name, src.toString)(_ => sys.error("boom"))
+    }
+    assert(!Files.exists(Stage.root.resolve(name)
+      .resolve(Stage.fingerprint(src.toString)).resolve("_STAGED")))
+    var built = 0
+    Stage.derived(name, src.toString) { p =>
+      built += 1
+      Files.write(p.resolve("ok.txt"), "ok".getBytes("UTF-8"))
+    }
+    assert(built == 1)
+  }
+}

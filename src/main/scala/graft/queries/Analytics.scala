@@ -800,10 +800,14 @@ object Analytics {
   // 2·tri(n)/(deg(n)·(deg(n)−1)) — how close a node's neighborhood is to
   // a clique, the standard community-structure score. Composes q147's
   // degree-ordered triangle counter with the exact degree table
-  // (triangle-free nodes coalesce to 0). Numerator and denominator are
-  // exact small integers, so the single IEEE division is bit-identical
-  // cross-engine (the q142 small-int-ratio rule). Top-20 by
-  // (cc desc, node) among degree-≥2 nodes, TakeOrderedAndProject.
+  // (triangle-free nodes coalesce to 0). 2·tri(n) and deg·(deg−1) are
+  // exact integers but BOTH scale as deg² — past ~9.5e7 neighbors they
+  // cross 2^53, where a long·long product can overflow and int→double
+  // conversion carries the cross-engine wobble q154 documents — so each
+  // factor is cast to decimal(38,0)/HUGEINT before multiplying and the
+  // cc ratio (∈ [0,1]) is snapped once to the 1e-9 grid on both sides.
+  // Top-20 by (cc desc, node) among degree-≥2 nodes,
+  // TakeOrderedAndProject.
   def q171(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = graft.operators.CoPurchase.pairs(s, d, minSupp = 2)
@@ -816,8 +820,11 @@ object Analytics {
       .join(tri, Seq("node"), "left")
       .select($"node", $"deg",
         coalesce($"n_triangles", lit(0L)).as("n_triangles"),
-        ((coalesce($"n_triangles", lit(0L)) * 2).cast("double") /
-          ($"deg" * ($"deg" - 1))).as("clustering_coeff"))
+        (round((coalesce($"n_triangles", lit(0L)).cast("decimal(38,0)") * 2)
+            .cast("double") /
+          ($"deg".cast("decimal(38,0)") * ($"deg" - 1).cast("decimal(38,0)"))
+            .cast("double") * 1e9)
+          .cast("long").cast("double") / 1e9).as("clustering_coeff"))
       .orderBy($"clustering_coeff".desc, $"node")
       .limit(20)
   }
@@ -842,8 +849,9 @@ object Analytics {
       |  GROUP BY node)
       |SELECT d.node, d.deg,
       |  COALESCE(t.n_triangles, 0) AS n_triangles,
-      |  CAST(COALESCE(t.n_triangles, 0) * 2 AS DOUBLE)
-      |    / (d.deg * (d.deg - 1)) AS clustering_coeff
+      |  CAST(CAST(round(CAST(CAST(COALESCE(t.n_triangles, 0) AS HUGEINT) * 2 AS DOUBLE)
+      |    / CAST(CAST(d.deg AS HUGEINT) * (d.deg - 1) AS DOUBLE) * 1e9)
+      |    AS BIGINT) AS DOUBLE) / 1e9 AS clustering_coeff
       |FROM deg d LEFT JOIN tcnt t ON d.node = t.node
       |WHERE d.deg >= 2
       |ORDER BY clustering_coeff DESC, d.node

@@ -180,11 +180,15 @@ object Text {
   // `word2phrase` pass tokenizer pipelines run before training):
   // score(a b) = (count(ab) − δ) / (count(a) · count(b)), δ = 5,
   // over adjacent-token bigrams; high scorers become single vocabulary
-  // units. Exactness: count(ab) − δ and the count product are exact
-  // integers well inside 2^53 at the test SFs (≤ ~2e5² ≈ 4e10), so the
-  // single IEEE division is bit-identical cross-engine (the q142
-  // small-int-ratio rule; at true 100 TB counts the product would cross
-  // 2^53 and need the q154 grid snap). Shape: one token explode feeding
+  // units. Exactness is the q154 rule applied ahead of its design point:
+  // the unigram-count product is computed in decimal(38,0)/HUGEINT (a
+  // long·long product overflows at real corpus counts; decimal is exact),
+  // and the single division is snapped ONCE to the 1e-15 integer grid —
+  // scores are bounded below 0.1 (ca, cb ≥ cab ⇒ score < 1/cab ≤ 0.1),
+  // so score·1e15 < 1e14 < 2^53 fits a long exactly, and the snap
+  // absorbs the ~1-ulp cross-engine wobble of int128→double conversion
+  // once counts cross 2^53 (at test SFs the pre-snap values are already
+  // bit-identical, so the snap is hash-neutral). Shape: one token explode feeding
   // BOTH count tables (unigrams and bigrams are separate aggregations of
   // the same scan), unigram counts attach to the bigram table by two
   // joins on the word — vocab-sized (Heaps' law), corpus touched once —
@@ -207,7 +211,10 @@ object Text {
       .join(uni.select($"w".as("wb"), $"c1".as("cb")), "wb")
       .select(concat_ws(" ", $"wa", $"wb").as("bigram"),
         $"cab", $"ca", $"cb",
-        (($"cab" - 5).cast("double") / ($"ca" * $"cb")).as("score"))
+        (round(($"cab" - 5).cast("double") /
+            ($"ca".cast("decimal(38,0)") * $"cb".cast("decimal(38,0)"))
+              .cast("double") * 1e15)
+          .cast("long").cast("double") / 1e15).as("score"))
       .orderBy($"score".desc, $"bigram")
       .limit(30)
   }
@@ -226,7 +233,9 @@ object Text {
       |    FROM dd)
       |  GROUP BY wa, wb HAVING COUNT(*) >= 10)
       |SELECT wa || ' ' || wb AS bigram, cab, ca, cb,
-      |  CAST(cab - 5 AS DOUBLE) / (ca * cb) AS score
+      |  CAST(CAST(round(CAST(cab - 5 AS DOUBLE)
+      |    / CAST(CAST(ca AS HUGEINT) * cb AS DOUBLE) * 1e15) AS BIGINT)
+      |    AS DOUBLE) / 1e15 AS score
       |FROM bi
       |JOIN (SELECT w AS wa, c1 AS ca FROM uni) USING (wa)
       |JOIN (SELECT w AS wb, c1 AS cb FROM uni) USING (wb)

@@ -298,13 +298,13 @@ object Vectors {
       .select($"vec_id", $"cell")
       .orderBy($"vec_id")
   }
-  private def kmAssign(centRel: String): String =
+  private def kmAssign(centRel: String, embRel: String = "emb"): String =
     s"""SELECT vec_id, e, cell FROM (
        |    SELECT t.vec_id, t.e, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
        |        ROUND(list_inner_product(t.e, t.e) - 2*list_inner_product(t.e, c.c)
        |          + list_inner_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
-       |    FROM emb t CROSS JOIN $centRel c) WHERE rn = 1""".stripMargin
+       |    FROM $embRel t CROSS JOIN $centRel c) WHERE rn = 1""".stripMargin
   private def kmUpdate(assignRel: String): String =
     s"""SELECT cell, list(cv ORDER BY pos) AS c FROM (
        |    SELECT cell, pos,
@@ -504,24 +504,29 @@ object Vectors {
   private def sqd(a: String, b: String): String =
     s"""ROUND(list_inner_product($a, $a) - 2*list_inner_product($a, $b)
        |          + list_inner_product($b, $b), 6)""".stripMargin
-  // the PQ trainer/encoder/LUT CTE block shared by q136 (flat ADC) and
-  // q141 (IVF-PQ): expects an `emb` CTE with (vec_id, e DOUBLE[], d)
-  private def pqCtes: String =
+  // the PQ trainer/encoder/LUT CTE block shared by q136 (flat ADC), q141
+  // (IVF-PQ), and q194 (incremental append): expects an `emb` CTE with
+  // (vec_id, e DOUBLE[], d). `trainPred` restricts which vectors TRAIN
+  // the codebooks (q194's append semantics: train on the base corpus,
+  // encode everything); TRUE trains on the full corpus (q136/q141).
+  private def pqCtesWhere(trainPred: String): String =
     s"""subs AS (
       |  SELECT vec_id, s.sub,
       |    list_slice(e, (s.sub*d)//4 + 1, ((s.sub+1)*d)//4) AS se
       |  FROM emb, (SELECT unnest(range(0, 4)) AS sub) s
+      |), tsubs AS (
+      |  SELECT * FROM subs WHERE $trainPred
       |), c0 AS (
       |  SELECT sub, vec_id AS cell, se AS c FROM (
       |    SELECT sub, vec_id, se,
       |      ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
-      |    FROM subs) WHERE rn <= 4
+      |    FROM tsubs) WHERE rn <= 4
       |), a0 AS (
       |  SELECT vec_id, sub, se, cell FROM (
       |    SELECT t.vec_id, t.sub, t.se, c.cell,
       |      ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
       |        ${sqd("t.se", "c.c")} ASC, c.cell ASC) AS rn
-      |    FROM subs t JOIN c0 c ON t.sub = c.sub) WHERE rn = 1
+      |    FROM tsubs t JOIN c0 c ON t.sub = c.sub) WHERE rn = 1
       |), c1 AS (
       |  SELECT sub, cell, list(cv ORDER BY pos) AS c FROM (
       |    SELECT sub, cell, pos,
@@ -544,6 +549,8 @@ object Vectors {
       |    ${sqd("q.se", "c.c")} AS dist
       |  FROM subs q JOIN cb c ON q.sub = c.sub WHERE q.vec_id < 8
       |)""".stripMargin
+
+  private def pqCtes: String = pqCtesWhere("TRUE")
   val q136Sql: String =
     s"""WITH emb AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS e, len(embedding) AS d FROM embeddings
@@ -635,6 +642,69 @@ object Vectors {
       .orderBy($"query_id", $"rank")
   }
   val q168Sql: String = q141Sql
+
+  // --- q194: incremental ANN index maintenance (VectorIndex.append) --------
+  // The q189 contract applied to vectors: the corpus arrives as TWO
+  // batches (vec_id mod 5 split), the first TRAINS and builds the
+  // IVF-PQ layout, the second is APPENDED — assigned to the existing
+  // coarse cells, encoded with the existing codebooks, new code files
+  // only under the touched cell partitions — and the probe over the
+  // maintained index must equal computing the same quantization of the
+  // full corpus from scratch. The oracle restates exactly that
+  // asymmetry: trainer CTEs (coarse k-means seeds/update, PQ codebooks)
+  // range over the BASE batch only, assignment/encoding CTEs range over
+  // the full corpus — so a lost appended vector, a vector encoded with
+  // retrained codebooks, or a code file landed in the wrong cell
+  // partition all hash-miss. SourcesSpec separately proves the append
+  // touched only the assigned cells' directories. At 100 TB this is the
+  // serving story for the ANN index: ingest batches absorb in batch-
+  // sized work while the layout keeps its planning-time partition
+  // pruning.
+  def q194(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = graft.Stage.derived("vecidx_incr_8x4x4", d) { p =>
+      val emb = Tables.embeddings(s, d)
+      graft.sources.VectorIndex.build(emb.filter($"vec_id" % 5 =!= 3),
+        p.toString, kCells = 8, cellIters = 1, m = 4, kCw = 4, pqIters = 1)
+      graft.sources.VectorIndex.append(s, emb.filter($"vec_id" % 5 === 3),
+        p.toString)
+    }
+    graft.sources.VectorIndex.probeTopK(s, base.toString,
+        Tables.embeddings(s, d).filter($"vec_id" < 8), m = 4, k = 5, nprobe = 3)
+      .orderBy($"query_id", $"rank")
+  }
+  val q194Sql: String =
+    s"""WITH emb AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e, len(embedding) AS d FROM embeddings
+      |), train AS (SELECT * FROM emb WHERE vec_id % 5 <> 3),
+      |kc0 AS (SELECT vec_id AS cell, e AS c FROM train ORDER BY vec_id LIMIT 8),
+      |ka0 AS (${kmAssign("kc0", "train")}),
+      |kc1 AS (${kmUpdate("ka0")}),
+      |cells AS (SELECT vec_id, cell FROM (${kmAssign("kc1")}) t),
+      |${pqCtesWhere("vec_id % 5 <> 3")},
+      |probes AS (
+      |  SELECT query_id, cell FROM (
+      |    SELECT q.vec_id AS query_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        ${sqd("q.e", "c.c")} ASC, c.cell ASC) AS crank
+      |    FROM emb q CROSS JOIN kc1 c WHERE q.vec_id < 8)
+      |  WHERE crank <= 3
+      |), adist AS (
+      |  SELECT p.query_id, k.vec_id AS neighbor_id,
+      |    CAST(SUM(CAST(l.dist AS DECIMAL(18,6))) AS DOUBLE) AS adist
+      |  FROM codes k
+      |  JOIN cells ce ON k.vec_id = ce.vec_id
+      |  JOIN probes p ON ce.cell = p.cell
+      |  JOIN lut l ON l.query_id = p.query_id AND l.sub = k.sub AND l.cw = k.cw
+      |  WHERE k.vec_id <> p.query_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT query_id, neighbor_id, rank, adist FROM (
+      |  SELECT query_id, neighbor_id, adist,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY adist ASC, neighbor_id) AS rank
+      |  FROM adist) WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
 
   // --- q178: classifier evaluation (per-class precision/recall/F1) ----------
   // Closes the eval loop over q130's kNN label votes: from the
@@ -1201,6 +1271,7 @@ object Vectors {
     ("q138_kcenter_coreset", q138 _, Some(q138Sql)),
     ("q141_ivf_pq", q141 _, Some(q141Sql)),
     ("q168_ivfpq_indexed", q168 _, Some(q168Sql)),
+    ("q194_vecidx_append", q194 _, Some(q194Sql)),
     ("q176_rrf_fusion", q176 _, Some(q176Sql)),
     ("q178_classifier_eval", q178 _, Some(q178Sql)),
     ("q180_cohens_kappa", q180 _, Some(q180Sql)),

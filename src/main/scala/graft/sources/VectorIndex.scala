@@ -44,6 +44,36 @@ object VectorIndex {
     cb.write.mode("overwrite").parquet(s"$path/codebooks")
   }
 
+  /** Incremental ANN maintenance: absorb a batch of NEW embeddings into
+    * an existing layout — the [[InvertedIndex.append]] contract applied
+    * to vectors. New vectors are assigned to the EXISTING coarse cells
+    * and PQ-encoded with the EXISTING codebooks (both read back from the
+    * sidecars, so an append cannot disagree with the built layout's
+    * parameters — m is derived from the codebook table itself, the
+    * vector twin of the inverted index's `_graft_meta` guard), and the
+    * resulting codes are APPENDED under only the touched cell
+    * partitions: existing code files are never rewritten, and probes see
+    * old and new vectors identically (partition filters select
+    * directories, not write generations). At 100 TB this is the
+    * difference between an ANN index that is a servable, refreshable
+    * artifact and one that is an offline build: an ingest batch costs
+    * assign+encode on the batch, not a corpus retrain+rewrite. Quantizer
+    * retraining on distribution drift stays an explicit, separate
+    * rebuild decision. Callers own dedup of re-appended vec_ids, exactly
+    * as with the inverted index's append-only postings log. */
+  def append(spark: SparkSession, newEmb: DataFrame, path: String): Unit = {
+    val cent = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebooks")
+    // one-row driver aggregate over the m·kCw-row sidecar — bounded by
+    // construction (the Upsert collect convention)
+    val m = cb.agg(max(col("sub"))).head.getAs[Number](0).intValue + 1
+    val cells = Similarity.assignKMeansCells(newEmb, cent)
+      .select(col("vec_id"), col("cell"))
+    val codes = Similarity.pqEncode(newEmb, cb, m = m)
+    codes.join(cells, "vec_id")
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
   /** ANN top-k against a built layout. The probe set — each query's
     * nprobe nearest cells by the same rounded squared L2 the assignment
     * used — is computed against the centroid sidecar (kCells rows) and

@@ -437,4 +437,63 @@ class SourcesSpec extends AnyFunSuite {
     assert(totalFiles > probedFiles,
       s"premise: some cells must be UNprobed ($totalFiles vs $probedFiles)")
   }
+
+  test("VectorIndex.append touches only assigned cells, equals from-scratch encode") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmp("graft_vidx_app")
+    val emb = Tables.embeddings(spark, sf)
+    // a small ingest batch (~1/97 of the corpus) so some cells are
+    // provably untouched — the isolation claim needs unprobed territory
+    val base = emb.filter(col("vec_id") % 97 =!= 3)
+    val delta = emb.filter(col("vec_id") % 97 === 3)
+    sources.VectorIndex.build(base, dir,
+      kCells = 8, cellIters = 1, m = 4, kCw = 4, pqIters = 1)
+    def listing(): Map[String, Long] = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/codes"))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+      } finally walk.close()
+    }
+    val before = listing()
+    sources.VectorIndex.append(spark, delta, dir)
+    val after = listing()
+    // append-only: every pre-existing code file survives byte-identical in size
+    before.foreach { case (p, sz) =>
+      assert(after.get(p).contains(sz), s"append rewrote existing file $p")
+    }
+    // new files land ONLY under the cells the delta was assigned to
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val touched = operators.Similarity.assignKMeansCells(delta, cent)
+      .select(col("cell")).distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSet
+    val newFiles = (after.keySet -- before.keySet).toSeq
+    assert(newFiles.nonEmpty, "append must add code files")
+    val cellOf = ".*cell=([0-9]+)/.*".r
+    newFiles.foreach { p =>
+      val cellOf(c) = p: @unchecked
+      assert(touched.contains(c.toLong),
+        s"append wrote $p outside the delta's assigned cells $touched")
+    }
+    assert(touched.size < 8,
+      "premise: the delta must leave some cells untouched for the proof to bite")
+    // the maintained index answers exactly like a from-scratch quantization
+    // of the union under the SAME base-trained quantizers
+    val queries = emb.filter(col("vec_id") < 8)
+    val got = sources.VectorIndex.probeTopK(spark, dir, queries,
+        m = 4, k = 5, nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val cent2 = operators.Similarity.trainKMeansCells(base, k = 8, iters = 1)
+    val cells2 = operators.Similarity.assignKMeansCells(emb, cent2)
+      .select(col("vec_id"), col("cell"))
+    val cb2 = operators.Similarity.trainPqCodebooks(base, m = 4, k = 4, iters = 1)
+    val codes2 = operators.Similarity.pqEncode(emb, cb2, m = 4)
+    val ref = operators.Similarity.ivfPqTopK(queries, cells2, codes2, cent2, cb2,
+        m = 4, k = 5, nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got.nonEmpty && got == ref,
+      "maintained index must equal the from-scratch encode of the union")
+  }
 }

@@ -43,6 +43,31 @@ object CoPurchase {
         .write.mode("overwrite").parquet(s"$p/pairs.parquet")
     }.toString
 
+  /** Signed (pa, pb, supp) partials for a batch of WHOLE orders — the
+    * incremental-view-maintenance unit of the pair table. An order's
+    * contribution to pair supports is C(its distinct parts, 2); a batch
+    * of inserted orders contributes those counts positively, a batch of
+    * deleted orders negatively (sign = −1), and the partials ride a
+    * [[graft.streaming.Rollup.mergeInto]] versioned merge of the staged
+    * pair table exactly like q110/q173's rollup: exact integer sums make
+    * subtraction-by-merge correct under any merge order, and pairs
+    * netting to zero drop (no tombstones). Batch granularity is WHOLE
+    * orders (the ingest/purge shape — q173's GDPR precedent): a partial
+    * order update would need old-vs-new C(parts,2) diffs of the touched
+    * orders instead; callers own that contract. At 100 TB the merge
+    * touches pair-table-sized data plus the batch — never the order
+    * history — which is the entire point of maintaining the graph
+    * incrementally instead of rebuilding it per refresh. */
+  def pairPartials(lineitems: DataFrame, sign: Int): DataFrame = {
+    require(sign == 1 || sign == -1, s"sign must be +1 or -1; got $sign")
+    val op = lineitems
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg((count(lit(1)) * sign).as("supp"))
+  }
+
   /** Distinct (o, p) order–part incidence pairs. */
   def orderParts(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${stagedDir(s, d)}/order_parts.parquet")

@@ -1144,7 +1144,51 @@ object Analytics {
       |FROM f
       |ORDER BY arm""".stripMargin
 
+  // --- q195: incremental co-purchase maintenance (IVM for the graph) -------
+  // The derived pair table under the same versioned-merge discipline the
+  // hourly rollup has (q110 inserts, q173 retractions): the order
+  // history arrives as a base load, an INSERT batch of new whole orders,
+  // and a DELETE batch of purged orders, each contributing signed
+  // C(parts, 2) pair partials (CoPurchase.pairPartials) through three
+  // Rollup.mergeInto commits — exact integer sums, pairs netting to
+  // zero dropped, versions pruned. The oracle recomputes the pair table
+  // from scratch over the post-change order set, so any IVM error — a
+  // lost partial, a wrong sign, a tombstone row — hash-misses. The
+  // staged artifact is content-fingerprinted (Stage.derived), and the
+  // merge sequence touches pair-table + batch-sized data only, never
+  // the history: the q173 asymmetry delivered to the graph family.
+  def q195(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val staged = graft.Stage.derived("copurchase_ivm", d) { p =>
+      val li = Tables.lineitem(s, d)
+      val tp = s"$p/pairs_table"
+      val roll = graft.streaming.Rollup
+      val cp = graft.operators.CoPurchase
+      roll.mergeInto(s, cp.pairPartials(li.filter($"l_orderkey" % 97 =!= 0), 1),
+        tp, Seq("pa", "pb"), 0L)
+      roll.mergeInto(s, cp.pairPartials(li.filter($"l_orderkey" % 97 === 0), 1),
+        tp, Seq("pa", "pb"), 1L)
+      roll.mergeInto(s, cp.pairPartials(li.filter($"l_orderkey" % 89 === 1), -1),
+        tp, Seq("pa", "pb"), 2L, dropEmptied = true)
+      ()
+    }
+    graft.streaming.Rollup.readRollup(s, s"$staged/pairs_table")
+      .select($"pa", $"pb", $"supp")
+      .orderBy($"supp".desc, $"pa", $"pb")
+      .limit(50)
+  }
+  val q195Sql: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      |  WHERE l_orderkey % 89 <> 1)
+      |SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS supp
+      |FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |GROUP BY 1, 2
+      |ORDER BY supp DESC, pa, pb
+      |LIMIT 50""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q195_copurchase_ivm", q195 _, Some(q195Sql)),
     ("q60_stat_aggs", q60 _, Some(q60Sql)),
     ("q61_sql_entry", q61 _, Some(q61Text)),
     ("q62_crypto_trend", q62 _, Some(q62Sql)),

@@ -610,4 +610,32 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(lo < rate && rate < hi)
     }
   }
+
+  test("incrementally maintained co-purchase pairs equal the full recompute") {
+    // q195's gate checks the top-50 cut; this pins FULL-TABLE equality
+    // after the mixed insert+delete merge sequence — every pair, every
+    // support, no tombstones
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+    val base = TempDirs.fresh("ivm_spec")
+    val tp = s"$base/pairs_table"
+    val roll = graft.streaming.Rollup
+    val cp = graft.operators.CoPurchase
+    roll.mergeInto(spark, cp.pairPartials(li.filter(col("l_orderkey") % 97 =!= 0), 1),
+      tp, Seq("pa", "pb"), 0L)
+    roll.mergeInto(spark, cp.pairPartials(li.filter(col("l_orderkey") % 97 === 0), 1),
+      tp, Seq("pa", "pb"), 1L)
+    roll.mergeInto(spark, cp.pairPartials(li.filter(col("l_orderkey") % 89 === 1), -1),
+      tp, Seq("pa", "pb"), 2L, dropEmptied = true)
+    val maintained = roll.readRollup(spark, tp)
+      .select(col("pa"), col("pb"), col("supp")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val recomputed = cp.pairPartials(li.filter(col("l_orderkey") % 89 =!= 1), 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(maintained.nonEmpty && maintained == recomputed)
+    // premise: the delete batch actually removed pairs and reduced supports
+    val preDelete = cp.pairPartials(li, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(preDelete != recomputed, "delete batch must change the table")
+  }
 }

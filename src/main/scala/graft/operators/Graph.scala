@@ -306,6 +306,44 @@ object Graph {
     }
     FixpointResult(reached, converged = !frontierNonEmpty, roundsRun = h)
   }
+
+  /** Deterministic synchronous label propagation (Raghavan et al. 2007's
+    * community detection, made engine-reproducible): every node starts
+    * labelled with its own id; each round, every node adopts the label
+    * carrying the greatest total edge weight among its neighbors, ties
+    * broken by the SMALLEST label. Classic LPA breaks ties randomly and
+    * updates asynchronously — both nondeterministic; the synchronous
+    * sweep with exact integer weight sums and min-label tie-break gives
+    * bit-identical labels on any engine or partitioning, which is what
+    * lets a fixed-round SQL restatement hash-match (the pageRank grid
+    * philosophy applied to a discrete fixpoint). Fixed `iters` keeps the
+    * unrolled oracle finite; synchronous LPA can 2-cycle on bipartite
+    * structure, so a fixed even/odd round count is also what pins WHICH
+    * phase is reported.
+    *
+    * Per round: one src-keyed join (labels flow along edges) + one
+    * (dst, label) weight aggregation + a dst-keyed min-struct argmax —
+    * the power-iteration shape [[pageRank]] uses, never wider than the
+    * edge table. The argmax is min(struct(-weight, label)) rather than a
+    * ranking window: a partial-aggregatable one-row reduction instead of
+    * a full per-node sort.
+    *
+    * @param edges directed (src, dst, w: integer weight) — list both
+    *              directions for undirected graphs
+    * @return (node, label) for every node with ≥ 1 in-edge */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0; got $iters")
+    val init = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    (0 until iters).foldLeft(init) { (lab, _) =>
+      edges.join(lab, edges("src") === lab("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(sum(col("w")).as("wsum"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("wsum")).as("nw"), col("label").as("l"))).as("b"))
+        .select(col("dst").as("node"), col("b.l").as("label"))
+    }
+  }
 }
 
 /** Outcome of a bounded-round graph fixpoint: the table, whether the

@@ -1187,7 +1187,59 @@ object Analytics {
       |ORDER BY supp DESC, pa, pb
       |LIMIT 50""".stripMargin
 
+  // --- q196: label propagation communities (deterministic LPA) -------------
+  // Raghavan et al. 2007 over the supp-weighted co-purchase graph — the
+  // community structure behind "customers who buy X also buy…" families.
+  // Graph.labelPropagation's determinism contract (synchronous sweep,
+  // exact integer weight sums, min-label tie-break) is what makes the
+  // oracle possible at all: four unrolled rounds restate as four chained
+  // argmax CTEs and the final community roster hashes bit-identically.
+  // Output: top-30 communities by (size desc, community id), with member
+  // extremes so a single misassigned node shows. Shape per round: edge
+  // join + (dst,label) agg + dst argmax — the pageRank two-shuffle form;
+  // the report is label-cardinality-sized.
+  def q196(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = graft.operators.CoPurchase.pairs(s, d, minSupp = 2)
+    val edges = pairs.select($"pa".as("src"), $"pb".as("dst"), $"supp".as("w"))
+      .unionByName(pairs.select($"pb".as("src"), $"pa".as("dst"), $"supp".as("w")))
+    graft.operators.Graph.labelPropagation(edges, iters = 4)
+      .groupBy($"label".as("community"))
+      .agg(count(lit(1)).as("n_members"),
+        min($"node").as("min_member"), max($"node").as("max_member"))
+      .orderBy($"n_members".desc, $"community")
+      .limit(30)
+  }
+  private def lpStep(prev: String): String =
+    s"""SELECT dst AS node, label FROM (
+       |    SELECT e.dst, l.label,
+       |      ROW_NUMBER() OVER (PARTITION BY e.dst
+       |        ORDER BY SUM(e.w) DESC, l.label) AS rn
+       |    FROM edges e JOIN $prev l ON e.src = l.node
+       |    GROUP BY e.dst, l.label) WHERE rn = 1""".stripMargin
+  val q196Sql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS supp
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |edges AS MATERIALIZED (
+      |  SELECT pa AS src, pb AS dst, supp AS w FROM pairs
+      |  UNION ALL SELECT pb, pa, supp FROM pairs),
+      |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+      |l1 AS (${lpStep("l0")}),
+      |l2 AS (${lpStep("l1")}),
+      |l3 AS (${lpStep("l2")}),
+      |l4 AS (${lpStep("l3")})
+      |SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |  MIN(node) AS min_member, MAX(node) AS max_member
+      |FROM l4
+      |GROUP BY 1
+      |ORDER BY n_members DESC, community
+      |LIMIT 30""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q196_label_propagation", q196 _, Some(q196Sql)),
     ("q195_copurchase_ivm", q195 _, Some(q195Sql)),
     ("q60_stat_aggs", q60 _, Some(q60Sql)),
     ("q61_sql_entry", q61 _, Some(q61Text)),

@@ -638,4 +638,37 @@ class AnalyticsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(preDelete != recomputed, "delete batch must change the table")
   }
+
+  test("label propagation: closed-form communities and tie-breaks") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two triangles {1,2,3} and {10,11,12} joined by one weight-1 bridge
+    // 3—10; triangle edges weigh 5, so each triangle converges to its
+    // min label and the bridge never flips anyone (5+5 > 1 every round)
+    val und = Seq((1L, 2L, 5L), (2L, 3L, 5L), (1L, 3L, 5L),
+      (10L, 11L, 5L), (11L, 12L, 5L), (10L, 12L, 5L), (3L, 10L, 1L))
+    val edges = und.toDF("a", "b", "w")
+      .select($"a".as("src"), $"b".as("dst"), $"w")
+      .unionByName(und.toDF("a", "b", "w")
+        .select($"b".as("src"), $"a".as("dst"), $"w"))
+    val got = operators.Graph.labelPropagation(edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // pure tie: an isolated 2-cycle a—b with equal weight adopts the
+    // smaller label on BOTH sides after an even number of rounds
+    val duo = Seq((100L, 101L, 2L))
+    val duoEdges = duo.toDF("a", "b", "w")
+      .select($"a".as("src"), $"b".as("dst"), $"w")
+      .unionByName(duo.toDF("a", "b", "w")
+        .select($"b".as("src"), $"a".as("dst"), $"w"))
+    val duoGot = operators.Graph.labelPropagation(duoEdges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one round: each node adopts its only neighbor's label
+    assert(duoGot == Map(100L -> 101L, 101L -> 100L))
+    val duoGot2 = operators.Graph.labelPropagation(duoEdges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // two rounds: labels swap back — the documented 2-cycle phase pin
+    assert(duoGot2 == Map(100L -> 100L, 101L -> 101L))
+  }
 }

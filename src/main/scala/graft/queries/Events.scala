@@ -1275,7 +1275,11 @@ object Events {
   // checked row-for-row.
   def q172(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val joined = graft.streaming.Streams.viewPurchaseFullOuterJoin(s, d)
+    // one driver-side max(ts) shared by the operator's cutoff and the
+    // resolution filter below (it used to run twice per invocation)
+    val maxNs = Tables.events(s, d).agg(max($"ts")).head.getLong(0)
+    val joined = graft.streaming.Streams.viewPurchaseFullOuterJoin(s, d,
+      maxNsHint = Some(maxNs))
     val key = "spark.sql.streaming.multipleWatermarkPolicy"
     val prev = s.conf.getOption(key)
     s.conf.set(key, "max")
@@ -1286,7 +1290,6 @@ object Events {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
       }
-    val maxNs = Tables.events(s, d).agg(max($"ts")).head.getLong(0)
     val cutoffNs = maxNs - 4L * 3600 * 1000000000L
     drained
       .filter($"view_id".isNotNull || $"p_ns" <= cutoffNs)

@@ -631,17 +631,52 @@ object Vectors {
   // pattern). Oracle equality proves the staged path answer-identical to
   // the in-plan operator; at 100 TB the probe reads nprobe/kCells of the
   // index's files instead of all of them.
-  def q168(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val base = graft.Stage.derived("vecidx_8x4x4", d) { p =>
+  /** The dataset's staged IVF-PQ layout (Stage.derived: built once per
+    * source content, shared by q168's batch probe and q197's streaming
+    * probe — one serving artifact, two access paths). */
+  private def vecIdx(s: SparkSession, d: String): java.nio.file.Path =
+    graft.Stage.derived("vecidx_8x4x4", d) { p =>
       graft.sources.VectorIndex.build(Tables.embeddings(s, d), p.toString,
         kCells = 8, cellIters = 1, m = 4, kCw = 4, pqIters = 1)
     }
-    graft.sources.VectorIndex.probeTopK(s, base.toString,
+
+  def q168(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.sources.VectorIndex.probeTopK(s, vecIdx(s, d).toString,
         Tables.embeddings(s, d).filter($"vec_id" < 8), m = 4, k = 5, nprobe = 3)
       .orderBy($"query_id", $"rank")
   }
   val q168Sql: String = q141Sql
+
+  // --- q197: streaming ANN probe against the materialized index -----------
+  // The serving loop closed: query vectors arrive as a STREAM and each
+  // micro-batch runs the partition-pruned probe against the SAME staged
+  // IVF-PQ layout q168 reads — a stream-static pattern whose static side
+  // is the codes scan pruned to the batch's probed cells, demonstrating
+  // the index as a live serving artifact rather than an offline file.
+  // The probe is not a streaming-compatible plan (bounded driver-side
+  // probe-cell collect, ranking window), so it rides foreachBatch
+  // (Streams.drainToParquet) into an append sink; the drained sink must
+  // equal the batch probe over the same queries — the oracle IS q141Sql,
+  // so a batch boundary that lost, duplicated, or re-ranked a query's
+  // results hash-misses. Per-invocation sink+checkpoint (the q129
+  // convention: the drain is the measured work; the index build is
+  // content-staged and shared).
+  def q197(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = vecIdx(s, d)
+    val base = graft.TempDirs.fresh("graft_annstream")
+    val queries = graft.streaming.Streams
+      .tableStream(s, d, "embeddings.parquet")
+      .filter($"vec_id" < 8)
+    graft.streaming.Streams.drainToParquet(queries,
+        s"$base/sink", s"$base/ckpt") { (batch, _) =>
+      graft.sources.VectorIndex.probeTopK(s, idx.toString, batch,
+        m = 4, k = 5, nprobe = 3)
+    }
+    s.read.parquet(s"$base/sink").orderBy($"query_id", $"rank")
+  }
+  val q197Sql: String = q141Sql
 
   // --- q194: incremental ANN index maintenance (VectorIndex.append) --------
   // The q189 contract applied to vectors: the corpus arrives as TWO
@@ -1272,6 +1307,7 @@ object Vectors {
     ("q141_ivf_pq", q141 _, Some(q141Sql)),
     ("q168_ivfpq_indexed", q168 _, Some(q168Sql)),
     ("q194_vecidx_append", q194 _, Some(q194Sql)),
+    ("q197_stream_ann_probe", q197 _, Some(q197Sql)),
     ("q176_rrf_fusion", q176 _, Some(q176Sql)),
     ("q178_classifier_eval", q178 _, Some(q178Sql)),
     ("q180_cohens_kappa", q180 _, Some(q180Sql)),

@@ -51,6 +51,39 @@ object Streams {
       .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Generic single-table file stream over a dataset dir (the
+    * [[eventsStream]] source shape without the events-specific ts
+    * canonicalization): schema from a batch read, parent-dir glob. */
+  def tableStream(spark: SparkSession, dir: String, glob: String): DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    spark.readStream.schema(schema).option("pathGlobFilter", glob).parquet(dir)
+  }
+
+  /** Drain a stream through a per-micro-batch BATCH transform into an
+    * append-only parquet sink (AvailableNow, checkpointed — restart-safe
+    * at the file-source offset granularity). The foreachBatch escape
+    * hatch for logic that is not a streaming-compatible plan: each batch
+    * is an ordinary DataFrame, so the transform may collect bounded
+    * driver-side state, use ranking windows, or join partition-pruned
+    * static tables — q197 runs the materialized ANN probe this way.
+    * Exactly-once here is per-batch-file: parquet append of a replayed
+    * batch would duplicate rows, so transforms needing cross-restart
+    * exactly-once should write through Rollup.mergeInto's versioned
+    * commit instead (batchId is passed through for that purpose). */
+  def drainToParquet(stream: DataFrame, sinkPath: String,
+      checkpointDir: String)(perBatch: (DataFrame, Long) => DataFrame): Unit = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        perBatch(batch, id).write.mode("append").parquet(sinkPath)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Tumbling 1-hour windows per event type with a 2-hour watermark. */
   def hourlyTrend(events: DataFrame): DataFrame = events
     .withWatermark("ts_us", "2 hours")
@@ -245,9 +278,13 @@ object Streams {
     * the way q58's stateless residual filter can). */
   def viewPurchaseLeftOuterJoin(spark: SparkSession, dir: String,
       glob: String = "events.parquet",
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val maxNs = graft.Tables.events(spark, dir)
-      .agg(org.apache.spark.sql.functions.max(col("ts"))).head.getLong(0)
+      maxFilesPerTrigger: Option[Int] = None,
+      maxNsHint: Option[Long] = None): DataFrame = {
+    // callers that already ran the one-row max(ts) aggregate (q172 needs
+    // it again for its resolution filter) pass it in instead of paying
+    // the scan twice
+    val maxNs = maxNsHint.getOrElse(graft.Tables.events(spark, dir)
+      .agg(org.apache.spark.sql.functions.max(col("ts"))).head.getLong(0))
     val cutoffNs = maxNs - 4L * 3600 * 1000000000L
     // Each side's watermark node observes only ITS side's rows (writing
     // the filter after withWatermark does not help — Catalyst pushes
@@ -298,9 +335,10 @@ object Streams {
     * Run under multipleWatermarkPolicy=max (the q157 rule). */
   def viewPurchaseFullOuterJoin(spark: SparkSession, dir: String,
       glob: String = "events.parquet",
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val maxNs = graft.Tables.events(spark, dir)
-      .agg(org.apache.spark.sql.functions.max(col("ts"))).head.getLong(0)
+      maxFilesPerTrigger: Option[Int] = None,
+      maxNsHint: Option[Long] = None): DataFrame = {
+    val maxNs = maxNsHint.getOrElse(graft.Tables.events(spark, dir)
+      .agg(org.apache.spark.sql.functions.max(col("ts"))).head.getLong(0))
     val cutoffNs = maxNs - 4L * 3600 * 1000000000L
     val views = eventsStream(spark, dir, glob, maxFilesPerTrigger)
       .filter(col("event_type") === "view" && col("ts") <= cutoffNs)

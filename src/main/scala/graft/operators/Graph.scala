@@ -307,6 +307,92 @@ object Graph {
     FixpointResult(reached, converged = !frontierNonEmpty, roundsRun = h)
   }
 
+  /** Personalized PageRank (Page et al. 1999 §6; the random walk with
+    * restart behind "related items for THIS seed set"): identical to
+    * [[pageRank]]'s integer-grid power iteration except that ALL restart
+    * mass — the per-round teleport AND the dangling redistribution —
+    * returns to the SEED nodes instead of spreading uniformly, and the
+    * initial mass sits entirely on the seeds. Rank mass therefore decays
+    * with graph distance from the seed set: after k rounds only the
+    * k-hop neighborhood holds mass, which is also what bounds the work —
+    * contributions flow only from ranked nodes. Same exactness contract
+    * as pageRank: per-edge contributions snap to the 1e-9 grid, per-node
+    * sums are exact integers, so ranks are bit-reproducible and a
+    * fixed-round SQL restatement hash-matches. The seed count is a
+    * driver-side one-row lookup (bounded — the Upsert convention).
+    *
+    * @param edges directed (src, dst), pre-deduplicated
+    * @param seeds (node) — must be non-empty; restart distribution is
+    *              uniform over these
+    * @return (node, deg, is_seed, pr9) for EVERY node in src ∪ dst */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    import graft.CacheLifecycle.TrackedPersistOps
+    require(iters >= 0, s"iters must be >= 0; got $iters")
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+      .join(outDeg.select(col("src").as("node"), col("deg")), Seq("node"), "left")
+      .join(seeds.select(col("node"), lit(1L).as("is_seed")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .persistTracked()
+    val nSeeds = nodes.agg(sum(col("is_seed"))).head.getLong(0)
+    require(nSeeds > 0, "personalizedPageRank: no seed appears in the graph")
+    val init = nodes.select(col("node"), col("deg"), col("is_seed"),
+      (col("is_seed") * lit(math.round(1e9 / nSeeds))).as("pr9"))
+    (0 until iters).foldLeft(init) { (pr, _) =>
+      val dang = pr.filter(col("deg") === 0)
+        .agg(coalesce(sum(col("pr9")), lit(0L)).as("d9"))
+      val contrib = edges.join(pr, edges("src") === pr("node"))
+        .select(col("dst"),
+          round(lit(0.85) * col("pr9") / col("deg")).cast("long").as("c9"))
+      val sums = contrib.groupBy(col("dst")).agg(sum(col("c9")).as("s9"))
+      nodes.join(sums, nodes("node") === sums("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(nodes("node"), nodes("deg"), nodes("is_seed"),
+          (nodes("is_seed") * (lit(math.round(0.15 * 1e9 / nSeeds)) +
+            round(lit(0.85) * col("d9") / lit(nSeeds)).cast("long")) +
+            coalesce(col("s9"), lit(0L))).as("pr9"))
+    }
+  }
+
+  /** HITS hubs and authorities (Kleinberg 1999), UNNORMALIZED on exact
+    * integers: h₀ = a₀ = 1, then per round a ← Σ_{u→v} h(u) followed by
+    * h ← Σ_{v→u} a(u) (the standard in-iteration update order). Skipping
+    * the per-round normalization is what makes the fixpoint
+    * engine-exact — scores stay integers under decimal(38,0)/HUGEINT
+    * sums (they grow like the principal singular value per round, so 38
+    * digits cover any realistic edge count for the few rounds a scoring
+    * pass runs) — and costs nothing semantically: HITS rankings are
+    * scale-invariant, so consumers normalize ONCE at presentation
+    * (q200 reports max-relative ratios on the 1e-9 grid). Two shuffles
+    * per round, both node-keyed, the [[pageRank]] shape.
+    *
+    * @param edges directed (src, dst), pre-deduplicated
+    * @return (node, auth, hub) as decimal(38,0), every node in src ∪ dst */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    import graft.CacheLifecycle.TrackedPersistOps
+    require(iters >= 0, s"iters must be >= 0; got $iters")
+    val big = "decimal(38,0)"
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+      .persistTracked()
+    val init = nodes.select(col("node"),
+      lit(1).cast(big).as("auth"), lit(1).cast(big).as("hub"))
+    (0 until iters).foldLeft(init) { (ah, _) =>
+      val auth = edges.join(ah, edges("src") === ah("node"))
+        .groupBy(edges("dst").as("node")).agg(sum(col("hub")).as("a"))
+      val withAuth = nodes.join(auth, Seq("node"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0).cast(big)).as("auth"))
+      val hub = edges.join(withAuth, edges("dst") === withAuth("node"))
+        .groupBy(edges("src").as("node")).agg(sum(col("auth")).as("h"))
+      withAuth.join(hub, Seq("node"), "left")
+        .select(col("node"), col("auth"),
+          coalesce(col("h"), lit(0).cast(big)).as("hub"))
+    }
+  }
+
   /** Deterministic synchronous label propagation (Raghavan et al. 2007's
     * community detection, made engine-reproducible): every node starts
     * labelled with its own id; each round, every node adopts the label

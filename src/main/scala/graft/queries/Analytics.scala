@@ -1238,8 +1238,146 @@ object Analytics {
       |ORDER BY n_members DESC, community
       |LIMIT 30""".stripMargin
 
+  // --- q199: personalized PageRank from a seed set --------------------------
+  // "Related parts for THIS catalog slice": Graph.personalizedPageRank on
+  // the bidirected co-purchase graph with seeds = parts ≡ 3 (mod 10), two
+  // unrolled grid rounds. All restart mass returns to the seeds, so rank
+  // decays with distance — after two rounds only the 2-hop neighborhood
+  // holds mass, and the report keeps ranked (pr9 > 0) nodes only. The
+  // graph is bidirected, so the operator's dangling term is exactly 0
+  // (q143's argument) and the oracle restates the seeded teleport + two
+  // contribution rounds without it; the dangling path itself is
+  // oracle-proven by q167. Per round: one src join + one dst agg, the
+  // pageRank shape — personalization adds no extra shuffle.
+  def q199(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = graft.operators.CoPurchase.pairs(s, d, minSupp = 2)
+    val edges = pairs.select($"pa".as("src"), $"pb".as("dst"))
+      .unionByName(pairs.select($"pb".as("src"), $"pa".as("dst")))
+    val seeds = edges.select($"src".as("node")).distinct()
+      .filter($"node" % 10 === 3)
+    graft.operators.Graph.personalizedPageRank(edges, seeds, iters = 2)
+      .filter($"pr9" > 0)
+      .select($"node".as("part"), $"deg", $"is_seed",
+        ($"pr9".cast("double") / 1e9).as("ppr"), $"pr9")
+      .orderBy($"pr9".desc, $"part")
+      .limit(20)
+      .drop("pr9")
+  }
+  val q199Sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |edges AS (
+      |  SELECT pa AS src, pb AS dst FROM pairs
+      |  UNION ALL SELECT pb, pa FROM pairs),
+      |nodes AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      |          FROM edges GROUP BY src),
+      |ns AS (SELECT COUNT(*) AS s FROM nodes WHERE node % 10 = 3),
+      |p0 AS (
+      |  SELECT node, deg,
+      |    CASE WHEN node % 10 = 3 THEN 1 ELSE 0 END AS is_seed,
+      |    CASE WHEN node % 10 = 3 THEN CAST(round(1e9 / s) AS BIGINT)
+      |         ELSE CAST(0 AS BIGINT) END AS pr9
+      |  FROM nodes CROSS JOIN ns),
+      |s1 AS (
+      |  SELECT e.dst,
+      |    CAST(SUM(CAST(round(CAST(0.85 AS DOUBLE) * p.pr9 / p.deg) AS BIGINT)) AS BIGINT) AS s9
+      |  FROM edges e JOIN p0 p ON e.src = p.node GROUP BY e.dst),
+      |p1 AS (
+      |  SELECT n.node, n.deg,
+      |    CASE WHEN n.node % 10 = 3 THEN 1 ELSE 0 END AS is_seed,
+      |    CASE WHEN n.node % 10 = 3
+      |         THEN CAST(round(CAST(0.15 AS DOUBLE) * 1e9 / s) AS BIGINT)
+      |         ELSE CAST(0 AS BIGINT) END + COALESCE(s9, 0) AS pr9
+      |  FROM nodes n LEFT JOIN s1 ON n.node = s1.dst CROSS JOIN ns),
+      |s2 AS (
+      |  SELECT e.dst,
+      |    CAST(SUM(CAST(round(CAST(0.85 AS DOUBLE) * p.pr9 / p.deg) AS BIGINT)) AS BIGINT) AS s9
+      |  FROM edges e JOIN p1 p ON e.src = p.node GROUP BY e.dst),
+      |p2 AS (
+      |  SELECT n.node, n.deg,
+      |    CASE WHEN n.node % 10 = 3 THEN 1 ELSE 0 END AS is_seed,
+      |    CASE WHEN n.node % 10 = 3
+      |         THEN CAST(round(CAST(0.15 AS DOUBLE) * 1e9 / s) AS BIGINT)
+      |         ELSE CAST(0 AS BIGINT) END + COALESCE(s9, 0) AS pr9
+      |  FROM nodes n LEFT JOIN s2 ON n.node = s2.dst CROSS JOIN ns)
+      |SELECT node AS part, deg, CAST(is_seed AS BIGINT) AS is_seed,
+      |  CAST(pr9 AS DOUBLE) / 1e9 AS ppr
+      |FROM p2 WHERE pr9 > 0
+      |ORDER BY pr9 DESC, part
+      |LIMIT 20""".stripMargin
+
+  // --- q200: HITS hubs and authorities (directed co-purchase) ---------------
+  // Kleinberg 1999 on the DIRECTED pa→pb pair graph (q167's orientation,
+  // where hub and authority structure actually differ): two unnormalized
+  // integer rounds — a ← Σ h(in), h ← Σ a(out) under decimal/HUGEINT
+  // sums — then ONE presentation-time normalization to max-relative
+  // ratios snapped on the 1e-9 grid. Skipping per-round normalization is
+  // what keeps the fixpoint engine-exact (HITS rankings are scale-
+  // invariant); ordering uses the EXACT integer authority score, so the
+  // snap can never reorder the report. Top-20 by (auth desc, node).
+  def q200(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def grid9(c: org.apache.spark.sql.Column) =
+      round(c * 1e9).cast("long").cast("double") / 1e9
+    val edges = graft.operators.CoPurchase.pairs(s, d, minSupp = 2)
+      .select($"pa".as("src"), $"pb".as("dst"))
+    val ah = graft.operators.Graph.hits(edges, iters = 2)
+    val mx = ah.agg(max($"auth").as("ma"), max($"hub").as("mh"))
+    ah.crossJoin(broadcast(mx))
+      .select($"node",
+        grid9($"auth".cast("double") / $"ma".cast("double")).as("auth_ratio"),
+        grid9($"hub".cast("double") / $"mh".cast("double")).as("hub_ratio"),
+        $"auth")
+      .orderBy($"auth".desc, $"node")
+      .limit(20)
+      .drop("auth")
+  }
+  private def hitsRound(i: Int, prev: String): String =
+    s"""a$i AS (
+       |  SELECT e.dst AS node, SUM(h.hub) AS a
+       |  FROM edges e JOIN $prev h ON e.src = h.node GROUP BY e.dst),
+       |wa$i AS (
+       |  SELECT n.node, COALESCE(a.a, 0) AS auth
+       |  FROM nodes n LEFT JOIN a$i a ON n.node = a.node),
+       |h$i AS (
+       |  SELECT e.src AS node, SUM(w.auth) AS h
+       |  FROM edges e JOIN wa$i w ON e.dst = w.node GROUP BY e.src),
+       |ah$i AS (
+       |  SELECT w.node, w.auth, COALESCE(h.h, 0) AS hub
+       |  FROM wa$i w LEFT JOIN h$i h ON w.node = h.node)""".stripMargin
+  val q200Sql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |edges AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs),
+      |nodes AS MATERIALIZED (
+      |  SELECT DISTINCT node FROM (
+      |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+      |ah0 AS (
+      |  SELECT node, CAST(1 AS HUGEINT) AS auth, CAST(1 AS HUGEINT) AS hub
+      |  FROM nodes),
+      |${hitsRound(1, "ah0")},
+      |${hitsRound(2, "ah1")},
+      |mx AS (SELECT MAX(auth) AS ma, MAX(hub) AS mh FROM ah2)
+      |SELECT node,
+      |  CAST(CAST(round(CAST(auth AS DOUBLE) / CAST(ma AS DOUBLE) * 1e9) AS BIGINT)
+      |    AS DOUBLE) / 1e9 AS auth_ratio,
+      |  CAST(CAST(round(CAST(hub AS DOUBLE) / CAST(mh AS DOUBLE) * 1e9) AS BIGINT)
+      |    AS DOUBLE) / 1e9 AS hub_ratio
+      |FROM ah2 CROSS JOIN mx
+      |ORDER BY auth DESC, node
+      |LIMIT 20""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q196_label_propagation", q196 _, Some(q196Sql)),
+    ("q199_personalized_pagerank", q199 _, Some(q199Sql)),
+    ("q200_hits", q200 _, Some(q200Sql)),
     ("q195_copurchase_ivm", q195 _, Some(q195Sql)),
     ("q60_stat_aggs", q60 _, Some(q60Sql)),
     ("q61_sql_entry", q61 _, Some(q61Text)),

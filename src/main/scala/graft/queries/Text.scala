@@ -242,6 +242,82 @@ object Text {
       |ORDER BY score DESC, bigram
       |LIMIT 30""".stripMargin
 
+  // --- q198: bigram-LM negative log-likelihood scoring ----------------------
+  // One modeling order above q39's unigram surprisal — the classic
+  // perplexity-filter signal (CCNet/KenLM style) from a self-trained
+  // bigram LM with add-1 smoothing: p(b|a) = (c(ab)+1)/(c(a)+V), each
+  // document scored by its mean −ln p over adjacent-token bigrams. Low
+  // scores flag boilerplate, high scores flag noise — the two clip ends
+  // of a curation pipeline. Exactness is q39's convention verbatim:
+  // per-bigram −ln is rounded to 4 decimals BEFORE aggregating (ln may
+  // differ 1 ulp between libm and java.lang.Math), then everything is
+  // exact integer arithmetic in 1e-4 units — long sums, integer division
+  // by the bigram count, one final exact division. Probability inputs
+  // (c(ab)+1, c(a)+V) are exact integers ≪ 2^53.
+  //
+  // Scale: unigram counts and V broadcast (Heaps' law); the bigram score
+  // table is bigram-vocab-sized — larger than the unigram vocab, so it
+  // attaches to the per-doc bigram stream by an ordinary hash join on
+  // (wa, wb), NOT a broadcast; the only corpus-sized stages are the two
+  // count aggregations and the per-doc rollup.
+  def q198(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .withColumn("toks", tokens($"text"))
+      .filter(size($"toks") >= 2)
+    val uni = toks.select(explode($"toks").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c1"))
+    val vSize = uni.agg(count(lit(1)).as("v"))
+    val docBi = toks
+      .select($"doc_id", explode(transform(sequence(lit(1), size($"toks") - 1),
+        i => struct(element_at($"toks", i).as("wa"),
+          element_at($"toks", i + 1).as("wb")))).as("b"))
+      .select($"doc_id", $"b.wa".as("wa"), $"b.wb".as("wb"))
+    val biCnt = docBi.groupBy($"wa", $"wb").agg(count(lit(1)).as("cab"))
+    val scored = biCnt
+      .join(broadcast(uni.select($"w".as("wa"), $"c1".as("ca"))), "wa")
+      .crossJoin(broadcast(vSize))
+      .select($"wa", $"wb",
+        round(-log(($"cab" + 1).cast("double") / ($"ca" + $"v")), 4).as("nll"))
+    docBi.join(scored, Seq("wa", "wb"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(round($"nll" * 10000).cast("long")).as("nll4"))
+      .withColumn("avg_nll", expr("nll4 div n_bigrams") / 10000.0)
+      .select($"doc_id", $"n_bigrams", $"avg_nll")
+      .orderBy($"doc_id")
+  }
+  val q198Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |  FROM documents),
+      |dd AS (SELECT doc_id, t FROM d WHERE len(t) >= 2),
+      |uni AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+      |  FROM (SELECT unnest(t) AS w FROM dd) GROUP BY w),
+      |vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+      |docbi AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS wa,
+      |    unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS wb
+      |  FROM dd),
+      |bi AS (
+      |  SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS cab
+      |  FROM docbi GROUP BY wa, wb),
+      |scored AS (
+      |  SELECT wa, wb,
+      |    ROUND(-ln(CAST(cab + 1 AS DOUBLE) / (ca + v)), 4) AS nll
+      |  FROM bi
+      |  JOIN (SELECT w AS wa, c1 AS ca FROM uni) USING (wa)
+      |  CROSS JOIN vs)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  (CAST(SUM(CAST(ROUND(nll * 10000, 0) AS BIGINT)) AS BIGINT)
+      |    // COUNT(*)) / 10000.0 AS avg_nll
+      |FROM docbi JOIN scored USING (wa, wb)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // --- q179: pointwise mutual information + corpus MI -----------------------
   // The dependence diagnostic between two categorical document facets
   // (lang × source): per-cell PMI = ln(c·n / (ca·cb)) and the corpus
@@ -2656,6 +2732,7 @@ object Text {
     ("q43_dedup_exact", q43 _, Some(q43Sql)),
     ("q44_bigram_freq", q44 _, Some(q44Sql)),
     ("q175_word2phrase", q175 _, Some(q175Sql)),
+    ("q198_bigram_nll", q198 _, Some(q198Sql)),
     ("q179_facet_mi", q179 _, Some(q179Sql)),
     ("q186_langid_eval", q186 _, Some(q186Sql)),
     ("q187_source_dup_rate", q187 _, Some(q187Sql)),

@@ -671,4 +671,32 @@ class AnalyticsSpec extends AnyFunSuite {
     // two rounds: labels swap back — the documented 2-cycle phase pin
     assert(duoGot2 == Map(100L -> 100L, 101L -> 101L))
   }
+
+  test("personalized PageRank: closed-form star, all restart mass to the seed") {
+    import spark.implicits._
+    // bidirected star 1—2, 1—3; seed {1}; one round by hand:
+    //   node1 = teleport 0.15e9; node2 = node3 = round(0.85e9 / 2)
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = operators.Graph.personalizedPageRank(edges, seeds, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 150000000L, 2L -> 425000000L, 3L -> 425000000L))
+    intercept[IllegalArgumentException] {
+      operators.Graph.personalizedPageRank(edges, Seq(99L).toDF("node"), 1)
+        .collect()
+    }
+  }
+
+  test("HITS: closed-form integer scores after one round") {
+    import spark.implicits._
+    // 1→3, 2→3, 3→4: a1 = in-hub sums (3↦2, 4↦1), h1 = out-auth sums
+    // (1↦2, 2↦2, 3↦1), computed from the NEW authorities
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = operators.Graph.hits(edges, iters = 1)
+      .selectExpr("node", "cast(auth as long) a", "cast(hub as long) h")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((0L, 2L)), 2L -> ((0L, 2L)),
+      3L -> ((2L, 1L)), 4L -> ((1L, 0L))))
+  }
 }

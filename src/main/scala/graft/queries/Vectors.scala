@@ -678,6 +678,47 @@ object Vectors {
   }
   val q197Sql: String = q141Sql
 
+  // --- q201: streaming index ingest (VectorIndex.append per micro-batch) ---
+  // q194's append contract under a STREAM: the ingest batch arrives as a
+  // two-file backlog drained with maxFilesPerTrigger=1, so the index
+  // absorbs TWO separate append micro-batches through a checkpointed
+  // foreachBatch (restart-safe at file-source offsets; append is
+  // content-based, so the final codes table — and therefore the probe —
+  // is independent of how the delta was batched). The oracle is q194Sql
+  // verbatim: train on the base batch, encode everything, which is
+  // exactly what build + N appends must reconstruct — a batch boundary
+  // that dropped, duplicated, or re-encoded a vector hash-misses. This
+  // closes the ingest loop the way q197 closed serving: the materialized
+  // ANN layout is now demonstrably a live artifact on BOTH ends.
+  // The whole build+drain stages once per dataset content (Stage.derived,
+  // the q194 discipline — ingest is an ingest-time cost).
+  def q201(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val staged = graft.Stage.derived("vecidx_stream_ingest", d) { p =>
+      val emb = Tables.embeddings(s, d)
+      graft.sources.VectorIndex.build(emb.filter($"vec_id" % 5 =!= 3),
+        s"$p/index", kCells = 8, cellIters = 1, m = 4, kCw = 4, pqIters = 1)
+      emb.filter($"vec_id" % 5 === 3).repartition(2)
+        .write.parquet(s"$p/delta")
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$p/delta")
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$p/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.sources.VectorIndex.append(s, batch, s"$p/index")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    graft.sources.VectorIndex.probeTopK(s, s"$staged/index",
+        Tables.embeddings(s, d).filter($"vec_id" < 8), m = 4, k = 5, nprobe = 3)
+      .orderBy($"query_id", $"rank")
+  }
+  // lazy: q194Sql is declared later in the file — a plain val here would
+  // capture null at object-init time
+  lazy val q201Sql: String = q194Sql
+
   // --- q194: incremental ANN index maintenance (VectorIndex.append) --------
   // The q189 contract applied to vectors: the corpus arrives as TWO
   // batches (vec_id mod 5 split), the first TRAINS and builds the
@@ -1308,6 +1349,7 @@ object Vectors {
     ("q168_ivfpq_indexed", q168 _, Some(q168Sql)),
     ("q194_vecidx_append", q194 _, Some(q194Sql)),
     ("q197_stream_ann_probe", q197 _, Some(q197Sql)),
+    ("q201_stream_index_ingest", q201 _, Some(q201Sql)),
     ("q176_rrf_fusion", q176 _, Some(q176Sql)),
     ("q178_classifier_eval", q178 _, Some(q178Sql)),
     ("q180_cohens_kappa", q180 _, Some(q180Sql)),

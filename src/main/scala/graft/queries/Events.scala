@@ -1647,7 +1647,83 @@ object Events {
       |ORDER BY n_sessions DESC, path
       |LIMIT 20""".stripMargin
 
+  // --- q202: day-over-day distribution drift (JSD monitor) ------------------
+  // The data-quality monitor q106 runs across SOURCES, run across TIME:
+  // Jensen-Shannon divergence between each day's event-type distribution
+  // and the previous day's — the standing drift alarm a training-data
+  // ingest pipeline keeps on every upstream feed (a feed whose category
+  // mix jumps gets quarantined before it poisons a mix ratio). Exactness
+  // is the q106 convention verbatim: per-category contributions
+  // 0.5·(p·ln(p/m) + q·ln(q/m)) are computed in one fixed IEEE chain
+  // from exact integer counts, snapped to the 1e-9 grid, and summed as
+  // exact longs; categories absent from one side contribute only the
+  // other side's term (null-guarded, not silently dropped). Shape: the
+  // per-(day, type) count table is days×types-sized — tiny — and the
+  // day-over-day alignment is a shifted full outer join on it, so
+  // everything after the one corpus-sized count scan is free.
+  def q202(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byDay = Tables.events(s, d)
+      .select(expr("(ts div 1000000000) div 86400").as("day"), $"event_type")
+      .groupBy($"day", $"event_type").agg(count(lit(1)).as("c"))
+    val tot = byDay.groupBy($"day").agg(sum($"c").as("n"))
+    val cur = byDay.select($"day", $"event_type", $"c".as("c_c"))
+    val prev = byDay.select(($"day" + 1).as("day"), $"event_type", $"c".as("c_p"))
+    val aligned = cur.join(prev, Seq("day", "event_type"), "full_outer")
+      .join(broadcast(tot.select($"day", $"n".as("n_c"))), "day")
+      .join(broadcast(tot.select(($"day" + 1).as("day"), $"n".as("n_p"))), "day")
+    val p = coalesce($"c_c", lit(0L)) * lit(1.0) / $"n_c"
+    val q = coalesce($"c_p", lit(0L)) * lit(1.0) / $"n_p"
+    val m = (p + q) / lit(2.0)
+    val contrib = lit(0.5) *
+      (when($"c_c".isNotNull, p * log(p / m)).otherwise(lit(0.0)) +
+        when($"c_p".isNotNull, q * log(q / m)).otherwise(lit(0.0)))
+    aligned
+      .withColumn("e9", round(contrib * lit(1e9)).cast("long"))
+      .groupBy($"day")
+      .agg(min($"n_c").as("n_events"), sum($"e9").as("jsd_e9"))
+      .select($"day", $"n_events",
+        ($"jsd_e9".cast("double") / lit(1e9)).as("jsd_vs_prev"))
+      .orderBy($"day")
+  }
+  val q202Sql: String =
+    """WITH byday AS (
+      |  SELECT epoch_us(ts) // 1000000 // 86400 AS day, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT day, CAST(SUM(c) AS BIGINT) AS n FROM byday GROUP BY day),
+      |aligned AS (
+      |  SELECT COALESCE(cur.day, prev.day) AS day,
+      |    cur.c AS c_c, prev.c AS c_p
+      |  FROM byday cur
+      |  FULL JOIN (SELECT day + 1 AS day, event_type, c FROM byday) prev
+      |    ON cur.day = prev.day AND cur.event_type = prev.event_type),
+      |terms AS (
+      |  SELECT a.day,
+      |    tc.n AS n_c,
+      |    CAST(ROUND(0.5 * (
+      |      CASE WHEN a.c_c IS NOT NULL THEN
+      |        (COALESCE(a.c_c, 0) * 1.0 / tc.n)
+      |          * ln((COALESCE(a.c_c, 0) * 1.0 / tc.n)
+      |            / (((COALESCE(a.c_c, 0) * 1.0 / tc.n)
+      |              + (COALESCE(a.c_p, 0) * 1.0 / tp.n)) / 2.0)) ELSE 0.0 END
+      |      + CASE WHEN a.c_p IS NOT NULL THEN
+      |        (COALESCE(a.c_p, 0) * 1.0 / tp.n)
+      |          * ln((COALESCE(a.c_p, 0) * 1.0 / tp.n)
+      |            / (((COALESCE(a.c_c, 0) * 1.0 / tc.n)
+      |              + (COALESCE(a.c_p, 0) * 1.0 / tp.n)) / 2.0)) ELSE 0.0 END
+      |    ) * 1e9) AS BIGINT) AS e9
+      |  FROM aligned a
+      |  JOIN tot tc ON tc.day = a.day
+      |  JOIN tot tp ON tp.day = a.day - 1)
+      |SELECT day, MIN(n_c) AS n_events,
+      |  CAST(SUM(e9) AS DOUBLE) / 1e9 AS jsd_vs_prev
+      |FROM terms
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q202_daily_drift_jsd", q202 _, Some(q202Sql)),
     ("q24_hourly_trend", q24 _, Some(q24Sql)),
     ("q25_tumbling_window", q25 _, Some(q25Sql)),
     ("q26_sliding_window", q26 _, Some(q26Sql)),

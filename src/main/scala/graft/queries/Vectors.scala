@@ -782,6 +782,53 @@ object Vectors {
       |  FROM adist) WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  // --- q203: embedding centroid drift between sources -----------------------
+  // The embedding-space twin of q106's token-distribution divergence: a
+  // per-source mean vector (the q52/q122 decimal-routed, round(6)
+  // component mean — exact cross-engine) and the pairwise ROUNDED
+  // squared-L2 distance matrix between source centroids. A source whose
+  // centroid sits far from the rest is the drift/contamination signal
+  // embedding-based curation cuts on (SemDeDup-style pipelines monitor
+  // exactly this before clustering). Embeddings align to documents
+  // 1:1 by id (vec_id = doc_id, the q56 join). Shape: one posexplode
+  // aggregation (corpus×dim rows, hash-shuffled on (source, pos)), then
+  // everything is sources²-sized — the cross join is over a handful of
+  // centroid rows, broadcast by construction.
+  def q203(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).select($"vec_id",
+      graft.functions.VectorFunctions.asDouble($"embedding").as("e"))
+    val src = Tables.documents(s, d).select($"doc_id".as("vec_id"), $"source")
+    val cent = emb.join(src, "vec_id")
+      .select($"source", posexplode($"e").as(Seq("pos", "v")))
+      .groupBy($"source", $"pos")
+      .agg(round(sum($"v".cast("decimal(18,9)")).cast("double") / count(lit(1)), 6)
+        .as("cv"))
+      .groupBy($"source")
+      .agg(array_sort(collect_list(struct($"pos", $"cv")))
+        .getField("cv").as("centroid"))
+    cent.as("a").join(cent.as("b"), $"a.source" < $"b.source")
+      .select($"a.source".as("src_a"), $"b.source".as("src_b"),
+        graft.operators.Similarity.sqDistRounded($"a.centroid", $"b.centroid")
+          .as("sq_dist"))
+      .orderBy($"src_a", $"src_b")
+  }
+  val q203Sql: String =
+    s"""WITH emb AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |cent AS (
+      |  SELECT source, list(cv ORDER BY pos) AS c FROM (
+      |    SELECT d.source, pos,
+      |      ROUND(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS cv
+      |    FROM (SELECT vec_id, unnest(range(0, len(e))) AS pos, unnest(e) AS v
+      |          FROM emb) x
+      |    JOIN documents d ON d.doc_id = x.vec_id
+      |    GROUP BY d.source, pos) GROUP BY source)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  ${sqd("a.c", "b.c")} AS sq_dist
+      |FROM cent a JOIN cent b ON a.source < b.source
+      |ORDER BY src_a, src_b""".stripMargin
+
   // --- q178: classifier evaluation (per-class precision/recall/F1) ----------
   // Closes the eval loop over q130's kNN label votes: from the
   // (true_label, predicted) prediction table, per class c —
@@ -1350,6 +1397,7 @@ object Vectors {
     ("q194_vecidx_append", q194 _, Some(q194Sql)),
     ("q197_stream_ann_probe", q197 _, Some(q197Sql)),
     ("q201_stream_index_ingest", q201 _, Some(q201Sql)),
+    ("q203_centroid_drift", q203 _, Some(q203Sql)),
     ("q176_rrf_fusion", q176 _, Some(q176Sql)),
     ("q178_classifier_eval", q178 _, Some(q178Sql)),
     ("q180_cohens_kappa", q180 _, Some(q180Sql)),

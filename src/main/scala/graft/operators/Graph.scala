@@ -344,7 +344,13 @@ object Graph {
     (0 until iters).foldLeft(init) { (pr, _) =>
       val dang = pr.filter(col("deg") === 0)
         .agg(coalesce(sum(col("pr9")), lit(0L)).as("d9"))
-      val contrib = edges.join(pr, edges("src") === pr("node"))
+      // only RANKED nodes contribute (a pr9 = 0 node's per-edge term is
+      // round(0) = 0 — summing it is a no-op), so the contribution join
+      // is |reached| wide, not |V|: in round k that is the (k−1)-hop
+      // neighborhood of the seeds, the locality that makes personalized
+      // PR cheap on a 100 TB graph where the seed set is tiny
+      val contrib = edges.join(pr.filter(col("pr9") =!= 0),
+          edges("src") === pr("node"))
         .select(col("dst"),
           round(lit(0.85) * col("pr9") / col("deg")).cast("long").as("c9"))
       val sums = contrib.groupBy(col("dst")).agg(sum(col("c9")).as("s9"))

@@ -1722,8 +1722,49 @@ object Events {
       |GROUP BY day
       |ORDER BY day""".stripMargin
 
+  // --- q204: re-aggregable HLL sketch rollup (hourly → daily merge) --------
+  // The 100 TB rollup architecture for COUNT(DISTINCT): store one HLL
+  // sketch per fine bucket (hour) and answer any coarser question (day)
+  // by MERGING sketches — never rescanning events. Spark's Datasketches
+  // functions split exactly along that line: hll_sketch_agg is the
+  // map-side partial, hll_union_agg the re-aggregation, and both are
+  // order-independent (register maxima), so the merged estimate is
+  // deterministic for a fixed input set. Cross-engine the estimate
+  // cannot be compared (DuckDB's approx_count_distinct is a different
+  // sketch), so the q63/q87 convention applies: hash the EXACT daily
+  // distinct count plus a theorem-backed within-bound flag for the
+  // merged estimate (lgConfigK=12 → relative standard error
+  // 1.04/√2¹² ≈ 1.6 %; the gate allows 6σ ≈ 10 % plus a small absolute
+  // floor for near-empty days). The exact count exists at test scale to
+  // BE the oracle; at 100 TB only the sketch path runs.
+  def q204(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(
+      expr("(ts div 1000000000) div 86400").as("day"),
+      expr("(ts div 1000000000) div 3600").as("hour"), $"user_id")
+    val hourly = ev.groupBy($"day", $"hour")
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+    val daily = hourly.groupBy($"day")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"))
+    val exact = ev.groupBy($"day")
+      .agg(countDistinct($"user_id").as("exact_users"))
+    exact.join(daily, Seq("day"))
+      .select($"day", $"exact_users",
+        (abs($"approx_users" - $"exact_users") <=
+          $"exact_users" * lit(0.10) + lit(16)).as("merged_within_bound"))
+      .orderBy($"day")
+  }
+  val q204Sql: String =
+    """SELECT epoch_us(ts) // 1000000 // 86400 AS day,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS merged_within_bound
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q202_daily_drift_jsd", q202 _, Some(q202Sql)),
+    ("q204_sketch_rollup", q204 _, Some(q204Sql)),
     ("q24_hourly_trend", q24 _, Some(q24Sql)),
     ("q25_tumbling_window", q25 _, Some(q25Sql)),
     ("q26_sliding_window", q26 _, Some(q26Sql)),

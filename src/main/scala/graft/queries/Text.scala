@@ -665,6 +665,75 @@ object Text {
       |  FROM reach GROUP BY doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // --- q205: near-dup cluster canonicalization (keep-best selection) -------
+  // The DECISION step after q82's clustering: inside every near-duplicate
+  // cluster keep exactly one document — the longest (n_chars), ties to
+  // the smallest id — and account for what the cut removes. This is the
+  // "keep one per cluster" pass every dedup pipeline ends with (MinHash
+  // finds the clusters; something still has to pick the survivor), with
+  // a quality criterion instead of q82's structural min-id
+  // representative. The argmax is a min(struct(-n_chars, doc_id))
+  // one-row reduction per cluster; everything downstream of the proven
+  // clustering is cluster-count-sized. Exact integers end-to-end. The
+  // oracle recomputes the components brute-force (q82's recursive CTE)
+  // and the same argmax, so a single misassigned member or wrong
+  // survivor hash-misses.
+  def q205(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.6, eagerSkewProbe = true)
+    Dedup.clusterPairs(pairs)
+      .join(docs.select($"doc_id", $"n_chars"), "doc_id")
+      .groupBy($"cluster_rep".as("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-$"n_chars").as("neg"), $"doc_id".as("id"))).as("k"),
+        sum($"n_chars").as("total_chars"))
+      .select($"cluster", $"n_members", $"k.id".as("keep_doc"),
+        (-$"k.neg").as("keep_chars"),
+        ($"total_chars" + $"k.neg").as("chars_removed"))
+      .orderBy($"cluster")
+  }
+  val q205Sql: String =
+    """WITH RECURSIVE sh AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM (SELECT doc_id,
+      |          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |        FROM documents)
+      |  WHERE len(t) >= 3
+      |), pairs AS MATERIALIZED (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |      len(list_intersect(a.s, b.s)) * 1.0
+      |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |  WHERE jaccard >= 0.6
+      |), edges AS MATERIALIZED (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |), reach AS (
+      |  SELECT src AS doc_id, dst AS r FROM edges
+      |  UNION
+      |  SELECT reach.doc_id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+      |), comp AS (
+      |  SELECT doc_id, LEAST(doc_id, MIN(r)) AS cluster
+      |  FROM reach GROUP BY doc_id
+      |), ranked AS (
+      |  SELECT c.cluster, c.doc_id, d.n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY c.cluster
+      |      ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+      |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |  CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keep_doc,
+      |  CAST(MIN(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS keep_chars,
+      |  CAST(SUM(n_chars) - MIN(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+      |    AS chars_removed
+      |FROM ranked
+      |GROUP BY cluster
+      |ORDER BY cluster""".stripMargin
+
   // --- q83: word-n-gram Jaccard similarity join (prefix filtering) ---------
   // Lossless PPJoin-style prefix filter (Dedup.ngramJaccardJoin) — recall
   // is a theorem, so the brute-force all-pairs oracle matches exactly. The
@@ -2733,6 +2802,7 @@ object Text {
     ("q44_bigram_freq", q44 _, Some(q44Sql)),
     ("q175_word2phrase", q175 _, Some(q175Sql)),
     ("q198_bigram_nll", q198 _, Some(q198Sql)),
+    ("q205_cluster_canonicalize", q205 _, Some(q205Sql)),
     ("q179_facet_mi", q179 _, Some(q179Sql)),
     ("q186_langid_eval", q186 _, Some(q186Sql)),
     ("q187_source_dup_rate", q187 _, Some(q187Sql)),

@@ -734,6 +734,69 @@ object Text {
       |GROUP BY cluster
       |ORDER BY cluster""".stripMargin
 
+  // --- q206: token-budget mix allocation (the data-mix planner) -------------
+  // q140 computes the temperature weights; this query EXECUTES them: given
+  // a total token budget, each language gets floor(budget·w9/1e9) tokens
+  // (exact integer arithmetic — w9·budget ≪ 2^53), and within a language
+  // documents are admitted greedily in (n_chars desc, doc_id) order while
+  // the running token total stays inside the allocation — the concrete
+  // "which documents make the next training mix" decision. The running
+  // total is a per-language window cumsum; at 100 TB a skewed giant
+  // language would route through q192's sliced-prefix form instead of a
+  // single-partition sort, the documented swap. Exact integers
+  // end-to-end; per-language report of budget vs docs/tokens admitted.
+  def q206(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val budget = 50000L
+    val docs = Tables.documents(s, d).select($"doc_id", $"lang", $"n_chars",
+      size(tokens($"text")).cast("long").as("n_tokens"))
+    val c = docs.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+    val p = c.withColumn("pa", round(pow($"n_docs".cast("double"), lit(0.3)), 6))
+    val t = p.agg(sum($"pa".cast("decimal(18,6)")).as("tot_pa"))
+    val budgets = p.crossJoin(broadcast(t))
+      .withColumn("w9",
+        round($"pa" / $"tot_pa".cast("double") * lit(1e9)).cast("long"))
+      .select($"lang", expr(s"(w9 * $budget) div 1000000000").as("budget_tokens"))
+    val w = Window.partitionBy($"lang").orderBy($"n_chars".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs.join(broadcast(budgets), "lang")
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .filter($"cum" <= $"budget_tokens")
+      .groupBy($"lang")
+      .agg(max($"budget_tokens").as("budget_tokens"),
+        count(lit(1)).as("docs_admitted"),
+        sum($"n_tokens").as("tokens_admitted"))
+      .orderBy($"lang")
+  }
+  val q206Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM docs GROUP BY lang),
+      |p AS (SELECT lang, ROUND(pow(CAST(n_docs AS DOUBLE), 0.3), 6) AS pa FROM c),
+      |t AS (SELECT SUM(CAST(pa AS DECIMAL(18,6))) AS tot_pa FROM p),
+      |b AS (
+      |  SELECT lang,
+      |    (CAST(round(pa / CAST(tot_pa AS DOUBLE) * 1e9) AS BIGINT) * 50000)
+      |      // 1000000000 AS budget_tokens
+      |  FROM p CROSS JOIN t),
+      |adm AS (
+      |  SELECT d.lang, d.n_tokens, b.budget_tokens,
+      |    SUM(d.n_tokens) OVER (PARTITION BY d.lang
+      |      ORDER BY d.n_chars DESC, d.doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM docs d JOIN b ON b.lang = d.lang)
+      |SELECT lang, CAST(MAX(budget_tokens) AS BIGINT) AS budget_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS docs_admitted,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_admitted
+      |FROM adm
+      |WHERE cum <= budget_tokens
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   // --- q83: word-n-gram Jaccard similarity join (prefix filtering) ---------
   // Lossless PPJoin-style prefix filter (Dedup.ngramJaccardJoin) — recall
   // is a theorem, so the brute-force all-pairs oracle matches exactly. The
@@ -2803,6 +2866,7 @@ object Text {
     ("q175_word2phrase", q175 _, Some(q175Sql)),
     ("q198_bigram_nll", q198 _, Some(q198Sql)),
     ("q205_cluster_canonicalize", q205 _, Some(q205Sql)),
+    ("q206_mix_allocation", q206 _, Some(q206Sql)),
     ("q179_facet_mi", q179 _, Some(q179Sql)),
     ("q186_langid_eval", q186 _, Some(q186Sql)),
     ("q187_source_dup_rate", q187 _, Some(q187Sql)),

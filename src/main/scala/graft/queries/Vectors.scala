@@ -1146,6 +1146,184 @@ object Vectors {
       |FROM j CROSS JOIN m
       |ORDER BY query_id""".stripMargin
 
+  // --- q207: graded ranking quality (NDCG@5 of the IVF arm) -----------------
+  // q181 measures SET recall; this measures ORDER quality: NDCG@5 of the
+  // IVF ranking with graded relevance from the exact ranking (rel =
+  // 6 − exact rank for true top-5 neighbors, 0 otherwise). Per-position
+  // discounted gains rel/log2(pos+1) are snapped to 4 decimals BEFORE
+  // summation (log2 may differ 1 ulp between libm and java.lang.Math —
+  // the q39 rule), so DCG and IDCG are exact 1e-4-grid integers and
+  // every NDCG is one exact small-int division; the corpus-level figure
+  // is the micro-average Σdcg4/Σidcg4 (exact ints — q181's mean_recall
+  // shape), never a sum of per-query doubles. The heavy stages are the
+  // same brute-force baseline + IVF probe q181 already audits.
+  def q207(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter($"vec_id" < 8)
+    val bf = Similarity.bruteForceTopK(probes, emb, k = 5, queryCountHint = 8)
+      .select($"query_id", $"neighbor_id", $"rank".as("bf_rank"))
+    val ivf = Similarity.ivfTopK(probes, emb, $"label", k = 5, nprobe = 3)
+      .select($"query_id", $"neighbor_id", $"rank".as("pos"))
+    val terms = ivf.join(bf, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("rel", coalesce(lit(6) - $"bf_rank", lit(0)))
+      .withColumn("dg4",
+        round($"rel" / log2($"pos" + 1) * lit(1e4)).cast("long"))
+    val ideal = bf
+      .withColumn("ig4",
+        round((lit(6) - $"bf_rank") / log2($"bf_rank" + 1) * lit(1e4)).cast("long"))
+      .groupBy($"query_id").agg(sum($"ig4").as("idcg4"))
+    val per = terms.groupBy($"query_id").agg(sum($"dg4").as("dcg4"))
+      .join(ideal, "query_id")
+      .select($"query_id", $"dcg4", $"idcg4",
+        ($"dcg4".cast("double") / $"idcg4").as("ndcg"))
+    val micro = per.agg(sum($"dcg4").as("sd"), sum($"idcg4").as("si"))
+      .select(($"sd".cast("double") / $"si").as("micro_ndcg"))
+    per.crossJoin(broadcast(micro)).orderBy($"query_id")
+  }
+  val q207Sql: String =
+    s"""WITH bf AS (
+      |  SELECT query_id, neighbor_id, rank AS bf_rank FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        ROUND(${cosSql("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")}, 6) DESC,
+      |        c.vec_id) AS rank
+      |    FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+      |  WHERE rank <= 5),
+      |cent AS (
+      |  SELECT label AS cell, pos,
+      |    ROUND(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS cv
+      |  FROM (SELECT label, unnest(range(0, len(embedding))) AS pos,
+      |               unnest(embedding::DOUBLE[]) AS v
+      |        FROM embeddings)
+      |  GROUP BY label, pos),
+      |centv AS (SELECT cell, list(cv ORDER BY pos) AS centroid FROM cent GROUP BY cell),
+      |pr AS (
+      |  SELECT query_id, cell FROM (
+      |    SELECT q.vec_id AS query_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        ROUND(${cosSql("q.embedding::DOUBLE[]", "c.centroid")}, 6) DESC, c.cell) AS crank
+      |    FROM embeddings q, centv c WHERE q.vec_id < 8)
+      |  WHERE crank <= 3),
+      |ivf AS (
+      |  SELECT query_id, neighbor_id, rank AS pos FROM (
+      |    SELECT s.query_id, s.neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY s.query_id
+      |        ORDER BY s.sim DESC, s.neighbor_id) AS rank
+      |    FROM (
+      |      SELECT p.query_id, e.vec_id AS neighbor_id,
+      |        ROUND(${cosSql("q.embedding::DOUBLE[]", "e.embedding::DOUBLE[]")}, 6) AS sim
+      |      FROM pr p
+      |      JOIN embeddings e ON e.label = p.cell
+      |      JOIN embeddings q ON q.vec_id = p.query_id
+      |      WHERE e.vec_id <> p.query_id) s)
+      |  WHERE rank <= 5),
+      |terms AS (
+      |  SELECT i.query_id,
+      |    CAST(round(COALESCE(6 - b.bf_rank, 0) / log2(i.pos + 1) * 1e4)
+      |      AS BIGINT) AS dg4
+      |  FROM ivf i LEFT JOIN bf b
+      |    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id),
+      |ideal AS (
+      |  SELECT query_id,
+      |    CAST(SUM(CAST(round((6 - bf_rank) / log2(bf_rank + 1) * 1e4)
+      |      AS BIGINT)) AS BIGINT) AS idcg4
+      |  FROM bf GROUP BY query_id),
+      |per AS (
+      |  SELECT t.query_id, CAST(SUM(t.dg4) AS BIGINT) AS dcg4, i.idcg4
+      |  FROM terms t JOIN ideal i ON i.query_id = t.query_id
+      |  GROUP BY t.query_id, i.idcg4),
+      |m AS (SELECT CAST(SUM(dcg4) AS DOUBLE) / SUM(idcg4) AS micro_ndcg FROM per)
+      |SELECT query_id, dcg4, idcg4,
+      |  CAST(dcg4 AS DOUBLE) / idcg4 AS ndcg, micro_ndcg
+      |FROM per CROSS JOIN m
+      |ORDER BY query_id""".stripMargin
+
+  // --- q208: one-vs-rest ranking AUC per label (centroid detector) ----------
+  // The eval metric the quality-classifier family still lacked: for each
+  // label L, treat "rounded squared L2 to the label-L centroid" as a
+  // detector score and compute its Mann-Whitney AUC against the true
+  // labels — P(random positive ranks above random negative), ties at
+  // averaged ranks. Everything is exact: distances are the rounded-6
+  // portable kind, ranks come VALUE-GROUPED (per distinct distance:
+  // strictly-better count from an ordered prefix over the value table —
+  // the q49/q192 shape, so the window runs over value cardinality, not
+  // rows; the sliced-prefix form is the documented 100 TB swap), and
+  // 2·avg_rank = 2·rank_min + ties − 1 keeps the tie correction on the
+  // integer grid. AUC = (U2 − n_pos·(n_pos+1)) / (2·n_pos·n_neg) with
+  // decimal(38,0) products and one 1e-9 snap (n² crosses 2^53 at corpus
+  // scale — the q154 rule).
+  def q208(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val big = "decimal(38,0)"
+    def grid9(c: org.apache.spark.sql.Column) =
+      round(c * 1e9).cast("long").cast("double") / 1e9
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"label",
+      graft.functions.VectorFunctions.asDouble($"embedding").as("e"))
+    val cent = emb
+      .select($"label".as("cl"), posexplode($"e").as(Seq("pos", "v")))
+      .groupBy($"cl", $"pos")
+      .agg(round(sum($"v".cast("decimal(18,9)")).cast("double") / count(lit(1)), 6)
+        .as("cv"))
+      .groupBy($"cl")
+      .agg(array_sort(collect_list(struct($"pos", $"cv")))
+        .getField("cv").as("centroid"))
+    val scored = emb.crossJoin(broadcast(cent))
+      .select($"cl", $"label",
+        graft.operators.Similarity.sqDistRounded($"e", $"centroid").as("d0"))
+    val byVal = scored.groupBy($"cl", $"d0")
+      .agg(count(lit(1)).as("nv"),
+        sum(when($"label" === $"cl", 1L).otherwise(0L)).as("npv"))
+    val wv = Window.partitionBy($"cl").orderBy($"d0".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byVal
+      .withColumn("cgt", coalesce(sum($"nv").over(wv), lit(0L)))
+    val sums = ranked
+      .withColumn("u2c", $"npv" * (lit(2) * ($"cgt" + 1) + $"nv" - 1))
+      .groupBy($"cl")
+      .agg(sum($"u2c").as("u2"), sum($"npv").as("np"), sum($"nv").as("n"))
+      .withColumn("nn", $"n" - $"np")
+    sums.select($"cl".as("label"), $"np".as("n_pos"), $"nn".as("n_neg"),
+        grid9(($"u2".cast(big) - $"np".cast(big) * ($"np" + 1).cast(big))
+          .cast("double") /
+          (lit(2).cast(big) * $"np".cast(big) * $"nn".cast(big)).cast("double"))
+          .as("auc"))
+      .orderBy($"label")
+  }
+  val q208Sql: String =
+    s"""WITH emb AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      |cent AS (
+      |  SELECT label AS cl, pos,
+      |    ROUND(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS cv
+      |  FROM (SELECT label, unnest(range(0, len(e))) AS pos, unnest(e) AS v
+      |        FROM emb)
+      |  GROUP BY label, pos),
+      |centv AS (SELECT cl, list(cv ORDER BY pos) AS c FROM cent GROUP BY cl),
+      |scored AS (
+      |  SELECT cv.cl, x.label, ${sqd("x.e", "cv.c")} AS d0
+      |  FROM emb x CROSS JOIN centv cv),
+      |byval AS (
+      |  SELECT cl, d0, CAST(COUNT(*) AS BIGINT) AS nv,
+      |    CAST(SUM(CASE WHEN label = cl THEN 1 ELSE 0 END) AS BIGINT) AS npv
+      |  FROM scored GROUP BY cl, d0),
+      |ranked AS (
+      |  SELECT cl, nv, npv,
+      |    COALESCE(SUM(nv) OVER (PARTITION BY cl ORDER BY d0 DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cgt
+      |  FROM byval),
+      |sums AS (
+      |  SELECT cl, CAST(SUM(npv * (2 * (cgt + 1) + nv - 1)) AS HUGEINT) AS u2,
+      |    CAST(SUM(npv) AS BIGINT) AS np, CAST(SUM(nv) AS BIGINT) AS n
+      |  FROM ranked GROUP BY cl)
+      |SELECT cl AS label, np AS n_pos, CAST(n - np AS BIGINT) AS n_neg,
+      |  CAST(CAST(round(CAST(u2 - CAST(np AS HUGEINT) * (np + 1) AS DOUBLE)
+      |    / CAST(CAST(2 AS HUGEINT) * np * (n - np) AS DOUBLE) * 1e9) AS BIGINT)
+      |    AS DOUBLE) / 1e9 AS auc
+      |FROM sums
+      |ORDER BY label""".stripMargin
+
   // --- q180: chance-corrected agreement (Cohen's kappa) ---------------------
   // The aggregate companion to q178's per-class table: observed accuracy
   // po = Σ tp / N, chance agreement pe = Σ_c (true_c · pred_c) / N², and
@@ -1402,6 +1580,8 @@ object Vectors {
     ("q178_classifier_eval", q178 _, Some(q178Sql)),
     ("q180_cohens_kappa", q180 _, Some(q180Sql)),
     ("q181_ann_recall", q181 _, Some(q181Sql)),
+    ("q207_ndcg_eval", q207 _, Some(q207Sql)),
+    ("q208_auc_eval", q208 _, Some(q208Sql)),
     ("q182_jl_projection", q182 _, Some(q182Sql)),
     ("q184_hard_negatives", q184 _, Some(q184Sql)))
 }

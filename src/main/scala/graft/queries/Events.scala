@@ -1762,8 +1762,89 @@ object Events {
       |GROUP BY 1
       |ORDER BY day""".stripMargin
 
+  // --- q209: streaming hourly top-k event types ------------------------------
+  // The "trending now" board: incremental windowed counts maintained by
+  // the stream (q34's hourlyTrend — the state-bounded part), topped with
+  // a presentation-time rank over the drained per-hour table. Ranking
+  // inside a streaming plan is unsupported (and unnecessary — the window
+  // counts are the only event-sized work; the rank input is hours×types
+  // rows), so the split IS the architecture: stream maintains, batch
+  // ranks. Deterministic (n desc, event_type) tie-break; exact counts.
+  def q209(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val trend = graft.streaming.Streams.hourlyTrend(
+      graft.streaming.Streams.eventsStream(s, d))
+    val drained = graft.streaming.Streams.runToMemory(s, trend, "q209_sink")
+    drained
+      .withColumn("rank", row_number().over(Window.partitionBy($"hour_start")
+        .orderBy($"n_events".desc, $"event_type")))
+      .filter($"rank" <= 3)
+      .select($"hour_start", $"rank", $"event_type", $"n_events")
+      .orderBy($"hour_start", $"rank")
+  }
+  val q209Sql: String =
+    """WITH h AS (
+      |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |    event_type, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2)
+      |SELECT hour_start, rank, event_type, n_events FROM (
+      |  SELECT hour_start, event_type, n_events,
+      |    ROW_NUMBER() OVER (PARTITION BY hour_start
+      |      ORDER BY n_events DESC, event_type) AS rank
+      |  FROM h)
+      |WHERE rank <= 3
+      |ORDER BY hour_start, rank""".stripMargin
+
+  // --- q210: drift monitor ON the maintained view ---------------------------
+  // The IVM closure: q202's day-over-day JSD computed from the
+  // incrementally-maintained hourly rollup (streaming/Rollup — q129's
+  // versioned merge table) instead of the raw event history, staged once
+  // per dataset content. The oracle is q202Sql VERBATIM (raw-history
+  // restatement): hash equality proves analytics on the maintained view
+  // equal analytics on the history it summarizes — which is the entire
+  // justification for maintaining views at 100 TB, where the rollup is
+  // hours×types-sized and the history is not. Day counts aggregate from
+  // the view's hour grain (exact integer sums); JSD terms follow q202's
+  // 1e-9-snap convention unchanged.
+  def q210(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val staged = graft.Stage.derived("hourly_rollup_view", d) { p =>
+      graft.streaming.Rollup.hourlyRollupSink(s, d,
+        tablePath = s"$p/table", checkpointDir = s"$p/ckpt")
+    }
+    val view = graft.streaming.Rollup.readRollup(s, s"$staged/table")
+    val byDay = view
+      .select(expr("unix_timestamp(hour_start, 'yyyy-MM-dd HH:mm:ss') div 86400")
+          .as("day"),
+        $"event_type", $"n_events")
+      .groupBy($"day", $"event_type").agg(sum($"n_events").as("c"))
+    val tot = byDay.groupBy($"day").agg(sum($"c").as("n"))
+    val cur = byDay.select($"day", $"event_type", $"c".as("c_c"))
+    val prev = byDay.select(($"day" + 1).as("day"), $"event_type", $"c".as("c_p"))
+    val aligned = cur.join(prev, Seq("day", "event_type"), "full_outer")
+      .join(broadcast(tot.select($"day", $"n".as("n_c"))), "day")
+      .join(broadcast(tot.select(($"day" + 1).as("day"), $"n".as("n_p"))), "day")
+    val p = coalesce($"c_c", lit(0L)) * lit(1.0) / $"n_c"
+    val q = coalesce($"c_p", lit(0L)) * lit(1.0) / $"n_p"
+    val m = (p + q) / lit(2.0)
+    val contrib = lit(0.5) *
+      (when($"c_c".isNotNull, p * log(p / m)).otherwise(lit(0.0)) +
+        when($"c_p".isNotNull, q * log(q / m)).otherwise(lit(0.0)))
+    aligned
+      .withColumn("e9", round(contrib * lit(1e9)).cast("long"))
+      .groupBy($"day")
+      .agg(min($"n_c").as("n_events"), sum($"e9").as("jsd_e9"))
+      .select($"day", $"n_events",
+        ($"jsd_e9".cast("double") / lit(1e9)).as("jsd_vs_prev"))
+      .orderBy($"day")
+  }
+  lazy val q210Sql: String = q202Sql
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q202_daily_drift_jsd", q202 _, Some(q202Sql)),
+    ("q209_stream_hourly_topk", q209 _, Some(q209Sql)),
+    ("q210_view_drift_jsd", q210 _, Some(q210Sql)),
     ("q204_sketch_rollup", q204 _, Some(q204Sql)),
     ("q24_hourly_trend", q24 _, Some(q24Sql)),
     ("q25_tumbling_window", q25 _, Some(q25Sql)),

@@ -1841,8 +1841,102 @@ object Events {
   }
   lazy val q210Sql: String = q202Sql
 
+  // --- q211: time-decayed engagement score (exponential decay rollup) -------
+  // The recency-weighted popularity primitive behind trending ranks and
+  // churn features: each event contributes exp(−age/τ) with τ = 7 days,
+  // summed per user, top-20. Exactness: ages are exact µs integers
+  // (< 2^53), the per-event exponential is snapped to 1e-6 BEFORE
+  // aggregation (exp may differ 1 ulp between libm and java.lang.Math —
+  // the q39/q106 rule), sums are exact longs, and the top-20 cut orders
+  // by the integer score — one scan, one user-keyed aggregation,
+  // TakeOrderedAndProject.
+  def q211(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mx = Tables.events(s, d).agg(max($"ts").as("tmax"))
+    Tables.events(s, d).crossJoin(broadcast(mx))
+      .withColumn("e6",
+        round(exp(-(expr("(tmax - ts) div 1000").cast("double") / lit(6.048e11)))
+          * lit(1e6)).cast("long"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"e6").as("score6"))
+      .select($"user_id", $"n_events",
+        ($"score6".cast("double") / 1e6).as("decayed_score"), $"score6")
+      .orderBy($"score6".desc, $"user_id")
+      .limit(20)
+      .drop("score6")
+  }
+  val q211Sql: String =
+    """WITH mx AS (SELECT MAX(epoch_us(ts)) AS tmax FROM events),
+      |e AS (
+      |  SELECT user_id,
+      |    CAST(round(exp(-(CAST(tmax - epoch_us(ts) AS DOUBLE) / 6.048e11)) * 1e6)
+      |      AS BIGINT) AS e6
+      |  FROM events, mx)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(e6) AS DOUBLE) / 1e6 AS decayed_score
+      |FROM e
+      |GROUP BY user_id
+      |ORDER BY SUM(e6) DESC, user_id
+      |LIMIT 20""".stripMargin
+
+  // --- q212: conversion-latency percentiles (view → first purchase) ---------
+  // The SLA view of q58's interval join: per view, the latency to its
+  // FIRST purchase within the hour window; percentiles of those
+  // latencies by day-of-week of the view. Latencies are exact integer
+  // seconds (ns arithmetic, div-truncated); the p50/p90/p99 follow the
+  // q66 convention (Spark percentile() and DuckDB quantile_cont share
+  // the (1−α)·a + α·β interpolation; round(6) absorbs the final-op
+  // wobble). Day-of-week comes from pure epoch-day arithmetic
+  // ((day + 4) mod 7, Monday=0) so no calendar function has to agree
+  // across engines. One user-keyed join bounded by the hour window + a
+  // view-keyed min + a 7-group aggregate.
+  def q212(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val views = ev.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id".as("u"), $"ts".as("v_ns"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"ts".as("p_ns"))
+    val first = views.join(purchases,
+        $"u" === $"pu" && $"p_ns" >= $"v_ns" &&
+          $"p_ns" <= $"v_ns" + lit(3600L * 1000000000L))
+      .groupBy($"view_id", $"v_ns")
+      .agg(min($"p_ns").as("first_p_ns"))
+    first
+      .withColumn("latency_s", expr("(first_p_ns - v_ns) div 1000000000"))
+      .withColumn("dow", expr("((v_ns div 1000000000 div 86400) + 3) % 7"))
+      .groupBy($"dow")
+      .agg(count(lit(1)).as("n_conversions"),
+        round(expr("percentile(latency_s, 0.5)"), 6).as("p50_s"),
+        round(expr("percentile(latency_s, 0.9)"), 6).as("p90_s"),
+        round(expr("percentile(latency_s, 0.99)"), 6).as("p99_s"))
+      .orderBy($"dow")
+  }
+  val q212Sql: String =
+    """WITH v AS (
+      |  SELECT event_id AS view_id, user_id, epoch_us(ts) AS vus
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT user_id, epoch_us(ts) AS pus
+      |  FROM events WHERE event_type = 'purchase'),
+      |first AS (
+      |  SELECT v.view_id, v.vus, MIN(p.pus) AS fpus
+      |  FROM v JOIN p ON v.user_id = p.user_id
+      |    AND p.pus >= v.vus AND p.pus <= v.vus + 3600000000
+      |  GROUP BY v.view_id, v.vus)
+      |SELECT ((vus // 1000000 // 86400) + 3) % 7 AS dow,
+      |  CAST(COUNT(*) AS BIGINT) AS n_conversions,
+      |  ROUND(quantile_cont((fpus - vus) // 1000000, 0.5), 6) AS p50_s,
+      |  ROUND(quantile_cont((fpus - vus) // 1000000, 0.9), 6) AS p90_s,
+      |  ROUND(quantile_cont((fpus - vus) // 1000000, 0.99), 6) AS p99_s
+      |FROM first
+      |GROUP BY 1
+      |ORDER BY dow""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q202_daily_drift_jsd", q202 _, Some(q202Sql)),
+    ("q211_decayed_engagement", q211 _, Some(q211Sql)),
+    ("q212_conversion_latency", q212 _, Some(q212Sql)),
     ("q209_stream_hourly_topk", q209 _, Some(q209Sql)),
     ("q210_view_drift_jsd", q210 _, Some(q210Sql)),
     ("q204_sketch_rollup", q204 _, Some(q204Sql)),

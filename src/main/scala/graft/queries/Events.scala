@@ -1933,8 +1933,60 @@ object Events {
       |GROUP BY 1
       |ORDER BY dow""".stripMargin
 
+  // --- q213: point-in-time dimension join (leakage-free feature lookup) -----
+  // The feature-store correctness primitive: each purchase (the LABEL
+  // event) joins the SCD2 state interval that was valid STRICTLY BEFORE
+  // it — vf < ts ≤ vt — so a purchase that itself opened a new interval
+  // attributes to the user's PRIOR state, never to information carried
+  // by the label event. Training pipelines that join features at
+  // as-of-label-time instead of strictly-before leak the label; this
+  // query is that rule as an operator, rolled up as purchase counts by
+  // prior engagement state (first-ever events fall out as a cold-start
+  // bucket via the left join). Intervals partition each user's timeline,
+  // so the range predicate matches at most one row — the join is
+  // user-keyed with a per-user interval list, the q29/q77 banded shape.
+  def q213(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val intervals = ev
+      .withColumn("prev_type", lag($"event_type", 1).over(wOrd))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+      .withColumn("vt", lead($"ts", 1).over(wOrd))
+      .select($"user_id".as("du"), $"event_type".as("state"), $"ts".as("vf"), $"vt")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts")
+    purchases.join(intervals,
+        $"user_id" === $"du" && $"vf" < $"ts" &&
+          ($"vt".isNull || $"ts" <= $"vt"), "left")
+      .groupBy(coalesce($"state", lit("(cold start)")).as("prior_state"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"prior_state")
+  }
+  val q213Sql: String =
+    """WITH ch AS (
+      |  SELECT user_id, event_type AS state, ts, event_id FROM (
+      |    SELECT user_id, event_type, ts, event_id,
+      |      LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |    FROM events)
+      |  WHERE prev_type IS NULL OR prev_type <> event_type),
+      |iv AS (
+      |  SELECT user_id AS du, state, ts AS vf,
+      |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+      |  FROM ch),
+      |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT COALESCE(iv.state, '(cold start)') AS prior_state,
+      |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |  CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users
+      |FROM p LEFT JOIN iv ON iv.du = p.user_id
+      |  AND iv.vf < p.ts AND (iv.vt IS NULL OR p.ts <= iv.vt)
+      |GROUP BY 1
+      |ORDER BY prior_state""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q202_daily_drift_jsd", q202 _, Some(q202Sql)),
+    ("q213_point_in_time_join", q213 _, Some(q213Sql)),
     ("q211_decayed_engagement", q211 _, Some(q211Sql)),
     ("q212_conversion_latency", q212 _, Some(q212Sql)),
     ("q209_stream_hourly_topk", q209 _, Some(q209Sql)),

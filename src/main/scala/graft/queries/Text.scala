@@ -2739,14 +2739,50 @@ object Text {
   // invocations — and every later JVM — pay the probe only, matching
   // production where the build is an ingest-time step and the probe is
   // the steady state.
-  def q161(s: SparkSession, d: String): DataFrame = {
-    val base = graft.Stage.derived("invidx_b64", d) { p =>
+  /** The dataset's staged positional inverted index (Stage.derived:
+    * built once per source content; shared by q161's probe and q214's
+    * health report — one serving artifact, two access paths). */
+  private def textIdx(s: SparkSession, d: String): java.nio.file.Path =
+    graft.Stage.derived("invidx_b64", d) { p =>
       graft.sources.InvertedIndex.build(Tables.documents(s, d), p.toString)
     }
+
+  def q161(s: SparkSession, d: String): DataFrame = {
+    val base = textIdx(s, d)
     graft.sources.InvertedIndex.phraseProbe(s, base.toString,
       Seq("slow", "hash", "batch")).limit(20)
   }
 
+
+  // --- q214: inverted-index health report (global content audit) -----------
+  // Index observability: document frequency and posting counts for the
+  // heaviest terms, read FROM THE STAGED INDEX itself — while the oracle
+  // recomputes them from the raw corpus. q161 proves probe answers
+  // match; this proves the index's GLOBAL content (every posting, every
+  // term) reconciles with the corpus — the audit a search deployment
+  // runs after each ingest cycle, and exactly the stats a BM25/phrase
+  // planner needs (df for idf, posting sizes for cost estimates). Work
+  // is index-scan + one term-keyed aggregation; top-20 by
+  // (df desc, postings desc, term) ends in TakeOrderedAndProject.
+  def q214(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(textIdx(s, d).toString)
+      .groupBy($"term")
+      .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("n_postings"))
+      .orderBy($"df".desc, $"n_postings".desc, $"term")
+      .limit(20)
+  }
+  val q214Sql: String =
+    """SELECT tok AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+      |  CAST(COUNT(*) AS BIGINT) AS n_postings
+      |FROM (
+      |  SELECT doc_id,
+      |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+      |  FROM documents)
+      |WHERE len(tok) > 0
+      |GROUP BY tok
+      |ORDER BY df DESC, n_postings DESC, term
+      |LIMIT 20""".stripMargin
 
   // --- q189: incremental inverted-index maintenance -------------------------
   // The index-maintenance contract q161's build-once layout implies: the
@@ -2867,6 +2903,7 @@ object Text {
     ("q198_bigram_nll", q198 _, Some(q198Sql)),
     ("q205_cluster_canonicalize", q205 _, Some(q205Sql)),
     ("q206_mix_allocation", q206 _, Some(q206Sql)),
+    ("q214_index_stats", q214 _, Some(q214Sql)),
     ("q179_facet_mi", q179 _, Some(q179Sql)),
     ("q186_langid_eval", q186 _, Some(q186Sql)),
     ("q187_source_dup_rate", q187 _, Some(q187Sql)),

@@ -516,6 +516,159 @@ object Text {
       |WHERE jaccard >= 0.6
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --- q216: cross-split contamination audit (near-dups straddling splits) --
+  // The leakage check q89's split and q45's near-dup detection exist to
+  // feed: near-duplicate pairs whose members land in DIFFERENT
+  // train/val/test splits are evaluation contamination (the val doc is
+  // effectively in training), and hash-based splitting cannot prevent
+  // it — near-dups hash independently. Pairs come from the proven
+  // banding+rerank operator; splits from q89's portable md5 rule; the
+  // report is pair counts per unordered split combination with an
+  // is_leak flag (off-diagonal = contaminated). Exact counts; the heavy
+  // stage is the audited q45 candidate generation.
+  def q216(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val bucket = conv(substring(md5(concat_ws("|", $"source", $"doc_id")), 1, 14),
+      16, 10).cast("long") % 100
+    val split = docs
+      .withColumn("split",
+        when(bucket < 10, "test")
+          .when(bucket < when($"source" === "src0", 30).otherwise(20), "val")
+          .otherwise("train"))
+      .select($"doc_id", $"split")
+    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.6, eagerSkewProbe = true)
+    pairs
+      .join(split.select($"doc_id".as("doc_a"), $"split".as("sa")), "doc_a")
+      .join(split.select($"doc_id".as("doc_b"), $"split".as("sb")), "doc_b")
+      .select(least($"sa", $"sb").as("split_lo"),
+        greatest($"sa", $"sb").as("split_hi"))
+      .groupBy($"split_lo", $"split_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak", $"split_lo" =!= $"split_hi")
+      .orderBy($"split_lo", $"split_hi")
+  }
+  val q216Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM (SELECT doc_id,
+      |          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |        FROM documents)
+      |  WHERE len(t) >= 3),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |      len(list_intersect(a.s, b.s)) * 1.0
+      |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |  WHERE jaccard >= 0.6),
+      |sp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN b < 10 THEN 'test'
+      |         WHEN b < (CASE WHEN source = 'src0' THEN 30 ELSE 20 END) THEN 'val'
+      |         ELSE 'train' END AS split
+      |  FROM (SELECT source, doc_id,
+      |          ('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 AS b
+      |        FROM documents))
+      |SELECT LEAST(a.split, b.split) AS split_lo,
+      |  GREATEST(a.split, b.split) AS split_hi,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  LEAST(a.split, b.split) <> GREATEST(a.split, b.split) AS is_leak
+      |FROM pairs
+      |JOIN sp a ON a.doc_id = pairs.doc_a
+      |JOIN sp b ON b.doc_id = pairs.doc_b
+      |GROUP BY 1, 2
+      |ORDER BY split_lo, split_hi""".stripMargin
+
+  // --- q217: two-sample Kolmogorov–Smirnov drift test between sources ------
+  // The distribution-shape companion to q202's categorical JSD and
+  // q203's centroid drift: for every source pair, the KS statistic
+  // D = max |F_a − F_b| over per-document token counts — the standard
+  // "did this feed's length profile shift" test. Exactness: D is
+  // computed ENTIRELY on integers — value-grouped counts, cumulative
+  // sums per pair, numerator max|cum_a·n_b − cum_b·n_a| — with decimal
+  // products (counts cross 2^53 at corpus scale) and ONE snapped
+  // division at the end. The per-pair cumulative window runs over value
+  // CARDINALITY (distinct lengths), not rows; sources² pairs are a
+  // handful of rows.
+  def q217(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val big = "decimal(38,0)"
+    val counts = Tables.documents(s, d)
+      .select($"source", size(tokens($"text")).cast("long").as("v"))
+      .groupBy($"source", $"v").agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy($"source").agg(sum($"c").as("n"))
+    val prs = tot.as("a").join(tot.as("b"), $"a.source" < $"b.source")
+      .select($"a.source".as("pa"), $"b.source".as("pb"),
+        $"a.n".as("na"), $"b.n".as("nb"))
+    val ca = counts.join(broadcast(prs), $"source" === $"pa")
+      .select($"pa", $"pb", $"na", $"nb", $"v", $"c".as("c_a"))
+    val cb = counts.join(broadcast(prs), $"source" === $"pb")
+      .select($"pa".as("pa2"), $"pb".as("pb2"), $"v".as("v2"), $"c".as("c_b"))
+    val merged = ca.join(cb,
+        $"pa" === $"pa2" && $"pb" === $"pb2" && $"v" === $"v2", "full_outer")
+      .select(coalesce($"pa", $"pa2").as("pa"), coalesce($"pb", $"pb2").as("pb"),
+        coalesce($"v", $"v2").as("v"),
+        coalesce($"c_a", lit(0L)).as("c_a"), coalesce($"c_b", lit(0L)).as("c_b"))
+      .join(broadcast(prs.select($"pa".as("pa3"), $"pb".as("pb3"), $"na", $"nb")),
+        $"pa" === $"pa3" && $"pb" === $"pb3")
+    val w = Window.partitionBy($"pa", $"pb").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    merged
+      .withColumn("cum_a", sum($"c_a").over(w))
+      .withColumn("cum_b", sum($"c_b").over(w))
+      .withColumn("dnum", abs($"cum_a".cast(big) * $"nb".cast(big) -
+        $"cum_b".cast(big) * $"na".cast(big)))
+      .groupBy($"pa".as("src_a"), $"pb".as("src_b"))
+      .agg(max($"na").as("n_a"), max($"nb").as("n_b"),
+        max($"dnum").as("dmax"))
+      .select($"src_a", $"src_b", $"n_a", $"n_b",
+        (round($"dmax".cast("double") /
+            ($"n_a".cast(big) * $"n_b".cast(big)).cast("double") * 1e9)
+          .cast("long").cast("double") / 1e9).as("ks_d"))
+      .orderBy($"src_a", $"src_b")
+  }
+  val q217Sql: String =
+    """WITH counts AS (
+      |  SELECT source,
+      |    CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+      |      AS BIGINT) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY source),
+      |prs AS (
+      |  SELECT a.source AS pa, b.source AS pb, a.n AS na, b.n AS nb
+      |  FROM tot a JOIN tot b ON a.source < b.source),
+      |merged AS (
+      |  SELECT p.pa, p.pb, p.na, p.nb, u.v,
+      |    COALESCE(ca.c, 0) AS c_a, COALESCE(cb.c, 0) AS c_b
+      |  FROM prs p
+      |  JOIN (SELECT DISTINCT x.pa, x.pb, c.v
+      |        FROM prs x JOIN counts c ON c.source IN (x.pa, x.pb)) u
+      |    ON u.pa = p.pa AND u.pb = p.pb
+      |  LEFT JOIN counts ca ON ca.source = p.pa AND ca.v = u.v
+      |  LEFT JOIN counts cb ON cb.source = p.pb AND cb.v = u.v),
+      |cums AS (
+      |  SELECT pa, pb, na, nb,
+      |    SUM(c_a) OVER (PARTITION BY pa, pb ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+      |    SUM(c_b) OVER (PARTITION BY pa, pb ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+      |  FROM merged)
+      |SELECT pa AS src_a, pb AS src_b,
+      |  CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+      |  CAST(CAST(round(CAST(MAX(abs(CAST(cum_a AS HUGEINT) * nb
+      |      - CAST(cum_b AS HUGEINT) * na)) AS DOUBLE)
+      |    / CAST(CAST(MAX(na) AS HUGEINT) * MAX(nb) AS DOUBLE) * 1e9) AS BIGINT)
+      |    AS DOUBLE) / 1e9 AS ks_d
+      |FROM cums
+      |GROUP BY pa, pb
+      |ORDER BY src_a, src_b""".stripMargin
+
   // --- q46: SimHash near-dup pairs ----------------------------------------
   // The 56-bit sketch is md5-derived (portable), and byte banding has
   // guaranteed recall at hamming ≤ 6 (pigeonhole over 7 bands), so the LSH
@@ -2904,6 +3057,8 @@ object Text {
     ("q205_cluster_canonicalize", q205 _, Some(q205Sql)),
     ("q206_mix_allocation", q206 _, Some(q206Sql)),
     ("q214_index_stats", q214 _, Some(q214Sql)),
+    ("q216_split_leakage", q216 _, Some(q216Sql)),
+    ("q217_ks_drift", q217 _, Some(q217Sql)),
     ("q179_facet_mi", q179 _, Some(q179Sql)),
     ("q186_langid_eval", q186 _, Some(q186Sql)),
     ("q187_source_dup_rate", q187 _, Some(q187Sql)),

@@ -678,6 +678,44 @@ object Vectors {
   }
   val q197Sql: String = q141Sql
 
+  // --- q215: IVF cell-balance health report (vector-index observability) ---
+  // q214's audit for the vector index: per-cell code counts read FROM
+  // THE STAGED LAYOUT, each with its load factor n_codes·k/n (1.0 =
+  // perfectly balanced) — the diagnostic that decides when a coarse
+  // quantizer needs retraining (a hot cell defeats partition pruning:
+  // probes that hit it read a disproportionate share of the index's
+  // files). The oracle recomputes the assignment from scratch, so the
+  // report also re-proves the staged codes table's global cell content
+  // (build + any appends) against the quantizer definition. Products
+  // route through decimal before the single snapped division (counts
+  // cross 2^53 at corpus scale). Index-scan + one cell-keyed agg.
+  def q215(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = s.read.parquet(s"${vecIdx(s, d)}/codes")
+      .groupBy($"cell").agg(count(lit(1)).as("n_codes"))
+    val tot = counts.agg(sum($"n_codes").as("n"), count(lit(1)).as("k"))
+    counts.crossJoin(broadcast(tot))
+      .select($"cell", $"n_codes",
+        (round(($"n_codes".cast("decimal(38,0)") * $"k".cast("decimal(38,0)"))
+            .cast("double") / $"n".cast("double") * 1e9)
+          .cast("long").cast("double") / 1e9).as("load_factor"))
+      .orderBy($"cell")
+  }
+  val q215Sql: String =
+    s"""WITH emb AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e, len(embedding) AS d FROM embeddings
+      |), kc0 AS (SELECT vec_id AS cell, e AS c FROM emb ORDER BY vec_id LIMIT 8),
+      |ka0 AS (${kmAssign("kc0")}),
+      |kc1 AS (${kmUpdate("ka0")}),
+      |cells AS (SELECT vec_id, cell FROM (${kmAssign("kc1")}) t),
+      |c AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_codes FROM cells GROUP BY cell),
+      |t AS (SELECT CAST(SUM(n_codes) AS BIGINT) AS n, COUNT(*) AS k FROM c)
+      |SELECT cell, n_codes,
+      |  CAST(CAST(round(CAST(CAST(n_codes AS HUGEINT) * k AS DOUBLE)
+      |    / CAST(n AS DOUBLE) * 1e9) AS BIGINT) AS DOUBLE) / 1e9 AS load_factor
+      |FROM c CROSS JOIN t
+      |ORDER BY cell""".stripMargin
+
   // --- q201: streaming index ingest (VectorIndex.append per micro-batch) ---
   // q194's append contract under a STREAM: the ingest batch arrives as a
   // two-file backlog drained with maxFilesPerTrigger=1, so the index
@@ -1576,6 +1614,7 @@ object Vectors {
     ("q197_stream_ann_probe", q197 _, Some(q197Sql)),
     ("q201_stream_index_ingest", q201 _, Some(q201Sql)),
     ("q203_centroid_drift", q203 _, Some(q203Sql)),
+    ("q215_ivf_cell_balance", q215 _, Some(q215Sql)),
     ("q176_rrf_fusion", q176 _, Some(q176Sql)),
     ("q178_classifier_eval", q178 _, Some(q178Sql)),
     ("q180_cohens_kappa", q180 _, Some(q180Sql)),

@@ -537,9 +537,7 @@ object Text {
           .when(bucket < when($"source" === "src0", 30).otherwise(20), "val")
           .otherwise("train"))
       .select($"doc_id", $"split")
-    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
-      k = 3, threshold = 0.6, eagerSkewProbe = true)
-    pairs
+    stagedNearDupPairs(s, d)
       .join(split.select($"doc_id".as("doc_a"), $"split".as("sa")), "doc_a")
       .join(split.select($"doc_id".as("doc_b"), $"split".as("sb")), "doc_b")
       .select(least($"sa", $"sb").as("split_lo"),
@@ -780,11 +778,35 @@ object Text {
   // Connected components over the q45 pair graph (min-label propagation);
   // the component minimum is the kept document. The oracle states the same
   // closure with a recursive CTE over the same brute-force pair set.
+  /** The dataset's staged near-duplicate graph: MinHash-banded pairs
+    * (k=3, threshold 0.6 — the q45 parameters) and their connected-
+    * component cluster table, materialized ONCE per dataset content
+    * (Stage.derived, the CoPurchase/index precedent). Three consumers —
+    * q82's cluster listing, q205's keep-best canonicalization, q216's
+    * split-leakage audit — used to re-run banding + clustering each;
+    * in production the dedup graph is an ingest-time artifact refreshed
+    * with the corpus, and the staged tables hold exactly the rows the
+    * inline operators produce (a parquet round-trip of long ids is
+    * lossless), so every consumer's oracle hash is unchanged. q45 keeps
+    * the inline operator as the banding demonstrator/benchmark. */
+  private def nearDupStage(s: SparkSession, d: String): java.nio.file.Path =
+    graft.Stage.derived("neardup_clusters", d) { p =>
+      val pairs = Dedup.nearDuplicatePairs(Tables.documents(s, d),
+        "doc_id", "text", k = 3, threshold = 0.6, eagerSkewProbe = true)
+      pairs.write.mode("overwrite").parquet(s"$p/pairs.parquet")
+      Dedup.clusterPairs(s.read.parquet(s"$p/pairs.parquet"))
+        .write.mode("overwrite").parquet(s"$p/clusters.parquet")
+    }
+
+  private def stagedNearDupPairs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${nearDupStage(s, d)}/pairs.parquet")
+
+  private def stagedClusters(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${nearDupStage(s, d)}/clusters.parquet")
+
   def q82(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pairs = Dedup.nearDuplicatePairs(Tables.documents(s, d), "doc_id", "text",
-      k = 3, threshold = 0.6, eagerSkewProbe = true)
-    Dedup.clusterPairs(pairs).orderBy($"doc_id")
+    stagedClusters(s, d).orderBy($"doc_id")
   }
   // MATERIALIZED hints: without them DuckDB re-inlines the brute-force
   // pair join into every recursion step of `reach` (quadratic work per
@@ -834,9 +856,7 @@ object Text {
   def q205(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
-      k = 3, threshold = 0.6, eagerSkewProbe = true)
-    Dedup.clusterPairs(pairs)
+    stagedClusters(s, d)
       .join(docs.select($"doc_id", $"n_chars"), "doc_id")
       .groupBy($"cluster_rep".as("cluster"))
       .agg(count(lit(1)).as("n_members"),

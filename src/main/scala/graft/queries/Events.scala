@@ -1984,8 +1984,77 @@ object Events {
       |GROUP BY 1
       |ORDER BY prior_state""".stripMargin
 
+  // --- q218: dynamic partition pruning over the day-partitioned lake ------
+  // The 100 TB event lake is day-partitioned (Sources.writePartitioned —
+  // the layout every full-history fact table ships with). Static pruning
+  // (a literal day filter) is proven in SourcesSpec; this query exercises
+  // the RUNTIME form: the hot-day dimension is only known after an
+  // aggregation (days whose purchase revenue beats the daily mean), so no
+  // literal filter exists at plan time. Catalyst's dynamic partition
+  // pruning inserts a pruning subquery on the fact scan's partition column
+  // that reuses the broadcast dim — at plan-execution time only the hot
+  // days' directories are listed and read (EventsSpec asserts the
+  // dynamicpruning PartitionFilter AND that the pruned scan lists fewer
+  // partitions than the layout holds). The join key is typed to the
+  // partition column's inferred int type: a cast around a partition column
+  // would defeat the pruning rule.
+  //
+  // The hot-day rule stays in exact arithmetic: per-day revenue as an
+  // exact decimal(18,2) sum, and `rev * n_days > total` in decimal — no
+  // double mean whose rounding could flip a boundary day across engines.
+  /** The dataset's staged day-partitioned events layout (Stage.derived:
+    * built once per dataset content, reused across sessions). */
+  private[graft] def eventsByDayPath(s: SparkSession, d: String): String =
+    eventsByDay(s, d)
+
+  private def eventsByDay(s: SparkSession, d: String): String = {
+    val p = graft.Stage.derived("events_by_day", d) { p =>
+      graft.sources.Sources.writePartitioned(
+        Tables.events(s, d)
+          .withColumn("day", expr("(ts div 1000000000) div 86400")),
+        s"$p/events_day.parquet", "day")
+    }
+    s"$p/events_day.parquet"
+  }
+
+  def q218(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fact = s.read.parquet(eventsByDay(s, d))
+    val daily = Tables.events(s, d)
+      .filter($"event_type" === "purchase")
+      .groupBy(expr("(ts div 1000000000) div 86400").cast("int").as("day"))
+      .agg(sum($"value".cast("decimal(18,2)")).as("rev"))
+    val tot = daily.agg(sum($"rev").as("tot"), count(lit(1)).as("nd"))
+    val hot = daily.crossJoin(broadcast(tot)) // one-row bound
+      .filter($"rev" * $"nd" > $"tot")
+      .select($"day")
+    fact.join(broadcast(hot), "day")
+      .groupBy($"event_type")
+      .agg(countDistinct($"day").as("n_days"),
+        count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"event_type")
+  }
+  val q218Sql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 1000000 // 86400 AS day,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS rev
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |tot AS (SELECT SUM(rev) AS tot, COUNT(*) AS nd FROM daily),
+      |hot AS (SELECT day FROM daily, tot WHERE rev * nd > tot)
+      |SELECT e.event_type,
+      |  CAST(COUNT(DISTINCT epoch_us(e.ts) // 1000000 // 86400) AS BIGINT) AS n_days,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN hot ON epoch_us(e.ts) // 1000000 // 86400 = hot.day
+      |GROUP BY 1
+      |ORDER BY e.event_type""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q202_daily_drift_jsd", q202 _, Some(q202Sql)),
+    ("q218_dynamic_pruning", q218 _, Some(q218Sql)),
     ("q213_point_in_time_join", q213 _, Some(q213Sql)),
     ("q211_decayed_engagement", q211 _, Some(q211Sql)),
     ("q212_conversion_latency", q212 _, Some(q212Sql)),

@@ -86,6 +86,37 @@ class SourcesSpec extends AnyFunSuite {
     assert(allFiles == 1, s"expected 1 pruned partition, scan lists $allFiles")
   }
 
+  test("q218: dynamic partition pruning fires on the day-partitioned scan") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = queries.Events.q218(spark, "/root/testdata/sf0.001")
+    df.collect() // runtime pruning only happens when the plan executes
+    // AQE hides subtrees: AdaptiveSparkPlanExec and QueryStageExec are
+    // childless wrappers — unwrap both, plus ordinary children/subqueries
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = (p match {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case _ => Nil
+    }) ++ p.children.flatMap(scans) ++ p.subqueries.flatMap(scans)
+    val fact = scans(df.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("events_by_day")))
+    assert(fact.nonEmpty, "day-partitioned fact scan not found in plan")
+    val scan = fact.head
+    // the pruning filter must be DYNAMIC — injected by Catalyst's
+    // PartitionPruning rule from the broadcast dim, not a literal
+    assert(scan.partitionFilters.mkString(",").contains("dynamicpruning"),
+      s"expected a dynamicpruning PartitionFilter, got: ${scan.partitionFilters}")
+    // and it must have actually pruned: fewer partitions read than the
+    // layout holds (numPartitions is the post-pruning driver metric)
+    val layoutDays = spark.read
+      .parquet(queries.Events.eventsByDayPath(spark, "/root/testdata/sf0.001"))
+      .select("day").distinct().count()
+    val readDays = scan.metrics("numPartitions").value
+    assert(readDays > 0 && readDays < layoutDays,
+      s"dynamic pruning read $readDays of $layoutDays partitions — no pruning")
+  }
+
   test("http-json DSv2 source: one partition per url, executor-side fetch") {
     import com.sun.net.httpserver.HttpServer
     import java.net.InetSocketAddress

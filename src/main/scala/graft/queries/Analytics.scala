@@ -1374,7 +1374,89 @@ object Analytics {
       |ORDER BY auth DESC, node
       |LIMIT 20""".stripMargin
 
+  // --- q219: Poisson-bootstrap confidence intervals -------------------------
+  // The resampling method that actually works at 100 TB: classic bootstrap
+  // resamples (a shuffle per replicate) are replaced by per-row Poisson(1)
+  // weights — multinomial(n, 1/n) converges to independent Poisson(1)
+  // counts, so R replicates are ONE pass over the data with a replicate
+  // multiplier (a map-side explode), no data movement beyond the ordinary
+  // group-by. Weights are deterministic: a 56-bit md5 uniform (the q112
+  // sampling grid) inverted through the Poisson(1) CDF as literal integer
+  // thresholds on the same grid — both engines run the identical CASE, so
+  // replicate weights are bit-equal by construction. The tail is capped at
+  // w=9 (P ≈ 1.1e-10 per draw, and the cap is applied identically on both
+  // sides, so exactness is unconditional). Replicate means use the exact
+  // decimal-sum / single-division davg convention; the 2.5%/97.5% CI over
+  // the 64 replicate means is interpolated identically (percentile vs
+  // quantile_cont, the q212 precedent) and rounded to 6dp.
+  def q219(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // floor(CDF_Poisson(1)(k) * 2^56), k = 0..8
+    val t = Seq(26508507426831584L, 53017014853663168L, 66271268567078960L,
+      70689353138217560L, 71793874281002208L, 72014778509559136L,
+      72051595880985288L, 72056855505474736L, 72057512958535920L)
+    val o = Tables.orders(s, d)
+    val u = conv(substring(md5(concat(lit("boot|"), $"o_orderkey".cast("string"),
+      lit("|"), $"r".cast("string"))), 1, 14), 16, 10).cast("long")
+    val wt = t.zipWithIndex.foldRight(lit(9): org.apache.spark.sql.Column) {
+      case ((thr, k), rest) => when($"u" < thr, k).otherwise(rest)
+    }
+    val rep = o.select($"o_orderpriority", $"o_orderkey",
+        money($"o_totalprice").as("price"),
+        explode(sequence(lit(0), lit(63))).as("r"))
+      .withColumn("u", u)
+      .withColumn("wt", wt.cast("long"))
+      .groupBy($"o_orderpriority", $"r")
+      .agg((sum($"wt" * $"price").cast("double") / sum($"wt")).as("m"))
+    val point = o.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), davg($"o_totalprice").as("mean"))
+    point.join(
+        rep.groupBy($"o_orderpriority")
+          .agg(round(expr("percentile(m, 0.025)"), 6).as("lo95"),
+            round(expr("percentile(m, 0.975)"), 6).as("hi95")),
+        "o_orderpriority")
+      .select($"o_orderpriority", $"n", $"mean", $"lo95", $"hi95")
+      .orderBy($"o_orderpriority")
+  }
+  val q219Sql: String =
+    """WITH draws AS (
+      |  SELECT o_orderpriority, r.r AS r,
+      |    CAST(o_totalprice AS DECIMAL(14,2)) AS price,
+      |    ('0x' || substr(md5('boot|' || CAST(o_orderkey AS VARCHAR) || '|'
+      |      || CAST(r.r AS VARCHAR)), 1, 14))::BIGINT AS u
+      |  FROM orders CROSS JOIN (SELECT UNNEST(range(64)) AS r) r),
+      |weighted AS (
+      |  SELECT o_orderpriority, r, price,
+      |    CASE WHEN u < 26508507426831584 THEN 0
+      |         WHEN u < 53017014853663168 THEN 1
+      |         WHEN u < 66271268567078960 THEN 2
+      |         WHEN u < 70689353138217560 THEN 3
+      |         WHEN u < 71793874281002208 THEN 4
+      |         WHEN u < 72014778509559136 THEN 5
+      |         WHEN u < 72051595880985288 THEN 6
+      |         WHEN u < 72056855505474736 THEN 7
+      |         WHEN u < 72057512958535920 THEN 8
+      |         ELSE 9 END AS wt
+      |  FROM draws),
+      |rep AS (
+      |  SELECT o_orderpriority, r,
+      |    CAST(SUM(wt * price) AS DOUBLE) / CAST(SUM(wt) AS BIGINT) AS m
+      |  FROM weighted GROUP BY 1, 2),
+      |ci AS (
+      |  SELECT o_orderpriority,
+      |    ROUND(quantile_cont(m, 0.025), 6) AS lo95,
+      |    ROUND(quantile_cont(m, 0.975), 6) AS hi95
+      |  FROM rep GROUP BY 1),
+      |pt AS (
+      |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean
+      |  FROM orders GROUP BY 1)
+      |SELECT pt.o_orderpriority, pt.n, pt.mean, ci.lo95, ci.hi95
+      |FROM pt JOIN ci USING (o_orderpriority)
+      |ORDER BY pt.o_orderpriority""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q219_bootstrap_ci", q219 _, Some(q219Sql)),
     ("q196_label_propagation", q196 _, Some(q196Sql)),
     ("q199_personalized_pagerank", q199 _, Some(q199Sql)),
     ("q200_hits", q200 _, Some(q200Sql)),

@@ -1455,8 +1455,88 @@ object Analytics {
       |FROM pt JOIN ci USING (o_orderpriority)
       |ORDER BY pt.o_orderpriority""".stripMargin
 
+  // --- q220: Mann-Whitney U rank-sum test -----------------------------------
+  // The nonparametric A/B complement to the parametric family (q153
+  // chi-square, q160 CUPED, q217 KS): does one group's value distribution
+  // stochastically dominate the other's, without normality assumptions?
+  // Urgent vs low-priority order totals. Everything stays on exact
+  // integer grids until the final z: prices as cents (exact from the
+  // 2-decimal money grid), average ranks in DOUBLED units
+  // (2·avgrank = 2·C(v) − cnt(v) + 1 for a value v with cumulative count
+  // C(v) — an integer), the tie correction Σ(t³−t) as int64. The
+  // cumulative count uses the q49/EquiDepth two-phase sliced-prefix shape
+  // (64 integer-arithmetic slices, per-slice window + tiny offset table)
+  // instead of a single global-sort window — the distinct-value domain is
+  // what gets windowed, and even that is sliced. The one-row z computation
+  // is shared SQL text between engines; int64 is ample at test SFs and
+  // the 2^53-crossing products (S2R ~ n², T ~ n³ at corpus scale) would
+  // take the q154 decimal(38,0) route before the final double.
+  def q220(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val slices = 64
+    val ab = Tables.orders(s, d)
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .select(when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L).as("is_a"),
+        (money($"o_totalprice") * 100).cast("long").as("cents"))
+    val byV = ab.groupBy($"cents")
+      .agg(count(lit(1)).as("c"), sum($"is_a").as("ca"))
+    val bounds = byV.agg(min($"cents").as("lo"), max($"cents").as("hi"))
+    val sliced = byV.crossJoin(broadcast(bounds)) // one-row bound
+      .withColumn("slice", when($"hi" === $"lo", lit(0L)).otherwise(
+        ($"cents" - $"lo") * slices / ($"hi" - $"lo" + 1)).cast("int"))
+    val wLocal = Window.partitionBy($"slice").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wSlices = Window.orderBy($"slice")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val offsets = sliced.groupBy($"slice").agg(sum($"c").as("st"))
+      .withColumn("off", sum($"st").over(wSlices) - $"st")
+      .select($"slice", $"off")
+    val terms = sliced
+      .withColumn("lc", sum($"c").over(wLocal))
+      .join(broadcast(offsets), "slice")
+      .withColumn("cum", $"off" + $"lc")
+      .agg(sum($"ca" * (lit(2) * $"cum" - $"c" + 1)).as("s2r"),
+        sum($"c" * $"c" * $"c" - $"c").as("t3"),
+        sum($"ca").as("na"), sum($"c").as("n"))
+    terms.selectExpr("na AS n_a", "n - na AS n_b",
+        "CAST(s2r - na * (na + 1) AS DOUBLE) / 2 AS u_stat",
+        """ROUND((CAST(s2r - na * (na + 1) - na * (n - na) AS DOUBLE) / 2)
+          | / sqrt((CAST(na * (n - na) AS DOUBLE) / 12)
+          |   * (CAST(n + 1 AS DOUBLE)
+          |      - CAST(t3 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))),
+          | 6) AS z""".stripMargin.replace("\n", " "))
+  }
+  val q220Sql: String =
+    """WITH ab AS (
+      |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a,
+      |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |byv AS (
+      |  SELECT cents, CAST(COUNT(*) AS BIGINT) AS c,
+      |    CAST(SUM(is_a) AS BIGINT) AS ca
+      |  FROM ab GROUP BY 1),
+      |cum AS (
+      |  SELECT c, ca,
+      |    SUM(c) OVER (ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM byv),
+      |terms AS (
+      |  SELECT CAST(SUM(ca * (2 * cum - c + 1)) AS BIGINT) AS s2r,
+      |    CAST(SUM(c * c * c - c) AS BIGINT) AS t3,
+      |    CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(c) AS BIGINT) AS n
+      |  FROM cum)
+      |SELECT na AS n_a, n - na AS n_b,
+      |  CAST(s2r - na * (na + 1) AS DOUBLE) / 2 AS u_stat,
+      |  ROUND((CAST(s2r - na * (na + 1) - na * (n - na) AS DOUBLE) / 2)
+      |   / sqrt((CAST(na * (n - na) AS DOUBLE) / 12)
+      |     * (CAST(n + 1 AS DOUBLE)
+      |        - CAST(t3 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))),
+      |   6) AS z
+      |FROM terms""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q219_bootstrap_ci", q219 _, Some(q219Sql)),
+    ("q220_mann_whitney", q220 _, Some(q220Sql)),
     ("q196_label_propagation", q196 _, Some(q196Sql)),
     ("q199_personalized_pagerank", q199 _, Some(q199Sql)),
     ("q200_hits", q200 _, Some(q200Sql)),

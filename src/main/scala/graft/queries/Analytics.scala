@@ -1534,9 +1534,125 @@ object Analytics {
       |   6) AS z
       |FROM terms""".stripMargin
 
+  // --- q221: Adamic-Adar link prediction ------------------------------------
+  // "Which items SHOULD be co-purchased but aren't yet?" — the classic
+  // link-prediction score over the staged co-purchase graph: for every
+  // non-adjacent pair sharing neighbors, AA(x,y) = Σ_z 1/ln(deg z) over
+  // common neighbors z, discounting hub-mediated evidence (Adamic & Adar
+  // 2003). Candidates come from the wedge join (adjacency ⋈ adjacency on
+  // the center, x < y) — the q147/q171 triangle shape, bounded by
+  // Σ deg(z)² on the minSupp-thresholded graph — minus existing edges via
+  // an anti join. Per-center contributions snap to the 1e-9 integer grid
+  // BEFORE summing (the q106/q111 ln convention), so the cross-engine sum
+  // is exact; ranking is on the integer score with (a, b) tie-breaks and
+  // the output is TakeOrdered(20), never a global sort.
+  def q221(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = graft.operators.CoPurchase.pairs(s, d, minSupp = 2)
+      .select($"pa".as("a"), $"pb".as("b"))
+    val adj = edges.select($"a".as("z"), $"b".as("nbr"))
+      .unionByName(edges.select($"b".as("z"), $"a".as("nbr")))
+    val deg = adj.groupBy($"z").agg(count(lit(1)).as("deg"))
+    // only deg ≥ 2 nodes can center a wedge — and ln(1) = 0 would trip
+    // ANSI division for leaf nodes even though no wedge ever joins them
+    val contrib = deg.filter($"deg" >= 2).select($"z",
+      round(lit(1e9) / log($"deg")).cast("long").as("aa_e9"))
+    val wedges = adj.as("l").join(adj.as("r"),
+        $"l.z" === $"r.z" && $"l.nbr" < $"r.nbr")
+      .select($"l.nbr".as("a"), $"r.nbr".as("b"), $"l.z".as("z"))
+    wedges.join(edges, Seq("a", "b"), "left_anti")
+      .join(contrib, "z")
+      .groupBy($"a", $"b")
+      .agg(count(lit(1)).as("n_common"), sum($"aa_e9").as("score_e9"))
+      .select($"a", $"b", $"n_common",
+        ($"score_e9".cast("double") / 1e9).as("aa_score"))
+      .orderBy($"score_e9".desc, $"a", $"b")
+      .limit(20)
+      .drop("score_e9")
+  }
+  val q221Sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS MATERIALIZED (
+      |  SELECT a.p AS a, b.p AS b
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |adj AS MATERIALIZED (
+      |  SELECT a AS z, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+      |deg AS (
+      |  SELECT z, CAST(round(1e9 / ln(COUNT(*))) AS BIGINT) AS aa_e9
+      |  FROM adj GROUP BY z HAVING COUNT(*) >= 2),
+      |wedge AS (
+      |  SELECT l.nbr AS a, r.nbr AS b, l.z AS z
+      |  FROM adj l JOIN adj r ON l.z = r.z AND l.nbr < r.nbr),
+      |cand AS (
+      |  SELECT w.a, w.b, w.z FROM wedge w
+      |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.b))
+      |SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS n_common,
+      |  CAST(CAST(SUM(d.aa_e9) AS BIGINT) AS DOUBLE) / 1e9 AS aa_score
+      |FROM cand c JOIN deg d ON d.z = c.z
+      |GROUP BY c.a, c.b
+      |ORDER BY CAST(SUM(d.aa_e9) AS BIGINT) DESC, c.a, c.b
+      |LIMIT 20""".stripMargin
+
+  // --- q222: degree assortativity --------------------------------------------
+  // One scalar describing the graph's wiring: do high-degree items attach
+  // to other high-degree items (r > 0) or to the periphery (r < 0)?
+  // Newman 2002's degree-mixing Pearson coefficient over the symmetrized
+  // edge list. Everything is integer sums (Σd, Σd², Σ da·db) with the
+  // q154 decimal(38,0)-before-multiply rule for the closed-form products
+  // (they cross 2^53 at corpus scale); numerator and denominator each
+  // cast to double once, one final division. Two shuffles total: the
+  // degree aggregation and the one-row sum.
+  def q222(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = graft.operators.CoPurchase.pairs(s, d, minSupp = 2)
+      .select($"pa".as("a"), $"pb".as("b"))
+    val adj = edges.select($"a".as("z"), $"b".as("nbr"))
+      .unionByName(edges.select($"b".as("z"), $"a".as("nbr")))
+    val deg = adj.groupBy($"z").agg(count(lit(1)).as("deg"))
+    val withDeg = adj
+      .join(deg.select($"z", $"deg".as("dz")), "z")
+      .join(deg.select($"z".as("nbr"), $"deg".as("dn")), "nbr")
+    val sums = withDeg.agg(
+      count(lit(1)).as("m2"), sum($"dz").as("sx"),
+      sum($"dz" * $"dz").as("sxx"), sum($"dz" * $"dn").as("sxy"))
+    sums.select(
+      (sums("m2") / 2).cast("long").as("n_edges"),
+      (($"m2".cast("decimal(38,0)") * $"sxy".cast("decimal(38,0)") -
+          $"sx".cast("decimal(38,0)") * $"sx".cast("decimal(38,0)"))
+        .cast("double") /
+        ($"m2".cast("decimal(38,0)") * $"sxx".cast("decimal(38,0)") -
+          $"sx".cast("decimal(38,0)") * $"sx".cast("decimal(38,0)"))
+        .cast("double")).as("assortativity"))
+  }
+  val q222Sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS MATERIALIZED (
+      |  SELECT a.p AS a, b.p AS b
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |adj AS MATERIALIZED (
+      |  SELECT a AS z, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+      |deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY z),
+      |wd AS (
+      |  SELECT dz.deg AS dz, dn.deg AS dn
+      |  FROM adj JOIN deg dz ON dz.z = adj.z JOIN deg dn ON dn.z = adj.nbr),
+      |sums AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS m2,
+      |    CAST(SUM(dz) AS HUGEINT) AS sx,
+      |    CAST(SUM(dz * dz) AS HUGEINT) AS sxx,
+      |    CAST(SUM(dz * dn) AS HUGEINT) AS sxy
+      |  FROM wd)
+      |SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+      |  CAST(m2 * sxy - sx * sx AS DOUBLE)
+      |    / CAST(m2 * sxx - sx * sx AS DOUBLE) AS assortativity
+      |FROM sums""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q219_bootstrap_ci", q219 _, Some(q219Sql)),
     ("q220_mann_whitney", q220 _, Some(q220Sql)),
+    ("q221_adamic_adar", q221 _, Some(q221Sql)),
+    ("q222_assortativity", q222 _, Some(q222Sql)),
     ("q196_label_propagation", q196 _, Some(q196Sql)),
     ("q199_personalized_pagerank", q199 _, Some(q199Sql)),
     ("q200_hits", q200 _, Some(q200Sql)),

@@ -2052,9 +2052,70 @@ object Events {
       |GROUP BY 1
       |ORDER BY e.event_type""".stripMargin
 
+  // --- q223: streaming CDC apply (last-writer-wins profile table) ----------
+  // The changelog half of the lakehouse maintenance story: q129/q173
+  // maintain ADDITIVE views (sums merge), but a keyed UPDATE stream — a
+  // profile table fed by a CDC feed — needs last-writer-wins per key.
+  // The events backlog drains as a changelog of per-user profile updates;
+  // each micro-batch pre-reduces to one winner row per user (max over the
+  // (ts, event_id) recency struct — the same op the merge applies, so
+  // batch pre-reduction is free correctness-wise) plus an additive update
+  // counter, then Rollup.mergeLatestInto folds it into the versioned
+  // profile table. Because per-key max is order-insensitive, an
+  // out-of-order batch cannot regress the table, and the versioned commit
+  // keeps replays exactly-once (StreamingSpec proves both on manual
+  // batches). The oracle recomputes the profile from raw history: the
+  // incrementally-maintained table must equal it exactly. At 100 TB the
+  // merge touches profile-sized state (distinct keys), never history.
+  def q223(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val base = graft.TempDirs.fresh("graft_cdc")
+    val table = s"$base/table"
+    val q = graft.streaming.Streams.eventsStream(s, d)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val partials = batch.groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+            col("value"))).as("l"),
+            count(lit(1)).as("n_updates"))
+          .select(col("user_id"), col("l.ts").as("ts"),
+            col("l.event_id").as("event_id"),
+            col("l.event_type").as("last_type"),
+            col("l.value").as("last_val"), col("n_updates"))
+        graft.streaming.Rollup.mergeLatestInto(s, partials, table,
+          keys = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+          sumCols = Seq("n_updates"), batchId = id)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    graft.streaming.Rollup.readRollup(s, table)
+      .select($"user_id", fmtS(expr("ts div 1000000000")).as("last_s"),
+        $"last_type", $"last_val", $"n_updates")
+      .orderBy($"user_id")
+  }
+  val q223Sql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_type, value, ts,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rk,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_updates
+      |  FROM events)
+      |SELECT user_id,
+      |  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS last_s,
+      |  event_type AS last_type, value AS last_val,
+      |  CAST(n_updates AS BIGINT) AS n_updates
+      |FROM ranked WHERE rk = 1
+      |ORDER BY user_id""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q202_daily_drift_jsd", q202 _, Some(q202Sql)),
     ("q218_dynamic_pruning", q218 _, Some(q218Sql)),
+    ("q223_stream_cdc_apply", q223 _, Some(q223Sql)),
     ("q213_point_in_time_join", q213 _, Some(q213Sql)),
     ("q211_decayed_engagement", q211 _, Some(q211Sql)),
     ("q212_conversion_latency", q212 _, Some(q212Sql)),

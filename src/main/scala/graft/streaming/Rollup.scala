@@ -103,20 +103,13 @@ object Rollup {
     * decimals/longs: a group netting to all-zero measures holds no
     * remaining contribution). */
   def mergeInto(spark: SparkSession, partials: DataFrame, tablePath: String,
-      keys: Seq[String], batchId: Long, dropEmptied: Boolean = false): Boolean = {
-    if (committed(spark, tablePath, batchId)) return false
-    val aggCols = partials.columns.filterNot(keys.contains)
-    val existing = currentVersion(spark, tablePath) match {
-      case Some(v) =>
-        spark.read.parquet(s"$tablePath/v_$v").select(partials.columns.map(col): _*)
-      case None => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], partials.schema)
-    }
-    val summed = existing.unionByName(partials)
-      .groupBy(keys.map(col): _*)
-      .agg(aggCols.map(c => sum(col(c)).as(c)).toSeq.head,
-        aggCols.map(c => sum(col(c)).as(c)).toSeq.tail: _*)
-    val merged =
+      keys: Seq[String], batchId: Long, dropEmptied: Boolean = false): Boolean =
+    mergeVersioned(spark, partials, tablePath, batchId) { all =>
+      val aggCols = partials.columns.filterNot(keys.contains)
+      val summed = all
+        .groupBy(keys.map(col): _*)
+        .agg(aggCols.map(c => sum(col(c)).as(c)).toSeq.head,
+          aggCols.map(c => sum(col(c)).as(c)).toSeq.tail: _*)
       if (dropEmptied)
         // null-safe <=>: a NULL measure must read "not emptied", not make
         // the conjunction NULL (which the filter would silently drop) —
@@ -124,6 +117,54 @@ object Rollup {
         // is generic and a caller with nullable measures keeps its groups
         summed.filter(not(aggCols.map(col(_) <=> lit(0)).reduce(_ && _)))
       else summed
+    }
+
+  /** CDC apply — the last-writer-wins sibling of [[mergeInto]] for keyed
+    * UPDATE streams (a changelog of profile/dimension rows rather than
+    * additive measures). Per key, the row that is maximal under
+    * `orderCols` (compared lexicographically — callers pass a total
+    * per-key order such as (event_time, event_id)) supplies every
+    * non-sum column; `sumCols` accumulate additively across updates
+    * (update counters, byte totals). Because max is commutative,
+    * associative, and idempotent-per-row, the merged state is
+    * independent of how updates are batched OR ordered — an out-of-order
+    * micro-batch carrying an older version of a key cannot regress the
+    * table (StreamingSpec proves both properties). Same versioned-commit
+    * exactly-once discipline and rollup-sized merge cost as
+    * [[mergeInto]]. */
+  def mergeLatestInto(spark: SparkSession, partials: DataFrame,
+      tablePath: String, keys: Seq[String], orderCols: Seq[String],
+      sumCols: Seq[String], batchId: Long): Boolean = {
+    require(orderCols.nonEmpty, "orderCols must define per-key recency")
+    val payload = partials.columns
+      .filterNot(c => keys.contains(c) || sumCols.contains(c))
+    require(orderCols.forall(payload.contains),
+      s"orderCols must be non-key, non-sum columns; got $orderCols")
+    val carried = orderCols ++ payload.filterNot(orderCols.contains)
+    mergeVersioned(spark, partials, tablePath, batchId) { all =>
+      all.groupBy(keys.map(col): _*)
+        .agg(max(struct(carried.map(col): _*)).as("__latest"),
+          sumCols.map(c => sum(col(c)).as(c)): _*)
+        .select(keys.map(col) ++
+          carried.map(c => col(s"__latest.$c").as(c)) ++
+          sumCols.map(col): _*)
+    }
+  }
+
+  /** Shared versioned-commit mechanics: idempotence check, current-state
+    * read, `combine(existing ∪ partials)`, atomic `v_<batchId>` commit,
+    * prune. The merge POLICY is the caller's combine step. */
+  private def mergeVersioned(spark: SparkSession, partials: DataFrame,
+      tablePath: String, batchId: Long)
+      (combine: DataFrame => DataFrame): Boolean = {
+    if (committed(spark, tablePath, batchId)) return false
+    val existing = currentVersion(spark, tablePath) match {
+      case Some(v) =>
+        spark.read.parquet(s"$tablePath/v_$v").select(partials.columns.map(col): _*)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], partials.schema)
+    }
+    val merged = combine(existing.unionByName(partials))
     // overwrite cleans any partial leftover of a crashed attempt at this id;
     // the committer's final _SUCCESS create is the atomic data+ledger commit
     merged.write.mode("overwrite").parquet(s"$tablePath/v_$batchId")

@@ -585,4 +585,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.filter(_._1.isEmpty).flatMap(_._2).toSet == unmatchedWant,
       "null-purchase rows must equal the batch unmatched set under the cutoff")
   }
+
+  test("mergeLatestInto: out-of-order batches cannot regress, replays are no-ops") {
+    import spark.implicits._
+    import graft.streaming.Rollup
+    val table = TempDirs.fresh("graft_cdc_spec") + "/t"
+    def partials(rows: (Long, Long, String, Long)*) =
+      rows.toSeq.toDF("k", "ver", "payload", "n")
+    def apply(id: Long, rows: (Long, Long, String, Long)*): Boolean =
+      Rollup.mergeLatestInto(spark, partials(rows: _*), table,
+        keys = Seq("k"), orderCols = Seq("ver"), sumCols = Seq("n"), batchId = id)
+    def state(): Map[Long, (Long, String, Long)] =
+      Rollup.readRollup(spark, table).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3))))
+        .toMap
+    // batch 0: two keys
+    assert(apply(0, (1L, 10L, "a@10", 1L), (2L, 5L, "b@5", 1L)))
+    assert(state() == Map(1L -> ((10L, "a@10", 1L)), 2L -> ((5L, "b@5", 1L))))
+    // batch 1 arrives OUT OF ORDER: key 1's update is OLDER (ver 7 < 10)
+    // — it must not regress the payload, but its counter still counts;
+    // key 2 moves forward; key 3 is new
+    assert(apply(1, (1L, 7L, "a@7-late", 1L), (2L, 9L, "b@9", 1L),
+      (3L, 1L, "c@1", 1L)))
+    assert(state() == Map(1L -> ((10L, "a@10", 2L)), 2L -> ((9L, "b@9", 2L)),
+      3L -> ((1L, "c@1", 1L))),
+      "older update regressed the latest payload or miscounted")
+    // replay of batch 1 (checkpoint-recovery shape): merge must refuse
+    assert(!apply(1, (1L, 7L, "a@7-late", 1L)))
+    assert(state()(1L) == ((10L, "a@10", 2L)), "replay double-counted")
+    // batching-independence: one big batch equals the two-batch state
+    val table2 = TempDirs.fresh("graft_cdc_spec2") + "/t"
+    Rollup.mergeLatestInto(spark,
+      partials((1L, 10L, "a@10", 1L), (2L, 5L, "b@5", 1L),
+        (1L, 7L, "a@7-late", 1L), (2L, 9L, "b@9", 1L), (3L, 1L, "c@1", 1L)),
+      table2, Seq("k"), Seq("ver"), Seq("n"), batchId = 0)
+    // NOTE: a single batch holding two rows per key must pre-reduce the
+    // same way the merge does — mergeLatestInto itself groups, so the
+    // one-shot state equals the incremental one
+    val one = Rollup.readRollup(spark, table2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3))))
+      .toMap
+    assert(one == state(), "batching changed the merged state")
+  }
 }

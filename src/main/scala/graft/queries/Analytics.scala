@@ -1648,11 +1648,109 @@ object Analytics {
       |    / CAST(m2 * sxx - sx * sx AS DOUBLE) AS assortativity
       |FROM sums""".stripMargin
 
+  // --- q224: Bradley-Terry preference strengths ------------------------------
+  // The pairwise-preference MLE behind reward-model data curation: given
+  // "A beat B" comparisons, estimate per-item strengths π via the BT model
+  // P(i beats j) = π_i/(π_i+π_j). Comparisons are derived
+  // deterministically from the fact table (within an order, the part with
+  // the larger exact-decimal quantity beats the smaller; equal quantities
+  // are no contest) — the demonstrator convention the suite uses where
+  // the reference data has no native labels. Two minorization fixed-point
+  // rounds (Hunter 2004: π'_i = W_i / Σ_j n_ij/(π_i+π_j)), unrolled, with
+  // every value living on integer grids: wins/games in DOUBLED units with
+  // a half-win phantom game per pair (W2 = 2w+1, N2 = 2n+2 — the standard
+  // regularization, and it keeps zero-win items off a 0/0), strengths as
+  // 1e-9-grid longs, per-opponent terms snapped to the grid BEFORE the
+  // sum (q106 convention) so the cross-engine fixed point is bit-equal.
+  // Work per round: two strength joins on the vocab-sized symmetric pair
+  // table + one item-keyed aggregation — the q143 power-iteration shape.
+  def q224(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val opq = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey".as("o"), $"l_partkey".as("p"))
+      .agg(sum($"l_quantity".cast("decimal(18,2)")).as("q"))
+    val comp = opq.as("a").join(opq.as("b"),
+        $"a.o" === $"b.o" && $"a.p" < $"b.p" && $"a.q" =!= $"b.q")
+      .select($"a.p".as("pa"), $"b.p".as("pb"),
+        when($"a.q" > $"b.q", 1L).otherwise(0L).as("a_wins"))
+    val pairAgg = comp.groupBy($"pa", $"pb")
+      .agg(count(lit(1)).as("n"), sum($"a_wins").as("wa"))
+    val sym = pairAgg.select($"pa".as("i"), $"pb".as("j"), $"n", $"wa".as("w"))
+      .unionByName(pairAgg.select($"pb".as("i"), $"pa".as("j"), $"n",
+        ($"n" - $"wa").as("w")))
+      .select($"i", $"j", (lit(2) * $"n" + 2).as("n2"),
+        (lit(2) * $"w" + 1).as("w2"), $"n", $"w")
+    val items = sym.groupBy($"i")
+      .agg(sum($"w2").as("w2t"), sum($"n").as("n_games"), sum($"w").as("n_wins"))
+    def iterate(g: DataFrame): DataFrame = {
+      val e = sym
+        .join(g.select($"i", $"g".as("gi")), "i")
+        .join(g.select($"i".as("j"), $"g".as("gj")), "j")
+        .withColumn("e", round($"n2".cast("double") * 1e18 /
+          ($"gi" + $"gj").cast("double")).cast("long"))
+        .groupBy($"i").agg(sum($"e").as("dsum"))
+      items.join(e, "i")
+        .select($"i", round($"w2t".cast("double") * 1e18 /
+          $"dsum".cast("double")).cast("long").as("g"))
+    }
+    val g0 = items.select($"i", lit(1000000000L).as("g"))
+    val g2 = iterate(iterate(g0))
+    items.join(g2, "i")
+      .select($"i".as("part"), $"n_games", $"n_wins",
+        ($"g".cast("double") / 1e9).as("strength"), $"g")
+      .orderBy($"g".desc, $"part")
+      .limit(20)
+      .drop("g")
+  }
+  val q224Sql: String = {
+    def round1(gPrev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT it.i, CAST(round(CAST(it.w2t AS DOUBLE) * 1e18
+         |      / CAST(d.dsum AS DOUBLE)) AS BIGINT) AS g
+         |  FROM items it JOIN (
+         |    SELECT s.i, CAST(SUM(CAST(round(CAST(s.n2 AS DOUBLE) * 1e18
+         |        / CAST(gi.g + gj.g AS DOUBLE)) AS BIGINT)) AS BIGINT) AS dsum
+         |    FROM sym s
+         |    JOIN $gPrev gi ON gi.i = s.i
+         |    JOIN $gPrev gj ON gj.i = s.j
+         |    GROUP BY s.i) d ON d.i = it.i)""".stripMargin
+    s"""WITH opq AS (
+       |  SELECT l_orderkey AS o, l_partkey AS p,
+       |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+       |  FROM lineitem GROUP BY 1, 2),
+       |comp AS (
+       |  SELECT a.p AS pa, b.p AS pb,
+       |    CASE WHEN a.q > b.q THEN 1 ELSE 0 END AS a_wins
+       |  FROM opq a JOIN opq b ON a.o = b.o AND a.p < b.p AND a.q <> b.q),
+       |pairagg AS (
+       |  SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(a_wins) AS BIGINT) AS wa
+       |  FROM comp GROUP BY 1, 2),
+       |sym AS MATERIALIZED (
+       |  SELECT i, j, 2 * n + 2 AS n2, 2 * w + 1 AS w2, n, w FROM (
+       |    SELECT pa AS i, pb AS j, n, wa AS w FROM pairagg
+       |    UNION ALL
+       |    SELECT pb, pa, n, n - wa FROM pairagg)),
+       |items AS MATERIALIZED (
+       |  SELECT i, CAST(SUM(w2) AS BIGINT) AS w2t,
+       |    CAST(SUM(n) AS BIGINT) AS n_games, CAST(SUM(w) AS BIGINT) AS n_wins
+       |  FROM sym GROUP BY i),
+       |g0 AS (SELECT i, CAST(1000000000 AS BIGINT) AS g FROM items),
+       |${round1("g0", "g1")},
+       |${round1("g1", "g2")}
+       |SELECT it.i AS part, it.n_games, it.n_wins,
+       |  CAST(g2.g AS DOUBLE) / 1e9 AS strength
+       |FROM items it JOIN g2 ON g2.i = it.i
+       |ORDER BY g2.g DESC, part
+       |LIMIT 20""".stripMargin
+  }
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q219_bootstrap_ci", q219 _, Some(q219Sql)),
     ("q220_mann_whitney", q220 _, Some(q220Sql)),
     ("q221_adamic_adar", q221 _, Some(q221Sql)),
     ("q222_assortativity", q222 _, Some(q222Sql)),
+    ("q224_bradley_terry", q224 _, Some(q224Sql)),
     ("q196_label_propagation", q196 _, Some(q196Sql)),
     ("q199_personalized_pagerank", q199 _, Some(q199Sql)),
     ("q200_hits", q200 _, Some(q200Sql)),

@@ -858,7 +858,104 @@ object Extended {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  // --- q225: schema-evolution read (mergeSchema over heterogeneous batches) --
+  // The lake reality every long-lived pipeline hits: an ingest schema grows
+  // a column mid-history, and old batch files simply lack it. Two batch
+  // dirs are staged once per dataset content — batch 1 (days below the
+  // split) WITHOUT the `value` column, batch 2 with it — and the query
+  // reads both through `mergeSchema`, which resolves the union schema at
+  // planning time and surfaces the missing column as NULL for old files
+  // (schema-on-read evolution; the additive-column case — renames/type
+  // changes need a real catalog contract and are out of scope, which the
+  // loud require documents). The rollup separates row counts from
+  // value-bearing counts so the NULL-fill behavior itself is what the
+  // oracle checks, recomputed from the unsplit table with a CASE.
+  def q225(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cutDay = 19738L // mid-range of the 2024-01 testdata days
+    val staged = graft.Stage.derived("events_evolved", d) { p =>
+      val ev = Tables.events(s, d)
+        .withColumn("day", expr("(ts div 1000000000) div 86400"))
+      ev.filter($"day" < cutDay)
+        .select($"event_id", $"ts", $"user_id", $"event_type")
+        .write.mode("overwrite").parquet(s"$p/batch1.parquet")
+      ev.filter($"day" >= cutDay)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .write.mode("overwrite").parquet(s"$p/batch2.parquet")
+    }
+    val merged = s.read.option("mergeSchema", "true")
+      .parquet(s"$staged/batch1.parquet", s"$staged/batch2.parquet")
+    require(merged.columns.contains("value"),
+      "mergeSchema must surface the evolved column")
+    merged
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"value").as("n_with_value"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"event_type")
+  }
+  val q225Sql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(CASE WHEN epoch_us(ts) // 1000000 // 86400 >= 19738
+      |    THEN 1 END) AS BIGINT) AS n_with_value,
+      |  CAST(SUM(CASE WHEN epoch_us(ts) // 1000000 // 86400 >= 19738
+      |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY event_type""".stripMargin
+
+  // --- q226: Theil-Sen robust trend slopes -----------------------------------
+  // The robust complement to q154's OLS: the median of all pairwise
+  // slopes, insensitive to ~29% outlier contamination (Theil 1950, Sen
+  // 1968). Applied per event type to the daily-revenue series: the
+  // pairwise-slope set is O(days²) — quadratic in the AGGREGATED series
+  // length (30 days → 435 pairs per type), never in the event count,
+  // which is what makes the estimator tractable at any fact-table scale.
+  // Slopes divide an exact decimal revenue difference by an exact integer
+  // day gap (deterministic IEEE); the median interpolates identically in
+  // both engines (percentile vs quantile_cont, q212 precedent) under a
+  // 6dp round.
+  def q226(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .filter($"event_type".isNotNull)
+      .groupBy($"event_type", expr("(ts div 1000000000) div 86400").as("day"))
+      .agg(sum($"value".cast("decimal(18,2)")).as("rev"))
+    val slopes = daily.as("a").join(daily.as("b"),
+        $"a.event_type" === $"b.event_type" && $"a.day" < $"b.day")
+      .select($"a.event_type".as("event_type"),
+        (($"b.rev" - $"a.rev").cast("double") /
+          ($"b.day" - $"a.day").cast("double")).as("slope"))
+    val nd = daily.groupBy($"event_type").agg(count(lit(1)).as("n_days"))
+    nd.join(slopes.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(expr("percentile(slope, 0.5)"), 6).as("ts_slope")),
+      "event_type")
+      .orderBy($"event_type")
+  }
+  val q226Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS rev
+      |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      |slopes AS (
+      |  SELECT a.event_type,
+      |    CAST(b.rev - a.rev AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day < b.day),
+      |nd AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+      |  FROM daily GROUP BY 1)
+      |SELECT nd.event_type, nd.n_days,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  ROUND(quantile_cont(slope, 0.5), 6) AS ts_slope
+      |FROM nd JOIN slopes s ON s.event_type = nd.event_type
+      |GROUP BY 1, 2
+      |ORDER BY nd.event_type""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q225_schema_evolution", q225 _, Some(q225Sql)),
+    ("q226_theil_sen", q226 _, Some(q226Sql)),
     ("q192_quantile_transform", q192 _, Some(q192Sql)),
     ("q174_rank_distributions", q174 _, Some(q174Sql)),
     ("q183_integrity_audit", q183 _, Some(q183Sql)),

@@ -2112,10 +2112,50 @@ object Events {
       |FROM ranked WHERE rk = 1
       |ORDER BY user_id""".stripMargin
 
+  // --- q228: chained stateful streaming aggregations (hourly → daily) ------
+  // Two windowed aggregations in ONE streaming query
+  // (Streams.dailyFromHourly): hourly counts re-aggregated into daily
+  // windows through window_time, both state stores driven by the single
+  // watermark — Spark's multiple-stateful-operator machinery under the
+  // oracle gate. Append mode emits a day only once the watermark passes
+  // its end, so the drained result is restricted to the provably-emitted
+  // region (day end ≤ max − 2 h — the q157/q172 cutoff discipline; every
+  // hourly window inside an emitted day closed before the day did, so no
+  // partially-counted day can emit). The oracle recomputes emitted days
+  // from raw history: n_events per (day, type) plus the distinct
+  // non-empty hours feeding the day — checking BOTH stateful stages.
+  def q228(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = graft.streaming.Streams.dailyFromHourly(
+      graft.streaming.Streams.eventsStream(s, d))
+    val drained = graft.streaming.Streams.runToMemory(s, daily, "q228_sink",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val maxNs = Tables.events(s, d).agg(max($"ts")).head.getLong(0)
+    val cutUs = maxNs / 1000L - 2L * 3600 * 1000000
+    drained
+      .filter(unix_micros(to_timestamp($"day_start")) +
+        86400L * 1000000 <= cutUs)
+      .orderBy($"day_start", $"event_type")
+  }
+  val q228Sql: String =
+    """WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+      |hourly AS (
+      |  SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS dd,
+      |    event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT strftime(dd, '%Y-%m-%d %H:%M:%S') AS day_start, event_type,
+      |  CAST(SUM(n) AS BIGINT) AS n_events,
+      |  CAST(COUNT(*) AS BIGINT) AS n_hours
+      |FROM hourly, mx
+      |WHERE epoch_us(dd) + 86400000000 <= m - 7200000000
+      |GROUP BY 1, 2
+      |ORDER BY day_start, event_type""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q202_daily_drift_jsd", q202 _, Some(q202Sql)),
     ("q218_dynamic_pruning", q218 _, Some(q218Sql)),
     ("q223_stream_cdc_apply", q223 _, Some(q223Sql)),
+    ("q228_stream_chained_windows", q228 _, Some(q228Sql)),
     ("q213_point_in_time_join", q213 _, Some(q213Sql)),
     ("q211_decayed_engagement", q211 _, Some(q211Sql)),
     ("q212_conversion_latency", q212 _, Some(q212Sql)),

@@ -84,6 +84,29 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Chained stateful aggregations in ONE streaming query — Spark's
+    * multiple-stateful-operator support (3.4+): an hourly windowed count
+    * re-aggregated into daily windows via `window_time`, which carries
+    * the first aggregation's event-time column into the second so the
+    * single global watermark drives BOTH state stores. This is the
+    * streaming form of the q204 re-aggregation architecture (partials →
+    * coarser rollup) without landing the intermediate anywhere: at scale
+    * it halves the sink traffic a two-query pipeline would pay and keeps
+    * the hourly state bounded by the same watermark. Append mode is
+    * REQUIRED (chained stateful ops reject update/complete), so a window
+    * emits only once the watermark passes its end — callers restrict to
+    * the provably-emitted region (day end ≤ max event time − delay), the
+    * q157/q172 cutoff discipline. */
+  def dailyFromHourly(events: DataFrame): DataFrame = events
+    .withWatermark("ts_us", "2 hours")
+    .groupBy(window(col("ts_us"), "1 hour").as("hw"), col("event_type"))
+    .agg(count(lit(1)).as("n_events"))
+    .groupBy(window(expr("window_time(hw)"), "1 day").as("dw"),
+      col("event_type"))
+    .agg(sum(col("n_events")).as("n_events"), count(lit(1)).as("n_hours"))
+    .select(date_format(col("dw.start"), "yyyy-MM-dd HH:mm:ss").as("day_start"),
+      col("event_type"), col("n_events"), col("n_hours"))
+
   /** Tumbling 1-hour windows per event type with a 2-hour watermark. */
   def hourlyTrend(events: DataFrame): DataFrame = events
     .withWatermark("ts_us", "2 hours")

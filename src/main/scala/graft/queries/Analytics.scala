@@ -1792,9 +1792,98 @@ object Analytics {
       |ORDER BY cosine DESC, pa, pb
       |LIMIT 20""".stripMargin
 
+  // --- q229: community modularity (quality score for q196's partition) ------
+  // Closes the community-detection loop: label propagation (q196) emits a
+  // partition, modularity (Newman & Girvan 2004) scores it —
+  // Q = Σ_c [ e_c/2m − (d_c/2m)² ] with edge weights, the standard
+  // "better than random wiring" measure a pipeline would monitor across
+  // graph refreshes. The whole statistic reduces to exact integers:
+  // e_c (internal weight, both directions), d_c (community weighted
+  // degree), 2m (total), composed as (2m·Σe_c − Σd_c²)/(2m)² under the
+  // q154 decimal(38,0) product rule — ONE double division at the end, no
+  // snapping anywhere. Work: the 4 label-propagation rounds (node-keyed
+  // shuffles) plus three label-keyed aggregations.
+  def q229(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val pairs = graft.operators.CoPurchase.pairs(s, d, minSupp = 2)
+    val edges = pairs.select($"pa".as("src"), $"pb".as("dst"), $"supp".as("w"))
+      .unionByName(pairs.select($"pb".as("src"), $"pa".as("dst"), $"supp".as("w")))
+      .persistTracked() // read by wdeg, both endpoint joins, and the total
+    val labels = graft.operators.Graph.labelPropagation(edges, iters = 4)
+      .persistTracked() // read by three branches below
+    val m2 = edges.agg(sum($"w").as("m2"))
+    val dC = edges.groupBy($"src").agg(sum($"w").as("wdeg"))
+      .join(labels.select($"node".as("src"), $"label"), "src")
+      .groupBy($"label").agg(sum($"wdeg").as("d_c"))
+    val eC = edges
+      .join(labels.select($"node".as("src"), $"label".as("ls")), "src")
+      .join(labels.select($"node".as("dst"), $"label".as("ld")), "dst")
+      .filter($"ls" === $"ld")
+      .groupBy($"ls").agg(sum($"w").as("e_c"))
+    val parts = dC.join(eC, dC("label") === eC("ls"), "left")
+      .select($"label", $"d_c", coalesce($"e_c", lit(0L)).as("e_c"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum($"e_c").as("se"),
+        sum($"d_c".cast("decimal(38,0)") * $"d_c".cast("decimal(38,0)"))
+          .as("sd2"))
+    parts.crossJoin(broadcast(m2)) // one-row bound
+      .select($"n_communities", $"m2".as("total_weight_x2"),
+        (($"m2".cast("decimal(38,0)") * $"se".cast("decimal(38,0)") - $"sd2")
+          .cast("double") /
+          ($"m2".cast("decimal(38,0)") * $"m2".cast("decimal(38,0)"))
+            .cast("double")).as("modularity"))
+  }
+  val q229Sql: String = {
+    def lpStep(prev: String): String =
+      s"""SELECT dst AS node, label FROM (
+         |    SELECT e.dst, l.label,
+         |      ROW_NUMBER() OVER (PARTITION BY e.dst
+         |        ORDER BY SUM(e.w) DESC, l.label) AS rn
+         |    FROM edges e JOIN $prev l ON e.src = l.node
+         |    GROUP BY e.dst, l.label) WHERE rn = 1""".stripMargin
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS supp
+       |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |edges AS MATERIALIZED (
+       |  SELECT pa AS src, pb AS dst, supp AS w FROM pairs
+       |  UNION ALL SELECT pb, pa, supp FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |l1 AS (${lpStep("l0")}),
+       |l2 AS (${lpStep("l1")}),
+       |l3 AS (${lpStep("l2")}),
+       |l4 AS MATERIALIZED (${lpStep("l3")}),
+       |m AS (SELECT CAST(SUM(w) AS HUGEINT) AS m2 FROM edges),
+       |dc AS (
+       |  SELECT l.label, CAST(SUM(wd.wdeg) AS BIGINT) AS d_c
+       |  FROM (SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg
+       |        FROM edges GROUP BY src) wd
+       |  JOIN l4 l ON l.node = wd.src
+       |  GROUP BY l.label),
+       |ec AS (
+       |  SELECT ls.label, CAST(SUM(e.w) AS BIGINT) AS e_c
+       |  FROM edges e
+       |  JOIN l4 ls ON ls.node = e.src
+       |  JOIN l4 ld ON ld.node = e.dst
+       |  WHERE ls.label = ld.label
+       |  GROUP BY ls.label),
+       |parts AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+       |    CAST(SUM(COALESCE(ec.e_c, 0)) AS HUGEINT) AS se,
+       |    SUM(CAST(dc.d_c AS HUGEINT) * dc.d_c) AS sd2
+       |  FROM dc LEFT JOIN ec ON ec.label = dc.label)
+       |SELECT n_communities, CAST(m.m2 AS BIGINT) AS total_weight_x2,
+       |  CAST(m.m2 * se - sd2 AS DOUBLE) / CAST(m.m2 * m.m2 AS DOUBLE)
+       |    AS modularity
+       |FROM parts, m""".stripMargin
+  }
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q219_bootstrap_ci", q219 _, Some(q219Sql)),
     ("q227_item_cf", q227 _, Some(q227Sql)),
+    ("q229_modularity", q229 _, Some(q229Sql)),
     ("q220_mann_whitney", q220 _, Some(q220Sql)),
     ("q221_adamic_adar", q221 _, Some(q221Sql)),
     ("q222_assortativity", q222 _, Some(q222Sql)),

@@ -953,8 +953,61 @@ object Extended {
       |GROUP BY 1, 2
       |ORDER BY nd.event_type""".stripMargin
 
+  // --- q230: trimmed means (robust location per group) -----------------------
+  // The robust-aggregation sibling of q105's MAD filter: per order
+  // priority, drop values outside the exact interpolated [p05, p95] band
+  // and average what remains. Trimming (vs winsorizing) keeps ONLY
+  // original 2-decimal values inside the aggregate, so the mean stays on
+  // the exact decimal-sum / single-division grid — no clamped
+  // interpolated doubles ever enter a sum. The band bounds are computed
+  // once per group and broadcast back (the q105 shape: the fact rows are
+  // scanned, never shuffled on value); comparisons against the
+  // interpolated bounds are deterministic because percentile/
+  // quantile_cont interpolate identically on exact inputs.
+  def q230(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val bands = o.groupBy($"o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.05)").as("lo"),
+        expr("percentile(o_totalprice, 0.95)").as("hi"))
+    o.join(broadcast(bands), "o_orderpriority")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"o_totalprice" < $"lo", 1L).otherwise(0L)).as("n_below"),
+        sum(when($"o_totalprice" > $"hi", 1L).otherwise(0L)).as("n_above"),
+        (sum(when($"o_totalprice".between($"lo", $"hi"),
+            money($"o_totalprice"))).cast("double") /
+          sum(when($"o_totalprice".between($"lo", $"hi"), 1L).otherwise(0L)))
+          .as("trimmed_mean"),
+        davg($"o_totalprice").as("raw_mean"),
+        round(min($"lo"), 6).as("p05"), round(min($"hi"), 6).as("p95"))
+      .orderBy($"o_orderpriority")
+  }
+  val q230Sql: String =
+    """WITH bands AS (
+      |  SELECT o_orderpriority,
+      |    quantile_cont(o_totalprice, 0.05) AS lo,
+      |    quantile_cont(o_totalprice, 0.95) AS hi
+      |  FROM orders GROUP BY 1)
+      |SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_below,
+      |  CAST(SUM(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_above,
+      |  CAST(SUM(CASE WHEN o_totalprice BETWEEN lo AND hi
+      |      THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE)
+      |    / SUM(CASE WHEN o_totalprice BETWEEN lo AND hi THEN 1 ELSE 0 END)
+      |    AS trimmed_mean,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |    AS raw_mean,
+      |  ROUND(MIN(lo), 6) AS p05, ROUND(MIN(hi), 6) AS p95
+      |FROM orders o JOIN bands b ON b.o_orderpriority = o.o_orderpriority
+      |GROUP BY 1
+      |ORDER BY o.o_orderpriority""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q225_schema_evolution", q225 _, Some(q225Sql)),
+    ("q230_trimmed_means", q230 _, Some(q230Sql)),
     ("q226_theil_sen", q226 _, Some(q226Sql)),
     ("q192_quantile_transform", q192 _, Some(q192Sql)),
     ("q174_rank_distributions", q174 _, Some(q174Sql)),

@@ -109,6 +109,64 @@ object QTime {
       val g2 = time("round 2")(iter(g1))
       time("round 2 materialize")(println(g2.count()))
       time("final")(println(items.join(g2, "i").count()))
+    } else if (args.headOption.contains("-q231dbg")) {
+      val staged = graft.Stage.derived("events_late_split3", d) { p =>
+        def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+            mtimeMs: Long): Unit = {
+          val tmp = p.resolve(s"tmp_$name")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+            .filter(_.endsWith(".parquet")).head
+          val dest = p.resolve(name)
+          java.nio.file.Files.move(java.nio.file.Paths.get(part), dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        }
+        val raw = spark.read.parquet(s"$d/events.parquet")
+          .withColumn("day", expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+        val t0 = System.currentTimeMillis() - 300000
+        writeOne(raw.filter(col("event_id") % 2 === 0 && col("day") < 19743)
+          .drop("day"), "f1_even_old.parquet", t0)
+        writeOne(raw.filter(col("event_id") % 2 === 0 && col("day") >= 19743)
+          .drop("day"), "f2_even_new.parquet", t0 + 60000)
+        writeOne(raw.filter(col("event_id") % 2 === 1).drop("day"),
+          "f3_odd.parquet", t0 + 120000)
+      }
+      println("files: " + java.nio.file.Files.list(staged).toArray.toSeq)
+      val stream = graft.streaming.Streams.eventsStream(spark, staged.toString,
+        glob = "*.parquet", maxFilesPerTrigger = Some(1))
+      val hourly = stream
+        .withWatermark("ts_us", "2 hours")
+        .groupBy(window(col("ts_us"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val (res, progress) = graft.streaming.Streams.runToMemoryTracked(
+        spark, hourly, "dbg_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      progress.foreach { pr =>
+        println(s"batch=${pr.batchId} rows=${pr.numInputRows} " +
+          s"wm=${pr.eventTime.get("watermark")} " +
+          pr.stateOperators.map(so =>
+            s"dropped=${so.numRowsDroppedByWatermark} total=${so.numRowsTotal}")
+            .mkString(","))
+      }
+      println("result rows=" + res.count())
+      println("result sum=" + res.agg(sum(col("n_events"))).head.getLong(0))
+      val ev = Tables.events(spark, d)
+      val maxOldNs = ev.filter(col("event_id") % 2 === 0 &&
+          expr("ts div 1000000000 div 86400") < 19743)
+        .agg(max(col("ts"))).head.getLong(0)
+      val maxNs = ev.agg(max(col("ts"))).head.getLong(0)
+      val w1 = maxOldNs / 1000000L - 7200000L // wm during the odd batch
+      val w2 = maxNs / 1000000L - 7200000L    // final wm
+      val hours = ev.select(
+        (expr("ts div 1000000000 div 3600") * 3600000L).as("hstartMs"),
+        (col("event_id") % 2).as("par"))
+      val closed = hours.filter(col("hstartMs") + 3600000L <= w2)
+      println("evens-only-closed=" + closed.filter(col("par") === 0).count())
+      println("merged-closed=" + closed.count())
+      println("drop-model=" + closed.filter(col("par") === 0 ||
+        col("hstartMs") + 3600000L > w1).count())
     } else if (args.headOption.contains("-plan")) {
       args.drop(1).foreach { name =>
         println(s"===== $name =====")

@@ -2151,11 +2151,102 @@ object Events {
       |GROUP BY 1, 2
       |ORDER BY day_start, event_type""".stripMargin
 
+  // --- q231: watermark late-data accounting (deterministic drop replay) ----
+  // Pins down WHAT the watermark actually drops — which is subtler than
+  // "rows older than the delay": a late row is dropped iff its window's
+  // state was ALREADY EVICTED, and eviction happens at the end of the
+  // first micro-batch whose in-effect watermark (max event time through
+  // the PREVIOUS batch, minus delay) passed the window end. Proven here
+  // by a three-batch replay with controlled file mtimes (the q201
+  // ordering precedent): old evens, then new evens (whose arrival
+  // advances the watermark and evicts the old windows), then ALL odds as
+  // the late batch. Odd rows for evicted windows (end ≤ w1 = max old
+  // even ts − 2 h, ms-floored exactly as Spark tracks event time) are
+  // dropped and counted in numRowsDroppedByWatermark — the query
+  // REQUIRES that metric positive, and a two-batch variant of this
+  // replay was measured to drop NOTHING (state still live ⇒ late rows
+  // merge), which is why the eviction batch exists. The oracle restates
+  // the full semantics from raw history: evens always count, odds only
+  // where the hour end clears w1; emitted region = hour end ≤ final
+  // watermark (the q228 cutoff discipline).
+  private val lateCutDay = 19743L // 2024-01-21: old/new even split
+  def q231(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val staged = graft.Stage.derived("events_late_split3", d) { p =>
+      def writeOne(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val tmp = p.resolve(s"tmp_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        val dest = p.resolve(name)
+        java.nio.file.Files.move(java.nio.file.Paths.get(part), dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+      val raw = Tables.events(s, d) // canonical long-ns ts
+      val day = expr("ts div 1000000000 div 86400")
+      val t0 = System.currentTimeMillis() - 300000
+      writeOne(raw.filter($"event_id" % 2 === 0 && day < lateCutDay),
+        "f1_even_old.parquet", t0)
+      writeOne(raw.filter($"event_id" % 2 === 0 && day >= lateCutDay),
+        "f2_even_new.parquet", t0 + 60000)
+      writeOne(raw.filter($"event_id" % 2 === 1), "f3_odd.parquet",
+        t0 + 120000)
+    }
+    val stream = graft.streaming.Streams.eventsStream(s, staged.toString,
+      glob = "*.parquet", maxFilesPerTrigger = Some(1))
+    val hourly = stream
+      .withWatermark("ts_us", "2 hours")
+      .groupBy(window($"ts_us", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format($"w.start", fmtPattern).as("hour_start"),
+        $"event_type", $"n_events")
+    val (drained, progress) = graft.streaming.Streams.runToMemoryTracked(
+      s, hourly, "q231_sink",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val droppedLate = progress.flatMap(_.stateOperators.map(
+      _.numRowsDroppedByWatermark)).sum
+    require(droppedLate > 0,
+      s"late odd-half rows must be dropped by the watermark (got $droppedLate)")
+    val maxNs = Tables.events(s, d).agg(max($"ts")).head.getLong(0)
+    val cutMs = maxNs / 1000000L - 2L * 3600 * 1000
+    drained
+      .filter(unix_micros(to_timestamp($"hour_start")) / 1000 +
+        3600L * 1000 <= cutMs)
+      .orderBy($"hour_start", $"event_type")
+  }
+  val q231Sql: String =
+    """WITH wm AS (
+      |  SELECT MAX(CASE WHEN event_id % 2 = 0
+      |        AND epoch_us(ts) // 1000000 // 86400 < 19743
+      |      THEN epoch_us(ts) END) // 1000 - 7200000 AS w1,
+      |    MAX(epoch_us(ts)) // 1000 - 7200000 AS w2
+      |  FROM events),
+      |h AS (
+      |  SELECT date_trunc('hour', ts) AS hh, event_type,
+      |    CAST(COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END) AS BIGINT)
+      |      AS n_even,
+      |    CAST(COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT)
+      |      AS n_odd
+      |  FROM events GROUP BY 1, 2)
+      |SELECT * FROM (
+      |  SELECT strftime(hh, '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
+      |    n_even + CASE WHEN (epoch_us(hh) + 3600000000) // 1000 > wm.w1
+      |      THEN n_odd ELSE 0 END AS n_events
+      |  FROM h, wm
+      |  WHERE (epoch_us(hh) + 3600000000) // 1000 <= wm.w2)
+      |-- a group holding ONLY dropped-late rows never forms on the stream
+      |-- side; mirror by removing computed-zero groups
+      |WHERE n_events > 0
+      |ORDER BY hour_start, event_type""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q202_daily_drift_jsd", q202 _, Some(q202Sql)),
     ("q218_dynamic_pruning", q218 _, Some(q218Sql)),
     ("q223_stream_cdc_apply", q223 _, Some(q223Sql)),
     ("q228_stream_chained_windows", q228 _, Some(q228Sql)),
+    ("q231_stream_late_accounting", q231 _, Some(q231Sql)),
     ("q213_point_in_time_join", q213 _, Some(q213Sql)),
     ("q211_decayed_engagement", q211 _, Some(q211Sql)),
     ("q212_conversion_latency", q212 _, Some(q212Sql)),

@@ -1896,10 +1896,110 @@ object Analytics {
        |FROM parts, m""".stripMargin
   }
 
+  // --- q232: Poisson-bootstrap CI on an A/B difference -----------------------
+  // q219 gives per-arm CIs, but overlapping per-arm intervals do NOT
+  // answer "is the difference real" — the decision object is the CI of
+  // the DIFFERENCE, resampled jointly so each replicate compares the
+  // same perturbed world. Same deterministic md5→Poisson(1) weight grid
+  // as q219 (replicate weights bit-equal across engines by construction);
+  // per replicate r the two arm means (urgent vs low priority) subtract
+  // into diff_r, and the 2.5/97.5 percentiles over the 64 diffs form the
+  // interval; `excludes_zero` is the reading. One pass over the fact
+  // table, no resampling shuffle — the 100 TB A/B readout.
+  def q232(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = Seq(26508507426831584L, 53017014853663168L, 66271268567078960L,
+      70689353138217560L, 71793874281002208L, 72014778509559136L,
+      72051595880985288L, 72056855505474736L, 72057512958535920L)
+    val u = conv(substring(md5(concat(lit("boot|"), $"o_orderkey".cast("string"),
+      lit("|"), $"r".cast("string"))), 1, 14), 16, 10).cast("long")
+    val wt = t.zipWithIndex.foldRight(lit(9): org.apache.spark.sql.Column) {
+      case ((thr, k), rest) => when($"u" < thr, k).otherwise(rest)
+    }
+    val rep = Tables.orders(s, d)
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .select($"o_orderpriority", $"o_orderkey",
+        money($"o_totalprice").as("price"),
+        explode(sequence(lit(0), lit(63))).as("r"))
+      .withColumn("u", u)
+      .withColumn("wt", wt.cast("long"))
+      .groupBy($"r")
+      .agg(
+        (sum(when($"o_orderpriority" === "1-URGENT", $"wt" * $"price"))
+          .cast("double") /
+          sum(when($"o_orderpriority" === "1-URGENT", $"wt"))).as("ma"),
+        (sum(when($"o_orderpriority" === "5-LOW", $"wt" * $"price"))
+          .cast("double") /
+          sum(when($"o_orderpriority" === "5-LOW", $"wt"))).as("mb"))
+      .select(($"ma" - $"mb").as("diff"))
+    val point = Tables.orders(s, d)
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .agg(
+        (sum(when($"o_orderpriority" === "1-URGENT",
+            $"o_totalprice".cast("decimal(18,2)"))).cast("double") /
+          sum(when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L)))
+          .as("mean_a"),
+        (sum(when($"o_orderpriority" === "5-LOW",
+            $"o_totalprice".cast("decimal(18,2)"))).cast("double") /
+          sum(when($"o_orderpriority" === "5-LOW", 1L).otherwise(0L)))
+          .as("mean_b"))
+    point.crossJoin( // one-row × one-row
+        rep.agg(round(expr("percentile(diff, 0.025)"), 6).as("lo95"),
+          round(expr("percentile(diff, 0.975)"), 6).as("hi95")))
+      .select(($"mean_a" - $"mean_b").as("diff_point"), $"lo95", $"hi95",
+        ($"lo95" > 0 || $"hi95" < 0).as("excludes_zero"))
+  }
+  val q232Sql: String =
+    """WITH draws AS (
+      |  SELECT o_orderpriority AS pri, r.r AS r,
+      |    CAST(o_totalprice AS DECIMAL(14,2)) AS price,
+      |    ('0x' || substr(md5('boot|' || CAST(o_orderkey AS VARCHAR) || '|'
+      |      || CAST(r.r AS VARCHAR)), 1, 14))::BIGINT AS u
+      |  FROM orders CROSS JOIN (SELECT UNNEST(range(64)) AS r) r
+      |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |weighted AS (
+      |  SELECT pri, r, price,
+      |    CASE WHEN u < 26508507426831584 THEN 0
+      |         WHEN u < 53017014853663168 THEN 1
+      |         WHEN u < 66271268567078960 THEN 2
+      |         WHEN u < 70689353138217560 THEN 3
+      |         WHEN u < 71793874281002208 THEN 4
+      |         WHEN u < 72014778509559136 THEN 5
+      |         WHEN u < 72051595880985288 THEN 6
+      |         WHEN u < 72056855505474736 THEN 7
+      |         WHEN u < 72057512958535920 THEN 8
+      |         ELSE 9 END AS wt
+      |  FROM draws),
+      |rep AS (
+      |  SELECT r,
+      |    CAST(SUM(CASE WHEN pri = '1-URGENT' THEN wt * price END) AS DOUBLE)
+      |      / CAST(SUM(CASE WHEN pri = '1-URGENT' THEN wt END) AS BIGINT)
+      |    - CAST(SUM(CASE WHEN pri = '5-LOW' THEN wt * price END) AS DOUBLE)
+      |      / CAST(SUM(CASE WHEN pri = '5-LOW' THEN wt END) AS BIGINT) AS diff
+      |  FROM weighted GROUP BY r),
+      |ci AS (
+      |  SELECT ROUND(quantile_cont(diff, 0.025), 6) AS lo95,
+      |    ROUND(quantile_cont(diff, 0.975), 6) AS hi95
+      |  FROM rep),
+      |pt AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+      |        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+      |      / SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+      |    - CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+      |        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+      |      / SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+      |      AS diff_point
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))
+      |SELECT pt.diff_point, ci.lo95, ci.hi95,
+      |  (ci.lo95 > 0 OR ci.hi95 < 0) AS excludes_zero
+      |FROM pt, ci""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q219_bootstrap_ci", q219 _, Some(q219Sql)),
     ("q227_item_cf", q227 _, Some(q227Sql)),
     ("q229_modularity", q229 _, Some(q229Sql)),
+    ("q232_bootstrap_ab_diff", q232 _, Some(q232Sql)),
     ("q220_mann_whitney", q220 _, Some(q220Sql)),
     ("q221_adamic_adar", q221 _, Some(q221Sql)),
     ("q222_assortativity", q222 _, Some(q222Sql)),

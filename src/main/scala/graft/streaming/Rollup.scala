@@ -131,7 +131,13 @@ object Rollup {
     * micro-batch carrying an older version of a key cannot regress the
     * table (StreamingSpec proves both properties). Same versioned-commit
     * exactly-once discipline and rollup-sized merge cost as
-    * [[mergeInto]]. */
+    * [[mergeInto]].
+    *
+    * `orderCols` values must be NON-NULL: a NULL recency field compares
+    * low in struct ordering, so a null-versioned update silently loses to
+    * any versioned one — fine for the event-time keys callers feed
+    * (non-null by construction), wrong for a changelog with optional
+    * versions; such callers must coalesce a floor version first. */
   def mergeLatestInto(spark: SparkSession, partials: DataFrame,
       tablePath: String, keys: Seq[String], orderCols: Seq[String],
       sumCols: Seq[String], batchId: Long): Boolean = {

@@ -66,73 +66,10 @@ object QTime {
       time("local window")(sliced.withColumn("lc", sum(col("c")).over(wLocal)).count())
       time("full q49")(queries.Extended.q49(spark, d).count())
       time("full q49 again")(queries.Extended.q49(spark, d).count())
-    } else if (args.headOption.contains("-q224stages")) {
-      import graft.CacheLifecycle.TrackedPersistOps
-      val opq = Tables.lineitem(spark, d)
-        .groupBy(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
-      val comp = opq.as("a").join(opq.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p") &&
-            col("a.q") =!= col("b.q"))
-        .select(col("a.p").as("pa"), col("b.p").as("pb"),
-          when(col("a.q") > col("b.q"), 1L).otherwise(0L).as("a_wins"))
-      time("comp count")(println(comp.count()))
-      val pairAgg = comp.groupBy(col("pa"), col("pb"))
-        .agg(count(lit(1)).as("n"), sum(col("a_wins")).as("wa"))
-      time("pairAgg count")(println(pairAgg.count()))
-      val sym = pairAgg.select(col("pa").as("i"), col("pb").as("j"),
-          col("n"), col("wa").as("w"))
-        .unionByName(pairAgg.select(col("pb").as("i"), col("pa").as("j"),
-          col("n"), (col("n") - col("wa")).as("w")))
-        .select(col("i"), col("j"), (lit(2) * col("n") + 2).as("n2"),
-          (lit(2) * col("w") + 1).as("w2"), col("n"), col("w"))
-        .persistTracked()
-      time("sym materialize")(println(sym.count()))
-      val items = sym.groupBy(col("i"))
-        .agg(sum(col("w2")).as("w2t"), sum(col("n")).as("n_games"),
-          sum(col("w")).as("n_wins")).persistTracked()
-      time("items materialize")(println(items.count()))
-      def iter(g: org.apache.spark.sql.DataFrame) = {
-        val e = sym
-          .join(g.select(col("i"), col("g").as("gi")), "i")
-          .join(g.select(col("i").as("j"), col("g").as("gj")), "j")
-          .withColumn("e", round(col("n2").cast("double") * 1e18 /
-            (col("gi") + col("gj")).cast("double")).cast("long"))
-          .groupBy(col("i")).agg(sum(col("e")).as("dsum"))
-        items.join(e, "i")
-          .select(col("i"), round(col("w2t").cast("double") * 1e18 /
-            col("dsum").cast("double")).cast("long").as("g")).persistTracked()
-      }
-      val g0 = items.select(col("i"), lit(1000000000L).as("g"))
-      val g1 = time("round 1")(iter(g0))
-      time("round 1 materialize")(println(g1.count()))
-      val g2 = time("round 2")(iter(g1))
-      time("round 2 materialize")(println(g2.count()))
-      time("final")(println(items.join(g2, "i").count()))
     } else if (args.headOption.contains("-q231dbg")) {
-      val staged = graft.Stage.derived("events_late_split3", d) { p =>
-        def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
-            mtimeMs: Long): Unit = {
-          val tmp = p.resolve(s"tmp_$name")
-          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-            .filter(_.endsWith(".parquet")).head
-          val dest = p.resolve(name)
-          java.nio.file.Files.move(java.nio.file.Paths.get(part), dest)
-          java.nio.file.Files.setLastModifiedTime(dest,
-            java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-          org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-        }
-        val raw = spark.read.parquet(s"$d/events.parquet")
-          .withColumn("day", expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
-        val t0 = System.currentTimeMillis() - 300000
-        writeOne(raw.filter(col("event_id") % 2 === 0 && col("day") < 19743)
-          .drop("day"), "f1_even_old.parquet", t0)
-        writeOne(raw.filter(col("event_id") % 2 === 0 && col("day") >= 19743)
-          .drop("day"), "f2_even_new.parquet", t0 + 60000)
-        writeOne(raw.filter(col("event_id") % 2 === 1).drop("day"),
-          "f3_odd.parquet", t0 + 120000)
-      }
+      // same builder as q231 — the shared persistent artifact cannot
+      // diverge between the query and this probe
+      val staged = queries.Events.lateSplitStage(spark, d)
       println("files: " + java.nio.file.Files.list(staged).toArray.toSeq)
       val stream = graft.streaming.Streams.eventsStream(spark, staged.toString,
         glob = "*.parquet", maxFilesPerTrigger = Some(1))

@@ -1389,23 +1389,40 @@ object Analytics {
   // decimal-sum / single-division davg convention; the 2.5%/97.5% CI over
   // the 64 replicate means is interpolated identically (percentile vs
   // quantile_cont, the q212 precedent) and rounded to 6dp.
+  /** floor(CDF_Poisson(1)(k) · 2^56), k = 0..8 — the shared deterministic
+    * weight grid of q219/q232 (one definition; the bit-equal-weights
+    * contract between the two queries depends on it). */
+  private val poissonCdf56 = Seq(26508507426831584L, 53017014853663168L,
+    66271268567078960L, 70689353138217560L, 71793874281002208L,
+    72014778509559136L, 72051595880985288L, 72056855505474736L,
+    72057512958535920L)
+
+  /** 56-bit md5 uniform for (o_orderkey, replicate r) — q112's grid. */
+  private def bootUniform: org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit("boot|"), col("o_orderkey").cast("string"),
+      lit("|"), col("r").cast("string"))), 1, 14), 16, 10).cast("long")
+
+  /** Poisson(1) weight from the `u` column via the shared threshold grid
+    * (tail capped at 9 — applied identically on both engines). */
+  private def poissonWeight: org.apache.spark.sql.Column =
+    poissonCdf56.zipWithIndex.foldRight(lit(9): org.apache.spark.sql.Column) {
+      case ((thr, k), rest) => when(col("u") < thr, k).otherwise(rest)
+    }
+
+  /** The same grid as DuckDB CASE text (input column `u`). */
+  private val poissonCaseSql: String =
+    poissonCdf56.zipWithIndex
+      .map { case (thr, k) => s"WHEN u < $thr THEN $k" }
+      .mkString("CASE ", "\n         ", "\n         ELSE 9 END")
+
   def q219(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // floor(CDF_Poisson(1)(k) * 2^56), k = 0..8
-    val t = Seq(26508507426831584L, 53017014853663168L, 66271268567078960L,
-      70689353138217560L, 71793874281002208L, 72014778509559136L,
-      72051595880985288L, 72056855505474736L, 72057512958535920L)
     val o = Tables.orders(s, d)
-    val u = conv(substring(md5(concat(lit("boot|"), $"o_orderkey".cast("string"),
-      lit("|"), $"r".cast("string"))), 1, 14), 16, 10).cast("long")
-    val wt = t.zipWithIndex.foldRight(lit(9): org.apache.spark.sql.Column) {
-      case ((thr, k), rest) => when($"u" < thr, k).otherwise(rest)
-    }
     val rep = o.select($"o_orderpriority", $"o_orderkey",
         money($"o_totalprice").as("price"),
         explode(sequence(lit(0), lit(63))).as("r"))
-      .withColumn("u", u)
-      .withColumn("wt", wt.cast("long"))
+      .withColumn("u", bootUniform)
+      .withColumn("wt", poissonWeight.cast("long"))
       .groupBy($"o_orderpriority", $"r")
       .agg((sum($"wt" * $"price").cast("double") / sum($"wt")).as("m"))
     val point = o.groupBy($"o_orderpriority")
@@ -1419,7 +1436,7 @@ object Analytics {
       .orderBy($"o_orderpriority")
   }
   val q219Sql: String =
-    """WITH draws AS (
+    s"""WITH draws AS (
       |  SELECT o_orderpriority, r.r AS r,
       |    CAST(o_totalprice AS DECIMAL(14,2)) AS price,
       |    ('0x' || substr(md5('boot|' || CAST(o_orderkey AS VARCHAR) || '|'
@@ -1427,16 +1444,7 @@ object Analytics {
       |  FROM orders CROSS JOIN (SELECT UNNEST(range(64)) AS r) r),
       |weighted AS (
       |  SELECT o_orderpriority, r, price,
-      |    CASE WHEN u < 26508507426831584 THEN 0
-      |         WHEN u < 53017014853663168 THEN 1
-      |         WHEN u < 66271268567078960 THEN 2
-      |         WHEN u < 70689353138217560 THEN 3
-      |         WHEN u < 71793874281002208 THEN 4
-      |         WHEN u < 72014778509559136 THEN 5
-      |         WHEN u < 72051595880985288 THEN 6
-      |         WHEN u < 72056855505474736 THEN 7
-      |         WHEN u < 72057512958535920 THEN 8
-      |         ELSE 9 END AS wt
+      |    $poissonCaseSql AS wt
       |  FROM draws),
       |rep AS (
       |  SELECT o_orderpriority, r,
@@ -1908,21 +1916,13 @@ object Analytics {
   // table, no resampling shuffle — the 100 TB A/B readout.
   def q232(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val t = Seq(26508507426831584L, 53017014853663168L, 66271268567078960L,
-      70689353138217560L, 71793874281002208L, 72014778509559136L,
-      72051595880985288L, 72056855505474736L, 72057512958535920L)
-    val u = conv(substring(md5(concat(lit("boot|"), $"o_orderkey".cast("string"),
-      lit("|"), $"r".cast("string"))), 1, 14), 16, 10).cast("long")
-    val wt = t.zipWithIndex.foldRight(lit(9): org.apache.spark.sql.Column) {
-      case ((thr, k), rest) => when($"u" < thr, k).otherwise(rest)
-    }
     val rep = Tables.orders(s, d)
       .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
       .select($"o_orderpriority", $"o_orderkey",
         money($"o_totalprice").as("price"),
         explode(sequence(lit(0), lit(63))).as("r"))
-      .withColumn("u", u)
-      .withColumn("wt", wt.cast("long"))
+      .withColumn("u", bootUniform)
+      .withColumn("wt", poissonWeight.cast("long"))
       .groupBy($"r")
       .agg(
         (sum(when($"o_orderpriority" === "1-URGENT", $"wt" * $"price"))
@@ -1950,7 +1950,7 @@ object Analytics {
         ($"lo95" > 0 || $"hi95" < 0).as("excludes_zero"))
   }
   val q232Sql: String =
-    """WITH draws AS (
+    s"""WITH draws AS (
       |  SELECT o_orderpriority AS pri, r.r AS r,
       |    CAST(o_totalprice AS DECIMAL(14,2)) AS price,
       |    ('0x' || substr(md5('boot|' || CAST(o_orderkey AS VARCHAR) || '|'
@@ -1959,16 +1959,7 @@ object Analytics {
       |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
       |weighted AS (
       |  SELECT pri, r, price,
-      |    CASE WHEN u < 26508507426831584 THEN 0
-      |         WHEN u < 53017014853663168 THEN 1
-      |         WHEN u < 66271268567078960 THEN 2
-      |         WHEN u < 70689353138217560 THEN 3
-      |         WHEN u < 71793874281002208 THEN 4
-      |         WHEN u < 72014778509559136 THEN 5
-      |         WHEN u < 72051595880985288 THEN 6
-      |         WHEN u < 72056855505474736 THEN 7
-      |         WHEN u < 72057512958535920 THEN 8
-      |         ELSE 9 END AS wt
+      |    $poissonCaseSql AS wt
       |  FROM draws),
       |rep AS (
       |  SELECT r,

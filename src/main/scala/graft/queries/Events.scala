@@ -1993,15 +1993,18 @@ object Events {
   // literal filter exists at plan time. Catalyst's dynamic partition
   // pruning inserts a pruning subquery on the fact scan's partition column
   // that reuses the broadcast dim — at plan-execution time only the hot
-  // days' directories are listed and read (EventsSpec asserts the
+  // days' directories are listed and read (SourcesSpec asserts the
   // dynamicpruning PartitionFilter AND that the pruned scan lists fewer
   // partitions than the layout holds). The join key is typed to the
   // partition column's inferred int type: a cast around a partition column
   // would defeat the pruning rule.
   //
-  // The hot-day rule stays in exact arithmetic: per-day revenue as an
-  // exact decimal(18,2) sum, and `rev * n_days > total` in decimal — no
-  // double mean whose rounding could flip a boundary day across engines.
+  // The hot-day rule stays in exact arithmetic: per-day revenue as exact
+  // integer CENTS (a decimal product would overflow DuckDB's 38-digit
+  // width when multiplied by n_days and silently fall back to double),
+  // and `rev_c * n_days > total_c` under the q154 decimal(38,0)/HUGEINT
+  // product rule — no double mean whose rounding could flip a boundary
+  // day across engines.
   /** The dataset's staged day-partitioned events layout (Stage.derived:
     * built once per dataset content, reused across sessions). */
   private[graft] def eventsByDayPath(s: SparkSession, d: String): String =
@@ -2023,10 +2026,10 @@ object Events {
     val daily = Tables.events(s, d)
       .filter($"event_type" === "purchase")
       .groupBy(expr("(ts div 1000000000) div 86400").cast("int").as("day"))
-      .agg(sum($"value".cast("decimal(18,2)")).as("rev"))
-    val tot = daily.agg(sum($"rev").as("tot"), count(lit(1)).as("nd"))
+      .agg((sum($"value".cast("decimal(18,2)")) * 100).cast("long").as("rev_c"))
+    val tot = daily.agg(sum($"rev_c").as("tot_c"), count(lit(1)).as("nd"))
     val hot = daily.crossJoin(broadcast(tot)) // one-row bound
-      .filter($"rev" * $"nd" > $"tot")
+      .filter($"rev_c".cast("decimal(38,0)") * $"nd" > $"tot_c")
       .select($"day")
     fact.join(broadcast(hot), "day")
       .groupBy($"event_type")
@@ -2039,10 +2042,12 @@ object Events {
   val q218Sql: String =
     """WITH daily AS (
       |  SELECT epoch_us(ts) // 1000000 // 86400 AS day,
-      |    SUM(CAST(value AS DECIMAL(18,2))) AS rev
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-      |tot AS (SELECT SUM(rev) AS tot, COUNT(*) AS nd FROM daily),
-      |hot AS (SELECT day FROM daily, tot WHERE rev * nd > tot)
+      |tot AS (SELECT CAST(SUM(rev_c) AS HUGEINT) AS tot_c, COUNT(*) AS nd
+      |  FROM daily),
+      |hot AS (SELECT day FROM daily, tot
+      |  WHERE CAST(rev_c AS HUGEINT) * nd > tot_c)
       |SELECT e.event_type,
       |  CAST(COUNT(DISTINCT epoch_us(e.ts) // 1000000 // 86400) AS BIGINT) AS n_days,
       |  CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -2170,14 +2175,20 @@ object Events {
   // where the hour end clears w1; emitted region = hour end ≤ final
   // watermark (the q228 cutoff discipline).
   private val lateCutDay = 19743L // 2024-01-21: old/new even split
-  def q231(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val staged = graft.Stage.derived("events_late_split3", d) { p =>
+
+  /** The three-file late-replay layout q231 streams (also driven by the
+    * QTime `-q231dbg` probe — ONE builder, so the shared persistent
+    * artifact cannot diverge between the query and the probe). */
+  private[graft] def lateSplitStage(s: SparkSession, d: String): java.nio.file.Path =
+    graft.Stage.derived("events_late_split3", d) { p =>
+      import s.implicits._
       def writeOne(df: DataFrame, name: String, mtimeMs: Long): Unit = {
         val tmp = p.resolve(s"tmp_$name")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        val listing = java.nio.file.Files.list(tmp)
+        val part = try listing.toArray.map(_.toString)
           .filter(_.endsWith(".parquet")).head
+        finally listing.close()
         val dest = p.resolve(name)
         java.nio.file.Files.move(java.nio.file.Paths.get(part), dest)
         java.nio.file.Files.setLastModifiedTime(dest,
@@ -2194,6 +2205,10 @@ object Events {
       writeOne(raw.filter($"event_id" % 2 === 1), "f3_odd.parquet",
         t0 + 120000)
     }
+
+  def q231(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val staged = lateSplitStage(s, d)
     val stream = graft.streaming.Streams.eventsStream(s, staged.toString,
       glob = "*.parquet", maxFilesPerTrigger = Some(1))
     val hourly = stream

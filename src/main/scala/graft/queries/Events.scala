@@ -2256,12 +2256,68 @@ object Events {
       |WHERE n_events > 0
       |ORDER BY hour_start, event_type""".stripMargin
 
+  // --- q234: longest consecutive-day activity streaks (gaps and islands) ---
+  // The retention-engineering classic, distinct from µs-gap sessionization
+  // (q27): group each user's distinct active DAYS into maximal runs of
+  // consecutive days via the island key `day − dense_rank(day)` (constant
+  // within a run, shifts at every gap), then keep each user's longest
+  // run with deterministic earliest-start tie-breaks. All integer
+  // arithmetic; one shuffle to the distinct (user, day) grid — the window
+  // runs per user, never globally — and a TakeOrdered(20) finisher.
+  def q234(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val days = Tables.events(s, d)
+      .select($"user_id", expr("(ts div 1000000000) div 86400").as("day"))
+      .distinct()
+    val wU = Window.partitionBy($"user_id").orderBy($"day")
+    val runs = days
+      .withColumn("island", $"day" - dense_rank().over(wU))
+      .groupBy($"user_id", $"island")
+      .agg(count(lit(1)).as("len"), min($"day").as("start_day"))
+    runs.groupBy($"user_id")
+      .agg(max(struct($"len", (-$"start_day").as("nsd"))).as("best"),
+        sum($"len").as("n_active_days"), count(lit(1)).as("n_streaks"))
+      .select($"user_id", $"best.len".as("longest_streak"),
+        (-$"best.nsd").as("streak_start_day"), $"n_active_days", $"n_streaks")
+      .orderBy($"longest_streak".desc, $"user_id")
+      .limit(20)
+  }
+  val q234Sql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 1000000 // 86400 AS day
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id,
+      |    day - DENSE_RANK() OVER (PARTITION BY user_id ORDER BY day)
+      |      AS island, day
+      |  FROM days),
+      |agg AS (
+      |  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len,
+      |    MIN(day) AS start_day
+      |  FROM runs GROUP BY 1, 2),
+      |best AS (
+      |  SELECT user_id, len AS longest_streak, start_day AS streak_start_day,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY len DESC, start_day) AS rn
+      |  FROM agg),
+      |tot AS (
+      |  SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+      |    CAST(COUNT(*) AS BIGINT) AS n_streaks
+      |  FROM agg GROUP BY 1)
+      |SELECT b.user_id, b.longest_streak, b.streak_start_day,
+      |  t.n_active_days, t.n_streaks
+      |FROM best b JOIN tot t USING (user_id)
+      |WHERE b.rn = 1
+      |ORDER BY b.longest_streak DESC, b.user_id
+      |LIMIT 20""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q202_daily_drift_jsd", q202 _, Some(q202Sql)),
     ("q218_dynamic_pruning", q218 _, Some(q218Sql)),
     ("q223_stream_cdc_apply", q223 _, Some(q223Sql)),
     ("q228_stream_chained_windows", q228 _, Some(q228Sql)),
     ("q231_stream_late_accounting", q231 _, Some(q231Sql)),
+    ("q234_active_streaks", q234 _, Some(q234Sql)),
     ("q213_point_in_time_join", q213 _, Some(q213Sql)),
     ("q211_decayed_engagement", q211 _, Some(q211Sql)),
     ("q212_conversion_latency", q212 _, Some(q212Sql)),

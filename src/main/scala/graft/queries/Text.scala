@@ -3061,7 +3061,90 @@ object Text {
        |ORDER BY w""".stripMargin
   }
 
+  // --- q233: weighted negative sampling (unigram^0.75 inverse-CDF) ---------
+  // The word2vec / contrastive-training sampling primitive (Mikolov 2013):
+  // draw K=4 negatives per document from the unigram distribution raised
+  // to 0.75 (down-weights stopwords without discarding them). Everything
+  // is deterministic and cross-engine exact: weights snap pow(cnt, 0.75)
+  // to a 1e-6 integer grid (the q106 transcendental-snap convention), the
+  // vocab CDF is an integer prefix sum in the q49 sliced-prefix shape
+  // (sliced on the first character — a prefix of the ordering key, so
+  // slice-local sums compose), and each draw maps a 56-bit md5 uniform
+  // through `target = u mod total` (modulo bias ≈ total/2^56 — identical
+  // on both engines, so exactness is unconditional). The interval lookup
+  // is NOT a nested-loop range join: vocab intervals explode onto
+  // fixed-width buckets (≤ a few spans each) and draws equi-join their
+  // bucket with a residual range filter — the q77 banded-join shape, so
+  // the work is draws + vocab, never draws × vocab. The oracle restates
+  // the draw with DuckDB's plain interval join over the same CDF.
+  def q233(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val vocab = docs.select(explode(tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("w", round(pow($"cnt", 0.75) * 1e6).cast("long"))
+    val wLocal = Window.partitionBy($"slice").orderBy($"tok")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wSlices = Window.orderBy($"slice")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val sliced = vocab.withColumn("slice", ascii(substring($"tok", 1, 1)))
+    val offsets = sliced.groupBy($"slice").agg(sum($"w").as("st"))
+      .withColumn("off", sum($"st").over(wSlices) - $"st")
+      .select($"slice", $"off")
+    val cdf = sliced
+      .withColumn("lc", sum($"w").over(wLocal))
+      .join(broadcast(offsets), "slice")
+      .select($"tok", $"cnt", $"w", ($"off" + $"lc").as("cum_hi"))
+    val tot = cdf.agg(sum($"w").as("t"))
+    val buckets = 1024
+    val width = tot.select((($"t" + buckets - 1) / buckets).cast("long"))
+      .head.getLong(0) // one-row driver constant: the bucket width
+    val vocabB = cdf
+      .withColumn("b", explode(expr(
+        s"sequence((cum_hi - w) div ${width}L, (cum_hi - 1) div ${width}L)")))
+    val draws = docs.select($"doc_id",
+        explode(sequence(lit(0), lit(3))).as("k"))
+      .crossJoin(broadcast(tot)) // one-row bound
+      .withColumn("target",
+        conv(substring(md5(concat(lit("neg|"), $"doc_id".cast("string"),
+          lit("|"), $"k".cast("string"))), 1, 14), 16, 10).cast("long") % $"t")
+      .withColumn("b", expr(s"target div ${width}L"))
+    draws.join(vocabB, "b")
+      .filter($"target" >= $"cum_hi" - $"w" && $"target" < $"cum_hi")
+      .groupBy($"tok", $"cnt")
+      .agg(count(lit(1)).as("n_drawn"))
+      .orderBy($"n_drawn".desc, $"tok")
+      .limit(20)
+  }
+  val q233Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |    CAST(round(pow(COUNT(*), 0.75) * 1e6) AS BIGINT) AS w
+      |  FROM toks GROUP BY tok),
+      |cdf AS (
+      |  SELECT tok, cnt, w,
+      |    CAST(SUM(w) OVER (ORDER BY tok
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_hi
+      |  FROM vocab),
+      |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS t FROM vocab),
+      |draws AS (
+      |  SELECT doc_id, k.k,
+      |    ('0x' || substr(md5('neg|' || CAST(doc_id AS VARCHAR) || '|'
+      |      || CAST(k.k AS VARCHAR)), 1, 14))::BIGINT % tot.t AS target
+      |  FROM documents CROSS JOIN (SELECT UNNEST(range(4)) AS k) k, tot)
+      |SELECT c.tok, c.cnt, CAST(COUNT(*) AS BIGINT) AS n_drawn
+      |FROM draws d JOIN cdf c
+      |  ON d.target >= c.cum_hi - c.w AND d.target < c.cum_hi
+      |GROUP BY 1, 2
+      |ORDER BY n_drawn DESC, c.tok
+      |LIMIT 20""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q233_negative_sampling", q233 _, Some(q233Sql)),
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),
     ("q37_pii_redact", q37 _, Some(q37Sql)),

@@ -3091,10 +3091,16 @@ object Text {
     val offsets = sliced.groupBy($"slice").agg(sum($"w").as("st"))
       .withColumn("off", sum($"st").over(wSlices) - $"st")
       .select($"slice", $"off")
+    // persist: three consumers (the width constant, the bucket explode,
+    // and the total) would otherwise each re-run the corpus tokenization
+    // feeding the vocab aggregation (measured 5.6 s -> 1.9 s at sf0.1);
+    // vocab-sized by Heaps' law, LRU-evicted per CacheLifecycle
+    import graft.CacheLifecycle.TrackedPersistOps
     val cdf = sliced
       .withColumn("lc", sum($"w").over(wLocal))
       .join(broadcast(offsets), "slice")
       .select($"tok", $"cnt", $"w", ($"off" + $"lc").as("cum_hi"))
+      .persistTracked()
     val tot = cdf.agg(sum($"w").as("t"))
     val buckets = 1024
     val width = tot.select((($"t" + buckets - 1) / buckets).cast("long"))

@@ -674,4 +674,51 @@ class TrainingSpec extends AnyFunSuite {
     assert(got("bb") == (("bb", 1)))
     assert(got("ab") == (("ab", 1)))
   }
+
+  test("q233 negative sampling: corpus counts exact, draw volume bounded") {
+    val out = queries.Text.q233(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty && out.length <= 20)
+    // driver-side recomputation of the corpus counts with the same
+    // normalization the engine's tokens() applies
+    val counts = scala.collection.mutable.Map[String, Long]()
+    Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      r.getString(0).replaceAll("\\s+", " ").trim.toLowerCase
+        .split(" ").foreach(t => counts(t) = counts.getOrElse(t, 0L) + 1)
+    }
+    out.foreach { case (tok, cnt, _) =>
+      assert(counts.get(tok).contains(cnt),
+        s"corpus count mismatch for '$tok': got $cnt, want ${counts.get(tok)}")
+    }
+    val nDocs = Tables.documents(spark, sf).count()
+    val totalDrawn = out.map(_._3).sum
+    assert(out.forall(_._3 > 0))
+    assert(totalDrawn <= 4 * nDocs,
+      s"top-20 draw volume $totalDrawn exceeds the K=4 per-doc budget")
+    // draws are n_drawn-descending with token tie-breaks
+    assert(out.map(r => (-r._3, r._1)).sameElements(
+      out.map(r => (-r._3, r._1)).sorted), "output ordering broken")
+  }
+
+  test("q234 streaks equal a driver-side gaps-and-islands recomputation") {
+    val got = queries.Events.q234(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val days = Tables.events(spark, sf)
+      .selectExpr("user_id", "(ts div 1000000000) div 86400 as day")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    val want = days.map { case (u, ds) =>
+      // split the sorted day vector into maximal consecutive runs
+      val runs = ds.foldLeft(Vector.empty[Vector[Long]]) { (acc, d) =>
+        if (acc.nonEmpty && acc.last.last == d - 1)
+          acc.init :+ (acc.last :+ d)
+        else acc :+ Vector(d)
+      }
+      val best = runs.maxBy(r => (r.length, -r.head))
+      (u, best.length.toLong, best.head, ds.length.toLong, runs.length.toLong)
+    }.toSeq.sortBy(t => (-t._2, t._1)).take(20)
+    assert(got.toSeq == want,
+      s"streaks diverge: got ${got.take(3).toSeq} want ${want.take(3)}")
+  }
 }

@@ -1986,11 +1986,132 @@ object Analytics {
       |  (ci.lo95 > 0 OR ci.hi95 < 0) AS excludes_zero
       |FROM pt, ci""".stripMargin
 
+  // --- q235: RFM customer segmentation ---------------------------------------
+  // The warehouse-marketing classic: score every customer 1–5 on Recency
+  // (days since last order), Frequency (order count), and Monetary (total
+  // spend), concatenate into a segment code, and profile the segments.
+  // Scores are NTILE(5) with the customer key as the explicit tie-break,
+  // which makes the bucket assignment a total order — deterministic and
+  // identical across engines (both split remainders into the leading
+  // buckets). The three ranking windows run over the CUSTOMER dimension
+  // (orders pre-aggregated per customer first — facts are never sorted);
+  // at warehouse scale the q192 sliced-prefix rank formula is the
+  // documented swap for the global NTILE sort. All inputs exact: integer
+  // day indexes, counts, decimal(18,2) spend; the profile averages are
+  // the davg convention.
+  def q235(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+      // NTZ wall-clock anchored via a cast under the UTC-pinned session —
+      // the Tables.normalizeEventsTs convention
+      .select($"o_custkey",
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("oday"), money($"o_totalprice").as("price"))
+    val maxDay = o.agg(max($"oday").as("maxd"))
+    val base = o.groupBy($"o_custkey")
+      .agg(max($"oday").as("lastd"), count(lit(1)).as("freq"),
+        sum($"price").as("mon"))
+      .crossJoin(broadcast(maxDay)) // one-row bound
+      .select($"o_custkey", ($"maxd" - $"lastd").as("recency"),
+        $"freq", $"mon")
+    val scored = base
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy($"recency".desc, $"o_custkey")))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy($"freq", $"o_custkey")))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy($"mon", $"o_custkey")))
+    scored
+      .groupBy(concat($"r_score", $"f_score", $"m_score").as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum($"mon").cast("double") / count(lit(1))).as("avg_spend"),
+        (sum($"freq").cast("double") / count(lit(1))).as("avg_orders"),
+        (sum($"recency").cast("double") / count(lit(1))).as("avg_recency_days"))
+      .orderBy($"n_customers".desc, $"segment")
+      .limit(25)
+  }
+  val q235Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS oday,
+      |    CAST(o_totalprice AS DECIMAL(14,2)) AS price
+      |  FROM orders),
+      |base AS (
+      |  SELECT o_custkey,
+      |    (SELECT MAX(oday) FROM o) - MAX(oday) AS recency,
+      |    CAST(COUNT(*) AS BIGINT) AS freq, SUM(price) AS mon
+      |  FROM o GROUP BY o_custkey),
+      |scored AS (
+      |  SELECT *,
+      |    NTILE(5) OVER (ORDER BY recency DESC, o_custkey) AS r_score,
+      |    NTILE(5) OVER (ORDER BY freq, o_custkey) AS f_score,
+      |    NTILE(5) OVER (ORDER BY mon, o_custkey) AS m_score
+      |  FROM base)
+      |SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+      |    || CAST(m_score AS VARCHAR) AS segment,
+      |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(mon) AS DOUBLE) / COUNT(*) AS avg_spend,
+      |  CAST(SUM(freq) AS DOUBLE) / COUNT(*) AS avg_orders,
+      |  CAST(SUM(recency) AS DOUBLE) / COUNT(*) AS avg_recency_days
+      |FROM scored
+      |GROUP BY 1
+      |ORDER BY n_customers DESC, segment
+      |LIMIT 25""".stripMargin
+
+  // --- q236: sample-ratio-mismatch (SRM) health check ------------------------
+  // The experimentation guardrail that runs BEFORE any treatment metric
+  // is read (Fabijan 2019): if the observed arm sizes are inconsistent
+  // with the designed 50/50 split, the assignment itself is broken and
+  // every downstream readout is invalid. Users hash into arms on the
+  // md5 grid; per first-seen-day cohort (where assignment bugs localize)
+  // the 1-df chi-square against 50/50 collapses to (n_a − n_b)²/n —
+  // pure integers with decimal(38,0) products and ONE double division,
+  // flagged against the 99th-percentile χ²₁ critical value. The sharp
+  // comparison is exact: both engines compute the identical rational.
+  def q236(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val firstSeen = Tables.events(s, d)
+      .groupBy($"user_id").agg(min(expr("(ts div 1000000000) div 86400"))
+        .as("cohort_day"))
+    val armed = firstSeen.withColumn("arm",
+      conv(substring(md5(concat(lit("srm|"), $"user_id".cast("string"))),
+        1, 14), 16, 10).cast("long") % 2)
+    armed.groupBy($"cohort_day")
+      .agg(sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"))
+      .select($"cohort_day", $"n_a", $"n_b",
+        ((($"n_a" - $"n_b").cast("decimal(38,0)") *
+          ($"n_a" - $"n_b").cast("decimal(38,0)")).cast("double") /
+          ($"n_a" + $"n_b").cast("double")).as("chi2"),
+        (((($"n_a" - $"n_b").cast("decimal(38,0)") *
+          ($"n_a" - $"n_b").cast("decimal(38,0)")).cast("double") /
+          ($"n_a" + $"n_b").cast("double")) > 6.635).as("srm_detected"))
+      .orderBy($"cohort_day")
+  }
+  val q236Sql: String =
+    """SELECT cohort_day, n_a, n_b,
+      |  CAST(CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) AS DOUBLE)
+      |    / CAST(n_a + n_b AS DOUBLE) AS chi2,
+      |  (CAST(CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) AS DOUBLE)
+      |    / CAST(n_a + n_b AS DOUBLE)) > 6.635 AS srm_detected
+      |FROM (
+      |  SELECT cohort_day,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM (
+      |    SELECT user_id, MIN(epoch_us(ts) // 1000000 // 86400) AS cohort_day,
+      |      ('0x' || substr(md5('srm|' || CAST(MIN(user_id) AS VARCHAR)),
+      |        1, 14))::BIGINT % 2 AS arm
+      |    FROM events GROUP BY user_id)
+      |  GROUP BY cohort_day)
+      |ORDER BY cohort_day""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q219_bootstrap_ci", q219 _, Some(q219Sql)),
     ("q227_item_cf", q227 _, Some(q227Sql)),
     ("q229_modularity", q229 _, Some(q229Sql)),
     ("q232_bootstrap_ab_diff", q232 _, Some(q232Sql)),
+    ("q235_rfm_segmentation", q235 _, Some(q235Sql)),
+    ("q236_srm_check", q236 _, Some(q236Sql)),
     ("q220_mann_whitney", q220 _, Some(q220Sql)),
     ("q221_adamic_adar", q221 _, Some(q221Sql)),
     ("q222_assortativity", q222 _, Some(q222Sql)),

@@ -2105,7 +2105,61 @@ object Analytics {
       |  GROUP BY cohort_day)
       |ORDER BY cohort_day""".stripMargin
 
+  // --- q238: score calibration / reliability diagram --------------------------
+  // The eval-loop honesty check (reliability diagram with per-bin ECE
+  // terms; Naeini et al. 2015): bucket a score into ten fixed-width bins
+  // and compare each bin's mean confidence against its observed positive
+  // rate — a model can have great AUC (q208) and still be badly
+  // calibrated. Score: the user's click share over their events as an
+  // exact ppm integer (clicks·1e6 div n); label: the user ever purchased.
+  // Everything stays on the integer grid — per-bin confidence and
+  // accuracy are integer divisions of exact long sums, so there is no
+  // double summation and no rounding tie to disagree on. Two linear
+  // map-side-combinable aggregations (user, then bin); ≤10 rows out at
+  // any scale.
+  def q238(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perUser = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("n_click"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("pos"))
+      .select(expr("n_click * 1000000 div n_ev").as("conf_ppm"), $"pos")
+      .select(least(expr("conf_ppm div 100000"), lit(9L)).as("bin"),
+        $"conf_ppm", $"pos")
+    perUser.groupBy($"bin")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"conf_ppm").as("s_conf"), sum($"pos").as("n_pos"))
+      .select($"bin", $"n_users",
+        expr("s_conf div n_users").as("mean_conf_ppm"),
+        expr("n_pos * 1000000 div n_users").as("acc_ppm"))
+      .withColumn("gap_ppm", abs($"mean_conf_ppm" - $"acc_ppm"))
+      .orderBy($"bin")
+  }
+  val q238Sql: String =
+    """WITH u AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_click,
+      |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos
+      |  FROM events GROUP BY 1),
+      |sc AS (
+      |  SELECT LEAST((n_click * 1000000 // n_ev) // 100000, 9) AS bin,
+      |    n_click * 1000000 // n_ev AS conf_ppm, pos
+      |  FROM u)
+      |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(CAST(SUM(conf_ppm) AS BIGINT) // COUNT(*) AS BIGINT)
+      |    AS mean_conf_ppm,
+      |  CAST(CAST(SUM(pos) AS BIGINT) * 1000000 // COUNT(*) AS BIGINT)
+      |    AS acc_ppm,
+      |  CAST(ABS(CAST(SUM(conf_ppm) AS BIGINT) // COUNT(*)
+      |    - CAST(SUM(pos) AS BIGINT) * 1000000 // COUNT(*)) AS BIGINT)
+      |    AS gap_ppm
+      |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q238_calibration_bins", q238 _, Some(q238Sql)),
     ("q219_bootstrap_ci", q219 _, Some(q219Sql)),
     ("q227_item_cf", q227 _, Some(q227Sql)),
     ("q229_modularity", q229 _, Some(q229Sql)),

@@ -1005,7 +1005,105 @@ object Extended {
       |GROUP BY 1
       |ORDER BY o.o_orderpriority""".stripMargin
 
+  // --- q237: Benford first-digit audit --------------------------------------
+  // The forensic data-quality screen (Benford's law; Nigrini 2012):
+  // leading digits of naturally-scaled amounts follow P(d) = log10(1+1/d),
+  // and a column that deviates hard is machine-generated, truncated, or
+  // tampered — the standard pre-training sanity check on any money-like
+  // feature. The digit comes from the EXACT cents integer (the money grid
+  // ×100) via a descending power-of-ten CASE ladder — never
+  // floor(log10(double)), whose last-ulp error flips exactly at the decade
+  // boundaries the digit depends on. Observed shares are parts-per-million
+  // integers (integer division of exact longs); expected shares are
+  // 1e6-grid literals that sum to exactly 1,000,000. One map-side-combined
+  // aggregation over a one-column scan; ≤9 rows out at any scale.
+  private def benfordLadder(idiv: String): String = (14 to 0 by -1)
+    .map { i => val p = "1" + "0" * i; s"WHEN cents >= $p THEN cents $idiv $p" }
+    .mkString(" ")
+  private val benfordExpected: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  def q237(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val expCase = benfordExpected
+      .map { case (dg, ppm) => s"WHEN digit = $dg THEN CAST($ppm AS BIGINT)" }
+      .mkString(" ")
+    val counts = Tables.orders(s, d)
+      .select((money($"o_totalprice") * 100).cast("bigint").as("cents"))
+      .select(expr(s"CASE ${benfordLadder("div")} END").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    counts.crossJoin(broadcast(counts.agg(sum($"n").as("total")))) // one row
+      .select($"digit", $"n",
+        expr("n * 1000000 div total").as("obs_ppm"),
+        expr(s"CASE $expCase END").as("exp_ppm"))
+      .withColumn("dev_ppm", $"obs_ppm" - $"exp_ppm")
+      .orderBy($"digit")
+  }
+  val q237Sql: String = {
+    val expCase = benfordExpected
+      .map { case (dg, ppm) => s"WHEN digit = $dg THEN CAST($ppm AS BIGINT)" }
+      .mkString(" ")
+    s"""WITH c AS (
+       |  SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+       |    AS cents
+       |  FROM orders),
+       |dg AS (SELECT CASE ${benfordLadder("//")} END AS digit FROM c),
+       |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM dg GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+       |SELECT digit, n,
+       |  CAST(n * 1000000 // total AS BIGINT) AS obs_ppm,
+       |  CASE $expCase END AS exp_ppm,
+       |  CAST(n * 1000000 // total AS BIGINT) - CASE $expCase END AS dev_ppm
+       |FROM g CROSS JOIN t
+       |ORDER BY digit""".stripMargin
+  }
+
+  // --- q242: leave-one-out target encoding -----------------------------------
+  // The leakage-free categorical encoder (Micci-Barreca 2001, the standard
+  // target-encoding variant in tabular ML): each row's feature is the mean
+  // target over every OTHER row of its category, (S_c − y_i)/(n_c − 1), so
+  // a row's own label never leaks into its own feature. 100 TB shape: the
+  // per-category (sum, count) table is dimension-sized — broadcast it and
+  // the encode is a map-side projection over the fact scan, zero shuffles
+  // beyond the one aggregation. Exactness: cents-integer sums and ONE
+  // double division of exact integers per row; size-1 categories encode
+  // NULL via a guard (the ANSI divide-by-zero trap) in both engines. The
+  // audited slice is a deterministic orderkey filter, not TABLESAMPLE.
+  def q242(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority",
+      (money($"o_totalprice") * 100).cast("bigint").as("cents"))
+    val byCat = o.groupBy($"o_orderpriority")
+      .agg(sum($"cents").as("s_c"), count(lit(1)).as("n_c"))
+    o.join(broadcast(byCat), Seq("o_orderpriority"))
+      .where($"o_orderkey" % 997 === 0)
+      .select($"o_orderkey", $"o_orderpriority", $"cents",
+        when($"n_c" > 1,
+          ($"s_c" - $"cents").cast("double") / ($"n_c" - 1).cast("double"))
+          .as("loo_cents"))
+      .orderBy($"o_orderkey")
+  }
+  val q242Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |c AS (
+      |  SELECT o_orderpriority, CAST(SUM(cents) AS BIGINT) AS s_c,
+      |    CAST(COUNT(*) AS BIGINT) AS n_c
+      |  FROM o GROUP BY 1)
+      |SELECT o.o_orderkey, o.o_orderpriority, o.cents,
+      |  CASE WHEN c.n_c > 1
+      |    THEN CAST(c.s_c - o.cents AS DOUBLE) / CAST(c.n_c - 1 AS DOUBLE)
+      |  END AS loo_cents
+      |FROM o JOIN c ON c.o_orderpriority = o.o_orderpriority
+      |WHERE o.o_orderkey % 997 = 0
+      |ORDER BY o.o_orderkey""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q237_benford_audit", q237 _, Some(q237Sql)),
+    ("q242_loo_target_encoding", q242 _, Some(q242Sql)),
     ("q225_schema_evolution", q225 _, Some(q225Sql)),
     ("q230_trimmed_means", q230 _, Some(q230Sql)),
     ("q226_theil_sen", q226 _, Some(q226Sql)),

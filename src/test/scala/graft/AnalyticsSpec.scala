@@ -699,4 +699,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((0L, 2L)), 2L -> ((0L, 2L)),
       3L -> ((2L, 1L)), 4L -> ((1L, 0L))))
   }
+
+  test("q238 calibration bins partition users and keep the ppm grid consistent") {
+    val got = SparkEntry.queries("q238_calibration_bins")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(got.map(_._2).sum == nUsers, "bins must partition the user set")
+    got.foreach { case (bin, n, conf, acc, gap) =>
+      assert(bin >= 0 && bin <= 9 && n > 0)
+      assert(conf >= 0 && conf <= 1000000 && acc >= 0 && acc <= 1000000)
+      assert(gap == math.abs(conf - acc))
+      // mean confidence lies inside (or at the clamp of) its own bin
+      assert(conf / 100000 == bin || (bin == 9 && conf / 100000 >= 9),
+        s"bin $bin mean conf $conf outside its bucket")
+    }
+  }
 }

@@ -260,6 +260,43 @@ class ExtendedSpec extends AnyFunSuite {
     }
   }
 
+  test("q237 Benford digits equal a driver-side recomputation and shares sum to ~1e6") {
+    val got = SparkEntry.queries("q237_benford_audit")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty && got.map(_._1).forall(d => d >= 1 && d <= 9))
+    // driver-side recomputation from exact cents
+    val cents = Tables.orders(spark, sf).collect()
+      .map(r => BigDecimal(r.getAs[Double]("o_totalprice"))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100)
+      .map(_.toLongExact)
+    val digits = cents.map(c => c.toString.head.asDigit.toLong)
+    val want = digits.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    got.foreach { case (d, n, obs, exp, dev) =>
+      assert(want(d) == n, s"digit $d count: got $n want ${want(d)}")
+      assert(obs == n * 1000000L / cents.length)
+      assert(dev == obs - exp)
+    }
+    assert(got.map(_._4).sum == 1000000L, "expected shares must sum to exactly 1e6")
+  }
+
+  test("q242 LOO encoding excludes the row's own target") {
+    val got = SparkEntry.queries("q242_loo_target_encoding")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.nonEmpty)
+    val byCat = Tables.orders(spark, sf).collect()
+      .map(r => (r.getAs[String]("o_orderpriority"),
+        (BigDecimal(r.getAs[Double]("o_totalprice"))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+      .groupBy(_._1).view.mapValues(v => (v.map(_._2).sum, v.length)).toMap
+    got.foreach { case (k, cat, cents, loo) =>
+      assert(k % 997 == 0)
+      val (s, n) = byCat(cat)
+      assert(loo.contains((s - cents).toDouble / (n - 1)),
+        s"order $k: LOO must be (S - own)/(n - 1)")
+    }
+  }
+
   test("merge apply never emits a deleted or dangling action and keeps base untouched rows") {
     val rows = SparkEntry.queries("q107_merge_apply")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))

@@ -2158,7 +2158,57 @@ object Analytics {
       |    AS gap_ppm
       |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin
 
+  // --- q241: UCB1 bandit arm scores -------------------------------------------
+  // The experimentation family's allocation step (q153/q232 measure; this
+  // decides): UCB1 (Auer, Cesa-Bianchi & Fischer 2002) scores each arm as
+  // mean reward + sqrt(2·ln N / n_i) — the optimism bonus that makes the
+  // regret logarithmic. Arms = event types; reward = the event's value
+  // normalized by the global max so rewards live in [0,1] as UCB1 assumes.
+  // Exactness: plays and cents-sums are exact longs (a 1e12-row events
+  // table sums to ~5.6e16 cents, inside long range); the normalizing max
+  // is a ONE-ROW broadcast; the score is one fixed IEEE chain over those
+  // exact integers snapped to the 1e-9 grid — the q202 convention, so
+  // DuckDB's ln/sqrt reproduce it bit-for-bit. Shape: one map-side-
+  // combinable aggregation to an arms-sized table; everything after is a
+  // broadcast of one row. At 100 TB this is a single linear scan.
+  def q241(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"event_type",
+      ($"value".cast("decimal(18,2)") * 100).cast("long").as("vc"))
+    val arms = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_plays"), sum($"vc").as("s_cents"))
+    val glob = arms.agg(sum($"n_plays").as("big_n"))
+      .crossJoin(ev.agg(max($"vc").as("maxvc"))) // one row × one row
+    arms.crossJoin(broadcast(glob))
+      .withColumn("ucb_e9", round(
+        ($"s_cents" * lit(1.0) / $"n_plays" / $"maxvc"
+          + sqrt(lit(2.0) * log($"big_n") / $"n_plays")) * lit(1e9))
+        .cast("long"))
+      .select($"event_type", $"n_plays", $"s_cents",
+        ($"ucb_e9".cast("double") / lit(1e9)).as("ucb_score"))
+      .orderBy($"event_type")
+  }
+  val q241Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      |  FROM events),
+      |arms AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_plays,
+      |    CAST(SUM(vc) AS BIGINT) AS s_cents
+      |  FROM ev GROUP BY 1),
+      |gl AS (
+      |  SELECT (SELECT CAST(SUM(n_plays) AS BIGINT) FROM arms) AS big_n,
+      |         (SELECT MAX(vc) FROM ev) AS maxvc)
+      |SELECT event_type, n_plays, s_cents,
+      |  CAST(CAST(ROUND((s_cents * 1.0 / n_plays / maxvc
+      |    + sqrt(2.0 * ln(big_n) / n_plays)) * 1e9) AS BIGINT) AS DOUBLE)
+      |    / 1e9 AS ucb_score
+      |FROM arms CROSS JOIN gl
+      |ORDER BY event_type""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q241_ucb1_arms", q241 _, Some(q241Sql)),
     ("q238_calibration_bins", q238 _, Some(q238Sql)),
     ("q219_bootstrap_ci", q219 _, Some(q219Sql)),
     ("q227_item_cf", q227 _, Some(q227Sql)),

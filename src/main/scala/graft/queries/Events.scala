@@ -2311,7 +2311,105 @@ object Events {
       |ORDER BY b.longest_streak DESC, b.user_id
       |LIMIT 20""".stripMargin
 
+  // --- q239: population stability index (PSI) drift monitor -----------------
+  // The model-monitoring companion to q202's JSD: PSI between the FIRST
+  // half of the observation window (reference) and the second (current),
+  // per event type, over the value distribution — the standard "has the
+  // feature my model was trained on drifted" gate (banking scorecard
+  // practice; same family as Lin 2017's drift monitors). Σ_bins
+  // (p_cur − p_ref)·ln(p_cur/p_ref); PSI > 0.2 is the conventional alarm.
+  // Design for exactness + scale:
+  //  - the split day and the reference max-cents are ONE-ROW broadcast
+  //    aggregates (the Upsert convention), so the heavy scans stay
+  //    map-side-combinable counts; nothing sorts, nothing collects.
+  //  - bins are ten equal-width slices of the REFERENCE cents range
+  //    [0, maxvc] via pure long arithmetic (vc·10 div (maxvc+1), clamped
+  //    to 9 so current-side outliers land in the top bin) — no quantile
+  //    sort at 100 TB, and the bucket rule restates verbatim in DuckDB.
+  //  - Laplace +1 smoothing on a DENSE type×10 grid (types × sequence
+  //    explode, left-join counts) so empty bins contribute finite terms
+  //    instead of ±∞ — the documented convention, mirrored in the oracle.
+  //  - each bin's term is one fixed IEEE chain from exact longs, snapped
+  //    to the 1e-9 grid and summed as longs (the q202/q106 convention).
+  // Degenerate single-day window: split is clamped to min_day+1 so the
+  // reference always contains the first day.
+  def q239(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(
+      expr("(ts div 1000000000) div 86400").as("day"), $"event_type",
+      ($"value".cast("decimal(18,2)") * 100).cast("long").as("vc"))
+    val split = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select(greatest(expr("(d0 + d1 + 1) div 2"), $"d0" + 1).as("split"))
+    val withSplit = ev.crossJoin(broadcast(split)) // one row
+    val refMax = withSplit.filter($"day" < $"split")
+      .agg(max($"vc").as("maxvc"))
+    // persist: types×10 rows at most, but two downstream branches (the
+    // dense-grid seed and the left join) would otherwise each re-run the
+    // corpus-sized count scan. LRU-evicted via the CacheLifecycle contract.
+    import graft.CacheLifecycle.TrackedPersistOps
+    val counts = withSplit.crossJoin(broadcast(refMax)) // one row
+      .select($"event_type",
+        least(expr("vc * 10 div (maxvc + 1)"), lit(9L)).as("bin"),
+        ($"day" < $"split").as("is_ref"))
+      .groupBy($"event_type", $"bin")
+      .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("c_r"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("c_c"))
+      .persistTracked()
+    val dense = counts.select($"event_type").distinct()
+      .select($"event_type", explode(sequence(lit(0L), lit(9L))).as("bin"))
+      .join(counts, Seq("event_type", "bin"), "left")
+      .select($"event_type", $"bin",
+        coalesce($"c_r", lit(0L)).as("c_r"), coalesce($"c_c", lit(0L)).as("c_c"))
+    val tot = dense.groupBy($"event_type")
+      .agg(sum($"c_r").as("n_r"), sum($"c_c").as("n_c"))
+    val pC = ($"c_c" + 1) * lit(1.0) / ($"n_c" + 10)
+    val pR = ($"c_r" + 1) * lit(1.0) / ($"n_r" + 10)
+    dense.join(broadcast(tot), "event_type")
+      .withColumn("e9", round((pC - pR) * log(pC / pR) * lit(1e9)).cast("long"))
+      .groupBy($"event_type")
+      .agg(min($"n_r").as("n_ref"), min($"n_c").as("n_cur"),
+        sum($"e9").as("psi_e9"))
+      .select($"event_type", $"n_ref", $"n_cur",
+        ($"psi_e9".cast("double") / lit(1e9)).as("psi"))
+      .orderBy($"event_type")
+  }
+  val q239Sql: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 1000000 // 86400 AS day, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      |  FROM events),
+      |b AS (SELECT GREATEST((MIN(day) + MAX(day) + 1) // 2, MIN(day) + 1)
+      |        AS split FROM ev),
+      |rm AS (SELECT MAX(vc) AS maxvc FROM ev, b WHERE day < split),
+      |g AS (
+      |  SELECT event_type, LEAST(vc * 10 // (maxvc + 1), 9) AS bin,
+      |    CAST(SUM(CASE WHEN day < split THEN 1 ELSE 0 END) AS BIGINT) AS c_r,
+      |    CAST(SUM(CASE WHEN day >= split THEN 1 ELSE 0 END) AS BIGINT) AS c_c
+      |  FROM ev, b, rm GROUP BY 1, 2),
+      |dense AS (
+      |  SELECT t.event_type, bins.bin,
+      |    COALESCE(g.c_r, 0) AS c_r, COALESCE(g.c_c, 0) AS c_c
+      |  FROM (SELECT DISTINCT event_type FROM g) t
+      |  CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) bins
+      |  LEFT JOIN g ON g.event_type = t.event_type AND g.bin = bins.bin),
+      |tot AS (
+      |  SELECT event_type, CAST(SUM(c_r) AS BIGINT) AS n_r,
+      |    CAST(SUM(c_c) AS BIGINT) AS n_c
+      |  FROM dense GROUP BY 1),
+      |term AS (
+      |  SELECT d.event_type, n_r, n_c,
+      |    CAST(ROUND((((c_c + 1) * 1.0 / (n_c + 10))
+      |               - ((c_r + 1) * 1.0 / (n_r + 10)))
+      |      * ln(((c_c + 1) * 1.0 / (n_c + 10))
+      |         / ((c_r + 1) * 1.0 / (n_r + 10))) * 1e9) AS BIGINT) AS e9
+      |  FROM dense d JOIN tot USING (event_type))
+      |SELECT event_type, MIN(n_r) AS n_ref, MIN(n_c) AS n_cur,
+      |  CAST(SUM(e9) AS DOUBLE) / 1e9 AS psi
+      |FROM term GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q239_psi_drift", q239 _, Some(q239Sql)),
     ("q202_daily_drift_jsd", q202 _, Some(q202Sql)),
     ("q218_dynamic_pruning", q218 _, Some(q218Sql)),
     ("q223_stream_cdc_apply", q223 _, Some(q223Sql)),

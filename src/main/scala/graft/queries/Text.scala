@@ -3149,7 +3149,72 @@ object Text {
       |ORDER BY n_drawn DESC, c.tok
       |LIMIT 20""".stripMargin
 
+  // --- q240: edit-distance similarity join (SymSpell deletion signatures) ---
+  // Typo-candidate detection for vocabulary normalization: every pair of
+  // distinct corpus tokens within Levenshtein distance 2 — the cleanup
+  // pass an OCR/web-scrape ingest runs before tokenizer training so
+  // "tokenizaton" doesn't get its own vocab slot. The naive shape is an
+  // all-pairs vocab² self-join with an edit-distance filter; the scale
+  // shape is symmetric-delete candidate generation (Garbe's SymSpell;
+  // the deletion-only variant of Mor & Fraenkel 1982): lev(a,b) ≤ d iff
+  // deleting ≤ d chars from each can reach a COMMON string (any alignment
+  // turns substitutions into one delete on each side and indels into one
+  // delete on one side). So: explode each vocab word into its ≤2-deletion
+  // neighborhood (1 + L + C(L,2) signatures — tiny, Zipf vocab ≪ corpus),
+  // equi-join on the signature, and verify survivors with one exact
+  // levenshtein call. The verify step makes the blocking LOSSLESS, so the
+  // oracle can state the brute-force all-pairs truth and must agree
+  // exactly. Words shorter than 3 chars are excluded (standard SymSpell
+  // floor: their neighborhoods include "" which would bucket every short
+  // word together — a hot-signature skew trap with no retrieval value).
+  // 100 TB: vocab-sized work end-to-end; the signature join's hot buckets
+  // are bounded by alphabet geometry, and the final distinct is over
+  // candidate pairs, not vocab².
+  def q240(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("w"))
+      .filter(length($"w") >= 3)
+      .distinct()
+    // ≤2-deletion neighborhood: the word, every 1-deletion, every
+    // 2-deletion (i < j, both 1-based; sequence() would run DESCENDING
+    // for start > stop, hence the i < length guard).
+    // persist: vocab×(1+L+C(L,2)) rows — small under Zipf — but BOTH join
+    // sides would otherwise re-run the corpus explode+distinct scan.
+    // LRU-evicted via the CacheLifecycle contract.
+    import graft.CacheLifecycle.TrackedPersistOps
+    val sigs = vocab.select($"w", explode(array_distinct(concat(
+      array($"w"),
+      expr("transform(sequence(1, length(w)), i -> " +
+        "concat(substring(w, 1, i - 1), substring(w, i + 1, length(w))))"),
+      flatten(expr("transform(sequence(1, length(w)), i -> " +
+        "case when i < length(w) then transform(sequence(i + 1, length(w)), j -> " +
+        "concat(substring(w, 1, i - 1), substring(w, i + 1, j - i - 1), " +
+        "substring(w, j + 1, length(w)))) else array() end)"))))).as("sig"))
+      .persistTracked()
+    sigs.as("a").join(sigs.as("b"),
+        $"a.sig" === $"b.sig" && $"a.w" < $"b.w")
+      .select($"a.w".as("word_a"), $"b.w".as("word_b"))
+      .distinct()
+      .withColumn("dist", levenshtein($"word_a", $"word_b").cast("long"))
+      .filter($"dist" <= 2)
+      .orderBy($"word_a", $"word_b")
+  }
+  val q240Sql: String =
+    """WITH v AS (
+      |  SELECT DISTINCT w FROM (
+      |    SELECT unnest(string_split(norm, ' ')) AS w
+      |    FROM (SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+      |            AS norm FROM documents))
+      |  WHERE length(w) >= 3)
+      |SELECT a.w AS word_a, b.w AS word_b,
+      |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+      |FROM v a JOIN v b ON a.w < b.w
+      |WHERE levenshtein(a.w, b.w) <= 2
+      |ORDER BY word_a, word_b""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q240_edit_distance_join", q240 _, Some(q240Sql)),
     ("q233_negative_sampling", q233 _, Some(q233Sql)),
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),

@@ -716,4 +716,63 @@ class AnalyticsSpec extends AnyFunSuite {
         s"bin $bin mean conf $conf outside its bucket")
     }
   }
+
+  test("q239 PSI equals a driver-side recomputation and is non-negative") {
+    val got = SparkEntry.queries("q239_psi_drift")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val rows = Tables.events(spark, sf).selectExpr(
+        "(ts div 1000000000) div 86400 as day", "event_type",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as vc")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val d0 = rows.map(_._1).min
+    val d1 = rows.map(_._1).max
+    val split = math.max((d0 + d1 + 1) / 2, d0 + 1)
+    val maxvc = rows.filter(_._1 < split).map(_._3).max
+    val exp = rows.map(_._2).distinct.sorted.map { t =>
+      val cr = Array.fill(10)(0L)
+      val cc = Array.fill(10)(0L)
+      rows.filter(_._2 == t).foreach { case (day, _, vc) =>
+        val bin = math.min(vc * 10 / (maxvc + 1), 9L).toInt
+        if (day < split) cr(bin) += 1 else cc(bin) += 1
+      }
+      val nr = cr.sum
+      val nc = cc.sum
+      val e9 = (0 until 10).map { b =>
+        val pc = (cc(b) + 1) * 1.0 / (nc + 10)
+        val pr = (cr(b) + 1) * 1.0 / (nr + 10)
+        math.round((pc - pr) * math.log(pc / pr) * 1e9)
+      }.sum
+      (t, nr, nc, e9.toDouble / 1e9)
+    }
+    assert(got.length == exp.length)
+    got.zip(exp).foreach { case ((gt, gr, gc, gp), (et, er, ec, ep)) =>
+      assert(gt == et && gr == er && gc == ec, s"counts diverge for $gt")
+      // each term is (x−y)·ln(x/y) ≥ 0, so PSI is non-negative by identity
+      assert(gp >= 0.0, s"negative PSI for $gt")
+      assert(math.abs(gp - ep) <= 2e-9, s"PSI diverges for $gt: $gp vs $ep")
+    }
+  }
+
+  test("q241 UCB1 equals a driver-side recomputation on the e9 grid") {
+    val got = SparkEntry.queries("q241_ucb1_arms")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val rows = Tables.events(spark, sf).selectExpr("event_type",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as vc")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val arms = rows.groupBy(_._1).map { case (t, g) =>
+      (t, g.length.toLong, g.map(_._2).sum) }.toSeq.sortBy(_._1)
+    val bigN = arms.map(_._2).sum
+    val maxvc = rows.map(_._2).max
+    assert(got.length == arms.length)
+    got.zip(arms).foreach { case ((gt, gn, gs, gu), (et, en, es)) =>
+      assert(gt == et && gn == en && gs == es, s"aggregates diverge for $gt")
+      val eu = math.round((es * 1.0 / en / maxvc
+        + math.sqrt(2.0 * math.log(bigN.toDouble) / en)) * 1e9) / 1e9
+      assert(math.abs(gu - eu) <= 2e-9, s"UCB diverges for $gt: $gu vs $eu")
+      // the optimism bonus alone bounds the score from below
+      assert(gu >= math.sqrt(2.0 * math.log(bigN.toDouble) / en) - 2e-9)
+    }
+  }
 }

@@ -721,4 +721,35 @@ class TrainingSpec extends AnyFunSuite {
     assert(got.toSeq == want,
       s"streaks diverge: got ${got.take(3).toSeq} want ${want.take(3)}")
   }
+
+  test("q240 SymSpell join equals brute-force all-pairs with an independent Levenshtein") {
+    // classic DP edit distance — deliberately NOT Spark's levenshtein, so
+    // this checks both the deletion-signature blocking (losslessness) and
+    // the engine's distance function against a third implementation
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0)
+        dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val got = SparkEntry.queries("q240_edit_distance_join")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val vocab = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).replaceAll("\\s+", " ").trim.toLowerCase.split(" "))
+      .filter(_.length >= 3).distinct.sorted
+    val exp = (for {
+      a <- vocab; b <- vocab if a < b
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    assert(exp.nonEmpty, "fixture should contain near-pairs")
+    assert(got == exp, s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+  }
 }

@@ -2207,8 +2207,53 @@ object Analytics {
       |FROM arms CROSS JOIN gl
       |ORDER BY event_type""".stripMargin
 
+  // --- q245: Herfindahl-Hirschman concentration index --------------------------
+  // The traffic-concentration audit: per event type, HHI of the user
+  // share distribution — Σᵤ shareᵤ² — the antitrust-standard measure
+  // repurposed as the "is this feed a few bots or a real population"
+  // screen a training-data pipeline keeps next to q187's dup dashboard
+  // (HHI → 1e6 ppm means one user emits everything; → 1e6/n means
+  // uniform). Exactness: Σc² and (Σc)² are decimal(38,0)/HUGEINT products
+  // of exact longs (a 1e12-count user squares to 1e24 — far past both
+  // long and 2^53, the q154 rule), and the ppm result is ONE integral
+  // divide of exact integers — no doubles anywhere. Shape: two hash
+  // aggregations, (type,user) then type, both map-side combinable; the
+  // per-type row count bounds output at #types.
+  def q245(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = "decimal(38,0)"
+    Tables.events(s, d)
+      .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("c"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_users"), sum($"c").as("n_events"),
+        sum($"c".cast(big) * $"c".cast(big)).as("s2"),
+        max($"c").as("max_c"))
+      .select($"event_type", $"n_users", $"n_events",
+        expr(s"cast((s2 * 1000000) div (cast(n_events as $big)" +
+          s" * cast(n_events as $big)) as bigint)").as("hhi_ppm"),
+        expr("max_c * 1000000 div n_events").as("top_share_ppm"))
+      .orderBy($"event_type")
+  }
+  val q245Sql: String =
+    """WITH cu AS (
+      |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(c) AS BIGINT) AS n_events,
+      |    SUM(CAST(c AS HUGEINT) * c) AS s2,
+      |    CAST(MAX(c) AS BIGINT) AS max_c
+      |  FROM cu GROUP BY 1)
+      |SELECT event_type, n_users, n_events,
+      |  CAST((s2 * 1000000) // (CAST(n_events AS HUGEINT) * n_events)
+      |    AS BIGINT) AS hhi_ppm,
+      |  CAST(max_c * 1000000 // n_events AS BIGINT) AS top_share_ppm
+      |FROM agg
+      |ORDER BY event_type""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q241_ucb1_arms", q241 _, Some(q241Sql)),
+    ("q245_hhi_concentration", q245 _, Some(q245Sql)),
     ("q238_calibration_bins", q238 _, Some(q238Sql)),
     ("q219_bootstrap_ci", q219 _, Some(q219Sql)),
     ("q227_item_cf", q227 _, Some(q227Sql)),

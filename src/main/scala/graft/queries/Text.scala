@@ -3213,7 +3213,150 @@ object Text {
       |WHERE levenshtein(a.w, b.w) <= 2
       |ORDER BY word_a, word_b""".stripMargin
 
+  // --- q243: Good-Turing count-of-counts smoothing ---------------------------
+  // The LM-estimation step under q39's surprisal and q198's bigram LM:
+  // simple Good-Turing frequency re-estimation (Good 1953; Gale & Sampson
+  // 1995's presentation) from the count-of-counts table — r* =
+  // (r+1)·N_{r+1}/N_r for rare counts, plus N_1/N as the unseen-mass
+  // estimate baked into every Katz-backoff tokenizer/LM pipeline. The
+  // count-of-counts table is tiny by construction (≤ #distinct counts),
+  // so after the corpus token count everything is free. N_{r+1} comes
+  // from a self EQUI-join on r+1, not lead(): lead() returns the next
+  // PRESENT r, which is wrong across gaps — absent N_{r+1} means r* = 0
+  // (the classic GT gap; smoothing N_r itself, à la Gale-Sampson, is out
+  // of scope and documented). Restricted to the 20 SMALLEST counts
+  // present (rank over the tiny count-of-counts table, not a fixed r ≤ 20
+  // — this synthetic corpus has no singletons at all): GT is for rare
+  // counts; MLE is fine above (standard practice). Integer-grid ratios;
+  // the r·N_r·1e6 mass product is decimal(38,0)-snapped (q154 rule —
+  // r reaches corpus scale when the vocab is small).
+  def q243(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wc = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val coc = wc.groupBy($"c".as("r")).agg(count(lit(1)).as("n_r"))
+      .persistTracked() // two consumers: the r+1 probe side and the base
+    val tot = wc.agg(sum($"c").as("n_total"), count(lit(1)).as("n_vocab"))
+    val nxt = coc.select(($"r" - 1).as("r"), $"n_r".as("n_r1"))
+    val big = "decimal(38,0)"
+    coc.join(nxt, Seq("r"), "left")
+      .withColumn("rk", row_number().over(Window.orderBy($"r")))
+      .filter($"rk" <= 20).drop("rk")
+      .crossJoin(broadcast(tot)) // one row
+      .select($"r", $"n_r",
+        expr(s"cast((cast(r + 1 as $big) * coalesce(n_r1, 0) * 1000000)" +
+          s" div cast(n_r as $big) as bigint)").as("r_star_ppm"),
+        expr(s"cast((cast(n_r as $big) * r * 1000000)" +
+          s" div cast(n_total as $big) as bigint)").as("mass_ppm"),
+        $"n_vocab")
+      .orderBy($"r")
+  }
+  val q243Sql: String =
+    """WITH wc AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT unnest(string_split(lower(trim(
+      |      regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+      |    FROM documents)
+      |  GROUP BY w),
+      |coc AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+      |        FROM wc GROUP BY c),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+      |          CAST(COUNT(*) AS BIGINT) AS n_vocab FROM wc),
+      |joined AS (
+      |  SELECT base.r, base.n_r, nxt.n_r AS n_r1,
+      |    ROW_NUMBER() OVER (ORDER BY base.r) AS rk
+      |  FROM coc base LEFT JOIN coc nxt ON nxt.r = base.r + 1)
+      |SELECT r, n_r,
+      |  CAST((CAST(r + 1 AS HUGEINT) * COALESCE(n_r1, 0) * 1000000)
+      |    // CAST(n_r AS HUGEINT) AS BIGINT) AS r_star_ppm,
+      |  CAST((CAST(n_r AS HUGEINT) * r * 1000000)
+      |    // CAST(n_total AS HUGEINT) AS BIGINT) AS mass_ppm,
+      |  n_vocab
+      |FROM joined CROSS JOIN tot
+      |WHERE rk <= 20
+      |ORDER BY r""".stripMargin
+
+  // --- q244: feature hashing (the hashing trick) ------------------------------
+  // The streaming-friendly featurizer (Weinberger et al. 2009): project
+  // the unbounded token space onto 64 fixed columns via bucket =
+  // hash(token) mod 64 with a second hash bit choosing ±1, so collisions
+  // cancel in expectation and the estimator stays unbiased — the exact
+  // construction Vowpal Wabbit / sklearn's HashingVectorizer use, and the
+  // only featurizer that needs NO vocabulary pass (a must when the vocab
+  // itself won't fit or drifts under streaming ingest). Hash = the repo's
+  // md5-prefix convention, restated verbatim in DuckDB. Output is the
+  // per-bucket health summary (occupancy, mass, signed sum — collision
+  // diagnostics), bounded at 64 rows at any corpus size; per-(doc,bucket)
+  // vectors are the obvious intermediate and stay distributed. Shape: one
+  // explode + two hash aggregations, all map-side combinable, zero joins.
+  def q244(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tc"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("fh|"), $"w")), 1, 14), 16, 10)
+          .cast("long") % 64)
+      .withColumn("sgn",
+        conv(substring(md5(concat(lit("fh|"), $"w")), 15, 1), 16, 10)
+          .cast("long") % 2 * 2 - 1)
+    val byBucket = tok.groupBy($"doc_id", $"bucket")
+      .agg(sum($"sgn" * $"tc").as("signed"), sum($"tc").as("mass"))
+      .groupBy($"bucket")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        sum($"mass").as("total_mass"),
+        sum($"signed").as("total_signed"),
+        sum(abs($"signed")).as("total_abs_signed"))
+    // per-bucket vocabulary load (collision-diagnostic) from a separate
+    // vocab-sized aggregation — NOT a persist of the doc×token table,
+    // which is corpus-sized and must stay streaming-through at 100 TB
+    val terms = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("w")).distinct()
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("fh|"), $"w")), 1, 14), 16, 10)
+          .cast("long") % 64)
+      .groupBy($"bucket").agg(count(lit(1)).as("n_terms"))
+    byBucket.join(broadcast(terms), "bucket")
+      .select($"bucket", $"n_terms", $"n_docs", $"total_mass",
+        $"total_signed", $"total_abs_signed")
+      .orderBy($"bucket")
+  }
+  val q244Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tc FROM (
+      |    SELECT doc_id, unnest(string_split(lower(trim(
+      |      regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+      |    FROM documents)
+      |  GROUP BY doc_id, w),
+      |hashed AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('fh|' || w), 1, 14))::BIGINT % 64 AS bucket,
+      |    (('0x' || substr(md5('fh|' || w), 15, 1))::BIGINT % 2) * 2 - 1
+      |      AS sgn, tc
+      |  FROM tok),
+      |cell AS (
+      |  SELECT doc_id, bucket, CAST(SUM(sgn * tc) AS BIGINT) AS signed,
+      |    CAST(SUM(tc) AS BIGINT) AS mass
+      |  FROM hashed GROUP BY 1, 2),
+      |byb AS (
+      |  SELECT bucket, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |    CAST(SUM(mass) AS BIGINT) AS total_mass,
+      |    CAST(SUM(signed) AS BIGINT) AS total_signed,
+      |    CAST(SUM(ABS(signed)) AS BIGINT) AS total_abs_signed
+      |  FROM cell GROUP BY bucket),
+      |terms AS (
+      |  SELECT ('0x' || substr(md5('fh|' || w), 1, 14))::BIGINT % 64
+      |      AS bucket, CAST(COUNT(*) AS BIGINT) AS n_terms
+      |  FROM (SELECT DISTINCT w FROM tok) GROUP BY 1)
+      |SELECT bucket, n_terms, n_docs, total_mass, total_signed,
+      |  total_abs_signed
+      |FROM byb JOIN terms USING (bucket)
+      |ORDER BY bucket""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q243_good_turing", q243 _, Some(q243Sql)),
+    ("q244_feature_hashing", q244 _, Some(q244Sql)),
     ("q240_edit_distance_join", q240 _, Some(q240Sql)),
     ("q233_negative_sampling", q233 _, Some(q233Sql)),
     ("q35_decontaminate", q35 _, Some(q35Sql)),

@@ -775,4 +775,23 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(gu >= math.sqrt(2.0 * math.log(bigN.toDouble) / en) - 2e-9)
     }
   }
+
+  test("q245 HHI equals a driver-side recomputation and respects its bounds") {
+    val got = SparkEntry.queries("q245_hhi_concentration")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val rows = Tables.events(spark, sf).select("event_type", "user_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    got.foreach { case (t, nUsers, nEvents, hhi, topShare) =>
+      val cu = rows.filter(_._1 == t).groupBy(_._2).map(_._2.length.toLong).toSeq
+      assert(cu.size.toLong == nUsers && cu.sum == nEvents)
+      val expHhi = (cu.map(c => BigInt(c) * c).sum * 1000000 /
+        (BigInt(nEvents) * nEvents)).toLong
+      val expTop = cu.max * 1000000 / nEvents
+      assert(hhi == expHhi && topShare == expTop, s"$t: $hhi/$expHhi $topShare/$expTop")
+      // uniform floor and single-emitter ceiling (integer-division slack)
+      assert(hhi >= 1000000 / nUsers - 1 && hhi <= 1000000)
+      assert(topShare >= 1000000 / nUsers - 1 && topShare <= 1000000)
+    }
+  }
 }

@@ -752,4 +752,43 @@ class TrainingSpec extends AnyFunSuite {
     assert(exp.nonEmpty, "fixture should contain near-pairs")
     assert(got == exp, s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
   }
+
+  test("q243 Good-Turing equals a driver-side count-of-counts recomputation") {
+    val got = SparkEntry.queries("q243_good_turing")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty && got.length <= 20)
+    val counts = scala.collection.mutable.Map[String, Long]()
+    Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      r.getString(0).replaceAll("\\s+", " ").trim.toLowerCase
+        .split(" ").foreach(t => counts(t) = counts.getOrElse(t, 0L) + 1)
+    }
+    val coc = counts.values.groupBy(identity).map { case (r, g) => r -> g.size.toLong }
+    val nTotal = counts.values.sum
+    val nVocab = counts.size.toLong
+    val exp = coc.keys.toSeq.sorted.take(20).map { r =>
+      val nr = coc(r)
+      val nr1 = coc.getOrElse(r + 1, 0L)
+      (r, nr, (BigInt(r + 1) * nr1 * 1000000 / nr).toLong,
+        (BigInt(nr) * r * 1000000 / nTotal).toLong, nVocab)
+    }
+    assert(got.toSeq == exp, s"got=${got.take(3).toSeq} want=${exp.take(3)}")
+  }
+
+  test("q244 feature hashing: mass conservation and signed-sum bounds") {
+    val got = SparkEntry.queries("q244_feature_hashing")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty && got.length <= 64)
+    val totalTokens = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).replaceAll("\\s+", " ").trim.toLowerCase.split(" ").length.toLong)
+      .sum
+    assert(got.map(_._4).sum == totalTokens,
+      "bucket masses must partition the token stream")
+    got.foreach { case (bucket, nTerms, nDocs, mass, signed, absSigned) =>
+      assert(bucket >= 0 && bucket < 64 && nTerms >= 1 && nDocs >= 1)
+      // per-doc cancellation can only shrink magnitude: |Σ| ≤ Σ|…| ≤ mass
+      assert(math.abs(signed) <= absSigned && absSigned <= mass,
+        s"bucket $bucket bounds broken: $signed / $absSigned / $mass")
+    }
+  }
 }

@@ -1101,7 +1101,115 @@ object Extended {
       |WHERE o.o_orderkey % 997 = 0
       |ORDER BY o.o_orderkey""".stripMargin
 
+  // --- q246: winsorized means (clamp, don't drop) -----------------------------
+  // q230's sibling with the OTHER robust-location convention: clamp
+  // outliers to the exact interpolated [p05, p95] band instead of
+  // dropping them (winsorizing preserves n — the right choice when the
+  // mean feeds a downstream total that must reconcile). q230's doc notes
+  // clamped interpolated doubles cannot enter the exact decimal sum; the
+  // winsorized sum therefore decomposes EXACTLY: Σ winsorized =
+  // Σ_in-band (exact decimal) + n_below·lo + n_above·hi, so the only
+  // double arithmetic is one fixed IEEE chain over an exact decimal cast
+  // and two count×bound products, snapped at 1e-6 — never a row-order-
+  // dependent double summation. Same shape as q230: dimension-sized band
+  // table broadcast back over the fact scan, no shuffle on value.
+  def q246(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val bands = o.groupBy($"o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.05)").as("lo"),
+        expr("percentile(o_totalprice, 0.95)").as("hi"))
+    o.join(broadcast(bands), "o_orderpriority")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"o_totalprice" < $"lo", 1L).otherwise(0L)).as("n_below"),
+        sum(when($"o_totalprice" > $"hi", 1L).otherwise(0L)).as("n_above"),
+        sum(when($"o_totalprice".between($"lo", $"hi"),
+          money($"o_totalprice"))).as("s_in"),
+        min($"lo").as("lo"), min($"hi").as("hi"))
+      .select($"o_orderpriority", $"n", $"n_below", $"n_above",
+        round(($"s_in".cast("double") + $"n_below" * $"lo"
+          + $"n_above" * $"hi") / $"n", 6).as("winsorized_mean"),
+        round($"lo", 6).as("p05"), round($"hi", 6).as("p95"))
+      .orderBy($"o_orderpriority")
+  }
+  val q246Sql: String =
+    """WITH bands AS (
+      |  SELECT o_orderpriority,
+      |    quantile_cont(o_totalprice, 0.05) AS lo,
+      |    quantile_cont(o_totalprice, 0.95) AS hi
+      |  FROM orders GROUP BY 1),
+      |agg AS (
+      |  SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_below,
+      |    CAST(SUM(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_above,
+      |    SUM(CASE WHEN o_totalprice BETWEEN lo AND hi
+      |        THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS s_in,
+      |    MIN(lo) AS lo, MIN(hi) AS hi
+      |  FROM orders o JOIN bands b ON b.o_orderpriority = o.o_orderpriority
+      |  GROUP BY 1)
+      |SELECT o_orderpriority, n, n_below, n_above,
+      |  ROUND((CAST(s_in AS DOUBLE) + n_below * lo + n_above * hi) / n, 6)
+      |    AS winsorized_mean,
+      |  ROUND(lo, 6) AS p05, ROUND(hi, 6) AS p95
+      |FROM agg
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // --- q247: cross-validation folds + out-of-fold statistics -------------------
+  // The fold-assignment audit under q242's LOO encoder and q216's split
+  // checks: deterministic 5-fold assignment (md5 of the ORDER key — the
+  // repo's hash-arm convention, so folds are reproducible across engines
+  // and runs, never TABLESAMPLE), with each fold's in-fold mean and the
+  // OUT-OF-FOLD mean (global − fold)/(n − n_fold) — the value a
+  // leakage-free fold-level encoder would use, and the table a reviewer
+  // reads to confirm folds are balanced (n within noise, means within
+  // noise of each other). Exactness: cents-integer sums, ppm integral
+  // divisions, decimal(38,0) for the cross products; one aggregation to
+  // a 5-row table plus a one-row broadcast total.
+  def q247(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = "decimal(38,0)"
+    val folds = Tables.orders(s, d)
+      .select((money($"o_totalprice") * 100).cast("long").as("cents"),
+        (conv(substring(md5(concat(lit("cv|"),
+          $"o_orderkey".cast("string"))), 1, 14), 16, 10)
+          .cast("long") % 5).as("fold"))
+      .groupBy($"fold")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("s"))
+    val tot = folds.agg(sum($"n").as("n_all"), sum($"s").as("s_all"))
+    folds.crossJoin(broadcast(tot)) // one row
+      .select($"fold", $"n",
+        expr(s"cast(cast(s as $big) * 1000000 div (cast(n as $big) * 100)"
+          + " as bigint)").as("fold_mean_ppm"),
+        expr(s"cast(cast(s_all - s as $big) * 1000000 div"
+          + s" (cast(n_all - n as $big) * 100) as bigint)").as("oof_mean_ppm"))
+      .orderBy($"fold")
+  }
+  val q247Sql: String =
+    """WITH f AS (
+      |  SELECT ('0x' || substr(md5('cv|' || CAST(o_orderkey AS VARCHAR)),
+      |      1, 14))::BIGINT % 5 AS fold,
+      |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |folds AS (
+      |  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(cents) AS BIGINT) AS s
+      |  FROM f GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+      |          CAST(SUM(s) AS BIGINT) AS s_all FROM folds)
+      |SELECT fold, n,
+      |  CAST(CAST(s AS HUGEINT) * 1000000
+      |    // (CAST(n AS HUGEINT) * 100) AS BIGINT) AS fold_mean_ppm,
+      |  CAST(CAST(s_all - s AS HUGEINT) * 1000000
+      |    // (CAST(n_all - n AS HUGEINT) * 100) AS BIGINT) AS oof_mean_ppm
+      |FROM folds CROSS JOIN tot
+      |ORDER BY fold""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q246_winsorized_means", q246 _, Some(q246Sql)),
+    ("q247_cv_folds", q247 _, Some(q247Sql)),
     ("q237_benford_audit", q237 _, Some(q237Sql)),
     ("q242_loo_target_encoding", q242 _, Some(q242Sql)),
     ("q225_schema_evolution", q225 _, Some(q225Sql)),

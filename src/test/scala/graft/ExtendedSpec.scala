@@ -309,4 +309,56 @@ class ExtendedSpec extends AnyFunSuite {
       assert(s2 > 0.0, s"$st/$act: non-positive value sum $s2")
     }
   }
+
+  test("q246 winsorized mean equals a driver-side clamp recomputation") {
+    val got = SparkEntry.queries("q246_winsorized_means")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.nonEmpty)
+    val rows = Tables.orders(spark, sf).select("o_orderpriority", "o_totalprice")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    // Spark's percentile(): exact linear interpolation at rank p·(n−1)
+    def pct(vs: Array[Double], p: Double): Double = {
+      val s = vs.sorted
+      val rank = p * (s.length - 1)
+      val lo = rank.toInt
+      if (lo + 1 >= s.length) s(lo)
+      else s(lo) + (rank - lo) * (s(lo + 1) - s(lo))
+    }
+    got.foreach { case (pr, n, nBelow, nAbove, wm, p05, p95) =>
+      val vs = rows.filter(_._1 == pr).map(_._2)
+      assert(vs.length.toLong == n)
+      val lo = pct(vs, 0.05)
+      val hi = pct(vs, 0.95)
+      assert(nBelow == vs.count(_ < lo) && nAbove == vs.count(_ > hi))
+      // clamped mean must land inside the clamp band
+      assert(wm >= p05 - 1e-6 && wm <= p95 + 1e-6)
+      val sIn = vs.filter(v => v >= lo && v <= hi)
+        .map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      val exp = (sIn.toDouble + nBelow * lo + nAbove * hi) / n
+      assert(math.abs(wm - exp) <= 1e-6, s"$pr: $wm vs $exp")
+    }
+  }
+
+  test("q247 CV folds partition orders and OOF means complement fold means") {
+    val got = SparkEntry.queries("q247_cv_folds")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 5, "all five folds must be populated")
+    val o = Tables.orders(spark, sf)
+      .selectExpr("cast(cast(o_totalprice as decimal(14,2)) * 100 as long) as cents",
+        "cast(conv(substring(md5(concat('cv|', cast(o_orderkey as string))), 1, 14)," +
+          " 16, 10) as long) % 5 as fold")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._2).sum == o.length.toLong, "folds must partition the table")
+    val sAll = o.map(v => BigInt(v._1)).sum
+    val nAll = o.length.toLong
+    got.foreach { case (fold, n, fm, oof) =>
+      val inFold = o.filter(_._2 == fold)
+      assert(inFold.length.toLong == n && n > 0)
+      val s = inFold.map(v => BigInt(v._1)).sum
+      assert(fm == (s * 1000000 / (BigInt(n) * 100)).toLong, s"fold $fold mean")
+      assert(oof == ((sAll - s) * 1000000 / (BigInt(nAll - n) * 100)).toLong,
+        s"fold $fold OOF mean")
+    }
+  }
 }

@@ -2251,9 +2251,93 @@ object Analytics {
       |FROM agg
       |ORDER BY event_type""".stripMargin
 
+  // --- q248: Kaplan-Meier survival curve (right-censored) -----------------------
+  // Time-to-conversion with honest censoring (Kaplan & Meier 1958): per
+  // user, origin = first event, "death" = first purchase, censoring at
+  // the corpus horizon — the estimator every retention/conversion readout
+  // should use instead of naive conversion rates (which silently treat
+  // not-yet-converted as never-converting). S(t) = Π_{s≤t} (1 − d_s/n_s).
+  // Exactness: the per-step hazard term ln(1 − d/n) is ONE fixed IEEE
+  // chain from exact longs snapped to the 1e-9 grid as a LONG; the
+  // cumulative product becomes an EXACT long cumsum of those terms, and
+  // exp() is applied once at the end, snapped to ppm — so no
+  // row-order-dependent double products anywhere (the q202 convention
+  // applied to a running product). d = n (everyone at risk dies) would
+  // be ln(0): guarded with a 1e-12 floor → survival snaps to 0 ppm.
+  // Shape: one corpus scan to per-user rows, one aggregation to the
+  // duration-day grid (bounded by the observation window, ~tens of
+  // rows), windows only over that tiny grid — never over users.
+  def q248(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"user_id", $"ts", $"event_type")
+    val horizon = ev.agg(max($"ts").as("tmax"))
+    val perUser = ev.groupBy($"user_id")
+      .agg(min($"ts").as("t0"),
+        min(when($"event_type" === "purchase", $"ts")).as("tp"))
+      .crossJoin(broadcast(horizon)) // one row
+      .select(
+        expr("coalesce(tp - t0, tmax - t0) div 86400000000000").as("day"),
+        $"tp".isNotNull.as("died"))
+    val nUsers = perUser.agg(count(lit(1)).as("n_users"))
+    val grid = perUser.groupBy($"day")
+      .agg(sum(when($"died", 1L).otherwise(0L)).as("d_events"),
+        sum(when(!$"died", 1L).otherwise(0L)).as("c_censored"))
+      .crossJoin(broadcast(nUsers)) // one row
+    // windows over the duration-day grid only (≤ observation-window days)
+    val byDay = Window.orderBy($"day")
+    val prior = byDay.rowsBetween(Window.unboundedPreceding, -1)
+    val upToHere = byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("n_risk",
+        $"n_users" - coalesce(sum($"d_events" + $"c_censored").over(prior), lit(0L)))
+      .withColumn("term_e9",
+        round(log(greatest(lit(1.0) - $"d_events" * lit(1.0) / $"n_risk",
+          lit(1e-12))) * lit(1e9)).cast("long"))
+      .withColumn("cum_e9", sum($"term_e9").over(upToHere))
+      .select($"day", $"n_risk", $"d_events", $"c_censored",
+        round(exp($"cum_e9".cast("double") / lit(1e9)) * lit(1e6))
+          .cast("long").as("survival_ppm"))
+      .orderBy($"day")
+  }
+  val q248Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) * 1000 AS tns, event_type FROM events),
+      |h AS (SELECT MAX(tns) AS tmax FROM ev),
+      |pu AS (
+      |  SELECT COALESCE(MIN(CASE WHEN event_type = 'purchase' THEN tns END)
+      |           - MIN(tns), (SELECT tmax FROM h) - MIN(tns))
+      |      // 86400000000000 AS day,
+      |    (MIN(CASE WHEN event_type = 'purchase' THEN tns END) IS NOT NULL)
+      |      AS died
+      |  FROM ev GROUP BY user_id),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM pu),
+      |grid AS (
+      |  SELECT day,
+      |    CAST(SUM(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS d_events,
+      |    CAST(SUM(CASE WHEN died THEN 0 ELSE 1 END) AS BIGINT) AS c_censored
+      |  FROM pu GROUP BY day),
+      |risk AS (
+      |  SELECT day, d_events, c_censored,
+      |    n_users - COALESCE(SUM(d_events + c_censored) OVER
+      |      (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) AS n_risk
+      |  FROM grid CROSS JOIN n),
+      |terms AS (
+      |  SELECT day, n_risk, d_events, c_censored,
+      |    CAST(ROUND(ln(GREATEST(1.0 - d_events * 1.0 / n_risk, 1e-12))
+      |      * 1e9) AS BIGINT) AS term_e9
+      |  FROM risk)
+      |SELECT day, CAST(n_risk AS BIGINT) AS n_risk, d_events, c_censored,
+      |  CAST(ROUND(exp(CAST(SUM(term_e9) OVER
+      |    (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS DOUBLE) / 1e9) * 1e6) AS BIGINT) AS survival_ppm
+      |FROM terms
+      |ORDER BY day""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q241_ucb1_arms", q241 _, Some(q241Sql)),
     ("q245_hhi_concentration", q245 _, Some(q245Sql)),
+    ("q248_kaplan_meier", q248 _, Some(q248Sql)),
     ("q238_calibration_bins", q238 _, Some(q238Sql)),
     ("q219_bootstrap_ci", q219 _, Some(q219Sql)),
     ("q227_item_cf", q227 _, Some(q227Sql)),

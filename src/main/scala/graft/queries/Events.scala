@@ -2408,8 +2408,148 @@ object Events {
       |FROM term GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- q249: exponential smoothing (exact dyadic EWMA) -----------------------
+  // The forecast-baseline smoother next to q163's seasonal baseline and
+  // q150's rolling anomaly: EWMA with α = 1/2 over the last ten
+  // OBSERVATIONS of each type's daily revenue. α = 1/2 is chosen so the
+  // weights are powers of two — the whole smoother stays on the exact
+  // integer grid (numerator Σ xₖ·2^(9−k) and denominator Σ 2^(9−k) are
+  // exact, one integral divide at the end), where a general-α EWMA is an
+  // order-dependent double recurrence no hash gate could pin. The window
+  // is observation-based (missing calendar days compress, documented) and
+  // truncated at 10 lags: 2^-10 < 0.1 % — below the cents grid anyway.
+  // Shape: one corpus aggregation to the (type, day) grid, then ten
+  // lag() reads inside a per-type window over that tiny grid; the fact
+  // table is never windowed.
+  def q249(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = "decimal(38,0)"
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type", expr("(ts div 1000000000) div 86400").as("day"))
+      .agg(sum(($"value".cast("decimal(18,2)") * 100).cast("long")).as("x"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val num = (0 to 9).map(k =>
+        coalesce(lag($"x", k).over(w), lit(0L)).cast(big) * lit(1L << (9 - k)))
+      .reduce(_ + _)
+    val den = (0 to 9).map(k =>
+        when(lag($"x", k).over(w).isNotNull, lit(1L << (9 - k))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    daily
+      .withColumn("n_obs", (0 to 9).map(k =>
+        when(lag($"x", k).over(w).isNotNull, 1L).otherwise(0L)).reduce(_ + _))
+      .withColumn("num", num).withColumn("den", den)
+      .select($"event_type", $"day", $"x".as("x_cents"), $"n_obs",
+        expr(s"cast(num div cast(den as $big) as bigint)").as("ewma_cents"))
+      .orderBy($"event_type", $"day")
+  }
+  val q249Sql: String = {
+    val num = (0 to 9).map(k =>
+      s"COALESCE(CAST(LAG(x, $k) OVER w AS HUGEINT), 0) * ${1L << (9 - k)}")
+      .mkString(" + ")
+    val den = (0 to 9).map(k =>
+      s"(CASE WHEN LAG(x, $k) OVER w IS NOT NULL THEN ${1L << (9 - k)} ELSE 0 END)")
+      .mkString(" + ")
+    val nobs = (0 to 9).map(k =>
+      s"(CASE WHEN LAG(x, $k) OVER w IS NOT NULL THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+       |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |      AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, day, x AS x_cents,
+       |  CAST($nobs AS BIGINT) AS n_obs,
+       |  CAST(($num) // ($den) AS BIGINT) AS ewma_cents
+       |FROM daily
+       |WINDOW w AS (PARTITION BY event_type ORDER BY day)
+       |ORDER BY event_type, day""".stripMargin
+  }
+
+  // --- q250: peak concurrency (interval sweep, day-sliced) --------------------
+  // Capacity planning: how many sessions were open AT ONCE, per day — the
+  // question autoscaling budgets and license counts hang on. Sessions are
+  // the 30-minute-gap kind (q95/q165's convention) built with per-user
+  // windows; each session then becomes ±1 boundary deltas and the peak is
+  // the max of the running sum — the classic sweep line. The 100 TB shape
+  // is the q158 move: sessions are CLIPPED to day slices first, so the
+  // sweep's cumulative sum runs inside (day) partitions — a session open
+  // at midnight re-enters the next day as a +1 at the day boundary, and
+  // no global single-partition ordering ever exists. Determinism on ties:
+  // the sweep orders by (t, delta DESC) — starts before ends at the same
+  // instant (a touch counts as overlap), and permuting equal-(t,delta)
+  // rows permutes identical prefix values, so max() is order-invariant.
+  // Exactness: pure integer counts end-to-end.
+  def q250(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val GAP = 1800L * 1000000000L
+    val DAY = 86400L * 1000000000L
+    val wu = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val sess = Tables.events(s, d).select($"user_id", $"event_id", $"ts")
+      .withColumn("new_s",
+        when($"ts" - lag($"ts", 1).over(wu) <= GAP, 0L).otherwise(1L))
+      .withColumn("sid", sum($"new_s")
+        .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"ts").as("st"), max($"ts").as("en"))
+    // clip to day slices (q158 boundary replication): one row per
+    // (session, covered day); gap ≤ 30 min bounds the fan-out at 2
+    val slices = sess
+      .withColumn("day", explode(expr(s"sequence(st div $DAY, en div $DAY)")))
+      .select($"day",
+        greatest($"st", $"day" * DAY).as("a"),
+        least($"en", ($"day" + 1) * DAY - 1).as("b"))
+    val deltas = slices.select($"day", $"a".as("t"), lit(1L).as("delta"))
+      .unionByName(slices.select($"day", ($"b" + 1).as("t"), lit(-1L).as("delta")))
+    val sweep = Window.partitionBy($"day").orderBy($"t", $"delta".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("running", sum($"delta").over(sweep))
+      .groupBy($"day")
+      .agg(max($"running").as("peak_concurrent"),
+        sum(when($"delta" > 0, 1L).otherwise(0L)).as("n_active_sessions"))
+      .orderBy($"day")
+  }
+  val q250Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) * 1000 AS tns FROM events),
+      |marked AS (
+      |  SELECT user_id, event_id, tns,
+      |    CASE WHEN tns - LAG(tns) OVER (PARTITION BY user_id
+      |        ORDER BY tns, event_id) <= 1800000000000 THEN 0 ELSE 1 END
+      |      AS new_s
+      |  FROM ev),
+      |sess AS (
+      |  SELECT user_id, sid, MIN(tns) AS st, MAX(tns) AS en FROM (
+      |    SELECT user_id, tns, SUM(new_s) OVER (PARTITION BY user_id
+      |      ORDER BY tns, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |    FROM marked)
+      |  GROUP BY 1, 2),
+      |slices AS (
+      |  SELECT u.day,
+      |    GREATEST(st, u.day * 86400000000000) AS a,
+      |    LEAST(en, (u.day + 1) * 86400000000000 - 1) AS b
+      |  FROM sess, LATERAL (SELECT unnest(range(st // 86400000000000,
+      |    en // 86400000000000 + 1)) AS day) u),
+      |deltas AS (
+      |  SELECT day, a AS t, 1 AS delta FROM slices
+      |  UNION ALL
+      |  SELECT day, b + 1 AS t, -1 AS delta FROM slices),
+      |run AS (
+      |  SELECT day, delta, SUM(delta) OVER (PARTITION BY day
+      |    ORDER BY t, delta DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      |  FROM deltas)
+      |SELECT day, CAST(MAX(running) AS BIGINT) AS peak_concurrent,
+      |  CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_active_sessions
+      |FROM run GROUP BY day
+      |ORDER BY day""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q239_psi_drift", q239 _, Some(q239Sql)),
+    ("q249_ewma_smoothing", q249 _, Some(q249Sql)),
+    ("q250_peak_concurrency", q250 _, Some(q250Sql)),
     ("q202_daily_drift_jsd", q202 _, Some(q202Sql)),
     ("q218_dynamic_pruning", q218 _, Some(q218Sql)),
     ("q223_stream_cdc_apply", q223 _, Some(q223Sql)),

@@ -794,4 +794,37 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(topShare >= 1000000 / nUsers - 1 && topShare <= 1000000)
     }
   }
+
+  test("q248 Kaplan-Meier equals a driver-side recomputation and is monotone") {
+    val got = SparkEntry.queries("q248_kaplan_meier")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf).selectExpr("user_id", "ts", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val tmax = ev.map(_._2).max
+    val perUser = ev.groupBy(_._1).values.toSeq.map { g =>
+      val t0 = g.map(_._2).min
+      val tp = g.filter(_._3 == "purchase").map(_._2).minOption
+      ((tp.getOrElse(tmax) - t0) / 86400000000000L, tp.isDefined)
+    }
+    val nUsers = perUser.size.toLong
+    assert(got.map(r => r._3 + r._4).sum == nUsers,
+      "events + censorings must partition the cohort")
+    var atRisk = nUsers
+    var cumE9 = 0L
+    var lastSurv = 1000001L
+    got.foreach { case (day, nRisk, d, c, surv) =>
+      val expD = perUser.count(u => u._1 == day && u._2).toLong
+      val expC = perUser.count(u => u._1 == day && !u._2).toLong
+      assert(nRisk == atRisk && d == expD && c == expC, s"day $day grid")
+      cumE9 += math.round(math.log(
+        math.max(1.0 - d * 1.0 / nRisk, 1e-12)) * 1e9)
+      val expSurv = math.round(math.exp(cumE9.toDouble / 1e9) * 1e6)
+      assert(surv == expSurv, s"day $day survival: $surv vs $expSurv")
+      assert(surv <= lastSurv, "survival must be non-increasing")
+      lastSurv = surv
+      atRisk -= d + c
+    }
+    assert(atRisk == 0L, "the walk must exhaust the cohort")
+  }
 }

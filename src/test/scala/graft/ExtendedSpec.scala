@@ -361,4 +361,58 @@ class ExtendedSpec extends AnyFunSuite {
         s"fold $fold OOF mean")
     }
   }
+
+  test("q249 dyadic EWMA equals a BigInt recomputation over each type's series") {
+    val got = SparkEntry.queries("q249_ewma_smoothing")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (t, rows) =>
+      val series = rows.sortBy(_._2)
+      series.zipWithIndex.foreach { case ((_, _, x, nObs, ewma), i) =>
+        assert(nObs == math.min(i + 1, 10).toLong, s"$t row $i n_obs")
+        val lags = (0 to math.min(i, 9)).map(k => series(i - k)._3)
+        val num = lags.zipWithIndex.map { case (v, k) => BigInt(v) << (9 - k) }.sum
+        val den = lags.indices.map(k => BigInt(1) << (9 - k)).sum
+        assert(ewma == (num / den).toLong, s"$t day-row $i ewma")
+        // a weighted mean of window values stays inside their range
+        assert(ewma >= lags.min - 1 && ewma <= lags.max,
+          s"$t row $i ewma $ewma outside [${lags.min},${lags.max}]")
+        assert(x == series(i)._3)
+      }
+    }
+  }
+
+  test("q250 peak concurrency equals a driver-side sweep recomputation") {
+    val got = SparkEntry.queries("q250_peak_concurrency")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.nonEmpty)
+    val GAP = 1800L * 1000000000L
+    val DAY = 86400L * 1000000000L
+    val ev = Tables.events(spark, sf).selectExpr("user_id", "event_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = ev.groupBy(_._1).values.toSeq.flatMap { g =>
+      val ts = g.sortBy(r => (r._3, r._2)).map(_._3)
+      val bounds = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var st = ts.head
+      var en = ts.head
+      ts.tail.foreach { t =>
+        if (t - en <= GAP) en = t
+        else { bounds += ((st, en)); st = t; en = t }
+      }
+      bounds += ((st, en))
+      bounds.toSeq
+    }
+    val exp = sessions
+      .flatMap { case (st, en) => (st / DAY to en / DAY).map { day =>
+        (day, math.max(st, day * DAY), math.min(en, (day + 1) * DAY - 1)) } }
+      .groupBy(_._1).map { case (day, slices) =>
+        val deltas = slices.flatMap(s => Seq((s._2, 1L), (s._3 + 1, -1L)))
+          .sortBy(d => (d._1, -d._2))
+        var run = 0L
+        var peak = Long.MinValue
+        deltas.foreach { d => run += d._2; peak = math.max(peak, run) }
+        (day, peak, slices.size.toLong)
+      }.toSeq.sortBy(_._1)
+    assert(got.toSeq == exp, s"got=${got.take(3).toSeq} want=${exp.take(3)}")
+  }
 }

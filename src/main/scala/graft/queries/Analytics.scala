@@ -2334,10 +2334,106 @@ object Analytics {
       |FROM terms
       |ORDER BY day""".stripMargin
 
+  // --- q253: decision-split information gain (Gini impurity) -------------------
+  // The tree-learning primitive (CART; Breiman 1984): for each candidate
+  // binary feature "user ever did E" (E ≠ purchase), the Gini-impurity
+  // reduction of splitting the ever-purchased label on it — the feature-
+  // usefulness ranking a tabular-ML pipeline computes before training
+  // anything. Exactness: each impurity is an exact ppm long,
+  // gini_ppm = (n² − pos² − neg²)·1e6 div n² with decimal(38,0)/HUGEINT
+  // products, and the weighted-child average is a second integral divide
+  // — a deterministic ppm-grid statement of the formula in BOTH engines
+  // (documented: the two-level floor can sit ±2 ppm off the real-valued
+  // gain; identical on both sides, which is what the gate pins). Shape:
+  // one aggregation to per-user flags, a 4-way stack of those flags
+  // (users×4 rows), one aggregation to a 8-row table, one-row broadcast
+  // parent.
+  def q253(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = "decimal(38,0)"
+    val feats = Seq("click", "view", "error", "signup")
+    val perUser = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("label"),
+        feats.map(f =>
+          max(when($"event_type" === f, 1L).otherwise(0L)).as(s"f_$f")): _*)
+    val stacked = perUser.select($"label", explode(array(feats.map(f =>
+      struct(lit(f).as("feature"), col(s"f_$f").as("flag"))): _*)).as("sf"))
+      .select($"label", $"sf.feature", $"sf.flag")
+    def giniPpm(n: String, pos: String): String =
+      s"cast((cast($n as $big) * $n - cast($pos as $big) * $pos" +
+        s" - cast($n - $pos as $big) * ($n - $pos)) * 1000000" +
+        s" div (cast($n as $big) * $n) as bigint)"
+    val parent = perUser.agg(count(lit(1)).as("n"), sum($"label").as("pos"))
+      .select($"n", $"pos", expr(giniPpm("n", "pos")).as("parent_gini_ppm"))
+    stacked.groupBy($"feature", $"flag")
+      .agg(count(lit(1)).as("n_c"), sum($"label").as("pos_c"))
+      .withColumn("gini_c_ppm", expr(giniPpm("n_c", "pos_c")))
+      .groupBy($"feature")
+      .agg(sum(when($"flag" === 1, $"n_c").otherwise(0L)).as("n_with"),
+        sum(when($"flag" === 0, $"n_c").otherwise(0L)).as("n_without"),
+        sum($"n_c" * $"gini_c_ppm").as("wsum"))
+      .crossJoin(broadcast(parent)) // one row
+      .select($"feature", $"n_with", $"n_without",
+        $"parent_gini_ppm",
+        ($"parent_gini_ppm" - expr("wsum div n")).as("gain_ppm"))
+      .orderBy($"feature")
+  }
+  val q253Sql: String = {
+    def giniPpm(n: String, pos: String): String =
+      s"CAST((CAST($n AS HUGEINT) * $n - CAST($pos AS HUGEINT) * $pos" +
+        s" - CAST($n - $pos AS HUGEINT) * ($n - $pos)) * 1000000" +
+        s" // (CAST($n AS HUGEINT) * $n) AS BIGINT)"
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS label,
+      |    CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS f_click,
+      |    CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS f_view,
+      |    CAST(MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS f_error,
+      |    CAST(MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS f_signup
+      |  FROM events GROUP BY 1),
+      |stacked AS (
+      |  SELECT label, 'click' AS feature, f_click AS flag FROM pu
+      |  UNION ALL SELECT label, 'view', f_view FROM pu
+      |  UNION ALL SELECT label, 'error', f_error FROM pu
+      |  UNION ALL SELECT label, 'signup', f_signup FROM pu),
+      |parent AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(label) AS BIGINT)
+      |    AS pos
+      |  FROM pu),
+      |cells AS (
+      |  SELECT feature, flag, CAST(COUNT(*) AS BIGINT) AS n_c,
+      |    CAST(SUM(label) AS BIGINT) AS pos_c
+      |  FROM stacked GROUP BY 1, 2),
+      |perf AS (
+      |  SELECT feature,
+      |    CAST(SUM(CASE WHEN flag = 1 THEN n_c ELSE 0 END) AS BIGINT)
+      |      AS n_with,
+      |    CAST(SUM(CASE WHEN flag = 0 THEN n_c ELSE 0 END) AS BIGINT)
+      |      AS n_without,
+      |    CAST(SUM(n_c * GINI_C) AS BIGINT) AS wsum
+      |  FROM (SELECT feature, flag, n_c, pos_c, GINI_EXPR AS GINI_C
+      |        FROM cells)
+      |  GROUP BY 1)
+      |SELECT feature, n_with, n_without,
+      |  PARENT_EXPR AS parent_gini_ppm,
+      |  PARENT_EXPR - CAST(wsum // n AS BIGINT) AS gain_ppm
+      |FROM perf CROSS JOIN parent
+      |ORDER BY feature""".stripMargin
+      .replace("GINI_EXPR", giniPpm("n_c", "pos_c"))
+      .replace("PARENT_EXPR", giniPpm("n", "pos"))
+  }
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q241_ucb1_arms", q241 _, Some(q241Sql)),
     ("q245_hhi_concentration", q245 _, Some(q245Sql)),
     ("q248_kaplan_meier", q248 _, Some(q248Sql)),
+    ("q253_split_info_gain", q253 _, Some(q253Sql)),
     ("q238_calibration_bins", q238 _, Some(q238Sql)),
     ("q219_bootstrap_ci", q219 _, Some(q219Sql)),
     ("q227_item_cf", q227 _, Some(q227Sql)),

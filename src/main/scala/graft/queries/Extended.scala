@@ -1207,7 +1207,111 @@ object Extended {
       |FROM folds CROSS JOIN tot
       |ORDER BY fold""".stripMargin
 
+  // --- q251: bitmap-index exact distinct rollup --------------------------------
+  // The scale path for EXACT count-distinct that neither q63's HLL
+  // (approximate) nor a raw groupBy(user) shuffle (id-volume traffic)
+  // gives: Spark 3.5+'s bitmap aggregates. Each (day, bucket-of-32768)
+  // partial is a fixed-4KB RoaringBitmap-style bitmap built map-side
+  // (bitmap_construct_agg of bit positions), so the shuffle carries
+  // bitmaps, not user ids, and — the property HLL lacks usefully and raw
+  // distinct lacks cheaply — partials RE-AGGREGATE losslessly:
+  // the weekly counts here are bitmap_or_agg over the SAME daily
+  // partials (the q204 sketch-rollup architecture with exact answers).
+  // Oracle: plain COUNT(DISTINCT) at both grains.
+  def q251(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val partials = Tables.events(s, d)
+      .select(expr("(ts div 1000000000) div 86400").as("day"), $"user_id")
+      .groupBy($"day", expr("bitmap_bucket_number(user_id)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .persistTracked() // days×buckets rows; daily AND weekly consumers
+    val byDay = partials.groupBy($"day")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users_day"))
+    val byWeek = partials
+      .groupBy(expr("day div 7").as("week"), $"bkt")
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .groupBy($"week")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users_week"))
+    byDay.withColumn("week", expr("day div 7"))
+      .join(broadcast(byWeek), "week")
+      .select($"day", $"n_users_day", $"week", $"n_users_week")
+      .orderBy($"day")
+  }
+  val q251Sql: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 1000000 // 86400 AS day, user_id FROM events),
+      |byday AS (
+      |  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_day
+      |  FROM ev GROUP BY 1),
+      |byweek AS (
+      |  SELECT day // 7 AS week,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_week
+      |  FROM ev GROUP BY 1)
+      |SELECT day, n_users_day, week, n_users_week
+      |FROM byday JOIN byweek ON byday.day // 7 = byweek.week
+      |ORDER BY day""".stripMargin
+
+  // --- q252: order-total reconciliation audit ----------------------------------
+  // The cross-table consistency check every warehouse runs between a
+  // header and its lines: does o_totalprice equal the lineitem charge
+  // Σ extprice·(1−discount)·(1+tax)? Reported as a per-priority deviation
+  // profile (this synthetic data reconciles nowhere — the audit
+  // quantifies it deterministically). Exactness: the per-ROW charge is
+  // one fixed IEEE chain snapped to the cents grid BEFORE any sum — the
+  // per-order and per-priority aggregates are then exact long sums, never
+  // order-dependent double summation. Shape: lines aggregate to orders on
+  // the join key (partial aggs before the shuffle), one broadcast-scale
+  // rollup after; a missing-lines order reads NULL → audited as
+  // fully-deviant rather than silently zero.
+  def q252(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lineSum = Tables.lineitem(s, d)
+      .select($"l_orderkey",
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount")
+          * (lit(1.0) + $"l_tax") * 100).cast("long").as("charge_cents"))
+      .groupBy($"l_orderkey").agg(sum($"charge_cents").as("calc_cents"))
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderpriority",
+        (money($"o_totalprice") * 100).cast("long").as("stated_cents"))
+      .join(lineSum, $"o_orderkey" === $"l_orderkey", "left")
+      .withColumn("dev_cents",
+        abs($"stated_cents" - coalesce($"calc_cents", lit(0L))))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when($"calc_cents".isNull, 1L).otherwise(0L)).as("n_no_lines"),
+        sum(when($"dev_cents" =!= 0, 1L).otherwise(0L)).as("n_mismatched"),
+        max($"dev_cents").as("max_dev_cents"),
+        sum($"dev_cents").as("sum_dev_cents"))
+      .orderBy($"o_orderpriority")
+  }
+  val q252Sql: String =
+    """WITH ls AS (
+      |  SELECT l_orderkey, CAST(SUM(CAST(ROUND(l_extendedprice
+      |      * (1.0 - l_discount) * (1.0 + l_tax) * 100) AS BIGINT))
+      |    AS BIGINT) AS calc_cents
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT o_orderpriority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+      |      AS stated_cents,
+      |    calc_cents,
+      |    ABS(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+      |      - COALESCE(calc_cents, 0)) AS dev_cents
+      |  FROM orders o LEFT JOIN ls ON ls.l_orderkey = o.o_orderkey)
+      |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CASE WHEN calc_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_no_lines,
+      |  CAST(SUM(CASE WHEN dev_cents <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_mismatched,
+      |  CAST(MAX(dev_cents) AS BIGINT) AS max_dev_cents,
+      |  CAST(SUM(dev_cents) AS BIGINT) AS sum_dev_cents
+      |FROM j GROUP BY 1
+      |ORDER BY o_orderpriority""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q251_bitmap_distinct", q251 _, Some(q251Sql)),
+    ("q252_reconciliation_audit", q252 _, Some(q252Sql)),
     ("q246_winsorized_means", q246 _, Some(q246Sql)),
     ("q247_cv_folds", q247 _, Some(q247Sql)),
     ("q237_benford_audit", q237 _, Some(q237Sql)),

@@ -827,4 +827,32 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(atRisk == 0L, "the walk must exhaust the cohort")
   }
+
+  test("q253 split gains equal a BigInt driver recomputation") {
+    val got = SparkEntry.queries("q253_split_info_gain")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(_._1).sorted.toSeq == Seq("click", "error", "signup", "view"))
+    val ev = Tables.events(spark, sf).select("user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val perUser = ev.groupBy(_._1).values.toSeq.map { g =>
+      val ts = g.map(_._2).toSet
+      (ts.contains("purchase"), ts)
+    }
+    def gini(n: Long, pos: Long): Long =
+      if (n == 0) 0L
+      else ((BigInt(n) * n - BigInt(pos) * pos - BigInt(n - pos) * (n - pos))
+        * 1000000 / (BigInt(n) * n)).toLong
+    val n = perUser.size.toLong
+    val pos = perUser.count(_._1).toLong
+    got.foreach { case (f, nWith, nWithout, parentPpm, gainPpm) =>
+      val withF = perUser.filter(_._2.contains(f))
+      val withoutF = perUser.filterNot(_._2.contains(f))
+      assert(nWith == withF.size.toLong && nWithout == withoutF.size.toLong)
+      assert(nWith + nWithout == n, "split must partition the cohort")
+      assert(parentPpm == gini(n, pos))
+      val wsum = BigInt(nWith) * gini(nWith, withF.count(_._1)) +
+        BigInt(nWithout) * gini(nWithout, withoutF.count(_._1))
+      assert(gainPpm == parentPpm - (wsum / n).toLong, s"$f gain")
+    }
+  }
 }

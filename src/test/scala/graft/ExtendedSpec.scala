@@ -415,4 +415,47 @@ class ExtendedSpec extends AnyFunSuite {
       }.toSeq.sortBy(_._1)
     assert(got.toSeq == exp, s"got=${got.take(3).toSeq} want=${exp.take(3)}")
   }
+
+  test("q251 bitmap distinct equals plain COUNT(DISTINCT) at both grains") {
+    val got = SparkEntry.queries("q251_bitmap_distinct")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .selectExpr("(ts div 1000000000) div 86400 as day", "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.foreach { case (day, nDay, week, nWeek) =>
+      assert(week == day / 7)
+      assert(nDay == ev.filter(_._1 == day).map(_._2).distinct.length.toLong,
+        s"day $day daily distinct")
+      assert(nWeek == ev.filter(_._1 / 7 == week).map(_._2).distinct.length.toLong,
+        s"week $week re-aggregated distinct")
+      // re-aggregation can only grow or hold the daily count
+      assert(nWeek >= nDay)
+    }
+  }
+
+  test("q252 reconciliation audit equals a driver-side recomputation") {
+    val got = SparkEntry.queries("q252_reconciliation_audit")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    val lines = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey",
+        "cast(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100)" +
+          " as long) as c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    val orders = Tables.orders(spark, sf)
+      .selectExpr("o_orderkey", "o_orderpriority",
+        "cast(cast(o_totalprice as decimal(14,2)) * 100 as long) as stated")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    got.foreach { case (pr, n, nNoLines, nMis, maxDev, sumDev) =>
+      val os = orders.filter(_._2 == pr)
+      val devs = os.map(o => math.abs(o._3 - lines.getOrElse(o._1, 0L)))
+      assert(n == os.length.toLong)
+      assert(nNoLines == os.count(o => !lines.contains(o._1)).toLong)
+      assert(nMis == devs.count(_ != 0L).toLong)
+      assert(maxDev == devs.max && sumDev == devs.sum, s"$pr deviation profile")
+    }
+  }
 }

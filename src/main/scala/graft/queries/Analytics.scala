@@ -2429,11 +2429,163 @@ object Analytics {
       .replace("PARENT_EXPR", giniPpm("n", "pos"))
   }
 
+  // --- q254: weight of evidence + information value ----------------------------
+  // The scorecard feature screen that pairs with q239's PSI (both are
+  // banking-standard; Siddiqi 2006): bin the event value into ten
+  // equal-width slices of the global cents range, and per bin compute
+  // WoE = ln(p_purchase / p_other) and the IV term (p_p − p_o)·WoE — the
+  // feature-predictiveness measure read before any model sees the
+  // column. Conventions shared with q239 verbatim: one-row broadcast max,
+  // pure long bin arithmetic, a DENSE 10-bin grid with Laplace +1 so
+  // empty bins stay finite, per-bin terms in one fixed IEEE chain from
+  // exact longs snapped to the 1e-9 grid; the total IV is the exact long
+  // sum of those terms, repeated per row from a one-row broadcast.
+  def q254(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(
+      ($"value".cast("decimal(18,2)") * 100).cast("long").as("vc"),
+      ($"event_type" === "purchase").as("good"))
+    val maxv = ev.agg(max($"vc").as("maxvc"))
+    // persist: ≤10 rows, but dense/tot/terms branches would each re-run
+    // the corpus-sized bin count otherwise (CacheLifecycle contract)
+    import graft.CacheLifecycle.TrackedPersistOps
+    val counts = ev.crossJoin(broadcast(maxv)) // one row
+      .select(least(expr("vc * 10 div (maxvc + 1)"), lit(9L)).as("bin"), $"good")
+      .groupBy($"bin")
+      .agg(sum(when($"good", 1L).otherwise(0L)).as("g"),
+        sum(when(!$"good", 1L).otherwise(0L)).as("b"))
+      .persistTracked()
+    val dense = s.range(10).select($"id".as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .select($"bin", coalesce($"g", lit(0L)).as("g"), coalesce($"b", lit(0L)).as("b"))
+    val tot = dense.agg(sum($"g").as("gt"), sum($"b").as("bt"))
+    val pG = ($"g" + 1) * lit(1.0) / ($"gt" + 10)
+    val pB = ($"b" + 1) * lit(1.0) / ($"bt" + 10)
+    val terms = dense.crossJoin(broadcast(tot)) // one row
+      .withColumn("woe_e9", round(log(pG / pB) * lit(1e9)).cast("long"))
+      .withColumn("iv_e9", round((pG - pB) * log(pG / pB) * lit(1e9)).cast("long"))
+    terms.crossJoin(broadcast(terms.agg(sum($"iv_e9").as("iv_tot_e9")))) // one row
+      .select($"bin", $"g".as("n_good"), $"b".as("n_bad"),
+        ($"woe_e9".cast("double") / lit(1e9)).as("woe"),
+        ($"iv_e9".cast("double") / lit(1e9)).as("iv_term"),
+        ($"iv_tot_e9".cast("double") / lit(1e9)).as("iv_total"))
+      .orderBy($"bin")
+  }
+  val q254Sql: String =
+    """WITH ev AS (
+      |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+      |    event_type = 'purchase' AS good
+      |  FROM events),
+      |m AS (SELECT MAX(vc) AS maxvc FROM ev),
+      |counts AS (
+      |  SELECT LEAST(vc * 10 // (maxvc + 1), 9) AS bin,
+      |    CAST(SUM(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) AS g,
+      |    CAST(SUM(CASE WHEN good THEN 0 ELSE 1 END) AS BIGINT) AS b
+      |  FROM ev, m GROUP BY 1),
+      |dense AS (
+      |  SELECT bins.bin, COALESCE(g, 0) AS g, COALESCE(b, 0) AS b
+      |  FROM (SELECT unnest(range(0, 10)) AS bin) bins
+      |  LEFT JOIN counts ON counts.bin = bins.bin),
+      |tot AS (SELECT CAST(SUM(g) AS BIGINT) AS gt,
+      |          CAST(SUM(b) AS BIGINT) AS bt FROM dense),
+      |terms AS (
+      |  SELECT bin, g, b,
+      |    CAST(ROUND(ln(((g + 1) * 1.0 / (gt + 10))
+      |      / ((b + 1) * 1.0 / (bt + 10))) * 1e9) AS BIGINT) AS woe_e9,
+      |    CAST(ROUND((((g + 1) * 1.0 / (gt + 10))
+      |      - ((b + 1) * 1.0 / (bt + 10)))
+      |      * ln(((g + 1) * 1.0 / (gt + 10))
+      |         / ((b + 1) * 1.0 / (bt + 10))) * 1e9) AS BIGINT) AS iv_e9
+      |  FROM dense CROSS JOIN tot),
+      |ivt AS (SELECT CAST(SUM(iv_e9) AS BIGINT) AS iv_tot_e9 FROM terms)
+      |SELECT bin, g AS n_good, b AS n_bad,
+      |  CAST(woe_e9 AS DOUBLE) / 1e9 AS woe,
+      |  CAST(iv_e9 AS DOUBLE) / 1e9 AS iv_term,
+      |  CAST(iv_tot_e9 AS DOUBLE) / 1e9 AS iv_total
+      |FROM terms CROSS JOIN ivt
+      |ORDER BY bin""".stripMargin
+
+  // --- q255: cumulative gains table (decile lift) -------------------------------
+  // The model-eval readout between q208's ranking metrics and q238's
+  // calibration: rank users by a score (click-share ppm, the q238 score),
+  // cut into ten deciles, and report each decile's purchaser capture and
+  // cumulative gains — "the top 20 % of scores capture X % of buyers",
+  // the sentence every targeting decision quotes. Determinism: NTILE
+  // over a TOTAL order (score DESC, user_id — the q235 convention);
+  // gains and lift are ppm integral divisions with decimal(38,0)/HUGEINT
+  // cross products. Shape: per-user aggregation, one ranking window over
+  // the user DIMENSION (the q192 sliced-prefix rank is the documented
+  // warehouse-scale swap), ten-row grid windows after.
+  def q255(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = "decimal(38,0)"
+    val perUser = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("n_click"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("pos"))
+      .select($"user_id", expr("n_click * 1000000 div n_ev").as("score"), $"pos")
+    // persist: 10 rows with a corpus scan + ranking window behind them;
+    // the totals branch and the gains projection both consume it
+    import graft.CacheLifecycle.TrackedPersistOps
+    val decile = perUser
+      .withColumn("decile", ntile(10)
+        .over(Window.orderBy($"score".desc, $"user_id")).cast("long"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_users"), sum($"pos").as("n_pos"))
+      .persistTracked()
+    val tot = decile.agg(sum($"n_users").as("n_all"), sum($"n_pos").as("g_all"))
+    val cum = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    decile.crossJoin(broadcast(tot)) // one row
+      .withColumn("cum_pos", sum($"n_pos").over(cum))
+      .withColumn("cum_users", sum($"n_users").over(cum))
+      .select($"decile", $"n_users", $"n_pos",
+        expr(s"cast(cast(cum_pos as $big) * 1000000 div g_all as bigint)")
+          .as("cum_gain_ppm"),
+        expr(s"cast(cast(n_pos as $big) * n_all * 1000000 div" +
+          s" (cast(n_users as $big) * g_all) as bigint)").as("lift_ppm"))
+      .orderBy($"decile")
+  }
+  val q255Sql: String =
+    """WITH u AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_click,
+      |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos
+      |  FROM events GROUP BY 1),
+      |scored AS (
+      |  SELECT user_id, n_click * 1000000 // n_ev AS score, pos FROM u),
+      |dec AS (
+      |  SELECT NTILE(10) OVER (ORDER BY score DESC, user_id) AS decile, pos
+      |  FROM scored),
+      |g AS (
+      |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(pos) AS BIGINT) AS n_pos
+      |  FROM dec GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS n_all,
+      |          CAST(SUM(n_pos) AS BIGINT) AS g_all FROM g),
+      |c AS (
+      |  SELECT decile, n_users, n_pos,
+      |    SUM(n_pos) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+      |  FROM g)
+      |SELECT decile, n_users, n_pos,
+      |  CAST(CAST(cum_pos AS HUGEINT) * 1000000 // g_all AS BIGINT)
+      |    AS cum_gain_ppm,
+      |  CAST(CAST(n_pos AS HUGEINT) * n_all * 1000000
+      |    // (CAST(n_users AS HUGEINT) * g_all) AS BIGINT) AS lift_ppm
+      |FROM c CROSS JOIN tot
+      |ORDER BY decile""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q241_ucb1_arms", q241 _, Some(q241Sql)),
     ("q245_hhi_concentration", q245 _, Some(q245Sql)),
     ("q248_kaplan_meier", q248 _, Some(q248Sql)),
     ("q253_split_info_gain", q253 _, Some(q253Sql)),
+    ("q254_woe_iv", q254 _, Some(q254Sql)),
+    ("q255_gains_table", q255 _, Some(q255Sql)),
     ("q238_calibration_bins", q238 _, Some(q238Sql)),
     ("q219_bootstrap_ci", q219 _, Some(q219Sql)),
     ("q227_item_cf", q227 _, Some(q227Sql)),

@@ -3354,8 +3354,120 @@ object Text {
       |FROM byb JOIN terms USING (bucket)
       |ORDER BY bucket""".stripMargin
 
+  // --- q256: Heaps-law vocabulary growth curve --------------------------------
+  // Corpus statistics for tokenizer/vocab budgeting (Heaps 1978): vocab
+  // size V(n) ≈ K·n^β as a function of tokens seen — the curve that says
+  // how much NEW vocabulary the next 10× of corpus will bring. Exact
+  // prefix statistics without any sequential scan: a token's first
+  // occurrence is min(doc_id) (vocab-sized agg), a prefix's token count
+  // is a sum over doc_id — both collapse onto power-of-two checkpoints
+  // via a constant-folded CASE ladder (the q237 Benford-ladder idiom:
+  // never floor(log2(double)), whose ulp error flips exactly at the
+  // power-of-two boundaries the bucket depends on), and checkpoint
+  // cumsums run over the ≤64-row grid. β comes from OLS of ln V on ln n
+  // across checkpoints: ln values snapped to the 1e-9 grid as longs, OLS
+  // moments as exact decimal(38,0)/HUGEINT sums (the e9 scale cancels in
+  // the slope ratio), one double division at the end snapped back to the
+  // grid. Assumes doc_id is the ingest order (true of this corpus and
+  // documented): "the first k docs" = doc_id < k.
+  private def pow2Ladder(col: String): String = (0 to 40)
+    .map(i => s"WHEN $col < ${1L << i} THEN ${1L << i}")
+    .mkString("CASE ", " ", " END")
+  def q256(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = "decimal(38,0)"
+    val docs = Tables.documents(s, d)
+    val perDoc = docs.select($"doc_id", size(tokens($"text")).as("n_toks"))
+      .select(expr(pow2Ladder("doc_id")).as("k"), $"n_toks")
+      .groupBy($"k").agg(count(lit(1)).as("d_docs"), sum($"n_toks").as("d_toks"))
+    val firstDoc = docs.select($"doc_id", explode(tokens($"text")).as("w"))
+      .groupBy($"w").agg(min($"doc_id").as("fd"))
+      .select(expr(pow2Ladder("fd")).as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("d_vocab"))
+    val cum = Window.orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = perDoc.join(firstDoc, Seq("k"), "full_outer")
+      .select($"k", coalesce($"d_docs", lit(0L)).as("d_docs"),
+        coalesce($"d_toks", lit(0L)).as("d_toks"),
+        coalesce($"d_vocab", lit(0L)).as("d_vocab"))
+      .withColumn("n_docs", sum($"d_docs").over(cum))
+      .withColumn("n_tokens", sum($"d_toks").over(cum))
+      .withColumn("n_vocab", sum($"d_vocab").over(cum))
+      .withColumn("x_e9", round(log($"n_tokens") * lit(1e9)).cast("long"))
+      .withColumn("y_e9", round(log($"n_vocab") * lit(1e9)).cast("long"))
+    // persist: ≤64 rows behind two corpus-sized scans; the OLS branch
+    // and the output projection both consume it (CacheLifecycle contract)
+    val g = grid.persistTracked()
+    val beta = g.agg(count(lit(1)).as("m"),
+        sum($"x_e9".cast(big)).as("sx"), sum($"y_e9".cast(big)).as("sy"),
+        sum($"x_e9".cast(big) * $"x_e9".cast(big)).as("sxx"),
+        sum($"x_e9".cast(big) * $"y_e9".cast(big)).as("sxy"))
+      .select((round(((($"m" * $"sxy" - $"sx" * $"sy").cast("double"))
+        / (($"m" * $"sxx" - $"sx" * $"sx").cast("double"))) * lit(1e9))
+        .cast("long").cast("double") / lit(1e9)).as("heaps_beta"))
+    g.crossJoin(broadcast(beta)) // one row
+      .select($"k".as("k_docs"), $"n_docs", $"n_tokens", $"n_vocab",
+        $"heaps_beta")
+      .orderBy($"k_docs")
+  }
+  val q256Sql: String = {
+    val ladderFd = pow2Ladder("fd")
+    val ladderDoc = pow2Ladder("doc_id")
+    s"""WITH dd AS (
+       |  SELECT doc_id, len(string_split(lower(trim(
+       |    regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS n_toks
+       |  FROM documents),
+       |perdoc AS (
+       |  SELECT $ladderDoc AS k, CAST(COUNT(*) AS BIGINT) AS d_docs,
+       |    CAST(SUM(n_toks) AS BIGINT) AS d_toks
+       |  FROM dd GROUP BY 1),
+       |fd AS (
+       |  SELECT w, MIN(doc_id) AS fd FROM (
+       |    SELECT doc_id, unnest(string_split(lower(trim(
+       |      regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+       |    FROM documents)
+       |  GROUP BY w),
+       |firstdoc AS (
+       |  SELECT $ladderFd AS k, CAST(COUNT(*) AS BIGINT) AS d_vocab
+       |  FROM fd GROUP BY 1),
+       |grid AS (
+       |  SELECT COALESCE(perdoc.k, firstdoc.k) AS k,
+       |    COALESCE(d_docs, 0) AS d_docs, COALESCE(d_toks, 0) AS d_toks,
+       |    COALESCE(d_vocab, 0) AS d_vocab
+       |  FROM perdoc FULL JOIN firstdoc ON perdoc.k = firstdoc.k),
+       |cums AS (
+       |  SELECT k,
+       |    SUM(d_docs) OVER w AS n_docs,
+       |    SUM(d_toks) OVER w AS n_tokens,
+       |    SUM(d_vocab) OVER w AS n_vocab
+       |  FROM grid
+       |  WINDOW w AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND CURRENT ROW)),
+       |pts AS (
+       |  SELECT k, CAST(n_docs AS BIGINT) AS n_docs,
+       |    CAST(n_tokens AS BIGINT) AS n_tokens,
+       |    CAST(n_vocab AS BIGINT) AS n_vocab,
+       |    CAST(ROUND(ln(n_tokens) * 1e9) AS BIGINT) AS x_e9,
+       |    CAST(ROUND(ln(n_vocab) * 1e9) AS BIGINT) AS y_e9
+       |  FROM cums),
+       |ols AS (
+       |  SELECT CAST(CAST(ROUND(
+       |      CAST(COUNT(*) * SUM(CAST(x_e9 AS HUGEINT) * y_e9)
+       |        - SUM(CAST(x_e9 AS HUGEINT)) * SUM(CAST(y_e9 AS HUGEINT))
+       |        AS DOUBLE)
+       |      / CAST(COUNT(*) * SUM(CAST(x_e9 AS HUGEINT) * x_e9)
+       |        - SUM(CAST(x_e9 AS HUGEINT)) * SUM(CAST(x_e9 AS HUGEINT))
+       |        AS DOUBLE) * 1e9) AS BIGINT) AS DOUBLE) / 1e9
+       |    AS heaps_beta
+       |  FROM pts)
+       |SELECT k AS k_docs, n_docs, n_tokens, n_vocab, heaps_beta
+       |FROM pts CROSS JOIN ols
+       |ORDER BY k_docs""".stripMargin
+  }
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q243_good_turing", q243 _, Some(q243Sql)),
+    ("q256_heaps_law", q256 _, Some(q256Sql)),
     ("q244_feature_hashing", q244 _, Some(q244Sql)),
     ("q240_edit_distance_join", q240 _, Some(q240Sql)),
     ("q233_negative_sampling", q233 _, Some(q233Sql)),

@@ -855,4 +855,58 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(gainPpm == parentPpm - (wsum / n).toLong, s"$f gain")
     }
   }
+
+  test("q254 WoE/IV equals a driver-side recomputation on the e9 grid") {
+    val got = SparkEntry.queries("q254_woe_iv")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.length == 10, "dense 10-bin grid required")
+    val ev = Tables.events(spark, sf).selectExpr(
+        "cast(cast(value as decimal(18,2)) * 100 as long) as vc",
+        "event_type = 'purchase' as good")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val maxvc = ev.map(_._1).max
+    val g = Array.fill(10)(0L)
+    val b = Array.fill(10)(0L)
+    ev.foreach { case (vc, good) =>
+      val bin = math.min(vc * 10 / (maxvc + 1), 9L).toInt
+      if (good) g(bin) += 1 else b(bin) += 1
+    }
+    val gt = g.sum
+    val bt = b.sum
+    var ivTotE9 = 0L
+    val exp = (0 until 10).map { bin =>
+      val pG = (g(bin) + 1) * 1.0 / (gt + 10)
+      val pB = (b(bin) + 1) * 1.0 / (bt + 10)
+      val woeE9 = math.round(math.log(pG / pB) * 1e9)
+      val ivE9 = math.round((pG - pB) * math.log(pG / pB) * 1e9)
+      ivTotE9 += ivE9
+      (bin.toLong, g(bin), b(bin), woeE9, ivE9)
+    }
+    got.zip(exp).foreach { case ((bin, ng, nb, woe, iv, ivTot), (eb, eg, enb, ew, ei)) =>
+      assert(bin == eb && ng == eg && nb == enb, s"bin $bin counts")
+      assert(math.abs(woe - ew / 1e9) <= 2e-9 && math.abs(iv - ei / 1e9) <= 2e-9)
+      assert(math.abs(ivTot - ivTotE9 / 1e9) <= 2e-9, "IV total must be the term sum")
+    }
+  }
+
+  test("q255 gains table partitions users and accumulates to full capture") {
+    val got = SparkEntry.queries("q255_gains_table")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == 10 && got.map(_._1).toSeq == (1L to 10L))
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(got.map(_._2).sum == nUsers, "deciles must partition the user set")
+    val gAll = got.map(_._3).sum
+    var cum = 0L
+    var lastGain = -1L
+    got.foreach { case (_, nU, nPos, cumGain, lift) =>
+      cum += nPos
+      assert(cumGain == BigInt(cum) * 1000000 / gAll, "cumulative gain grid")
+      assert(cumGain >= lastGain, "gains must be non-decreasing")
+      lastGain = cumGain
+      assert(lift == (BigInt(nPos) * nUsers * 1000000 /
+        (BigInt(nU) * gAll)).toLong, "decile lift grid")
+    }
+    assert(lastGain == 1000000L, "last decile must capture everyone")
+  }
 }

@@ -791,4 +791,26 @@ class TrainingSpec extends AnyFunSuite {
         s"bucket $bucket bounds broken: $signed / $absSigned / $mass")
     }
   }
+
+  test("q256 Heaps curve equals a driver-side prefix recomputation") {
+    val got = SparkEntry.queries("q256_heaps_law")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).replaceAll("\\s+", " ").trim.toLowerCase.split(" ")))
+      .sortBy(_._1)
+    got.foreach { case (k, nDocs, nTokens, nVocab, _) =>
+      val prefix = docs.filter(_._1 < k)
+      assert(nDocs == prefix.length.toLong, s"k=$k docs")
+      assert(nTokens == prefix.map(_._2.length.toLong).sum, s"k=$k tokens")
+      assert(nVocab == prefix.flatMap(_._2).distinct.length.toLong, s"k=$k vocab")
+    }
+    // growth must be monotone in k, and betas identical across rows
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq)
+    assert(got.map(_._4).toSeq == got.map(_._4).sorted.toSeq)
+    assert(got.map(_._5).distinct.length == 1)
+    // sub-linear vocabulary growth: 0 < β < 1 on a natural corpus
+    assert(got.head._5 > 0.0 && got.head._5 < 1.0, s"beta=${got.head._5}")
+  }
 }

@@ -2546,10 +2546,127 @@ object Events {
       |FROM run GROUP BY day
       |ORDER BY day""".stripMargin
 
+  // --- q257: linear multi-touch attribution -----------------------------------
+  // q114's last-touch rule upgraded to the split-credit model: each
+  // purchase distributes its one unit of credit EQUALLY over the user's
+  // click/view touches in the preceding 7 days; purchases with no touch
+  // window are credited to 'direct'. Exactness: per-touch credit is the
+  // ppm integral share 1e6 div n_touches, so a conversion's credits sum
+  // to ≤ 1e6 with deterministic truncation dust (documented — the
+  // alternative, doubles, would make per-channel sums order-dependent).
+  // Shape: the touch↔conversion pairing is a per-user interval join
+  // (equi on user + range on time), shuffling each side once by user;
+  // per-user fan-out is touches×conversions within a 7-day window —
+  // bounded by activity density, the q29 range-join argument. Aggregates
+  // land on a ≤3-row channel table.
+  def q257(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val WEEK = 7L * 86400L * 1000000000L
+    val ev = Tables.events(s, d)
+    val convs = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("conv_id"), $"ts".as("tp"))
+    val touches = ev.filter($"event_type".isin("click", "view"))
+      .select($"user_id", $"event_type".as("channel"), $"ts".as("tt"))
+    // the window predicate lives IN the join condition: a conversion whose
+    // touches are all out-of-window must null-extend (→ 'direct'), not
+    // vanish under a post-join filter
+    val paired = convs.as("c").join(touches.as("t"),
+        $"c.user_id" === $"t.user_id"
+          && $"t.tt" < $"c.tp" && $"t.tt" >= $"c.tp" - WEEK, "left")
+      .select($"conv_id", $"channel", $"tt")
+    // n_touches via a per-conversion window, not a broadcast of the
+    // conversion-sized aggregate (too big to broadcast at 100 TB) and
+    // not a second scan of the pair table
+    val credited = paired
+      .withColumn("n_touches",
+        count($"tt").over(Window.partitionBy($"conv_id")))
+      .withColumn("channel2",
+        when($"n_touches" === 0, lit("direct")).otherwise($"channel"))
+      .withColumn("credit_ppm",
+        when($"n_touches" === 0, lit(1000000L))
+          .otherwise(expr("1000000 div n_touches")))
+    credited.groupBy($"channel2".as("channel"))
+      .agg(sum($"credit_ppm").as("credited_ppm"),
+        countDistinct($"conv_id").as("n_conversions"),
+        count(when($"n_touches" > 0, 1L)).as("n_touches"))
+      .orderBy($"channel")
+  }
+  val q257Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) * 1000 AS tns
+      |  FROM events),
+      |convs AS (
+      |  SELECT user_id, event_id AS conv_id, tns AS tp FROM ev
+      |  WHERE event_type = 'purchase'),
+      |touches AS (
+      |  SELECT user_id, event_type AS channel, tns AS tt FROM ev
+      |  WHERE event_type IN ('click', 'view')),
+      |paired AS (
+      |  SELECT c.conv_id, t.channel, t.tt
+      |  FROM convs c LEFT JOIN touches t
+      |    ON t.user_id = c.user_id
+      |   AND t.tt < c.tp AND t.tt >= c.tp - 604800000000000),
+      |credited AS (
+      |  SELECT conv_id,
+      |    CASE WHEN n_touches = 0 THEN 'direct' ELSE channel END
+      |      AS channel,
+      |    CASE WHEN n_touches = 0 THEN 1000000
+      |         ELSE 1000000 // n_touches END AS credit_ppm,
+      |    n_touches
+      |  FROM (SELECT conv_id, channel, tt,
+      |          CAST(COUNT(tt) OVER (PARTITION BY conv_id) AS BIGINT)
+      |            AS n_touches
+      |        FROM paired))
+      |SELECT channel, CAST(SUM(credit_ppm) AS BIGINT) AS credited_ppm,
+      |  CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+      |  CAST(COUNT(CASE WHEN n_touches > 0 THEN 1 END) AS BIGINT)
+      |    AS n_touches
+      |FROM credited GROUP BY 1
+      |ORDER BY channel""".stripMargin
+
+  // --- q258: rolling median (trailing 7-observation window) --------------------
+  // The robust companion to q150's rolling z-score: a trailing
+  // 7-observation median of each type's daily revenue — the smoother
+  // dashboards use when one spike day must not drag the baseline (median
+  // absorbs what a mean chases). percentile() as a WINDOW aggregate over
+  // (type, day-ordered) frames; both engines interpolate identically on
+  // exact inputs (the q230 argument), and the inputs are daily
+  // cents-integer sums so there is no upstream double drift. Windows run
+  // over the tiny (type, day) grid, never the fact table; rounded at 1e-6.
+  def q258(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type", expr("(ts div 1000000000) div 86400").as("day"))
+      .agg(sum(($"value".cast("decimal(18,2)") * 100).cast("long")).as("x"))
+    val w7 = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("n_window", count(lit(1)).over(w7))
+      .withColumn("med7",
+        round(expr("percentile(x, 0.5)").over(w7) / 100.0, 6))
+      .select($"event_type", $"day", $"x".as("x_cents"), $"n_window", $"med7")
+      .orderBy($"event_type", $"day")
+  }
+  val q258Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, x AS x_cents,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+      |  ROUND(quantile_cont(x, 0.5) OVER w / 100.0, 6) AS med7
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, day""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q239_psi_drift", q239 _, Some(q239Sql)),
     ("q249_ewma_smoothing", q249 _, Some(q249Sql)),
     ("q250_peak_concurrency", q250 _, Some(q250Sql)),
+    ("q257_linear_attribution", q257 _, Some(q257Sql)),
+    ("q258_rolling_median", q258 _, Some(q258Sql)),
     ("q202_daily_drift_jsd", q202 _, Some(q202Sql)),
     ("q218_dynamic_pruning", q218 _, Some(q218Sql)),
     ("q223_stream_cdc_apply", q223 _, Some(q223Sql)),

@@ -3465,9 +3465,77 @@ object Text {
        |ORDER BY k_docs""".stripMargin
   }
 
+  // --- q259: Zipf-law fit (rank-frequency slope) --------------------------------
+  // q256's sibling law (Zipf 1949): token frequency ≈ C·rank^(−s); the
+  // fitted slope s says whether a corpus has a natural long tail (s ≈ 1)
+  // or is template spam (s far off) — a one-number corpus-health check
+  // next to q117's Gini. Rank = row_number over (count DESC, word) — a
+  // TOTAL order, so ranks are deterministic under ties (the q235 rule) —
+  // over the vocab-sized count table; the fit is OLS of ln(freq) on
+  // ln(rank), e9-snapped longs with decimal(38,0)/HUGEINT moments and one
+  // final double division (the q256 chain verbatim). Output: the top-20
+  // rank table with the fitted slope and intercept broadcast onto it.
+  def q259(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = "decimal(38,0)"
+    val wc = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val ranked = wc
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"c".desc, $"w")).cast("long"))
+      .withColumn("x_e9", round(log($"rank") * lit(1e9)).cast("long"))
+      .withColumn("y_e9", round(log($"c") * lit(1e9)).cast("long"))
+      .persistTracked() // OLS branch + top-20 projection
+    val fit = ranked.agg(count(lit(1)).as("m"),
+        sum($"x_e9".cast(big)).as("sx"), sum($"y_e9".cast(big)).as("sy"),
+        sum($"x_e9".cast(big) * $"x_e9".cast(big)).as("sxx"),
+        sum($"x_e9".cast(big) * $"y_e9".cast(big)).as("sxy"))
+      .select(
+        (round(((($"m" * $"sxy" - $"sx" * $"sy").cast("double"))
+          / (($"m" * $"sxx" - $"sx" * $"sx").cast("double"))) * lit(1e9))
+          .cast("long").cast("double") / lit(1e9)).as("zipf_slope"),
+        $"m".as("n_vocab"))
+    ranked.filter($"rank" <= 20)
+      .crossJoin(broadcast(fit)) // one row
+      .select($"rank", $"w", $"c".as("freq"), $"zipf_slope", $"n_vocab")
+      .orderBy($"rank")
+  }
+  val q259Sql: String =
+    """WITH wc AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT unnest(string_split(lower(trim(
+      |      regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+      |    FROM documents)
+      |  GROUP BY w),
+      |ranked AS (
+      |  SELECT w, c,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT) AS rank
+      |  FROM wc),
+      |pts AS (
+      |  SELECT rank, w, c,
+      |    CAST(ROUND(ln(rank) * 1e9) AS BIGINT) AS x_e9,
+      |    CAST(ROUND(ln(c) * 1e9) AS BIGINT) AS y_e9
+      |  FROM ranked),
+      |fit AS (
+      |  SELECT CAST(CAST(ROUND(
+      |      CAST(COUNT(*) * SUM(CAST(x_e9 AS HUGEINT) * y_e9)
+      |        - SUM(CAST(x_e9 AS HUGEINT)) * SUM(CAST(y_e9 AS HUGEINT))
+      |        AS DOUBLE)
+      |      / CAST(COUNT(*) * SUM(CAST(x_e9 AS HUGEINT) * x_e9)
+      |        - SUM(CAST(x_e9 AS HUGEINT)) * SUM(CAST(x_e9 AS HUGEINT))
+      |        AS DOUBLE) * 1e9) AS BIGINT) AS DOUBLE) / 1e9 AS zipf_slope,
+      |    CAST(COUNT(*) AS BIGINT) AS n_vocab
+      |  FROM pts)
+      |SELECT rank, w, c AS freq, zipf_slope, n_vocab
+      |FROM pts CROSS JOIN fit
+      |WHERE rank <= 20
+      |ORDER BY rank""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q243_good_turing", q243 _, Some(q243Sql)),
     ("q256_heaps_law", q256 _, Some(q256Sql)),
+    ("q259_zipf_fit", q259 _, Some(q259Sql)),
     ("q244_feature_hashing", q244 _, Some(q244Sql)),
     ("q240_edit_distance_join", q240 _, Some(q240Sql)),
     ("q233_negative_sampling", q233 _, Some(q233Sql)),

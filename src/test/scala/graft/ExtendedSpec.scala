@@ -458,4 +458,53 @@ class ExtendedSpec extends AnyFunSuite {
       assert(maxDev == devs.max && sumDev == devs.sum, s"$pr deviation profile")
     }
   }
+
+  test("q257 linear attribution equals a driver-side credit split") {
+    val got = SparkEntry.queries("q257_linear_attribution")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.nonEmpty)
+    val WEEK = 7L * 86400L * 1000000000L
+    val ev = Tables.events(spark, sf).selectExpr("user_id", "event_id", "event_type", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val touches = ev.filter(e => e._3 == "click" || e._3 == "view")
+    val acc = scala.collection.mutable.Map[String, (Long, Set[Long], Long)]()
+      .withDefaultValue((0L, Set.empty, 0L))
+    ev.filter(_._3 == "purchase").foreach { case (u, convId, _, tp) =>
+      val inWin = touches.filter(t =>
+        t._1 == u && t._4 < tp && t._4 >= tp - WEEK)
+      if (inWin.isEmpty) {
+        val (s0, c0, t0) = acc("direct")
+        acc("direct") = (s0 + 1000000L, c0 + convId, t0)
+      } else inWin.foreach { t =>
+        val (s0, c0, t0) = acc(t._3)
+        acc(t._3) = (s0 + 1000000L / inWin.length, c0 + convId, t0 + 1)
+      }
+    }
+    val exp = acc.map { case (ch, (s, cs, t)) => (ch, s, cs.size.toLong, t) }.toSet
+    assert(got == exp, s"got=$got want=$exp")
+  }
+
+  test("q258 rolling median equals a driver-side window recomputation") {
+    val got = SparkEntry.queries("q258_rolling_median")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    def median(vs: Seq[Long]): Double = {
+      val s = vs.sorted.map(_.toDouble)
+      val rank = 0.5 * (s.length - 1)
+      val lo = rank.toInt
+      if (lo + 1 >= s.length) s(lo)
+      else s(lo) + (rank - lo) * (s(lo + 1) - s(lo))
+    }
+    got.groupBy(_._1).foreach { case (t, rows) =>
+      val series = rows.sortBy(_._2)
+      series.zipWithIndex.foreach { case ((_, _, x, nW, med), i) =>
+        val win = series.slice(math.max(0, i - 6), i + 1).map(_._3)
+        assert(nW == win.length.toLong, s"$t row $i window size")
+        assert(x == series(i)._3)
+        val exp = BigDecimal(median(win.toSeq) / 100.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(med - exp) <= 1e-6, s"$t row $i median $med vs $exp")
+      }
+    }
+  }
 }

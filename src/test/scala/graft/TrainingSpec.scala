@@ -813,4 +813,33 @@ class TrainingSpec extends AnyFunSuite {
     // sub-linear vocabulary growth: 0 < β < 1 on a natural corpus
     assert(got.head._5 > 0.0 && got.head._5 < 1.0, s"beta=${got.head._5}")
   }
+
+  test("q259 Zipf fit equals a BigInt driver recomputation of the slope") {
+    val got = SparkEntry.queries("q259_zipf_fit")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got.length == 20)
+    val counts = scala.collection.mutable.Map[String, Long]()
+    Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      r.getString(0).replaceAll("\\s+", " ").trim.toLowerCase
+        .split(" ").foreach(t => counts(t) = counts.getOrElse(t, 0L) + 1)
+    }
+    val ranked = counts.toSeq.sortBy { case (w, c) => (-c, w) }.zipWithIndex
+      .map { case ((w, c), i) => (i + 1L, w, c) }
+    got.foreach { case (rank, w, freq, _, nVocab) =>
+      assert(nVocab == counts.size.toLong)
+      assert((rank, w, freq) == ranked(rank.toInt - 1), s"rank $rank row")
+    }
+    val (m, sx, sy, sxx, sxy) = ranked.foldLeft(
+      (0L, BigInt(0), BigInt(0), BigInt(0), BigInt(0))) {
+      case ((m0, sx0, sy0, sxx0, sxy0), (rank, _, c)) =>
+        val x = math.round(math.log(rank.toDouble) * 1e9)
+        val y = math.round(math.log(c.toDouble) * 1e9)
+        (m0 + 1, sx0 + x, sy0 + y, sxx0 + BigInt(x) * x, sxy0 + BigInt(x) * y)
+    }
+    val exp = math.round((m * sxy - sx * sy).toDouble
+      / (m * sxx - sx * sx).toDouble * 1e9) / 1e9
+    assert(math.abs(got.head._4 - exp) <= 2e-9, s"slope ${got.head._4} vs $exp")
+    // a Zipf-ish corpus slopes DOWN
+    assert(got.head._4 < 0.0)
+  }
 }

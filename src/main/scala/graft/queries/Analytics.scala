@@ -2579,6 +2579,151 @@ object Analytics {
       |FROM c CROSS JOIN tot
       |ORDER BY decile""".stripMargin
 
+  // --- q260: split-conformal coverage audit -------------------------------------
+  // The distribution-free prediction-interval check (Vovk 2005; Angelopoulos
+  // & Bates 2023's split-conformal recipe): fit a predictor on the
+  // reference half (q239's split convention), take the 90th-percentile
+  // absolute residual as the conformal radius q̂, and measure COVERAGE on
+  // the held-out second half — the guarantee says ≈90 % of unseen values
+  // land within ±q̂, and a pipeline whose coverage drifts from nominal has
+  // a broken model or a drifted feed. The predictor here is the per-type
+  // mean (one parameter — fit and calibrated on the same reference half,
+  // resubstitution documented as acceptable at that capacity; the
+  // COVERAGE half is strictly held out, which is what the guarantee
+  // needs). Exactness: the mean is the floored cents integer s div n
+  // (documented); residuals are exact longs; q̂ is the interpolated
+  // percentile both engines compute identically on exact inputs (q230
+  // argument); coverage is a ppm integral division.
+  def q260(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(
+      expr("(ts div 1000000000) div 86400").as("day"), $"event_type",
+      ($"value".cast("decimal(18,2)") * 100).cast("long").as("vc"))
+    val split = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select(greatest(expr("(d0 + d1 + 1) div 2"), $"d0" + 1).as("split"))
+    val withSplit = ev.crossJoin(broadcast(split)) // one row
+    val means = withSplit.filter($"day" < $"split")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_train"), expr("sum(vc) div count(1)").as("mean_c"))
+    val qhat = withSplit.filter($"day" < $"split")
+      .join(broadcast(means), "event_type")
+      .select($"event_type", abs($"vc" - $"mean_c").as("res"))
+      .groupBy($"event_type")
+      .agg(expr("percentile(res, 0.9)").as("qhat"))
+    withSplit.filter($"day" >= $"split")
+      .join(broadcast(means), "event_type")
+      .join(broadcast(qhat), "event_type")
+      .groupBy($"event_type")
+      .agg(min($"n_train").as("n_train"), count(lit(1)).as("n_test"),
+        round(min($"qhat") / 100.0, 6).as("qhat_dollars"),
+        (sum(when(abs($"vc" - $"mean_c") <= $"qhat", 1L).otherwise(0L))
+          * 1000000 / count(lit(1))).cast("long").as("coverage_ppm"))
+      .orderBy($"event_type")
+  }
+  val q260Sql: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 1000000 // 86400 AS day, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      |  FROM events),
+      |b AS (SELECT GREATEST((MIN(day) + MAX(day) + 1) // 2, MIN(day) + 1)
+      |        AS split FROM ev),
+      |means AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_train,
+      |    CAST(SUM(vc) // COUNT(*) AS BIGINT) AS mean_c
+      |  FROM ev, b WHERE day < split GROUP BY 1),
+      |qh AS (
+      |  SELECT event_type, quantile_cont(ABS(vc - mean_c), 0.9) AS qhat
+      |  FROM ev JOIN means USING (event_type) CROSS JOIN b
+      |  WHERE day < split GROUP BY 1)
+      |SELECT event_type, MIN(n_train) AS n_train,
+      |  CAST(COUNT(*) AS BIGINT) AS n_test,
+      |  ROUND(MIN(qhat) / 100.0, 6) AS qhat_dollars,
+      |  CAST(SUM(CASE WHEN ABS(vc - mean_c) <= qhat THEN 1 ELSE 0 END)
+      |    * 1000000 // COUNT(*) AS BIGINT) AS coverage_ppm
+      |FROM ev
+      |JOIN means USING (event_type) JOIN qh USING (event_type)
+      |CROSS JOIN b
+      |WHERE day >= split
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // --- q262: truncation-adjusted cohort LTV curve --------------------------------
+  // q71's retention triangle in revenue terms, with the correction naive
+  // LTV dashboards skip: at age a, only cohorts with cohort_day + a ≤
+  // max_day have BEEN OBSERVED that long — averaging over younger cohorts
+  // deflates the curve's tail. Per age: restrict to fully-observable
+  // cohorts, cumulate their purchase revenue through that age, divide by
+  // their user count. Shape: one corpus aggregation to the (cohort, age)
+  // revenue grid (days² rows at most — tiny), the age roll-up is a
+  // triangular join over that grid, all exact cents integers with one
+  // integral divide per row.
+  def q262(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val ev = Tables.events(s, d).select($"user_id",
+      expr("(ts div 1000000000) div 86400").as("day"), $"event_type",
+      ($"value".cast("decimal(18,2)") * 100).cast("long").as("vc"))
+    val cohorts = ev.groupBy($"user_id").agg(min($"day").as("cohort"))
+    val joined = ev.join(cohorts, "user_id")
+      .withColumn("age", $"day" - $"cohort")
+    // (cohort, age) grids: purchase revenue + cohort sizes; persisted —
+    // corpus-sized scans behind them, triangular consumers after
+    val rev = joined.filter($"event_type" === "purchase")
+      .groupBy($"cohort", $"age").agg(sum($"vc").as("r"))
+      .persistTracked()
+    val sizes = cohorts.groupBy($"cohort").agg(count(lit(1)).as("n_users"))
+      .persistTracked()
+    val maxDay = ev.agg(max($"day").as("max_day"))
+    val ages = rev.select($"age").distinct()
+    val obs = ages.crossJoin(broadcast(maxDay))
+      .join(sizes, $"cohort" <= $"max_day" - $"age")
+      .groupBy($"age")
+      .agg(count(lit(1)).as("n_cohorts_obs"), sum($"n_users").as("users_obs"))
+    val cum = ages.as("g").crossJoin(broadcast(maxDay))
+      .join(rev.as("r"),
+        $"r.cohort" <= $"max_day" - $"g.age" && $"r.age" <= $"g.age")
+      .groupBy($"g.age".as("age"))
+      .agg(sum($"r.r").as("cum_rev"))
+    obs.join(cum, Seq("age"), "left")
+      .select($"age", $"n_cohorts_obs", $"users_obs",
+        expr("cast(coalesce(cum_rev, 0) div users_obs as bigint)")
+          .as("ltv_cents_per_user"))
+      .orderBy($"age")
+  }
+  val q262Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 1000000 // 86400 AS day, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      |  FROM events),
+      |cohorts AS (
+      |  SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY 1),
+      |j AS (
+      |  SELECT ev.user_id, day, event_type, vc, cohort, day - cohort AS age
+      |  FROM ev JOIN cohorts USING (user_id)),
+      |rev AS (
+      |  SELECT cohort, age, CAST(SUM(vc) AS BIGINT) AS r
+      |  FROM j WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |sizes AS (
+      |  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users
+      |  FROM cohorts GROUP BY 1),
+      |m AS (SELECT MAX(day) AS max_day FROM ev),
+      |ages AS (SELECT DISTINCT age FROM rev),
+      |obs AS (
+      |  SELECT a.age, CAST(COUNT(*) AS BIGINT) AS n_cohorts_obs,
+      |    CAST(SUM(n_users) AS BIGINT) AS users_obs
+      |  FROM ages a, m JOIN sizes s ON s.cohort <= max_day - a.age
+      |  GROUP BY 1),
+      |cum AS (
+      |  SELECT a.age, CAST(SUM(r.r) AS BIGINT) AS cum_rev
+      |  FROM ages a, m JOIN rev r
+      |    ON r.cohort <= max_day - a.age AND r.age <= a.age
+      |  GROUP BY 1)
+      |SELECT age, n_cohorts_obs, users_obs,
+      |  CAST(COALESCE(cum_rev, 0) // users_obs AS BIGINT)
+      |    AS ltv_cents_per_user
+      |FROM obs LEFT JOIN cum USING (age)
+      |ORDER BY age""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q241_ucb1_arms", q241 _, Some(q241Sql)),
     ("q245_hhi_concentration", q245 _, Some(q245Sql)),
@@ -2586,6 +2731,8 @@ object Analytics {
     ("q253_split_info_gain", q253 _, Some(q253Sql)),
     ("q254_woe_iv", q254 _, Some(q254Sql)),
     ("q255_gains_table", q255 _, Some(q255Sql)),
+    ("q260_conformal_coverage", q260 _, Some(q260Sql)),
+    ("q262_ltv_curve", q262 _, Some(q262Sql)),
     ("q238_calibration_bins", q238 _, Some(q238Sql)),
     ("q219_bootstrap_ci", q219 _, Some(q219Sql)),
     ("q227_item_cf", q227 _, Some(q227Sql)),

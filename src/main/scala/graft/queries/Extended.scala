@@ -1309,8 +1309,70 @@ object Extended {
       |FROM j GROUP BY 1
       |ORDER BY o_orderpriority""".stripMargin
 
+  // --- q261: join-key skew advisor ----------------------------------------------
+  // The diagnostic behind operators/Skew's salting machinery, exposed as a
+  // query: profile a join key's frequency distribution and report what the
+  // salt factor SHOULD be — the table an engineer reads before a hot
+  // self-join lands on one reducer (and the threshold-gated hybrid paths
+  // in Dedup/Skew consult implicitly). Key = events.user_id. Reported:
+  // the top-5 hottest keys with ppm shares, and (broadcast onto each row)
+  // the key count, max/mean skew factor in ppm, and suggested salt =
+  // ceil(max/mean) — all decimal(38,0)/HUGEINT exact products with
+  // integral divides. Shape: one map-side-combinable count, a 5-row
+  // TakeOrdered, a one-row broadcast summary.
+  def q261(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val big = "decimal(38,0)"
+    val keyCounts = Tables.events(s, d)
+      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+      .persistTracked() // summary + top-5 consumers
+    val summary = keyCounts.agg(count(lit(1)).as("n_keys"),
+        sum($"cnt").as("n_rows"), max($"cnt").as("max_cnt"))
+      .select($"n_keys", $"n_rows",
+        expr(s"cast(cast(max_cnt as $big) * n_keys * 1000000" +
+          s" div cast(n_rows as $big) as bigint)").as("skew_factor_ppm"),
+        expr(s"cast((cast(max_cnt as $big) * n_keys + n_rows - 1)" +
+          s" div cast(n_rows as $big) as bigint)").as("suggested_salt"))
+    keyCounts
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"cnt".desc, $"user_id")).cast("long"))
+      .filter($"rank" <= 5)
+      .crossJoin(broadcast(summary)) // one row
+      .select($"rank", $"user_id", $"cnt",
+        expr(s"cast(cast(cnt as $big) * 1000000 div cast(n_rows as $big)" +
+          " as bigint)").as("share_ppm"),
+        $"n_keys", $"skew_factor_ppm", $"suggested_salt")
+      .orderBy($"rank")
+  }
+  val q261Sql: String =
+    """WITH kc AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1),
+      |summary AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |    CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |    CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      |  FROM kc),
+      |ranked AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id)
+      |      AS BIGINT) AS rank, user_id, cnt
+      |  FROM kc)
+      |SELECT rank, user_id, cnt,
+      |  CAST(CAST(cnt AS HUGEINT) * 1000000 // n_rows AS BIGINT)
+      |    AS share_ppm,
+      |  n_keys,
+      |  CAST(CAST(max_cnt AS HUGEINT) * n_keys * 1000000 // n_rows
+      |    AS BIGINT) AS skew_factor_ppm,
+      |  CAST((CAST(max_cnt AS HUGEINT) * n_keys + n_rows - 1) // n_rows
+      |    AS BIGINT) AS suggested_salt
+      |FROM ranked CROSS JOIN summary
+      |WHERE rank <= 5
+      |ORDER BY rank""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q251_bitmap_distinct", q251 _, Some(q251Sql)),
+    ("q261_skew_advisor", q261 _, Some(q261Sql)),
     ("q252_reconciliation_audit", q252 _, Some(q252Sql)),
     ("q246_winsorized_means", q246 _, Some(q246Sql)),
     ("q247_cv_folds", q247 _, Some(q247Sql)),

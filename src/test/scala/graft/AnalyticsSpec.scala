@@ -909,4 +909,64 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(lastGain == 1000000L, "last decile must capture everyone")
   }
+
+  test("q260 conformal coverage equals a driver recomputation and sits near nominal") {
+    val got = SparkEntry.queries("q260_conformal_coverage")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val rows = Tables.events(spark, sf).selectExpr(
+        "(ts div 1000000000) div 86400 as day", "event_type",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as vc")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val d0 = rows.map(_._1).min
+    val d1 = rows.map(_._1).max
+    val split = math.max((d0 + d1 + 1) / 2, d0 + 1)
+    def pct(vs: Seq[Long], p: Double): Double = {
+      val s = vs.sorted.map(_.toDouble)
+      val rank = p * (s.length - 1)
+      val lo = rank.toInt
+      if (lo + 1 >= s.length) s(lo)
+      else s(lo) + (rank - lo) * (s(lo + 1) - s(lo))
+    }
+    got.foreach { case (t, nTrain, nTest, qhatD, covPpm) =>
+      val train = rows.filter(r => r._2 == t && r._1 < split).map(_._3)
+      val test = rows.filter(r => r._2 == t && r._1 >= split).map(_._3)
+      assert(nTrain == train.length.toLong && nTest == test.length.toLong)
+      val mean = train.sum / train.length
+      val qhat = pct(train.toSeq.map(v => math.abs(v - mean)), 0.9)
+      assert(math.abs(qhatD - BigDecimal(qhat / 100.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-6)
+      val cov = test.count(v => math.abs(v - mean) <= qhat).toLong * 1000000L /
+        test.length
+      assert(covPpm == cov, s"$t coverage $covPpm vs $cov")
+      // the split-conformal guarantee: coverage near nominal 90 %
+      assert(covPpm >= 800000L && covPpm <= 1000000L,
+        s"$t coverage $covPpm implausibly far from nominal")
+    }
+  }
+
+  test("q262 LTV curve equals a driver recomputation with truncation adjustment") {
+    val got = SparkEntry.queries("q262_ltv_curve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf).selectExpr("user_id",
+        "(ts div 1000000000) div 86400 as day", "event_type",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as vc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val cohort = ev.groupBy(_._1).map { case (u, g) => u -> g.map(_._2).min }
+    val maxDay = ev.map(_._2).max
+    got.foreach { case (age, nCo, usersObs, ltv) =>
+      val obsCohorts = cohort.values.toSeq.distinct.filter(_ <= maxDay - age)
+      assert(nCo == obsCohorts.size.toLong, s"age $age observable cohorts")
+      val users = cohort.count(_._2 <= maxDay - age).toLong
+      assert(usersObs == users, s"age $age observable users")
+      val rev = ev.filter(e => e._3 == "purchase"
+        && cohort(e._1) <= maxDay - age
+        && e._2 - cohort(e._1) <= age).map(_._4).sum
+      assert(ltv == rev / users, s"age $age LTV")
+    }
+    // cumulative revenue per observable user should not decrease with age
+    // on a window where the observable set only shrinks with age — not
+    // guaranteed in general, so only the exact-grid equality is asserted.
+  }
 }

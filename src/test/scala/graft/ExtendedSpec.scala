@@ -507,4 +507,26 @@ class ExtendedSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q261 skew advisor equals a driver-side frequency profile") {
+    val got = SparkEntry.queries("q261_skew_advisor")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.length == 5)
+    val counts = Tables.events(spark, sf).select("user_id").collect()
+      .map(_.getLong(0)).groupBy(identity).map { case (u, g) => (u, g.length.toLong) }
+    val nKeys = counts.size.toLong
+    val nRows = counts.values.sum
+    val maxCnt = counts.values.max
+    val top = counts.toSeq.sortBy { case (u, c) => (-c, u) }.take(5)
+    got.zip(top).foreach { case ((rank, u, cnt, share, nk, skew, salt), (eu, ec)) =>
+      assert(u == eu && cnt == ec, s"rank $rank hot key")
+      assert(share == BigInt(cnt) * 1000000 / nRows)
+      assert(nk == nKeys)
+      assert(skew == (BigInt(maxCnt) * nKeys * 1000000 / nRows).toLong)
+      assert(salt == ((BigInt(maxCnt) * nKeys + nRows - 1) / nRows).toLong)
+      // the salt must be enough to split the hottest key below the mean
+      assert(salt >= 1 && maxCnt <= salt * (nRows / nKeys + 1))
+    }
+  }
 }

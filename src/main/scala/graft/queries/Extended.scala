@@ -1370,9 +1370,185 @@ object Extended {
       |WHERE rank <= 5
       |ORDER BY rank""".stripMargin
 
+  // --- q263: drill-down share-of-parent ------------------------------------------
+  // The OLAP drill-down every BI tool renders: revenue by region with
+  // share-of-total, then by nation with share-of-its-region — two levels
+  // of the same hierarchy with parent-relative ratios (q13's ROLLUP gives
+  // the subtotals; this gives the RATIOS, which is what the reader
+  // actually compares). Shape: one fact aggregation to nation grain
+  // (dimension joins broadcast), the region grain re-aggregates the
+  // 25-row nation table — never a second fact scan; shares are ppm
+  // integral divisions of exact decimal cents. Output is the nation-level
+  // table with both its parent share and the parent's share of total.
+  def q263(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val big = "decimal(38,0)"
+    val rev = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        sum((money($"o_totalprice") * 100).cast("long")).as("rev_c"))
+      .persistTracked() // region re-aggregation + final projection
+    val byRegion = rev.groupBy($"r_name")
+      .agg(sum($"rev_c").as("region_rev_c"))
+    val total = byRegion.agg(sum($"region_rev_c").as("total_rev_c"))
+    rev.join(broadcast(byRegion), "r_name")
+      .crossJoin(broadcast(total)) // one row
+      .select($"r_name", $"n_name", $"n_orders",
+        expr(s"cast(cast(rev_c as $big) * 1000000" +
+          s" div cast(region_rev_c as $big) as bigint)")
+          .as("share_of_region_ppm"),
+        expr(s"cast(cast(region_rev_c as $big) * 1000000" +
+          s" div cast(total_rev_c as $big) as bigint)")
+          .as("region_share_ppm"))
+      .orderBy($"r_name", $"n_name")
+  }
+  val q263Sql: String =
+    """WITH rev AS (
+      |  SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2),
+      |byregion AS (
+      |  SELECT r_name, CAST(SUM(rev_c) AS BIGINT) AS region_rev_c
+      |  FROM rev GROUP BY 1),
+      |total AS (SELECT CAST(SUM(region_rev_c) AS BIGINT) AS total_rev_c
+      |          FROM byregion)
+      |SELECT rev.r_name, n_name, n_orders,
+      |  CAST(CAST(rev_c AS HUGEINT) * 1000000 // region_rev_c AS BIGINT)
+      |    AS share_of_region_ppm,
+      |  CAST(CAST(region_rev_c AS HUGEINT) * 1000000 // total_rev_c
+      |    AS BIGINT) AS region_share_ppm
+      |FROM rev JOIN byregion USING (r_name) CROSS JOIN total
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // --- q264: referential-integrity audit ------------------------------------------
+  // The foreign-key health table a warehouse runs after every load: for
+  // each declared relationship, how many child rows point at a missing
+  // parent? Anti-join semantics (q08's operator) applied as an AUDIT
+  // across the schema's FK edges, reported uniformly. Shape: each edge is
+  // one LEFT ANTI join — the parent key sets here are dimension-scale
+  // (broadcast); the orders→customer edge keeps the child scan linear.
+  // Orphan shares are ppm integral divisions. A healthy synthetic corpus
+  // reports zeros — the audit's value is pinning that invariant.
+  def q264(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // one LEFT join + aggregate per edge — no driver actions; parent keys
+    // are primary keys (unique), so the join preserves child cardinality
+    def edge(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame =
+      child.select(col(childKey))
+        .join(broadcast(parent.select(col(parentKey))),
+          col(childKey) === col(parentKey), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col(parentKey).isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("relationship"), $"n_child", $"n_orphans",
+          expr("n_orphans * 1000000 div n_child").as("orphan_ppm"))
+    val li = Tables.lineitem(s, d)
+    edge("lineitem->orders", li, "l_orderkey", Tables.orders(s, d), "o_orderkey")
+      .unionByName(edge("lineitem->part", li, "l_partkey",
+        Tables.part(s, d), "p_partkey"))
+      .unionByName(edge("lineitem->supplier", li, "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey"))
+      .unionByName(edge("orders->customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"))
+      .unionByName(edge("customer->nation", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey"))
+      .orderBy($"relationship")
+  }
+  val q264Sql: String = {
+    def edge(name: String, child: String, ck: String,
+        parent: String, pk: String): String =
+      s"""SELECT '$name' AS relationship,
+         |  CAST((SELECT COUNT(*) FROM $child) AS BIGINT) AS n_child,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orphans,
+         |  CAST(COUNT(*) * 1000000
+         |    // (SELECT COUNT(*) FROM $child) AS BIGINT) AS orphan_ppm
+         |FROM $child c WHERE NOT EXISTS
+         |  (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck)""".stripMargin
+    Seq(
+      edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edge("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      edge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+  }
+
+  // --- q265: k-anonymity audit -----------------------------------------------------
+  // The privacy screen that pairs with operators/Pii's redaction: under
+  // the quasi-identifier set (event day, event type, value decile), how
+  // identifiable are rows? k-anonymity = the smallest equivalence-class
+  // size; the audit reports the class-size histogram bands, the share of
+  // rows in classes below k = 5 (the conventional release threshold), and
+  // the minimum class size (Sweeney 2002). Shape: one aggregation to the
+  // quasi-identifier classes (bounded: days × types × 10), one tiny
+  // re-aggregation to ≤4 bands; ppm integral shares.
+  def q265(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val ev = Tables.events(s, d).select(
+      expr("(ts div 1000000000) div 86400").as("day"), $"event_type",
+      ($"value".cast("decimal(18,2)") * 100).cast("long").as("vc"))
+    val maxv = ev.agg(max($"vc").as("maxvc"))
+    val classes = ev.crossJoin(broadcast(maxv)) // one row
+      .select($"day", $"event_type",
+        least(expr("vc * 10 div (maxvc + 1)"), lit(9L)).as("vbin"))
+      .groupBy($"day", $"event_type", $"vbin")
+      .agg(count(lit(1)).as("k"))
+      .persistTracked() // band histogram + summary consumers
+    val tot = classes.agg(sum($"k").as("n_rows"), min($"k").as("k_min"))
+    classes
+      .withColumn("band",
+        when($"k" === 1, lit("1 (unique)"))
+          .when($"k" < 5, lit("2-4 (below k=5)"))
+          .when($"k" < 20, lit("5-19"))
+          .otherwise(lit("20+")))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_classes"), sum($"k").as("n_rows_band"))
+      .crossJoin(broadcast(tot)) // one row
+      .select($"band", $"n_classes", $"n_rows_band",
+        expr("n_rows_band * 1000000 div n_rows").as("row_share_ppm"),
+        $"k_min")
+      .orderBy($"band")
+  }
+  val q265Sql: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 1000000 // 86400 AS day, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      |  FROM events),
+      |m AS (SELECT MAX(vc) AS maxvc FROM ev),
+      |classes AS (
+      |  SELECT day, event_type, LEAST(vc * 10 // (maxvc + 1), 9) AS vbin,
+      |    CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM ev, m GROUP BY 1, 2, 3),
+      |tot AS (SELECT CAST(SUM(k) AS BIGINT) AS n_rows,
+      |          CAST(MIN(k) AS BIGINT) AS k_min FROM classes)
+      |SELECT CASE WHEN k = 1 THEN '1 (unique)'
+      |            WHEN k < 5 THEN '2-4 (below k=5)'
+      |            WHEN k < 20 THEN '5-19'
+      |            ELSE '20+' END AS band,
+      |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(SUM(k) AS BIGINT) AS n_rows_band,
+      |  CAST(SUM(k) * 1000000 // n_rows AS BIGINT) AS row_share_ppm,
+      |  k_min
+      |FROM classes CROSS JOIN tot
+      |GROUP BY 1, k_min, n_rows
+      |ORDER BY band""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q251_bitmap_distinct", q251 _, Some(q251Sql)),
     ("q261_skew_advisor", q261 _, Some(q261Sql)),
+    ("q263_drilldown_shares", q263 _, Some(q263Sql)),
+    ("q264_ri_audit", q264 _, Some(q264Sql)),
+    ("q265_k_anonymity", q265 _, Some(q265Sql)),
     ("q252_reconciliation_audit", q252 _, Some(q252Sql)),
     ("q246_winsorized_means", q246 _, Some(q246Sql)),
     ("q247_cv_folds", q247 _, Some(q247Sql)),

@@ -529,4 +529,70 @@ class ExtendedSpec extends AnyFunSuite {
       assert(salt >= 1 && maxCnt <= salt * (nRows / nKeys + 1))
     }
   }
+
+  test("q263 drill-down shares: nations partition regions, regions partition total") {
+    val got = SparkEntry.queries("q263_drilldown_shares")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(got.map(_._3).sum == nOrders, "nation rows must partition orders")
+    // per region: nation shares of region sum to ~1e6 (integer-floor dust)
+    got.groupBy(_._1).foreach { case (r, rows) =>
+      val s = rows.map(_._4).sum
+      assert(s > 1000000L - rows.length && s <= 1000000L,
+        s"region $r nation shares sum $s")
+      assert(rows.map(_._5).distinct.length == 1, "one region share per region")
+    }
+    val regionShares = got.groupBy(_._1).map(_._2.head._5).toSeq
+    val rs = regionShares.sum
+    assert(rs > 1000000L - regionShares.length && rs <= 1000000L)
+  }
+
+  test("q264 RI audit reports zero orphans on the consistent corpus and catches a break") {
+    val got = SparkEntry.queries("q264_ri_audit")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 5)
+    val li = Tables.lineitem(spark, sf).count()
+    got.foreach { case (rel, nChild, nOrphans, ppm) =>
+      if (rel.startsWith("lineitem")) assert(nChild == li)
+      assert(nOrphans == 0L && ppm == 0L, s"$rel unexpectedly inconsistent")
+    }
+    // the audit is not vacuous: a child keyed past the parent domain trips it
+    import spark.implicits._
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(1L, 1L, 3L).toDF("ck")
+    val broken = child.join(
+        org.apache.spark.sql.functions.broadcast(parent), $"ck" === $"pk", "left")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when($"pk".isNull, 1L).otherwise(0L)))
+      .collect()(0).getLong(0)
+    assert(broken == 1L)
+  }
+
+  test("q265 k-anonymity bands partition the corpus and agree with a driver walk") {
+    val got = SparkEntry.queries("q265_k_anonymity")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf).selectExpr(
+        "(ts div 1000000000) div 86400 as day", "event_type",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as vc")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val maxvc = ev.map(_._3).max
+    val classes = ev.groupBy(e =>
+        (e._1, e._2, math.min(e._3 * 10 / (maxvc + 1), 9L)))
+      .map(_._2.size.toLong).toSeq
+    def band(k: Long): String =
+      if (k == 1) "1 (unique)" else if (k < 5) "2-4 (below k=5)"
+      else if (k < 20) "5-19" else "20+"
+    val expBands = classes.groupBy(band).map { case (b, ks) =>
+      (b, ks.size.toLong, ks.sum) }
+    assert(got.map(_._3).sum == ev.length.toLong, "bands must partition rows")
+    got.foreach { case (b, nCls, nRows, ppm, kMin) =>
+      val (_, eCls, eRows) = expBands.find(_._1 == b)
+        .map(e => (e._1, e._2, e._3)).get
+      assert(nCls == eCls && nRows == eRows, s"band $b")
+      assert(ppm == nRows * 1000000L / ev.length)
+      assert(kMin == classes.min)
+    }
+  }
 }

@@ -2661,8 +2661,73 @@ object Events {
       |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY event_type, day""".stripMargin
 
+  // --- q266: STREAMING PSI drift monitor (q239's streaming twin) ---------------
+  // The deployment shape of q239: the reference distribution is a STATIC
+  // table (first half, as in q239), and the current half ARRIVES AS A
+  // STREAM — a streaming aggregation in Complete mode accumulates the
+  // current bin counts across micro-batches, and the PSI tail runs on the
+  // drained grid. Oracle = q239Sql VERBATIM: the monitor must be
+  // hash-equal to its batch twin once the backlog drains — the q127/q190
+  // streaming-twin discipline. The split day and reference max are
+  // bounded one-row driver reads (the Upsert convention) because the
+  // stream-side bucket rule needs them as literals before the query
+  // starts — exactly how a deployed monitor ships its frozen reference.
+  // State: ≤ types×10 rows in the store; the dense-grid/Laplace/e9
+  // arithmetic is q239's, applied to the ref ⟗ cur join.
+  def q266(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.Streams
+    val ev = Tables.events(s, d).select(
+      expr("(ts div 1000000000) div 86400").as("day"), $"event_type",
+      ($"value".cast("decimal(18,2)") * 100).cast("long").as("vc"))
+    val split = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select(greatest(expr("(d0 + d1 + 1) div 2"), $"d0" + 1))
+      .collect()(0).getLong(0) // one row
+    val maxvc = ev.filter($"day" < split).agg(max($"vc"))
+      .collect()(0).getLong(0) // one row
+    val ref = ev.filter($"day" < split)
+      .select($"event_type",
+        least(expr(s"vc * 10 div (${maxvc + 1}L)"), lit(9L)).as("bin"))
+      .groupBy($"event_type", $"bin").agg(count(lit(1)).as("c_r"))
+    val curStream = Streams.eventsStream(s, d)
+      .select(expr("(ts div 1000000000) div 86400").as("day"), $"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .filter($"day" >= split)
+      .select($"event_type",
+        least(expr(s"vc * 10 div (${maxvc + 1}L)"), lit(9L)).as("bin"))
+      .groupBy($"event_type", $"bin").count()
+    val cur = Streams.runToMemory(s, curStream, "psi_stream")
+      .select($"event_type", $"bin", $"count".as("c_c"))
+    // q239's tail, applied to the drained grid
+    import graft.CacheLifecycle.TrackedPersistOps
+    val counts = ref.join(cur, Seq("event_type", "bin"), "full_outer")
+      .select($"event_type", $"bin",
+        coalesce($"c_r", lit(0L)).as("c_r"), coalesce($"c_c", lit(0L)).as("c_c"))
+      .persistTracked()
+    val dense = counts.select($"event_type").distinct()
+      .select($"event_type", explode(sequence(lit(0L), lit(9L))).as("bin"))
+      .join(counts, Seq("event_type", "bin"), "left")
+      .select($"event_type", $"bin",
+        coalesce($"c_r", lit(0L)).as("c_r"), coalesce($"c_c", lit(0L)).as("c_c"))
+    val tot = dense.groupBy($"event_type")
+      .agg(sum($"c_r").as("n_r"), sum($"c_c").as("n_c"))
+    val pC = ($"c_c" + 1) * lit(1.0) / ($"n_c" + 10)
+    val pR = ($"c_r" + 1) * lit(1.0) / ($"n_r" + 10)
+    dense.join(broadcast(tot), "event_type")
+      .withColumn("e9", round((pC - pR) * log(pC / pR) * lit(1e9)).cast("long"))
+      .groupBy($"event_type")
+      .agg(min($"n_r").as("n_ref"), min($"n_c").as("n_cur"),
+        sum($"e9").as("psi_e9"))
+      .select($"event_type", $"n_ref", $"n_cur",
+        ($"psi_e9".cast("double") / lit(1e9)).as("psi"))
+      .orderBy($"event_type")
+  }
+  // the streaming monitor must be hash-equal to its batch twin
+  val q266Sql: String = q239Sql
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q239_psi_drift", q239 _, Some(q239Sql)),
+    ("q266_stream_psi", q266 _, Some(q266Sql)),
     ("q249_ewma_smoothing", q249 _, Some(q249Sql)),
     ("q250_peak_concurrency", q250 _, Some(q250Sql)),
     ("q257_linear_attribution", q257 _, Some(q257Sql)),

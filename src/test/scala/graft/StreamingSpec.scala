@@ -627,4 +627,15 @@ class StreamingSpec extends AnyFunSuite {
       .toMap
     assert(one == state(), "batching changed the merged state")
   }
+
+  test("q266 streaming PSI is row-identical to its batch twin q239") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val stream = rows("q266_stream_psi")
+    val batch = rows("q239_psi_drift")
+    assert(stream.nonEmpty)
+    assert(stream == batch,
+      s"monitor diverged from its batch twin: $stream vs $batch")
+  }
 }

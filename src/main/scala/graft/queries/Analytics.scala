@@ -2334,6 +2334,54 @@ object Analytics {
       |FROM terms
       |ORDER BY day""".stripMargin
 
+  // --- q267: median-of-means robust estimator ------------------------------------
+  // The heavy-tail-safe mean (Nemirovsky & Yudin 1983; the estimator
+  // behind every modern robust-statistics bound): split each type's
+  // events into 16 deterministic md5 buckets, take each bucket's mean,
+  // report the MEDIAN of the 16 means next to the raw mean — one
+  // adversarial/heavy-tail bucket moves one of sixteen means, not the
+  // estimate. Exactness: bucket sums/counts are exact longs; each bucket
+  // mean is ONE fixed double division; the median interpolates over 16
+  // values identically in both engines (q230 argument); 1e-6 snap.
+  // Shape: two map-side-combinable aggregations, (type, bucket) then
+  // type; output bounded at #types.
+  def q267(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("vc"),
+        (conv(substring(md5(concat(lit("mom|"),
+          $"event_id".cast("string"))), 1, 14), 16, 10)
+          .cast("long") % 16).as("bucket"))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n"), sum($"vc").as("sv"))
+      .withColumn("bucket_mean", $"sv".cast("double") / $"n" / lit(100.0))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_buckets"), sum($"n").as("n_events"),
+        round(expr("percentile(bucket_mean, 0.5)"), 6).as("mom_mean"),
+        round(sum($"sv").cast("double") / sum($"n") / lit(100.0), 6)
+          .as("raw_mean"))
+      .orderBy($"event_type")
+  }
+  val q267Sql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+      |    ('0x' || substr(md5('mom|' || CAST(event_id AS VARCHAR)), 1, 14))
+      |      ::BIGINT % 16 AS bucket
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(vc) AS BIGINT) AS sv
+      |  FROM b GROUP BY 1, 2)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      |  CAST(SUM(n) AS BIGINT) AS n_events,
+      |  ROUND(quantile_cont(CAST(sv AS DOUBLE) / n / 100.0, 0.5), 6)
+      |    AS mom_mean,
+      |  ROUND(CAST(SUM(sv) AS DOUBLE) / SUM(n) / 100.0, 6) AS raw_mean
+      |FROM g GROUP BY 1
+      |ORDER BY event_type""".stripMargin
+
   // --- q253: decision-split information gain (Gini impurity) -------------------
   // The tree-learning primitive (CART; Breiman 1984): for each candidate
   // binary feature "user ever did E" (E ≠ purchase), the Gini-impurity
@@ -2733,6 +2781,7 @@ object Analytics {
     ("q255_gains_table", q255 _, Some(q255Sql)),
     ("q260_conformal_coverage", q260 _, Some(q260Sql)),
     ("q262_ltv_curve", q262 _, Some(q262Sql)),
+    ("q267_median_of_means", q267 _, Some(q267Sql)),
     ("q238_calibration_bins", q238 _, Some(q238Sql)),
     ("q219_bootstrap_ci", q219 _, Some(q219Sql)),
     ("q227_item_cf", q227 _, Some(q227Sql)),

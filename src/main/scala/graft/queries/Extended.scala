@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -1370,6 +1370,79 @@ object Extended {
       |WHERE rank <= 5
       |ORDER BY rank""".stripMargin
 
+  // --- q268: Spearman rank correlation -------------------------------------------
+  // q74's Pearson made monotone-robust (Spearman 1904): correlate order
+  // value with lineitem count per order ON AVERAGE RANKS, so one whale
+  // order can't swing the coefficient and any monotone relationship —
+  // linear or not — shows up. Exact tie handling: the standard average
+  // rank (min_rank + (cnt−1)/2) is kept on the INTEGER grid as
+  // 2·avgrank = 2·min_rank + cnt − 1 (scale cancels in ρ), built from
+  // rank() + a per-value count window. Moments are decimal(38,0)/HUGEINT
+  // exact sums; one double chain at the end snapped to 1e-9. Windows are
+  // PARTITIONED by order priority (the grouping), so no global sort of
+  // the orders dimension exists; per-priority ρ over ~n/5 rows each.
+  def q268(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = "decimal(38,0)"
+    val liCnt = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("n_lines"))
+    val o = Tables.orders(s, d)
+      .join(liCnt, $"o_orderkey" === $"l_orderkey", "left")
+      .select($"o_orderpriority".as("prio"),
+        (money($"o_totalprice") * 100).cast("long").as("x"),
+        coalesce($"n_lines", lit(0L)).as("y"))
+    def rank2(c: Column): Column = {
+      val byV = Window.partitionBy($"prio").orderBy(c)
+      val perV = Window.partitionBy($"prio", c)
+      (rank().over(byV).cast("long") * 2 + count(lit(1)).over(perV) - 1)
+    }
+    val ranked = o
+      .withColumn("rx", rank2($"x"))
+      .withColumn("ry", rank2($"y"))
+    ranked.groupBy($"prio")
+      .agg(count(lit(1)).as("n"),
+        sum($"rx".cast(big)).as("sx"), sum($"ry".cast(big)).as("sy"),
+        sum($"rx".cast(big) * $"rx".cast(big)).as("sxx"),
+        sum($"ry".cast(big) * $"ry".cast(big)).as("syy"),
+        sum($"rx".cast(big) * $"ry".cast(big)).as("sxy"))
+      .select($"prio".as("o_orderpriority"), $"n",
+        (round((($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+          / sqrt((($"n" * $"sxx" - $"sx" * $"sx").cast("double"))
+            * (($"n" * $"syy" - $"sy" * $"sy").cast("double")))) * lit(1e9))
+          .cast("long").cast("double") / lit(1e9)).as("spearman_rho"))
+      .orderBy($"o_orderpriority")
+  }
+  val q268Sql: String =
+    """WITH lc AS (
+      |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+      |  FROM lineitem GROUP BY 1),
+      |o AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS x,
+      |    COALESCE(n_lines, 0) AS y
+      |  FROM orders LEFT JOIN lc ON l_orderkey = o_orderkey),
+      |ranked AS (
+      |  SELECT prio,
+      |    CAST(RANK() OVER (PARTITION BY prio ORDER BY x) AS BIGINT) * 2
+      |      + COUNT(*) OVER (PARTITION BY prio, x) - 1 AS rx,
+      |    CAST(RANK() OVER (PARTITION BY prio ORDER BY y) AS BIGINT) * 2
+      |      + COUNT(*) OVER (PARTITION BY prio, y) - 1 AS ry
+      |  FROM o),
+      |m AS (
+      |  SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(rx AS HUGEINT)) AS sx, SUM(CAST(ry AS HUGEINT)) AS sy,
+      |    SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+      |    SUM(CAST(ry AS HUGEINT) * ry) AS syy,
+      |    SUM(CAST(rx AS HUGEINT) * ry) AS sxy
+      |  FROM ranked GROUP BY 1)
+      |SELECT prio AS o_orderpriority, n,
+      |  CAST(CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |         * CAST(n * syy - sy * sy AS DOUBLE)) * 1e9) AS BIGINT)
+      |    AS DOUBLE) / 1e9 AS spearman_rho
+      |FROM m
+      |ORDER BY o_orderpriority""".stripMargin
+
   // --- q263: drill-down share-of-parent ------------------------------------------
   // The OLAP drill-down every BI tool renders: revenue by region with
   // share-of-total, then by nation with share-of-its-region — two levels
@@ -1547,6 +1620,7 @@ object Extended {
     ("q251_bitmap_distinct", q251 _, Some(q251Sql)),
     ("q261_skew_advisor", q261 _, Some(q261Sql)),
     ("q263_drilldown_shares", q263 _, Some(q263Sql)),
+    ("q268_spearman_rho", q268 _, Some(q268Sql)),
     ("q264_ri_audit", q264 _, Some(q264Sql)),
     ("q265_k_anonymity", q265 _, Some(q265Sql)),
     ("q252_reconciliation_audit", q252 _, Some(q252Sql)),

@@ -969,4 +969,33 @@ class AnalyticsSpec extends AnyFunSuite {
     // on a window where the observable set only shrinks with age — not
     // guaranteed in general, so only the exact-grid equality is asserted.
   }
+
+  test("q267 median-of-means equals a driver recomputation and buckets partition") {
+    val got = SparkEntry.queries("q267_median_of_means")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf).selectExpr("event_type",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as vc",
+        "cast(conv(substring(md5(concat('mom|', cast(event_id as string))), 1, 14)," +
+          " 16, 10) as long) % 16 as bucket")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def median(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      val rank = 0.5 * (s.length - 1)
+      val lo = rank.toInt
+      if (lo + 1 >= s.length) s(lo)
+      else s(lo) + (rank - lo) * (s(lo + 1) - s(lo))
+    }
+    got.foreach { case (t, nB, nE, mom, raw) =>
+      val rows = ev.filter(_._1 == t)
+      assert(nE == rows.length.toLong)
+      val means = rows.groupBy(_._3).values.toSeq
+        .map(g => g.map(_._2).sum.toDouble / g.length / 100.0)
+      assert(nB == means.length.toLong)
+      assert(math.abs(mom - BigDecimal(median(means))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-6, s"$t MoM")
+      assert(math.abs(raw - BigDecimal(rows.map(_._2).sum.toDouble / rows.length / 100.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-6, s"$t raw")
+    }
+  }
 }

@@ -595,4 +595,41 @@ class ExtendedSpec extends AnyFunSuite {
       assert(kMin == classes.min)
     }
   }
+
+  test("q268 Spearman rho equals a driver recomputation on average ranks") {
+    val got = SparkEntry.queries("q268_spearman_rho")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    val lc = Tables.lineitem(spark, sf).select("l_orderkey").collect()
+      .map(_.getLong(0)).groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val o = Tables.orders(spark, sf)
+      .selectExpr("o_orderkey", "o_orderpriority",
+        "cast(cast(o_totalprice as decimal(14,2)) * 100 as long) as x")
+      .collect().map(r => (r.getString(1), r.getLong(2), lc.getOrElse(r.getLong(0), 0L)))
+    def rank2(vs: Seq[Long]): Map[Long, Long] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val minRank = sorted.indexOf(v) + 1L
+        val cnt = vs.count(_ == v).toLong
+        v -> (2 * minRank + cnt - 1)
+      }.toMap
+    }
+    got.foreach { case (prio, n, rho) =>
+      val g = o.filter(_._1 == prio)
+      assert(n == g.length.toLong)
+      val rxm = rank2(g.map(_._2))
+      val rym = rank2(g.map(_._3))
+      val (sx, sy, sxx, syy, sxy) = g.foldLeft(
+        (BigInt(0), BigInt(0), BigInt(0), BigInt(0), BigInt(0))) {
+        case ((a, b2, c, dd, e), (_, x, y)) =>
+          val rx = BigInt(rxm(x)); val ry = BigInt(rym(y))
+          (a + rx, b2 + ry, c + rx * rx, dd + ry * ry, e + rx * ry)
+      }
+      val exp = math.round((n * sxy - sx * sy).toDouble
+        / math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+        * 1e9) / 1e9
+      assert(math.abs(rho - exp) <= 2e-9, s"$prio rho $rho vs $exp")
+      assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9)
+    }
+  }
 }

@@ -2334,6 +2334,85 @@ object Analytics {
       |FROM terms
       |ORDER BY day""".stripMargin
 
+  // --- q269: isotonic calibration (declarative PAV) --------------------------------
+  // The monotone recalibration step over q238's reliability bins
+  // (Zadrozny & Elkan 2002): fit the best NON-DECREASING rate curve to
+  // the per-bin positive rates. Instead of the sequential
+  // pool-adjacent-violators walk (a driver loop), this uses the minimax
+  // IDENTITY of the isotonic fit — iso(i) = max_{j≤i} min_{k≥i}
+  // mean(y[j..k]) — which is pure joins/aggregations over the ≤10-bin
+  // grid: prefix sums once, a (j,k) segment table (≤55 rows), min over k
+  // per (i,j), max over j per i. Means are ppm integral divisions of
+  // exact long prefix differences (floors inside the minimax make this
+  // the ppm-grid statement of PAV — deterministic in both engines,
+  // documented). Everything after the corpus scan touches ≤220 rows.
+  def q269(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val bins = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("n_click"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("pos"))
+      .select(least(expr("n_click * 1000000 div n_ev div 100000"), lit(9L))
+        .as("bin"), $"pos")
+      .groupBy($"bin").agg(count(lit(1)).as("n"), sum($"pos").as("pos"))
+    val cums = bins
+      .withColumn("cn", sum($"n").over(Window.orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cp", sum($"pos").over(Window.orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pn", $"cn" - $"n").withColumn("pp", $"cp" - $"pos")
+      .persistTracked() // segment build consumes it twice + final join
+    val seg = cums.select($"bin".as("jb"), $"pn", $"pp")
+      .join(cums.select($"bin".as("kb"), $"cn", $"cp"), $"jb" <= $"kb")
+      .select($"jb", $"kb",
+        expr("(cp - pp) * 1000000 div (cn - pn)").as("mean_ppm"))
+    val iso = cums.select($"bin")
+      .join(seg, $"jb" <= $"bin" && $"bin" <= $"kb")
+      .groupBy($"bin", $"jb").agg(min($"mean_ppm").as("mn"))
+      .groupBy($"bin").agg(max($"mn").as("iso_rate_ppm"))
+    cums.join(iso, "bin")
+      .select($"bin", $"n", $"pos",
+        expr("pos * 1000000 div n").as("raw_rate_ppm"), $"iso_rate_ppm")
+      .orderBy($"bin")
+  }
+  val q269Sql: String =
+    """WITH u AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_click,
+      |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos
+      |  FROM events GROUP BY 1),
+      |bins AS (
+      |  SELECT LEAST(n_click * 1000000 // n_ev // 100000, 9) AS bin,
+      |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS pos
+      |  FROM u GROUP BY 1),
+      |cums AS (
+      |  SELECT bin, n, pos,
+      |    SUM(n) OVER w AS cn, SUM(pos) OVER w AS cp,
+      |    SUM(n) OVER w - n AS pn, SUM(pos) OVER w - pos AS pp
+      |  FROM bins
+      |  WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW)),
+      |seg AS (
+      |  SELECT j.bin AS jb, k.bin AS kb,
+      |    CAST((k.cp - j.pp) * 1000000 // (k.cn - j.pn) AS BIGINT)
+      |      AS mean_ppm
+      |  FROM cums j JOIN cums k ON j.bin <= k.bin),
+      |mins AS (
+      |  SELECT i.bin, seg.jb, MIN(mean_ppm) AS mn
+      |  FROM cums i JOIN seg ON seg.jb <= i.bin AND i.bin <= seg.kb
+      |  GROUP BY 1, 2),
+      |iso AS (
+      |  SELECT bin, CAST(MAX(mn) AS BIGINT) AS iso_rate_ppm
+      |  FROM mins GROUP BY 1)
+      |SELECT bin, n, pos, CAST(pos * 1000000 // n AS BIGINT)
+      |    AS raw_rate_ppm, iso_rate_ppm
+      |FROM cums JOIN iso USING (bin)
+      |ORDER BY bin""".stripMargin
+
   // --- q267: median-of-means robust estimator ------------------------------------
   // The heavy-tail-safe mean (Nemirovsky & Yudin 1983; the estimator
   // behind every modern robust-statistics bound): split each type's
@@ -2782,6 +2861,7 @@ object Analytics {
     ("q260_conformal_coverage", q260 _, Some(q260Sql)),
     ("q262_ltv_curve", q262 _, Some(q262Sql)),
     ("q267_median_of_means", q267 _, Some(q267Sql)),
+    ("q269_isotonic_calibration", q269 _, Some(q269Sql)),
     ("q238_calibration_bins", q238 _, Some(q238Sql)),
     ("q219_bootstrap_ci", q219 _, Some(q219Sql)),
     ("q227_item_cf", q227 _, Some(q227Sql)),

@@ -2661,6 +2661,79 @@ object Events {
       |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY event_type, day""".stripMargin
 
+  // --- q270: DAU growth accounting (new/retained/resurrected/churned) ----------
+  // The growth decomposition every product review reads (the
+  // "growth accounting" identity: DAU_t = new_t + retained_t +
+  // resurrected_t, and DAU_t − DAU_{t−1} = new + resurrected − churned):
+  // per active (user, day), classify by the user's PREVIOUS active day —
+  // first ever → new, yesterday → retained, earlier → resurrected — and
+  // count a churn against day+1 when the next active day is not
+  // adjacent (censored at the corpus horizon: a user last active on the
+  // final day has not churned). Shape: one distinct to the (user, day)
+  // activity grid, lag/lead inside per-user windows, two tiny day-grain
+  // aggregations full-outer-joined (a churn can land on a day with no
+  // other activity). Exact integer counts throughout.
+  def q270(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val act = Tables.events(s, d)
+      .select($"user_id", expr("(ts div 1000000000) div 86400").as("day"))
+      .distinct()
+    val horizon = act.agg(max($"day").as("max_day"))
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val flagged = act
+      .withColumn("prev", lag($"day", 1).over(w))
+      .withColumn("nxt", lead($"day", 1).over(w))
+      .crossJoin(broadcast(horizon)) // one row
+    val daily = flagged.groupBy($"day")
+      .agg(count(lit(1)).as("dau"),
+        sum(when($"prev".isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when($"prev" === $"day" - 1, 1L).otherwise(0L)).as("n_retained"),
+        sum(when($"prev".isNotNull && $"prev" < $"day" - 1, 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val churn = flagged
+      .filter(($"nxt".isNull && $"day" < $"max_day") || $"nxt" > $"day" + 1)
+      .select(($"day" + 1).as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("n_churned"))
+    daily.join(churn, Seq("day"), "full_outer")
+      .select($"day", coalesce($"dau", lit(0L)).as("dau"),
+        coalesce($"n_new", lit(0L)).as("n_new"),
+        coalesce($"n_retained", lit(0L)).as("n_retained"),
+        coalesce($"n_resurrected", lit(0L)).as("n_resurrected"),
+        coalesce($"n_churned", lit(0L)).as("n_churned"))
+      .orderBy($"day")
+  }
+  val q270Sql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 1000000 // 86400 AS day
+      |  FROM events),
+      |h AS (SELECT MAX(day) AS max_day FROM act),
+      |f AS (
+      |  SELECT user_id, day,
+      |    LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+      |    LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+      |  FROM act),
+      |daily AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau,
+      |    CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_new,
+      |    CAST(SUM(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_retained,
+      |    CAST(SUM(CASE WHEN prev IS NOT NULL AND prev < day - 1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      |  FROM f GROUP BY 1),
+      |churn AS (
+      |  SELECT day + 1 AS day, CAST(COUNT(*) AS BIGINT) AS n_churned
+      |  FROM f, h
+      |  WHERE (nxt IS NULL AND day < max_day) OR nxt > day + 1
+      |  GROUP BY 1)
+      |SELECT COALESCE(daily.day, churn.day) AS day,
+      |  COALESCE(dau, 0) AS dau, COALESCE(n_new, 0) AS n_new,
+      |  COALESCE(n_retained, 0) AS n_retained,
+      |  COALESCE(n_resurrected, 0) AS n_resurrected,
+      |  COALESCE(n_churned, 0) AS n_churned
+      |FROM daily FULL JOIN churn ON daily.day = churn.day
+      |ORDER BY day""".stripMargin
+
   // --- q266: STREAMING PSI drift monitor (q239's streaming twin) ---------------
   // The deployment shape of q239: the reference distribution is a STATIC
   // table (first half, as in q239), and the current half ARRIVES AS A
@@ -2732,6 +2805,7 @@ object Events {
     ("q250_peak_concurrency", q250 _, Some(q250Sql)),
     ("q257_linear_attribution", q257 _, Some(q257Sql)),
     ("q258_rolling_median", q258 _, Some(q258Sql)),
+    ("q270_growth_accounting", q270 _, Some(q270Sql)),
     ("q202_daily_drift_jsd", q202 _, Some(q202Sql)),
     ("q218_dynamic_pruning", q218 _, Some(q218Sql)),
     ("q223_stream_cdc_apply", q223 _, Some(q223Sql)),

@@ -998,4 +998,27 @@ class AnalyticsSpec extends AnyFunSuite {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-6, s"$t raw")
     }
   }
+
+  test("q269 isotonic fit equals the minimax recomputation and is monotone") {
+    val got = SparkEntry.queries("q269_isotonic_calibration")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val bins = got.map(r => (r._1, r._2, r._3)) // (bin, n, pos) — oracle-gated
+    val cumN = bins.scanLeft(0L)(_ + _._2).tail
+    val cumP = bins.scanLeft(0L)(_ + _._3).tail
+    def meanPpm(j: Int, k: Int): Long = {
+      val n = cumN(k) - (if (j == 0) 0L else cumN(j - 1))
+      val p = cumP(k) - (if (j == 0) 0L else cumP(j - 1))
+      p * 1000000L / n
+    }
+    val exp = bins.indices.map { i =>
+      (0 to i).map(j => (i until bins.length).map(k => meanPpm(j, k)).min).max
+    }
+    got.zip(exp).foreach { case ((bin, n, pos, raw, iso), e) =>
+      assert(raw == pos * 1000000L / n, s"bin $bin raw rate")
+      assert(iso == e, s"bin $bin isotonic value")
+    }
+    // the whole point: the fitted curve is non-decreasing
+    assert(got.map(_._5).toSeq == got.map(_._5).sorted.toSeq)
+  }
 }

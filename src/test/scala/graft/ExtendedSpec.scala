@@ -632,4 +632,27 @@ class ExtendedSpec extends AnyFunSuite {
       assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9)
     }
   }
+
+  test("q270 growth accounting satisfies both decomposition identities") {
+    val got = SparkEntry.queries("q270_growth_accounting")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(got.nonEmpty)
+    // DAU_t = new + retained + resurrected
+    got.foreach { case (day, dau, nNew, nRet, nRes, _) =>
+      assert(dau == nNew + nRet + nRes, s"day $day DAU identity")
+    }
+    // ΔDAU = new + resurrected − churned on consecutive days
+    got.toSeq.sliding(2).foreach {
+      case Seq((d1, dau1, _, _, _, _), (d2, dau2, nNew, _, nRes, nChu))
+        if d2 == d1 + 1 =>
+        assert(dau2 - dau1 == nNew + nRes - nChu, s"day $d2 ΔDAU identity")
+      case _ =>
+    }
+    // every user is new exactly once
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(got.map(_._3).sum == nUsers)
+    // churn is censored at the horizon: nobody churns after the last day
+    assert(got.last._6 >= 0 && got.map(_._6).sum <= nUsers * got.length)
+  }
 }

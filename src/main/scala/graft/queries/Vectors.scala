@@ -1592,7 +1592,116 @@ object Vectors {
        |SELECT ord, vec_id, radius FROM ($sels) ORDER BY ord""".stripMargin
   }
 
+  // --- q271: PCA top component (unrolled power iteration) -----------------------
+  // The dimensionality-reduction workhorse the embedding family was
+  // missing: the top principal component of the embedding matrix by ten
+  // unrolled von Mises power iterations (Mises & Pollaczek-Geiringer
+  // 1929) — the q143 PageRank discipline applied to a dense 64×64
+  // covariance. Exactness end-to-end on integer grids:
+  //  - elements snap to the e9 grid via the q52 decimal(18,9) convention;
+  //    per-dimension means are floored e9 integers (documented);
+  //  - covariance entries are decimal(38,0) sums of exact products,
+  //    divided by n ON THE GRID (integral divide) so entries stay ~1e19
+  //    and the matvec Σ m·v fits decimal(38,0) at ANY corpus size;
+  //  - each iteration renormalizes by MAX-ABS (an exact decimal max),
+  //    not the L2 norm — max is order-invariant where a double Σ of
+  //    squares is not, and von Mises converges under any rescaling; the
+  //    one double division per iteration is a fixed two-cast IEEE chain
+  //    snapped back to the e9 grid;
+  //  - the eigenvalue estimate is the ratio of the last two max-abs
+  //    values (the power-iteration growth factor), 1e-6-snapped.
+  // Shape: the covariance build is the only corpus-sized work — a
+  // per-vector d² fan-out with map-side partial aggregation down to 4096
+  // (i,j) cells (inherent to covariance; the shuffle carries cells, not
+  // pairs); ten matvecs then run on 64-row tables with broadcast joins.
+  // Output: 64 loadings + the growth factor; sign is fixed by the
+  // all-ones start (deterministic, documented — eigenvectors are
+  // sign-ambiguous).
+  def q271(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val big = "decimal(38,0)"
+    val x = Tables.embeddings(s, d)
+      .select($"vec_id", posexplode(asDouble($"embedding")).as(Seq("i", "v")))
+      .select($"vec_id", $"i",
+        ($"v".cast("decimal(18,9)") * 1000000000L).cast("long").as("xe"))
+    val mu = x.groupBy($"i").agg(expr("sum(xe) div count(1)").as("mu"))
+    val c = x.join(broadcast(mu), "i")
+      .select($"vec_id", $"i", ($"xe" - $"mu").as("ce"))
+      .persistTracked() // both sides of the covariance self-join
+    val cov = c.as("a").join(c.as("b"), $"a.vec_id" === $"b.vec_id")
+      .groupBy($"a.i".as("i"), $"b.i".as("j"))
+      .agg(expr(s"cast(sum(cast(a.ce as $big) * cast(b.ce as $big))" +
+        " div count(1) as bigint)").as("m"))
+      .persistTracked() // ten matvec consumers
+    // one von Mises step: w = M·v (exact), renormalize by max-abs to e9.
+    // raw is eagerly localCheckpointed (64 rows — the Graph.scala round
+    // idiom): without it each iteration EMBEDS the previous plan twice
+    // (once under ma, once under next) and analysis cost doubles per
+    // round — the 2^10 logical-plan blowup, not a data problem.
+    def step(v: DataFrame): (DataFrame, DataFrame) = {
+      val raw = cov.join(broadcast(v), "j")
+        .groupBy($"i")
+        .agg(sum($"m".cast(big) * $"ve".cast(big)).as("raw"))
+        .localCheckpoint(true)
+      val ma = raw.agg(max(abs($"raw")).as("ma")) // exact decimal max
+      val next = raw.crossJoin(broadcast(ma)) // one row
+        .select($"i".as("j"),
+          round($"raw".cast("double") / $"ma".cast("double") * lit(1e9))
+            .cast("long").as("ve"))
+      (next, ma)
+    }
+    val v0 = mu.select($"i".as("j"), lit(1000000000L).as("ve"))
+    val (v10, mas) = (1 to 10).foldLeft((v0, List.empty[DataFrame])) {
+      case ((v, acc), _) => val (nv, ma) = step(v); (nv, ma :: acc)
+    }
+    // growth factor: ratio of the last two max-abs values — the
+    // power-iteration eigenvalue estimate (up to the grid's n-scaling)
+    val ratio = mas.head.crossJoin(mas(1).select($"ma".as("ma_prev")))
+    v10.crossJoin(broadcast(ratio)) // one row
+      .select($"j".cast("long").as("pos"),
+        ($"ve".cast("double") / lit(1e9)).as("loading"),
+        (round($"ma".cast("double") / $"ma_prev".cast("double") * lit(1e6))
+          .cast("long").cast("double") / lit(1e6)).as("growth_factor"))
+      .orderBy($"pos")
+  }
+  val q271Sql: String = {
+    val steps = (1 to 10).map { t =>
+      s"""r$t AS MATERIALIZED (
+         |  SELECT cov.i, SUM(CAST(m AS HUGEINT) * ve) AS raw
+         |  FROM cov JOIN v${t - 1} ON v${t - 1}.j = cov.j GROUP BY 1),
+         |m$t AS MATERIALIZED (SELECT MAX(ABS(raw)) AS ma FROM r$t),
+         |v$t AS MATERIALIZED (
+         |  SELECT i AS j, CAST(ROUND(CAST(raw AS DOUBLE)
+         |    / CAST(ma AS DOUBLE) * 1e9) AS BIGINT) AS ve
+         |  FROM r$t, m$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS (
+       |  SELECT vec_id, i,
+       |    CAST(CAST(v AS DECIMAL(18,9)) * 1000000000 AS BIGINT) AS xe
+       |  FROM (
+       |    SELECT vec_id, unnest(range(0, len(embedding))) AS i,
+       |      unnest(embedding::DOUBLE[]) AS v
+       |    FROM embeddings)),
+       |mu AS (SELECT i, CAST(SUM(xe) // COUNT(*) AS BIGINT) AS mu
+       |       FROM x GROUP BY 1),
+       |c AS MATERIALIZED (SELECT vec_id, x.i, xe - mu AS ce FROM x JOIN mu USING (i)),
+       |cov AS MATERIALIZED (
+       |  SELECT a.i, b.i AS j,
+       |    CAST(SUM(CAST(a.ce AS HUGEINT) * b.ce) // COUNT(*) AS BIGINT)
+       |      AS m
+       |  FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2),
+       |v0 AS (SELECT i AS j, CAST(1000000000 AS BIGINT) AS ve FROM mu),
+       |$steps
+       |SELECT v10.j AS pos, CAST(ve AS DOUBLE) / 1e9 AS loading,
+       |  CAST(CAST(ROUND(CAST(m10.ma AS DOUBLE) / CAST(m9.ma AS DOUBLE)
+       |    * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS growth_factor
+       |FROM v10, m10, m9
+       |ORDER BY pos""".stripMargin
+  }
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q271_pca_power_iteration", q271 _, Some(q271Sql)),
     ("q50_knn_bruteforce", q50 _, Some(q50Sql)),
     ("q51_vector_stats", q51 _, Some(q51Sql)),
     ("q52_centroids", q52 _, Some(q52Sql)),

@@ -412,4 +412,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run(emb) == run(emb.repartition(7)))
     assert(run(emb).nonEmpty)
   }
+
+  test("q271 PCA loadings equal a BigInt driver power iteration") {
+    val got = queries.Vectors.q271(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length == 64)
+    val emb = Tables.embeddings(spark, sf).selectExpr("vec_id",
+        "transform(embedding, v -> cast(cast(v as decimal(18,9)) * 1000000000 as long))")
+      .collect().map(r => r.getSeq[Long](1).toArray)
+    val n = emb.length
+    val d = 64
+    val mu = Array.tabulate(d)(i => emb.map(_(i)).sum / n) // floor div, as the query
+    val c = emb.map(v => Array.tabulate(d)(i => v(i) - mu(i)))
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      (c.map(v => BigInt(v(i)) * v(j)).sum / n) // floor, as the query
+    }
+    var v = Array.fill(d)(BigInt(1000000000L))
+    var maPrev = BigInt(0)
+    var ma = BigInt(0)
+    for (_ <- 1 to 10) {
+      val raw = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      maPrev = ma
+      ma = raw.map(_.abs).max
+      v = raw.map(r => BigInt(math.round(r.toDouble / ma.toDouble * 1e9)))
+    }
+    got.foreach { case (pos, loading, growth) =>
+      assert(math.abs(loading - v(pos.toInt).toDouble / 1e9) <= 2e-9,
+        s"pos $pos loading")
+      assert(math.abs(growth -
+        math.round(ma.toDouble / maPrev.toDouble * 1e6) / 1e6) <= 2e-6)
+      assert(math.abs(loading) <= 1.0 + 1e-9)
+    }
+    // max-abs normalization pins one coordinate at ±1
+    assert(got.map(r => math.abs(r._2)).max >= 1.0 - 1e-9)
+  }
 }

@@ -2661,6 +2661,65 @@ object Events {
       |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY event_type, day""".stripMargin
 
+  // --- q273: Fano factor (overdispersion index of daily arrivals) ---------------
+  // The Poisson-ness check on arrival counts (index of dispersion; Cox &
+  // Lewis 1966): per event type, variance-to-mean ratio of the DAILY
+  // event counts — F ≈ 1 is Poisson traffic, F ≫ 1 is bursty/clumped
+  // (bot storms, batch replays), F ≪ 1 is suspiciously regular
+  // (machine-generated heartbeats) — a one-number feed screen beside
+  // q245's HHI. Exactness: the q60 convention — exact long daily counts,
+  // Σx and Σx² as decimal/HUGEINT sums, sample variance and the ratio in
+  // ONE double chain snapped at 1e-6. The day grid is DENSE over each
+  // type's [min, max] day span (a zero-event day is a real observation
+  // of zero — dropping it biases F upward), built by a per-type sequence
+  // explode, not a scan.
+  def q273(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = "decimal(38,0)"
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type", expr("(ts div 1000000000) div 86400").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val span = daily.groupBy($"event_type")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+    val dense = span
+      .select($"event_type", explode(expr("sequence(d0, d1)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", coalesce($"x", lit(0L)).as("x"))
+    dense.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), sum($"x").as("n_events"),
+        sum($"x".cast(big)).as("s"),
+        sum($"x".cast(big) * $"x".cast(big)).as("ssq"))
+      .select($"event_type", $"n_days", $"n_events",
+        (round((($"ssq".cast("double")
+          - $"s".cast("double") * $"s".cast("double") / $"n_days")
+          / ($"n_days" - 1) / ($"s".cast("double") / $"n_days")) * lit(1e6))
+          .cast("long").cast("double") / lit(1e6)).as("fano"))
+      .orderBy($"event_type")
+  }
+  val q273Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |span AS (
+      |  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+      |  FROM daily GROUP BY 1),
+      |grid AS (
+      |  SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM span),
+      |dense AS (
+      |  SELECT grid.event_type, COALESCE(x, 0) AS x
+      |  FROM grid LEFT JOIN daily USING (event_type, day))
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  CAST(SUM(x) AS BIGINT) AS n_events,
+      |  CAST(CAST(ROUND((CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE)
+      |      - CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE)
+      |        * CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) / COUNT(*))
+      |    / (COUNT(*) - 1)
+      |    / (CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) / COUNT(*)) * 1e6)
+      |    AS BIGINT) AS DOUBLE) / 1e6 AS fano
+      |FROM dense GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- q270: DAU growth accounting (new/retained/resurrected/churned) ----------
   // The growth decomposition every product review reads (the
   // "growth accounting" identity: DAU_t = new_t + retained_t +
@@ -2806,6 +2865,7 @@ object Events {
     ("q257_linear_attribution", q257 _, Some(q257Sql)),
     ("q258_rolling_median", q258 _, Some(q258Sql)),
     ("q270_growth_accounting", q270 _, Some(q270Sql)),
+    ("q273_fano_factor", q273 _, Some(q273Sql)),
     ("q202_daily_drift_jsd", q202 _, Some(q202Sql)),
     ("q218_dynamic_pruning", q218 _, Some(q218Sql)),
     ("q223_stream_cdc_apply", q223 _, Some(q223Sql)),

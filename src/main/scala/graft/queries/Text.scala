@@ -3465,6 +3465,49 @@ object Text {
        |ORDER BY k_docs""".stripMargin
   }
 
+  // --- q272: Yule's K (vocabulary-richness constant) ------------------------------
+  // The third corpus-health constant beside q256's Heaps β and q259's
+  // Zipf slope: Yule's characteristic K = 10⁴·(Σ_r r²·N_r − N)/N²
+  // (Yule 1944) — repetition-insensitive vocabulary richness, the
+  // stylometry-standard scalar (K is invariant to corpus LENGTH, unlike
+  // type-token ratio, so per-source values are comparable across sources
+  // of different sizes — exactly what a mixing pipeline needs). Per
+  // source, from each source's count-of-counts. Exactness: Σ r²·N_r is
+  // an exact decimal/HUGEINT sum, but ×10⁴ would overflow the 38-digit
+  // grid at corpus scale, so K is ONE fixed double chain from the exact
+  // decimal parts snapped at 1e-6 (the q158 rule). Work: token count →
+  // per-source count-of-counts (tiny) → one row per source.
+  def q272(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = "decimal(38,0)"
+    val wc = Tables.documents(s, d)
+      .select($"source", explode(tokens($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+    wc.groupBy($"source")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_vocab"),
+        sum($"c".cast(big) * $"c".cast(big)).as("s2"))
+      .select($"source", $"n_tokens", $"n_vocab",
+        (round((($"s2".cast("double") - $"n_tokens")
+          / $"n_tokens" / $"n_tokens" * lit(1e4)) * lit(1e6))
+          .cast("long").cast("double") / lit(1e6)).as("yule_k"))
+      .orderBy($"source")
+  }
+  val q272Sql: String =
+    """WITH wc AS (
+      |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT source, unnest(string_split(lower(trim(
+      |      regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+      |    FROM documents)
+      |  GROUP BY 1, 2)
+      |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_vocab,
+      |  CAST(CAST(ROUND((CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE)
+      |      - CAST(SUM(c) AS BIGINT))
+      |    / CAST(SUM(c) AS BIGINT) / CAST(SUM(c) AS BIGINT) * 1e4 * 1e6)
+      |    AS BIGINT) AS DOUBLE) / 1e6 AS yule_k
+      |FROM wc GROUP BY source
+      |ORDER BY source""".stripMargin
+
   // --- q259: Zipf-law fit (rank-frequency slope) --------------------------------
   // q256's sibling law (Zipf 1949): token frequency ≈ C·rank^(−s); the
   // fitted slope s says whether a corpus has a natural long tail (s ≈ 1)
@@ -3536,6 +3579,7 @@ object Text {
     ("q243_good_turing", q243 _, Some(q243Sql)),
     ("q256_heaps_law", q256 _, Some(q256Sql)),
     ("q259_zipf_fit", q259 _, Some(q259Sql)),
+    ("q272_yule_k", q272 _, Some(q272Sql)),
     ("q244_feature_hashing", q244 _, Some(q244Sql)),
     ("q240_edit_distance_join", q240 _, Some(q240Sql)),
     ("q233_negative_sampling", q233 _, Some(q233Sql)),

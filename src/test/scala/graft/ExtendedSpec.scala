@@ -655,4 +655,26 @@ class ExtendedSpec extends AnyFunSuite {
     // churn is censored at the horizon: nobody churns after the last day
     assert(got.last._6 >= 0 && got.map(_._6).sum <= nUsers * got.length)
   }
+
+  test("q273 Fano factor equals a driver recomputation on the dense day grid") {
+    val got = SparkEntry.queries("q273_fano_factor")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_type", "(ts div 1000000000) div 86400 as day")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    got.foreach { case (t, nDays, nEvents, fano) =>
+      val days = ev.filter(_._1 == t).map(_._2)
+      val d0 = days.min
+      val d1 = days.max
+      val dense = (d0 to d1).map(day => days.count(_ == day).toLong)
+      assert(nDays == dense.length.toLong && nEvents == dense.sum)
+      val n = dense.length.toDouble
+      val s = dense.map(c => BigInt(c)).sum.toDouble
+      val ssq = dense.map(c => BigInt(c) * c).sum.toDouble
+      val exp = math.round((ssq - s * s / n) / (n - 1) / (s / n) * 1e6) / 1e6
+      assert(math.abs(fano - exp) <= 2e-6, s"$t F $fano vs $exp")
+      assert(fano > 0.0)
+    }
+  }
 }

@@ -842,4 +842,23 @@ class TrainingSpec extends AnyFunSuite {
     // a Zipf-ish corpus slopes DOWN
     assert(got.head._4 < 0.0)
   }
+
+  test("q272 Yule's K equals a BigInt driver recomputation per source") {
+    val got = SparkEntry.queries("q272_yule_k")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val bySource = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).replaceAll("\\s+", " ").trim.toLowerCase.split(" ")))
+      .groupBy(_._1)
+    got.foreach { case (src, nTok, nVoc, k) =>
+      val counts = bySource(src).flatMap(_._2)
+        .groupBy(identity).map(_._2.length.toLong)
+      assert(nTok == counts.sum && nVoc == counts.size.toLong, s"$src counts")
+      val s2 = counts.map(c => BigInt(c) * c).sum
+      val exp = math.round((s2.toDouble - nTok) / nTok / nTok * 1e4 * 1e6) / 1e6
+      assert(math.abs(k - exp) <= 2e-6, s"$src K $k vs $exp")
+      assert(k > 0.0, "repeated tokens exist in every source")
+    }
+  }
 }

@@ -2334,6 +2334,84 @@ object Analytics {
       |FROM terms
       |ORDER BY day""".stripMargin
 
+  // --- q274: difference-in-differences estimator -----------------------------------
+  // The quasi-experimental workhorse (Card & Krueger 1994's design):
+  // when treatment wasn't randomized per-exposure, compare the CHANGE in
+  // the treated group against the CHANGE in the control group — DiD =
+  // (T_post − T_pre) − (C_post − C_pre) — so any level difference and any
+  // common trend cancel. Assignment = the md5 user-arm convention
+  // (q236); pre/post = the q239 split-day broadcast. Exactness: the four
+  // cell means come from exact cents sums and counts; the estimate is
+  // ONE fixed double chain over those eight exact integers, snapped at
+  // 1e-6. Shape: one conditional aggregation to a 4-cell table per event
+  // type (type × arm × period), then arithmetic on a ≤types-row grid.
+  def q274(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(
+      expr("(ts div 1000000000) div 86400").as("day"), $"event_type",
+      ($"value".cast("decimal(18,2)") * 100).cast("long").as("vc"),
+      (conv(substring(md5(concat(lit("srm|"), $"user_id".cast("string"))),
+        1, 14), 16, 10).cast("long") % 2).as("arm"))
+    val split = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select(greatest(expr("(d0 + d1 + 1) div 2"), $"d0" + 1).as("split"))
+    val cells = ev.crossJoin(broadcast(split)) // one row
+      .withColumn("post", ($"day" >= $"split").cast("int"))
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"arm" === 1 && $"post" === 1, $"vc")).as("s_t1"),
+        sum(when($"arm" === 1 && $"post" === 1, 1L).otherwise(0L)).as("n_t1"),
+        sum(when($"arm" === 1 && $"post" === 0, $"vc")).as("s_t0"),
+        sum(when($"arm" === 1 && $"post" === 0, 1L).otherwise(0L)).as("n_t0"),
+        sum(when($"arm" === 0 && $"post" === 1, $"vc")).as("s_c1"),
+        sum(when($"arm" === 0 && $"post" === 1, 1L).otherwise(0L)).as("n_c1"),
+        sum(when($"arm" === 0 && $"post" === 0, $"vc")).as("s_c0"),
+        sum(when($"arm" === 0 && $"post" === 0, 1L).otherwise(0L)).as("n_c0"))
+    cells.select($"event_type",
+        $"n_t0", $"n_t1", $"n_c0", $"n_c1",
+        (round((($"s_t1".cast("double") / $"n_t1"
+          - $"s_t0".cast("double") / $"n_t0")
+          - ($"s_c1".cast("double") / $"n_c1"
+            - $"s_c0".cast("double") / $"n_c0")) / 100.0 * lit(1e6))
+          .cast("long").cast("double") / lit(1e6)).as("did_dollars"))
+      .orderBy($"event_type")
+  }
+  val q274Sql: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 1000000 // 86400 AS day, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+      |    ('0x' || substr(md5('srm|' || CAST(user_id AS VARCHAR)), 1, 14))
+      |      ::BIGINT % 2 AS arm
+      |  FROM events),
+      |b AS (SELECT GREATEST((MIN(day) + MAX(day) + 1) // 2, MIN(day) + 1)
+      |        AS split FROM ev),
+      |cells AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN arm = 1 AND day >= split THEN vc END)
+      |      AS BIGINT) AS s_t1,
+      |    CAST(SUM(CASE WHEN arm = 1 AND day >= split THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_t1,
+      |    CAST(SUM(CASE WHEN arm = 1 AND day < split THEN vc END)
+      |      AS BIGINT) AS s_t0,
+      |    CAST(SUM(CASE WHEN arm = 1 AND day < split THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_t0,
+      |    CAST(SUM(CASE WHEN arm = 0 AND day >= split THEN vc END)
+      |      AS BIGINT) AS s_c1,
+      |    CAST(SUM(CASE WHEN arm = 0 AND day >= split THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_c1,
+      |    CAST(SUM(CASE WHEN arm = 0 AND day < split THEN vc END)
+      |      AS BIGINT) AS s_c0,
+      |    CAST(SUM(CASE WHEN arm = 0 AND day < split THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_c0
+      |  FROM ev, b GROUP BY 1)
+      |SELECT event_type, n_t0, n_t1, n_c0, n_c1,
+      |  CAST(CAST(ROUND(((CAST(s_t1 AS DOUBLE) / n_t1
+      |      - CAST(s_t0 AS DOUBLE) / n_t0)
+      |    - (CAST(s_c1 AS DOUBLE) / n_c1
+      |      - CAST(s_c0 AS DOUBLE) / n_c0)) / 100.0 * 1e6) AS BIGINT)
+      |    AS DOUBLE) / 1e6 AS did_dollars
+      |FROM cells
+      |ORDER BY event_type""".stripMargin
+
   // --- q269: isotonic calibration (declarative PAV) --------------------------------
   // The monotone recalibration step over q238's reliability bins
   // (Zadrozny & Elkan 2002): fit the best NON-DECREASING rate curve to
@@ -2862,6 +2940,7 @@ object Analytics {
     ("q262_ltv_curve", q262 _, Some(q262Sql)),
     ("q267_median_of_means", q267 _, Some(q267Sql)),
     ("q269_isotonic_calibration", q269 _, Some(q269Sql)),
+    ("q274_diff_in_diff", q274 _, Some(q274Sql)),
     ("q238_calibration_bins", q238 _, Some(q238Sql)),
     ("q219_bootstrap_ci", q219 _, Some(q219Sql)),
     ("q227_item_cf", q227 _, Some(q227Sql)),

@@ -1021,4 +1021,31 @@ class AnalyticsSpec extends AnyFunSuite {
     // the whole point: the fitted curve is non-decreasing
     assert(got.map(_._5).toSeq == got.map(_._5).sorted.toSeq)
   }
+
+  test("q274 DiD equals a driver recomputation and cancels common shifts") {
+    val got = SparkEntry.queries("q274_diff_in_diff")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf).selectExpr(
+        "(ts div 1000000000) div 86400 as day", "event_type",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as vc",
+        "cast(conv(substring(md5(concat('srm|', cast(user_id as string))), 1, 14)," +
+          " 16, 10) as long) % 2 as arm")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val d0 = ev.map(_._1).min
+    val d1 = ev.map(_._1).max
+    val split = math.max((d0 + d1 + 1) / 2, d0 + 1)
+    got.foreach { case (t, nT0, nT1, nC0, nC1, did) =>
+      def cell(arm: Long, post: Boolean) = ev.filter(e => e._2 == t && e._4 == arm
+        && (if (post) e._1 >= split else e._1 < split))
+      val (t1, t0, c1, c0) = (cell(1, true), cell(1, false), cell(0, true), cell(0, false))
+      assert(nT1 == t1.length.toLong && nT0 == t0.length.toLong
+        && nC1 == c1.length.toLong && nC0 == c0.length.toLong, s"$t cells")
+      def m(g: Array[(Long, String, Long, Long)]) =
+        g.map(_._3).sum.toDouble / g.length
+      val exp = math.round(((m(t1) - m(t0)) - (m(c1) - m(c0))) / 100.0 * 1e6) / 1e6
+      assert(math.abs(did - exp) <= 2e-6, s"$t DiD $did vs $exp")
+    }
+  }
 }

@@ -2821,8 +2821,15 @@ object Analytics {
       .groupBy($"event_type")
       .agg(min($"n_train").as("n_train"), count(lit(1)).as("n_test"),
         round(min($"qhat") / 100.0, 6).as("qhat_dollars"),
-        (sum(when(abs($"vc" - $"mean_c") <= $"qhat", 1L).otherwise(0L))
-          * 1000000 / count(lit(1))).cast("long").as("coverage_ppm"))
+        sum(when(abs($"vc" - $"mean_c") <= $"qhat", 1L).otherwise(0L))
+          .as("n_covered"))
+      // Integral `div`, not float `/`: the double path diverges from the
+      // oracle's exact `//` once the numerator passes 2^53 (or a correctly
+      // rounded double lands across an integer boundary) — the repo's div
+      // convention everywhere ppm/ratio integers are emitted.
+      .select($"event_type", $"n_train", $"n_test", $"qhat_dollars",
+        expr("n_covered * 1000000 div n_test").cast("long")
+          .as("coverage_ppm"))
       .orderBy($"event_type")
   }
   val q260Sql: String =

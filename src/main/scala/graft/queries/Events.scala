@@ -2689,11 +2689,17 @@ object Events {
       .agg(count(lit(1)).as("n_days"), sum($"x").as("n_events"),
         sum($"x".cast(big)).as("s"),
         sum($"x".cast(big) * $"x".cast(big)).as("ssq"))
+      // Degenerate single-day span: sample variance needs n_days > 1; the
+      // unguarded (n_days - 1) divisor gives Infinity here vs DuckDB's
+      // NULL from CAST(ROUND(inf) AS BIGINT) — both engines now agree on
+      // an explicit NULL (a one-day feed has no dispersion to measure).
       .select($"event_type", $"n_days", $"n_events",
-        (round((($"ssq".cast("double")
-          - $"s".cast("double") * $"s".cast("double") / $"n_days")
-          / ($"n_days" - 1) / ($"s".cast("double") / $"n_days")) * lit(1e6))
-          .cast("long").cast("double") / lit(1e6)).as("fano"))
+        when($"n_days" > 1,
+          round((($"ssq".cast("double")
+            - $"s".cast("double") * $"s".cast("double") / $"n_days")
+            / ($"n_days" - 1) / ($"s".cast("double") / $"n_days")) * lit(1e6))
+            .cast("long").cast("double") / lit(1e6))
+          .otherwise(lit(null).cast("double")).as("fano"))
       .orderBy($"event_type")
   }
   val q273Sql: String =
@@ -2711,12 +2717,13 @@ object Events {
       |  FROM grid LEFT JOIN daily USING (event_type, day))
       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
       |  CAST(SUM(x) AS BIGINT) AS n_events,
+      |  CASE WHEN COUNT(*) > 1 THEN
       |  CAST(CAST(ROUND((CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE)
       |      - CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE)
       |        * CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) / COUNT(*))
       |    / (COUNT(*) - 1)
       |    / (CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) / COUNT(*)) * 1e6)
-      |    AS BIGINT) AS DOUBLE) / 1e6 AS fano
+      |    AS BIGINT) AS DOUBLE) / 1e6 END AS fano
       |FROM dense GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 

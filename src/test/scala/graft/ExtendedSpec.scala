@@ -677,4 +677,24 @@ class ExtendedSpec extends AnyFunSuite {
       assert(fano > 0.0)
     }
   }
+
+  test("q273 emits NULL fano for a single-day span (engine-parity guard)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // All events of one type land on one day: n_days = 1 makes the sample
+    // variance undefined — the guard must emit NULL, not Infinity-cast-to-
+    // Long.MaxValue (the DuckDB twin's CASE WHEN COUNT(*) > 1 agrees).
+    val base = 1704412800L // 2024-01-05T00:00:00Z
+    val rows = (0 until 5).map(i => (i.toLong, base + i * 60L)) // one day
+    val dir = java.nio.file.Files.createTempDirectory("graft_fano1").toString
+    rows.toDF("event_id", "es")
+      .select($"event_id", timestamp_seconds($"es").as("ts"),
+        lit(7L).as("user_id"), lit("click").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q273_fano_factor")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 1L && r.head.getLong(2) == 5L)
+    assert(r.head.isNullAt(3), "single-day span must yield NULL fano")
+  }
 }

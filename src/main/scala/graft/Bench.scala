@@ -31,10 +31,17 @@ object Bench {
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => fn(spark, sfDir).count())
     // Single-JVM timings on a shared host can swing 3x+ during transient
-    // contention windows. Three defenses: best-of-two inline, escalated to
-    // best-of-three for queries still above 1s after two runs, then an
-    // end-of-run re-measurement of outliers (> max(3x median, 5s)) — by
-    // then the contention window that inflated them has usually passed.
+    // contention windows — and round 10 proved a window can span the WHOLE
+    // run (q83 recorded 49.7s vs its 1.5s quiet time; every same-run
+    // re-sample was inside the same window). Defenses, in firing order:
+    // best-of-two inline, escalated to best-of-three for queries still
+    // above 0.6s; a FULL second sweep of every query (per-query min across
+    // sweeps — two samples separated by the length of the run beat four
+    // samples inside one window); an end-of-run re-measurement of
+    // outliers; and a fixed calibration sentinel timed at start/mid/end
+    // whose drift is recorded IN the JSON — when the host is contended for
+    // the whole run, the record says so instead of presenting inflated
+    // numbers as clean.
     // A query that throws must surface as a failure (-1), not as a fast
     // "success" timing — the -1 sentinel is the bench JSON's only failure
     // signal.
@@ -49,6 +56,24 @@ object Bench {
     }
     def better(a: Double, b: Double): Double =
       if (a < 0) b else if (b < 0) a else math.min(a, b)
+    // Host-band sentinel: a fixed CPU-bound aggregation (no IO, no shuffle
+    // variance) timed at start/mid/end of the run. Its drift is the
+    // honest signal for "this record was taken on a contended host" —
+    // best-of-two per checkpoint so a momentary blip doesn't false-alarm,
+    // while a run-long window still shows in all samples.
+    def sentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1000000000L)
+        .selectExpr("sum(id * 1000003 % 2654435761)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def sentinel(): Double = math.min(sentinelOnce(), sentinelOnce())
+    // The sentinel's own codegen/JIT warmup must not masquerade as drift:
+    // two untimed runs before the first checkpoint (observed 4x first-vs-
+    // second with none; ~1.7x residue persists even after two because the
+    // session-wide JIT is still tiering — hence the 2.5x drift threshold
+    // below rather than 2x; real contention windows measure 3-30x).
+    sentinelOnce(); sentinelOnce()
     // Optional subset filter for local iteration: SPARK_GRAFT_ONLY=q45,q83
     // times only the named qNN prefixes. The driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -60,6 +85,7 @@ object Bench {
     // ~90 queries' internal persists otherwise accumulate, and the
     // resulting eviction + old-gen GC pressure inflated late-alphabet
     // queries 3x+ over their clean-session times.
+    val sen0 = sentinel()
     val firstPass = ordered.map { case (name, fn) =>
       CacheLifecycle.releaseAll(spark)
       spark.catalog.clearCache()
@@ -79,7 +105,21 @@ object Bench {
       // makes a 2-sample coincidence a 3-sample one.
       (name, fn, if (two > 0.6 && two < 60.0) better(two, once(fn)) else two)
     }
-    val okTimes = firstPass.map(_._3).filter(_ >= 0).sorted
+    val sen1 = sentinel()
+    // Full second sweep: one run per query, min'd against the first pass.
+    // Two samples separated by the whole run's duration are the only
+    // defense against a contention window that outlives any same-run
+    // retry cluster (round 10's q83). Single-run here — the inline
+    // best-of-2/3 already guarded pass one; this pass buys temporal
+    // separation, not more same-moment samples.
+    val secondPass = firstPass.map { case (name, fn, t) =>
+      CacheLifecycle.releaseAll(spark)
+      spark.catalog.clearCache()
+      System.gc()
+      (name, fn, better(t, once(fn)))
+    }
+    val sen2 = sentinel()
+    val okTimes = secondPass.map(_._3).filter(_ >= 0).sorted
     val med = if (okTimes.nonEmpty) okTimes(okTimes.size / 2) else 0.0
     // End-of-run re-measure of everything still expensive: by now the
     // contention window that inflated an entry has usually passed, and the
@@ -87,13 +127,22 @@ object Bench {
     // is judged on (round 7's q125 ghost — 4.67s recorded vs 0.91-1.05s on
     // every re-measure — sat below the old 5s bar). better() means this
     // pass can only improve numbers, never worsen them.
-    val results = firstPass.map { case (name, fn, t) =>
+    val results = secondPass.map { case (name, fn, t) =>
       if (t > math.max(3 * med, 1.2)) {
         CacheLifecycle.releaseAll(spark); spark.catalog.clearCache(); System.gc()
         name -> better(t, once(fn))
       }
       else name -> t
     }
+    val sens = Seq(sen0, sen1, sen2)
+    // Two contamination signals: DRIFT (a window that starts or ends
+    // mid-run — some checkpoint 2.5x another) and ALL-ELEVATED (a window
+    // spanning the whole run, invisible to drift: even the best sentinel
+    // sample sits far above the quiet-host calibration). 0.25s is this
+    // sentinel's measured quiet value at local[32]; the absolute band only
+    // applies at the driver's 32-cpu configuration.
+    val contaminated = sens.max > 2.5 * sens.min ||
+      (cpus == "32" && sens.min > 0.75)
     // The driver records a fixed-size TAIL of this line; round 2's full
     // query names pushed it past the window and truncated q01–q18 plus the
     // total. Two fixes: per-query keys shortened to their unique qNN prefix
@@ -106,12 +155,22 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}""")
+    // sentinel/contaminated ride in the JSON so a contended-host record
+    // carries its own caveat (round 10's graded artifact had none); they
+    // sit after the query map so the driver's fixed-size tail keeps them
+    // alongside metric/total.
+    val senJson = sens.map(fmt).mkString("[", ",", "]")
+    println(s"""{"queries":$qs,"failed":[${failed.mkString(",")}],"sentinel":$senJson,"contaminated":$contaminated,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}""")
     // A non-empty failed list is a STOP-SHIP, not a footnote (round 6
     // shipped a snapshot with 18 silent -1s). Loud on stderr, after the
     // JSON line so the driver's parse is unaffected.
     if (failed.nonEmpty) System.err.println(
       s"[bench] STOP-SHIP: ${failed.size} queries FAILED: ${failed.mkString(", ")}")
+    if (contaminated) System.err.println(
+      s"[bench] CONTAMINATION WARNING: calibration sentinel $senJson " +
+        f"(drift ${sens.max / sens.min}%.1fx, quiet-host band 0.25s) — " +
+        "timings above are host-band-inflated; rerun on a quiet host " +
+        "before treating them as the engine's numbers.")
     spark.stop()
   }
 }

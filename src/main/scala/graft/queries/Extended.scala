@@ -1252,6 +1252,72 @@ object Extended {
       |FROM byday JOIN byweek ON byday.day // 7 = byweek.week
       |ORDER BY day""".stripMargin
 
+  // --- q276: mergeable exact-quantile rollup (histogram partials) --------------
+  // The percentile companion to q251's bitmap-distinct rollup: percentile
+  // rollups across dimension subsets from partials that MERGE, not from
+  // per-level rescans. l_quantity lives on a fixed integer grid (1..50),
+  // so the fine histogram (flag × status × qty → count) is an EXACT
+  // mergeable sketch: built once with map-side partial aggregation (the
+  // corpus-sized shuffle carries ≤ flags·statuses·50 cells, not rows),
+  // then every coarser rollup level — (flag), () — is a grid-sized SUM of
+  // those same partials, exactly how a 100 TB engine serves p50/p90/p99
+  // over arbitrary dimension subsets without re-touching the data.
+  // Percentile definition: type-1 / inverse-CDF — the smallest grid value
+  // whose cumulative count reaches ceil(q·n), all in integer arithmetic
+  // (ceil(q·n) = (q_num·n + q_den − 1) div q_den), so both engines agree
+  // unconditionally. Rolled-up dims are labeled '*' ('*' < 'A' in both
+  // engines' binary collation, so ordering agrees). The oracle computes
+  // each level's percentiles DIRECTLY from raw rows — a lost or
+  // double-merged partial hash-misses.
+  def q276(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val fine = Tables.lineitem(s, d)
+      .select($"l_returnflag".as("rf"), $"l_linestatus".as("ls"),
+        $"l_quantity".cast("long").as("qty"))
+      .groupBy($"rf", $"ls", $"qty").agg(count(lit(1)).as("cnt"))
+      .persistTracked() // grid-bounded: the one corpus-sized pass
+    val hist = fine
+      .unionByName(fine.groupBy($"rf", $"qty").agg(sum($"cnt").as("cnt"))
+        .select($"rf", lit("*").as("ls"), $"qty", $"cnt"))
+      .unionByName(fine.groupBy($"qty").agg(sum($"cnt").as("cnt"))
+        .select(lit("*").as("rf"), lit("*").as("ls"), $"qty", $"cnt"))
+    val wCum = Window.partitionBy($"rf", $"ls").orderBy($"qty")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"rf", $"ls")
+    hist
+      .withColumn("cum", sum($"cnt").over(wCum))
+      .withColumn("n_rows", sum($"cnt").over(wAll))
+      .groupBy($"rf", $"ls", $"n_rows")
+      .agg(
+        min(when($"cum" >= expr("(n_rows + 1) div 2"), $"qty")).as("p50"),
+        min(when($"cum" >= expr("(9 * n_rows + 9) div 10"), $"qty")).as("p90"),
+        min(when($"cum" >= expr("(99 * n_rows + 99) div 100"), $"qty")).as("p99"))
+      .orderBy($"rf", $"ls")
+  }
+  val q276Sql: String =
+    """WITH base AS (
+      |  SELECT l_returnflag AS rf, l_linestatus AS ls,
+      |    CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem),
+      |lv AS (
+      |  SELECT COALESCE(rf, '*') AS rf, COALESCE(ls, '*') AS ls, qty,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM base
+      |  GROUP BY GROUPING SETS ((rf, ls, qty), (rf, qty), (qty))),
+      |cum AS (
+      |  SELECT rf, ls, qty,
+      |    SUM(cnt) OVER (PARTITION BY rf, ls ORDER BY qty) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY rf, ls) AS n_rows
+      |  FROM lv)
+      |SELECT rf, ls, CAST(n_rows AS BIGINT) AS n_rows,
+      |  MIN(CASE WHEN cum >= (n_rows + 1) // 2 THEN qty END) AS p50,
+      |  MIN(CASE WHEN cum >= (9 * n_rows + 9) // 10 THEN qty END) AS p90,
+      |  MIN(CASE WHEN cum >= (99 * n_rows + 99) // 100 THEN qty END) AS p99
+      |FROM cum
+      |GROUP BY rf, ls, n_rows
+      |ORDER BY rf, ls""".stripMargin
+
   // --- q252: order-total reconciliation audit ----------------------------------
   // The cross-table consistency check every warehouse runs between a
   // header and its lines: does o_totalprice equal the lineitem charge
@@ -1618,6 +1684,7 @@ object Extended {
 
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q251_bitmap_distinct", q251 _, Some(q251Sql)),
+    ("q276_quantile_rollup", q276 _, Some(q276Sql)),
     ("q261_skew_advisor", q261 _, Some(q261Sql)),
     ("q263_drilldown_shares", q263 _, Some(q263Sql)),
     ("q268_spearman_rho", q268 _, Some(q268Sql)),

@@ -3061,6 +3061,94 @@ object Text {
        |ORDER BY w""".stripMargin
   }
 
+  // --- q275: iterative BPE merge induction (tokenizer TRAINING loop) -------
+  // The step q162 explicitly deferred: LEARN the merge table instead of
+  // applying a static one (Sennrich et al. 2016 — count adjacent symbol
+  // pairs, merge the most frequent, RECOUNT, repeat). Ten rounds of the
+  // q143/q271 fixpoint discipline: each round counts pairs over the
+  // current encoding (vocab-sized — Heaps' law), picks the winner by the
+  // q131 exact ranking (count desc, pair asc), collects that ONE row
+  // (driver-bounded by construction — the merge table IS ≤10 rows), and
+  // rewrites via q162's non-overlapping replace fixpoint. Encodings are
+  // eagerly localCheckpoint'ed per round (vocab-sized rows; kills the
+  // 6k-nested-replace plan growth — the q271 argument). Stops early when
+  // no multi-symbol word remains. The only corpus-sized stage is the
+  // word count; every round after it is vocab-sized. The oracle unrolls
+  // the identical ten rounds as chained CTEs (pairs_k → top-1 m_k →
+  // enc_k), so both engines select and apply identical merges; q162's
+  // COALESCE(chr(1)) guard makes an exhausted round a no-op there too.
+  def q275(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("wc"))
+    var enc = words.select($"wc",
+        concat(lit(" "), concat_ws(" ", split($"w", "")), lit(" ")).as("enc"))
+      .localCheckpoint(true)
+    val picked = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var k = 1
+    var exhausted = false
+    while (k <= 10 && !exhausted) {
+      val top = enc
+        .select($"wc", split(trim($"enc"), " ").as("syms"))
+        .filter(size($"syms") >= 2) // sequence(1,0) would DESCEND in Spark
+        .select($"wc", explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> concat(syms[i-1], ' ', syms[i]))")).as("pair"))
+        .groupBy($"pair").agg(sum($"wc").as("n"))
+        .orderBy($"n".desc, $"pair").limit(1)
+        .collect() // bounded: exactly one winner row per round
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top.head.getString(0)
+        val merged = pair.replace(" ", "")
+        picked += ((k, pair, merged, top.head.getLong(1)))
+        enc = enc.withColumn("enc",
+            (1 to 6).foldLeft($"enc": org.apache.spark.sql.Column)((c, _) =>
+              org.apache.spark.sql.functions
+                .replace(c, lit(s" $pair "), lit(s" $merged "))))
+          .localCheckpoint(true)
+        k += 1
+      }
+    }
+    picked.toSeq.toDF("rk", "pair", "merged", "n").orderBy($"rk")
+  }
+  val q275Sql: String = {
+    def applyMerge(inner: String, k: Int): String =
+      (1 to 6).foldLeft(inner)((c, _) =>
+        s"""replace($c,
+           |  COALESCE((SELECT ' ' || pair || ' ' FROM m$k), chr(1)),
+           |  COALESCE((SELECT ' ' || replace(pair, ' ', '') || ' ' FROM m$k), ''))""".stripMargin)
+    val rounds = (1 to 10).map { k =>
+      val prev = s"e${k - 1}"
+      s"""p$k AS MATERIALIZED (
+         |  SELECT s[i] || ' ' || s[i+1] AS pair, wc
+         |  FROM (SELECT wc, string_split(trim(enc), ' ') AS s FROM $prev),
+         |       unnest(range(1, len(s))) AS t(i)),
+         |m$k AS MATERIALIZED (
+         |  SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM p$k GROUP BY pair
+         |  ORDER BY n DESC, pair LIMIT 1),
+         |e$k AS MATERIALIZED (SELECT wc, ${applyMerge("enc", k)} AS enc FROM $prev)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = (1 to 10).map(k =>
+      s"SELECT $k AS rk, pair, replace(pair, ' ', '') AS merged, n FROM m$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+       |    SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+       |    FROM documents)
+       |  GROUP BY w),
+       |e0 AS MATERIALIZED (
+       |  SELECT wc,
+       |    ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS enc
+       |  FROM words),
+       |$rounds
+       |SELECT rk, pair, merged, n FROM (
+       |$unions)
+       |ORDER BY rk""".stripMargin
+  }
+
   // --- q233: weighted negative sampling (unigram^0.75 inverse-CDF) ---------
   // The word2vec / contrastive-training sampling primitive (Mikolov 2013):
   // draw K=4 negatives per document from the unigram distribution raised
@@ -3583,6 +3671,7 @@ object Text {
     ("q244_feature_hashing", q244 _, Some(q244Sql)),
     ("q240_edit_distance_join", q240 _, Some(q240Sql)),
     ("q233_negative_sampling", q233 _, Some(q233Sql)),
+    ("q275_bpe_train", q275 _, Some(q275Sql)),
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),
     ("q37_pii_redact", q37 _, Some(q37Sql)),

@@ -820,6 +820,97 @@ object Vectors {
       |  FROM adist) WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  // --- q277: ANN index maintenance decision (append vs retrain) -------------
+  // Closes the index lifecycle q194 opened: VectorIndex.maintenancePlan
+  // judges each ingest batch against the STAGED layout — centroid drift
+  // (q203's snapped sq-L2, batch mean vs code-count-weighted centroid
+  // mean) plus projected cell balance (q215's load factor with the
+  // batch's assignments added) — and emits append or retrain. Two
+  // batches exercise BOTH outcomes inside the gated query itself: the
+  // held-in-distribution vec_id%5==3 slice (expected: append) and the
+  // same slice shifted +3.0 per component (drift ≈ 9·64 ≫ the 4.0
+  // threshold — expected: retrain). The oracle recomputes the staged
+  // quantizer from scratch (the q215 discipline), re-derives both
+  // batches, and restates the decision arithmetic — a mean computed off
+  // the wrong weights, a misassigned batch vector, or a float-smuggled
+  // threshold comparison all hash-miss.
+  def q277(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = vecIdx(s, d)
+    val slice = Tables.embeddings(s, d).filter($"vec_id" % 5 === 3)
+    val batches = slice
+      .select(lit("a_indist").as("batch_id"), $"vec_id",
+        graft.functions.VectorFunctions.asDouble($"embedding").as("embedding"))
+      .unionByName(slice.select(lit("b_shifted").as("batch_id"), $"vec_id",
+        transform(graft.functions.VectorFunctions.asDouble($"embedding"),
+          x => x + lit(3.0)).as("embedding")))
+    graft.sources.VectorIndex.maintenancePlan(s, idx.toString, batches,
+      driftSqMax = 4.0, loadFactorMax = 3L)
+  }
+  val q277Sql: String =
+    s"""WITH emb AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e, len(embedding) AS d FROM embeddings
+      |), kc0 AS (SELECT vec_id AS cell, e AS c FROM emb ORDER BY vec_id LIMIT 8),
+      |ka0 AS (${kmAssign("kc0")}),
+      |kc1 AS MATERIALIZED (${kmUpdate("ka0")}),
+      |cells AS (SELECT vec_id, cell FROM (${kmAssign("kc1")}) t),
+      |cc AS MATERIALIZED (
+      |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_cell FROM cells GROUP BY cell),
+      |tot AS (SELECT CAST(SUM(n_cell) AS BIGINT) AS n_idx FROM cc),
+      |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM kc1),
+      |imean AS (
+      |  SELECT list(imv ORDER BY pos) AS im FROM (
+      |    SELECT pos,
+      |      ROUND(CAST(SUM(CAST(cv AS DECIMAL(18,9)) * n_cell) AS DOUBLE)
+      |        / SUM(n_cell), 6) AS imv
+      |    FROM (SELECT k.cell, unnest(range(0, len(k.c))) AS pos,
+      |            unnest(k.c) AS cv, cc.n_cell
+      |          FROM kc1 k JOIN cc ON cc.cell = k.cell)
+      |    GROUP BY pos)),
+      |b AS MATERIALIZED (
+      |  SELECT 'a_indist' AS batch_id, vec_id, e FROM emb WHERE vec_id % 5 = 3
+      |  UNION ALL
+      |  SELECT 'b_shifted', vec_id, list_transform(e, x -> x + 3.0)
+      |  FROM emb WHERE vec_id % 5 = 3),
+      |bmean AS (
+      |  SELECT batch_id, list(bv ORDER BY pos) AS bm FROM (
+      |    SELECT batch_id, pos,
+      |      ROUND(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS bv
+      |    FROM (SELECT batch_id, unnest(range(0, len(e))) AS pos, unnest(e) AS v
+      |          FROM b)
+      |    GROUP BY batch_id, pos) GROUP BY batch_id),
+      |drift AS (
+      |  SELECT batch_id, ${sqd("bm", "im")} AS drift_sq
+      |  FROM bmean CROSS JOIN imean),
+      |basg AS (
+      |  SELECT batch_id, cell FROM (
+      |    SELECT t.batch_id, t.vec_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY t.batch_id, t.vec_id ORDER BY
+      |        ${sqd("t.e", "c.c")} ASC, c.cell ASC) AS rn
+      |    FROM b t CROSS JOIN kc1 c) WHERE rn = 1),
+      |bcell AS (
+      |  SELECT batch_id, cell, CAST(COUNT(*) AS BIGINT) AS n_b
+      |  FROM basg GROUP BY 1, 2),
+      |bn AS (SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_new FROM b GROUP BY 1),
+      |proj AS (
+      |  SELECT g.batch_id,
+      |    MAX(COALESCE(cc.n_cell, 0) + COALESCE(bc.n_b, 0)) AS max_proj
+      |  FROM (SELECT bn.batch_id, k.cell FROM bn CROSS JOIN kc1 k) g
+      |  LEFT JOIN cc ON cc.cell = g.cell
+      |  LEFT JOIN bcell bc ON bc.batch_id = g.batch_id AND bc.cell = g.cell
+      |  GROUP BY 1)
+      |SELECT bn.batch_id, bn.n_new, drift.drift_sq,
+      |  CAST(proj.max_proj AS BIGINT) AS max_proj,
+      |  drift.drift_sq > 4.0 AS drift_flag,
+      |  proj.max_proj * kk.k > 3 * (tot.n_idx + bn.n_new) AS load_flag,
+      |  CASE WHEN drift.drift_sq > 4.0
+      |         OR proj.max_proj * kk.k > 3 * (tot.n_idx + bn.n_new)
+      |       THEN 'retrain' ELSE 'append' END AS decision
+      |FROM bn
+      |JOIN drift USING (batch_id) JOIN proj USING (batch_id)
+      |CROSS JOIN tot CROSS JOIN kk
+      |ORDER BY batch_id""".stripMargin
+
   // --- q203: embedding centroid drift between sources -----------------------
   // The embedding-space twin of q106's token-distribution divergence: a
   // per-source mean vector (the q52/q122 decimal-routed, round(6)
@@ -1720,6 +1811,7 @@ object Vectors {
     ("q141_ivf_pq", q141 _, Some(q141Sql)),
     ("q168_ivfpq_indexed", q168 _, Some(q168Sql)),
     ("q194_vecidx_append", q194 _, Some(q194Sql)),
+    ("q277_index_maintenance", q277 _, Some(q277Sql)),
     ("q197_stream_ann_probe", q197 _, Some(q197Sql)),
     ("q201_stream_index_ingest", q201 _, Some(q201Sql)),
     ("q203_centroid_drift", q203 _, Some(q203Sql)),

@@ -59,7 +59,8 @@ object VectorIndex {
     * artifact and one that is an offline build: an ingest batch costs
     * assign+encode on the batch, not a corpus retrain+rewrite. Quantizer
     * retraining on distribution drift stays an explicit, separate
-    * rebuild decision. Callers own dedup of re-appended vec_ids, exactly
+    * rebuild decision — [[maintenancePlan]] is the front door that makes
+    * it per batch. Callers own dedup of re-appended vec_ids, exactly
     * as with the inverted index's append-only postings log. */
   def append(spark: SparkSession, newEmb: DataFrame, path: String): Unit = {
     val cent = spark.read.parquet(s"$path/centroids")
@@ -72,6 +73,84 @@ object VectorIndex {
     val codes = Similarity.pqEncode(newEmb, cb, m = m)
     codes.join(cells, "vec_id")
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** Maintenance decision: the documented FRONT DOOR to [[append]] vs
+    * [[build]] — per ingest batch, an append-vs-retrain verdict from the
+    * two signals the index already exposes: CENTROID DRIFT (q203's
+    * snapped squared L2 between the batch's mean vector and the index's
+    * code-count-weighted centroid mean — a batch from a shifted
+    * distribution quantizes badly against stale cells) and PROJECTED
+    * CELL BALANCE (q215's load factor with the batch's assignments added
+    * in — a batch that would pile onto one cell defeats the layout's
+    * partition pruning even if it is in-distribution). `append` absorbs
+    * the batch incrementally; `retrain` says pay the [[build]] rebuild.
+    *
+    * Everything is sidecar- or batch-sized: the index mean weighs the
+    * kCells centroid rows by per-cell code counts (one grid-sized agg
+    * over the codes table — at 100 TB that is the partition footer
+    * statistic, not a vector scan), the batch mean and assignment scan
+    * only the batch, and the decision grid is batches × kCells rows.
+    * Exactness: means route decimal(18,9) before ONE double division and
+    * a 1e-6 snap (the q203 convention); drift is [[Similarity.sqDistRounded]]
+    * on snapped inputs; the load test is a pure integer inequality
+    * (max_proj · k > loadFactorMax · (n_index + n_batch)) — no float
+    * threshold can straddle engines.
+    *
+    * @param batches (batch_id, vec_id, embedding) — each batch_id judged
+    *                independently against the current layout
+    * @return (batch_id, n_new, drift_sq, max_proj, drift_flag, load_flag,
+    *         decision) — decision ∈ {append, retrain}
+    */
+  def maintenancePlan(spark: SparkSession, path: String, batches: DataFrame,
+      driftSqMax: Double, loadFactorMax: Long): DataFrame = {
+    val cent = spark.read.parquet(s"$path/centroids")
+    // kCells-row sidecar — bounded driver constant (the Upsert convention)
+    val k = cent.count()
+    val cc = spark.read.parquet(s"$path/codes")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+    val tot = cc.agg(sum(col("n_cell")).as("n_idx"))
+    val idxMean = cent.join(cc, "cell")
+      .select(col("n_cell"), posexplode(col("centroid")).as(Seq("pos", "cv")))
+      .groupBy(col("pos"))
+      .agg(round(sum(col("cv").cast("decimal(18,9)") * col("n_cell"))
+        .cast("double") / sum(col("n_cell")), 6).as("imv"))
+      .groupBy().agg(array_sort(collect_list(struct(col("pos"), col("imv"))))
+        .getField("imv").as("im"))
+    val bEmb = batches.select(col("batch_id"), col("vec_id"),
+      graft.functions.VectorFunctions.asDouble(col("embedding")).as("embedding"))
+    val bMean = bEmb
+      .select(col("batch_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("batch_id"), col("pos"))
+      .agg(round(sum(col("v").cast("decimal(18,9)")).cast("double")
+        / count(lit(1)), 6).as("bv"))
+      .groupBy(col("batch_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("bv"))))
+        .getField("bv").as("bm"))
+    val drift = bMean.crossJoin(broadcast(idxMean)) // one-row right side
+      .select(col("batch_id"),
+        Similarity.sqDistRounded(col("bm"), col("im")).as("drift_sq"))
+    val bCell = Similarity.assignKMeansCells(bEmb, cent)
+      .groupBy(col("batch_id"), col("cell")).agg(count(lit(1)).as("n_b"))
+    val bn = bEmb.groupBy(col("batch_id")).agg(count(lit(1)).as("n_new"))
+    val proj = bn.select(col("batch_id"))
+      .crossJoin(broadcast(cent.select(col("cell")))) // batches × kCells grid
+      .join(broadcast(cc), Seq("cell"), "left")
+      .join(broadcast(bCell), Seq("batch_id", "cell"), "left")
+      .groupBy(col("batch_id"))
+      .agg(max(coalesce(col("n_cell"), lit(0L))
+        + coalesce(col("n_b"), lit(0L))).as("max_proj"))
+    bn.join(broadcast(drift), "batch_id")
+      .join(broadcast(proj), "batch_id")
+      .crossJoin(broadcast(tot)) // one row
+      .select(col("batch_id"), col("n_new"), col("drift_sq"), col("max_proj"),
+        (col("drift_sq") > lit(driftSqMax)).as("drift_flag"),
+        (col("max_proj") * lit(k)
+          > lit(loadFactorMax) * (col("n_idx") + col("n_new"))).as("load_flag"))
+      .withColumn("decision",
+        when(col("drift_flag") || col("load_flag"), "retrain")
+          .otherwise("append"))
+      .orderBy(col("batch_id"))
   }
 
   /** ANN top-k against a built layout. The probe set — each query's

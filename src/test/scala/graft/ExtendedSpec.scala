@@ -678,6 +678,35 @@ class ExtendedSpec extends AnyFunSuite {
     }
   }
 
+  test("q276 merged-partial percentiles equal direct type-1 quantiles at every level") {
+    val got = SparkEntry.queries("q276_quantile_rollup")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.nonEmpty)
+    val raw = Tables.lineitem(spark, sf)
+      .selectExpr("l_returnflag", "l_linestatus", "cast(l_quantity as long)")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // direct quantiles from RAW rows per level — a lost/double-merged
+    // histogram partial shows up as a rank shift here
+    def typ1(xs: Seq[Long], num: Long, den: Long): Long = {
+      val sorted = xs.sorted
+      sorted(((num * sorted.length + den - 1) / den - 1).toInt)
+    }
+    def check(key: (String, String), xs: Seq[Long]): Unit = {
+      val (n, p50, p90, p99) = got(key)
+      assert(n == xs.length.toLong, s"$key n")
+      assert(p50 == typ1(xs, 1, 2), s"$key p50")
+      assert(p90 == typ1(xs, 9, 10), s"$key p90")
+      assert(p99 == typ1(xs, 99, 100), s"$key p99")
+    }
+    raw.groupBy(r => (r._1, r._2)).foreach { case (k, v) => check(k, v.map(_._3).toSeq) }
+    raw.groupBy(_._1).foreach { case (f, v) => check((f, "*"), v.map(_._3).toSeq) }
+    check(("*", "*"), raw.map(_._3).toSeq)
+    // every level present: fine ∪ per-flag ∪ grand total
+    assert(got.keySet.count(_._2 == "*") ==
+      raw.map(_._1).distinct.length + 1)
+  }
+
   test("q273 emits NULL fano for a single-day span (engine-parity guard)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

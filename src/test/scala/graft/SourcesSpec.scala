@@ -527,4 +527,39 @@ class SourcesSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == ref,
       "maintained index must equal the from-scratch encode of the union")
   }
+
+  test("VectorIndex.maintenancePlan fires BOTH outcomes: load-skew retrain, balanced append") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tmp("graft_vidx_plan")
+    // 40 vectors in 4 tight clusters at (0,0)/(10,0)/(0,10)/(10,10);
+    // vec 0..3 land one per cluster so the smallest-vec_id seeding
+    // separates them and one Lloyd iteration yields balanced 10/10/10/10
+    def cl(i: Int): (Double, Double) = i % 4 match {
+      case 0 => (0.0, 0.0); case 1 => (10.0, 0.0)
+      case 2 => (0.0, 10.0); case _ => (10.0, 10.0)
+    }
+    val base = (0 until 40).map { i =>
+      val (x, y) = cl(i); (i.toLong, Array(x + (i / 4) * 0.01, y))
+    }.toDF("vec_id", "embedding")
+    sources.VectorIndex.build(base, dir,
+      kCells = 4, cellIters = 1, m = 2, kCw = 4, pqIters = 1)
+    // batch A: 50 vectors ALL at cluster 0 — projected max cell 10+50=60,
+    // load test 60*4 > 2*(40+50): retrain on balance alone (drift is
+    // disabled via a huge threshold to isolate the load path)
+    val skewed = (100 until 150).map(i =>
+      ("a_skew", i.toLong, Array(0.02 * (i - 100) / 50.0, 0.0)))
+    // batch B: 8 vectors, 2 per cluster — max 10+2=12, 12*4 <= 2*48: append
+    val balanced = (200 until 208).map { i =>
+      val (x, y) = cl(i); ("b_balanced", i.toLong, Array(x + 0.02, y))
+    }
+    val batches = (skewed ++ balanced).toDF("batch_id", "vec_id", "embedding")
+    val got = sources.VectorIndex.maintenancePlan(spark, dir, batches,
+        driftSqMax = 1e6, loadFactorMax = 2L).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getBoolean(4), r.getBoolean(5),
+          r.getString(6)))).toMap
+    assert(got("a_skew") == ((50L, 60L, false, true, "retrain")), s"$got")
+    assert(got("b_balanced") == ((8L, 12L, false, false, "append")), s"$got")
+  }
 }

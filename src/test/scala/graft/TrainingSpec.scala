@@ -675,6 +675,28 @@ class TrainingSpec extends AnyFunSuite {
     assert(got("ab") == (("ab", 1)))
   }
 
+  test("q275 BPE training learns the classical merge order on a closed-form corpus") {
+    import spark.implicits._
+    // corpus: aaab(x2), ab(x3). Classical BPE by hand:
+    //   round 1: pairs "a a"=4 (2 per aaab), "a b"=5 (1 per word) -> merge
+    //     ("a b" -> ab, n=5); aaab becomes [a,a,ab], ab becomes [ab]
+    //   round 2: "a a"=2 ties "a ab"=2, pair-asc tie-break picks
+    //     ("a a" -> aa, n=2); aaab becomes [aa,ab]
+    //   round 3: ("aa ab" -> aaab, n=2); aaab becomes [aaab]
+    //   round 4: no multi-symbol word remains -> early stop at 3 merges
+    // This exercises recounting BETWEEN merges (round 2's winner "a a"
+    // did not win round 1), the exact tie-break, and the early stop.
+    val docs = Seq((1L, "aaab ab aaab ab ab", "en", "s", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpetrain").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = queries.Text.q275(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toList
+    assert(got == List((1, "a b", "ab", 5L), (2, "a a", "aa", 2L),
+      (3, "aa ab", "aaab", 2L)), s"$got")
+  }
+
   test("q233 negative sampling: corpus counts exact, draw volume bounded") {
     val out = queries.Text.q233(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

@@ -14,6 +14,7 @@ import json
 import math
 import os
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -75,6 +76,7 @@ def main():
             print(f"[skip] {name}: no oracle sql ({len(got)} rows)")
             n_skip += 1
             continue
+        t0 = time.monotonic()
         try:
             want = con.execute(oracle[name]).df()
         except Exception as e:
@@ -113,7 +115,10 @@ def main():
             print(f"[FAIL] {name}: col {c} row {i}: spark={x!r} oracle={y!r}")
             n_fail += 1
         else:
-            print(f"[ok]   {name}: {len(g)} rows")
+            # per-query oracle wall-time: DuckDB-side scaling pain (the
+            # brute-force oracles) should surface here, rounds before the
+            # full-registry sweep becomes the bottleneck
+            print(f"[ok]   {name}: {len(g)} rows ({time.monotonic() - t0:.1f}s oracle)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
     sys.exit(1 if n_fail else 0)

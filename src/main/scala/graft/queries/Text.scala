@@ -3149,6 +3149,115 @@ object Text {
        |ORDER BY rk""".stripMargin
   }
 
+  // --- q278: Kneser-Ney smoothed bigram model (interpolated, D=0.75) -------
+  // The standard n-gram LM estimator (Kneser & Ney 1995; Chen & Goodman
+  // 1999's interpolated form): P(w2|w1) = max(c12−D,0)/c1 +
+  // (D·N1+(w1,·)/c1) · N1+(·,w2)/N1+(·,·) — absolute discounting with
+  // the CONTINUATION-count backoff that makes KN the default for
+  // count-based LMs ("how many contexts does w2 follow" rather than
+  // "how often does w2 occur"). All five inputs are exact integers
+  // (bigram count, left-context total, distinct-successor and
+  // distinct-predecessor type counts, total bigram types); the estimate
+  // is ONE double chain written in identical operator order in both
+  // engines and snapped to the 1e-9 grid (p ≤ 1 ⇒ p·1e9 < 2^53). Shape:
+  // one corpus-sized bigram aggregation (map-side combine), then
+  // everything joins at vocab scale. Output restricted to bigrams seen
+  // ≥5 times — the model rows a serving cache would pin.
+  def q278(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val bi = Tables.documents(s, d)
+      .withColumn("toks", tokens($"text"))
+      .filter(size($"toks") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> struct(toks[i-1] as w1, toks[i] as w2))")).as("b"))
+      .select($"b.w1", $"b.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      .persistTracked() // vocab²-bounded; four consumers below
+    val left = bi.groupBy($"w1")
+      .agg(sum($"c12").as("c1"), count(lit(1)).as("n1p"))
+    val cont = bi.groupBy($"w2").agg(count(lit(1)).as("nc"))
+    val tot = bi.agg(count(lit(1)).as("ntot"))
+    bi.filter($"c12" >= 5)
+      .join(left, "w1")
+      .join(cont, "w2")
+      .crossJoin(broadcast(tot)) // one row
+      .select($"w1", $"w2", $"c12",
+        (round((greatest($"c12" - lit(0.75), lit(0.0)) / $"c1"
+          + lit(0.75) * $"n1p" / $"c1" * $"nc" / $"ntot") * lit(1e9))
+          .cast("long").cast("double") / lit(1e9)).as("p_kn"))
+      .orderBy($"w1", $"w2")
+  }
+  val q278Sql: String =
+    """WITH bi AS MATERIALIZED (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM (
+      |    SELECT t[i] AS w1, t[i+1] AS w2
+      |    FROM (SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |          FROM documents),
+      |         unnest(range(1, len(t))) AS u(i)
+      |    WHERE len(t) >= 2)
+      |  GROUP BY w1, w2),
+      |lft AS (
+      |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+      |    CAST(COUNT(*) AS BIGINT) AS n1p
+      |  FROM bi GROUP BY w1),
+      |cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nc FROM bi GROUP BY w2),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM bi)
+      |SELECT w1, w2, c12,
+      |  CAST(CAST(ROUND((GREATEST(c12 - 0.75, 0.0) / c1
+      |    + 0.75 * n1p / c1 * nc / ntot) * 1e9) AS BIGINT) AS DOUBLE) / 1e9
+      |    AS p_kn
+      |FROM bi
+      |JOIN lft USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+      |WHERE c12 >= 5
+      |ORDER BY w1, w2""".stripMargin
+
+  // --- q280: out-of-vocabulary rate audit (train vocab vs holdout) ---------
+  // The coverage check run before freezing any tokenizer or vocabulary:
+  // build the vocab from the TRAIN split (doc_id parity — the q89/q216
+  // hash-split convention), then measure what fraction of HOLDOUT tokens
+  // it cannot represent, per source (a source with an outlying OOV rate
+  // is drifted or mis-normalized). Pure integer arithmetic end to end:
+  // token counts are exact longs and the rate is an integral-div ppm
+  // (the q260 convention). Shape: one tokenize pass per split; the
+  // membership test is a vocab-keyed left join (Heaps-bounded build
+  // side), corpus-sized probe with map-side pre-aggregation on
+  // (source, token).
+  def q280(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val vocab = docs.filter($"doc_id" % 2 === 0)
+      .select(explode(tokens($"text")).as("w")).distinct()
+    docs.filter($"doc_id" % 2 === 1)
+      .select($"source", explode(tokens($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("n"))
+      .join(vocab.withColumn("hit", lit(1L)), Seq("w"), "left")
+      .groupBy($"source")
+      .agg(sum($"n").as("n_tokens"),
+        sum(when($"hit".isNull, $"n").otherwise(0L)).as("n_oov"))
+      .select($"source", $"n_tokens", $"n_oov",
+        expr("n_oov * 1000000 div n_tokens").cast("long").as("oov_ppm"))
+      .orderBy($"source")
+  }
+  val q280Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+      |  FROM documents),
+      |vocab AS (SELECT DISTINCT w FROM toks WHERE doc_id % 2 = 0),
+      |hold AS (
+      |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM toks WHERE doc_id % 2 = 1 GROUP BY 1, 2)
+      |SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN vocab.w IS NULL THEN n ELSE 0 END) AS BIGINT)
+      |    AS n_oov,
+      |  CAST(SUM(CASE WHEN vocab.w IS NULL THEN n ELSE 0 END)
+      |    * 1000000 // SUM(n) AS BIGINT) AS oov_ppm
+      |FROM hold LEFT JOIN vocab ON hold.w = vocab.w
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   // --- q233: weighted negative sampling (unigram^0.75 inverse-CDF) ---------
   // The word2vec / contrastive-training sampling primitive (Mikolov 2013):
   // draw K=4 negatives per document from the unigram distribution raised
@@ -3672,6 +3781,8 @@ object Text {
     ("q240_edit_distance_join", q240 _, Some(q240Sql)),
     ("q233_negative_sampling", q233 _, Some(q233Sql)),
     ("q275_bpe_train", q275 _, Some(q275Sql)),
+    ("q278_kneser_ney", q278 _, Some(q278Sql)),
+    ("q280_oov_rate", q280 _, Some(q280Sql)),
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),
     ("q37_pii_redact", q37 _, Some(q37Sql)),

@@ -911,6 +911,96 @@ object Vectors {
       |CROSS JOIN tot CROSS JOIN kk
       |ORDER BY batch_id""".stripMargin
 
+  // --- q279: MMR diversified re-ranking (retrieval post-processing) ---------
+  // Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+  // standard diversification pass between "top-k by similarity" and
+  // "what a RAG prompt actually wants": greedily pick argmax of
+  // λ·rel(x) − (1−λ)·max_{s∈selected} sim(x, s), λ=0.5, so near-
+  // duplicates of an already-selected result are passed over for
+  // diverse-but-relevant ones. Shape honesty: the CORPUS-scale stage is
+  // candidate generation (q50's brute-force cosine top-10 here — any
+  // retrieval query upstream at 100 TB); re-ranking is inherently
+  // candidate-sized (10 rows, 10×10 pairwise sims), unrolled as four
+  // greedy rounds of tiny plans. Exactness: rel and pairwise sims are
+  // the q50 rounded-cosine (1e-6 snap); each MMR score is the single
+  // chain 0.5·rel − 0.5·maxsim of snapped inputs — identical IEEE
+  // doubles both engines — with vec_id tie-breaks everywhere.
+  def q279(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val cand = Similarity.bruteForceTopK(emb.filter($"vec_id" === 0), emb,
+        k = 10, queryCountHint = 1)
+      .select($"neighbor_id".as("vec_id"), $"rank".as("rel_rank"),
+        $"sim".as("rel"))
+      .localCheckpoint(true) // 10 rows
+    val ce = cand.join(emb, "vec_id")
+      .select($"vec_id", asDouble($"embedding").as("e"), $"rel")
+    val pd = ce.as("a").join(ce.as("b"), $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
+        round(dotProduct($"a.e", $"b.e")
+          / (l2Norm($"a.e") * l2Norm($"b.e")), 6).as("sim"))
+      .localCheckpoint(true) // 10×10 grid
+    val s1 = cand.filter($"rel_rank" === 1)
+      .select(lit(1).as("rank"), $"vec_id", $"rel",
+        lit(null).cast("double").as("mmr"))
+    val sel5 = (2 to 5).foldLeft(s1.localCheckpoint(true)) { (sel, k) =>
+      val pick = cand.join(sel.select($"vec_id").as("x"), Seq("vec_id"),
+          "left_anti")
+        .join(pd, $"vec_id" === $"va")
+        .join(sel.select($"vec_id".as("vb")), Seq("vb"))
+        .groupBy($"vec_id", $"rel")
+        .agg((lit(0.5) * $"rel" - lit(0.5) * max($"sim")).as("mmr"))
+        .orderBy($"mmr".desc, $"vec_id").limit(1)
+        .select(lit(k).as("rank"), $"vec_id", $"rel", $"mmr")
+      sel.unionByName(pick).localCheckpoint(true)
+    }
+    sel5.orderBy($"rank")
+  }
+  val q279Sql: String = {
+    def round2(k: Int, prevSel: String): String =
+      s"""r$k AS (
+         |  SELECT c.vec_id, c.rel, 0.5 * c.rel - 0.5 * MAX(pd.sim) AS mmr
+         |  FROM cand c
+         |  JOIN pd ON pd.va = c.vec_id
+         |    AND pd.vb IN (SELECT vec_id FROM $prevSel)
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM $prevSel)
+         |  GROUP BY c.vec_id, c.rel),
+         |s$k AS MATERIALIZED (
+         |  SELECT $k AS rank, vec_id, rel, mmr FROM r$k
+         |  ORDER BY mmr DESC, vec_id LIMIT 1),
+         |sel$k AS MATERIALIZED (
+         |  SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM s$k)"""
+        .stripMargin
+    val rounds = (2 to 5).map(k => round2(k, s"sel${k - 1}")).mkString(",\n")
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT e FROM emb WHERE vec_id = 0),
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id, rel, rk FROM (
+       |    SELECT c.vec_id,
+       |      ROUND(list_inner_product(q.e, c.e)
+       |        / (sqrt(list_inner_product(q.e, q.e))
+       |           * sqrt(list_inner_product(c.e, c.e))), 6) AS rel,
+       |      ROW_NUMBER() OVER (ORDER BY
+       |        ROUND(list_inner_product(q.e, c.e)
+       |          / (sqrt(list_inner_product(q.e, q.e))
+       |             * sqrt(list_inner_product(c.e, c.e))), 6) DESC,
+       |        c.vec_id) AS rk
+       |    FROM emb c CROSS JOIN q WHERE c.vec_id <> 0)
+       |  WHERE rk <= 10),
+       |ce AS (SELECT cand.vec_id, e, rel FROM cand JOIN emb USING (vec_id)),
+       |pd AS MATERIALIZED (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    ROUND(list_inner_product(a.e, b.e)
+       |      / (sqrt(list_inner_product(a.e, a.e))
+       |         * sqrt(list_inner_product(b.e, b.e))), 6) AS sim
+       |  FROM ce a JOIN ce b ON a.vec_id <> b.vec_id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT 1 AS rank, vec_id, rel, CAST(NULL AS DOUBLE) AS mmr
+       |  FROM cand WHERE rk = 1),
+       |$rounds
+       |SELECT rank, vec_id, rel, mmr FROM sel5 ORDER BY rank""".stripMargin
+  }
+
   // --- q203: embedding centroid drift between sources -----------------------
   // The embedding-space twin of q106's token-distribution divergence: a
   // per-source mean vector (the q52/q122 decimal-routed, round(6)
@@ -1812,6 +1902,7 @@ object Vectors {
     ("q168_ivfpq_indexed", q168 _, Some(q168Sql)),
     ("q194_vecidx_append", q194 _, Some(q194Sql)),
     ("q277_index_maintenance", q277 _, Some(q277Sql)),
+    ("q279_mmr_rerank", q279 _, Some(q279Sql)),
     ("q197_stream_ann_probe", q197 _, Some(q197Sql)),
     ("q201_stream_index_ingest", q201 _, Some(q201Sql)),
     ("q203_centroid_drift", q203 _, Some(q203Sql)),

@@ -446,4 +446,32 @@ class SimilaritySpec extends AnyFunSuite {
     // max-abs normalization pins one coordinate at ±1
     assert(got.map(r => math.abs(r._2)).max >= 1.0 - 1e-9)
   }
+
+  test("q279 MMR passes over a near-duplicate of the top pick for a diverse result") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // query = vec 0 along (1,0); vecs 1/2 are near-duplicates of each
+    // other at +27 degrees off the query axis; vec 3 mirrors them at -28
+    // degrees — slightly less relevant but diverse. Pure relevance ranks
+    // (1, 2, 3); MMR round 2 must take 3 over the duplicate 2:
+    //   mmr(2) = 0.5*0.885 - 0.5*sim(1,2)~0.9998 = -0.057
+    //   mmr(3) = 0.5*0.880 - 0.5*sim(1,3)~0.5746 = +0.153
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0)),
+      (1L, Array(0.894, 0.447)),  // top relevance
+      (2L, Array(0.885, 0.4655)), // its near-duplicate
+      (3L, Array(0.880, -0.475))  // diverse, nearly as relevant
+    ) ++ (4 to 12).map(i => (i.toLong, Array(0.1, 0.995 + i * 0.0001))) // filler
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmr").toString
+    vecs.toDF("vec_id", "embedding")
+      .withColumn("label", lit(1)).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val got = queries.Vectors.q279(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.take(2).toSeq == Seq((1, 1L), (2, 3L)),
+      s"MMR order broken: ${got.toSeq}")
+    // the near-duplicate must rank strictly below the diverse pick
+    val pos = got.map(_._2).indexOf(2L)
+    assert(pos == -1 || pos > 1, s"duplicate outranked diversity: ${got.toSeq}")
+  }
 }

@@ -883,4 +883,50 @@ class TrainingSpec extends AnyFunSuite {
       assert(k > 0.0, "repeated tokens exist in every source")
     }
   }
+
+  test("q278 Kneser-Ney matches a driver recomputation and stays a probability") {
+    val got = queries.Text.q278(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+    assert(got.nonEmpty)
+    // recount bigrams in the driver with the engine's normalization
+    val big = scala.collection.mutable.Map[(String, String), Long]()
+    Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      val t = r.getString(0).replaceAll("\\s+", " ").trim.toLowerCase.split(" ")
+      t.sliding(2).filter(_.length == 2)
+        .foreach(p => big((p(0), p(1))) = big.getOrElse((p(0), p(1)), 0L) + 1)
+    }
+    val c1 = big.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val n1p = big.groupBy(_._1._1).map { case (w, m) => w -> m.size.toLong }
+    val nc = big.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val ntot = big.size.toLong
+    got.foreach { case ((w1, w2), (c12, pkn)) =>
+      assert(big((w1, w2)) == c12, s"count $w1 $w2")
+      val exp = math.rint((math.max(c12 - 0.75, 0.0) / c1(w1)
+        + 0.75 * n1p(w1) / c1(w1) * nc(w2) / ntot) * 1e9) / 1e9
+      assert(math.abs(pkn - exp) <= 2e-9, s"$w1 $w2: $pkn vs $exp")
+      assert(pkn > 0.0 && pkn <= 1.0)
+    }
+    // discounting reserves mass: observed successors of any w1 sum < 1
+    got.groupBy(_._1._1).foreach { case (w1, rows) =>
+      assert(rows.map(_._2._2).sum < 1.0 + 1e-9, s"mass blowout for $w1")
+    }
+  }
+
+  test("q280 OOV ppm equals a driver recomputation of the parity split") {
+    val got = queries.Text.q280(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).replaceAll("\\s+", " ").trim.toLowerCase.split(" ").toSeq))
+    val vocab = docs.filter(_._1 % 2 == 0).flatMap(_._3).toSet
+    docs.filter(_._1 % 2 == 1).groupBy(_._2).foreach { case (src, rows) =>
+      val toks = rows.flatMap(_._3)
+      val oov = toks.count(!vocab.contains(_)).toLong
+      val (n, o, ppm) = got(src)
+      assert(n == toks.length.toLong && o == oov, s"$src counts")
+      assert(ppm == oov * 1000000L / toks.length, s"$src ppm")
+    }
+  }
 }

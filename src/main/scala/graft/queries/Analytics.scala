@@ -707,6 +707,135 @@ object Analytics {
       |ORDER BY pr9 DESC, part
       |LIMIT 20""".stripMargin
 
+  // --- q284: association rules (support / confidence / lift) ---------------
+  // The classical market-basket layer (Agrawal & Srikant 1994) over the
+  // staged co-purchase pairs: per item pair, support (share of baskets
+  // containing both), directional confidences P(b|a), P(a|b), and lift —
+  // the independence ratio N·c(ab)/(c(a)·c(b)) that separates "popular
+  // items co-occur by chance" from real affinity. Everything is integral:
+  // ppm values go through decimal(38,0)/HUGEINT products and ONE `div`
+  // (verified this session: Spark's decimal div == DuckDB's `//` at
+  // int128 scale), so no float threshold or 2^53 product can diverge.
+  // Shape: pair counts come from the skew-routed staged layout
+  // (CoPurchase.pairs — no fresh all-pairs work); item counts and the
+  // basket total are one distinct-aggregation each; the rule table then
+  // joins at pair scale.
+  def q284(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val op = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      .persistTracked() // two consumers: item counts + basket total
+    val item = op.groupBy($"p").agg(count(lit(1)).as("cnt"))
+    val nn = op.agg(countDistinct($"o").as("n"))
+    graft.operators.CoPurchase.pairs(s, d, minSupp = 2)
+      .select($"pa", $"pb", $"supp".as("cab"))
+      .join(item.select($"p".as("pa"), $"cnt".as("ca")), "pa")
+      .join(item.select($"p".as("pb"), $"cnt".as("cb")), "pb")
+      .crossJoin(broadcast(nn)) // one row
+      .select($"pa", $"pb", $"cab", $"ca", $"cb",
+        expr("cast(cab as decimal(38,0)) * 1000000 div n").cast("long")
+          .as("support_ppm"),
+        expr("cast(cab as decimal(38,0)) * 1000000 div ca").cast("long")
+          .as("conf_a2b_ppm"),
+        expr("cast(cab as decimal(38,0)) * 1000000 div cb").cast("long")
+          .as("conf_b2a_ppm"),
+        expr("cast(cab as decimal(38,0)) * n * 1000000" +
+          " div (cast(ca as decimal(38,0)) * cb)").cast("long")
+          .as("lift_ppm"))
+      .orderBy($"lift_ppm".desc, $"pa", $"pb")
+      .limit(20)
+  }
+  val q284Sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |item AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS cnt FROM op GROUP BY p),
+      |nn AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM op),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS cab
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT pa, pb, cab, ia.cnt AS ca, ib.cnt AS cb,
+      |  CAST(CAST(cab AS HUGEINT) * 1000000 // n AS BIGINT) AS support_ppm,
+      |  CAST(CAST(cab AS HUGEINT) * 1000000 // ia.cnt AS BIGINT) AS conf_a2b_ppm,
+      |  CAST(CAST(cab AS HUGEINT) * 1000000 // ib.cnt AS BIGINT) AS conf_b2a_ppm,
+      |  CAST(CAST(cab AS HUGEINT) * n * 1000000
+      |    // (CAST(ia.cnt AS HUGEINT) * ib.cnt) AS BIGINT) AS lift_ppm
+      |FROM pairs
+      |JOIN item ia ON ia.p = pa
+      |JOIN item ib ON ib.p = pb
+      |CROSS JOIN nn
+      |ORDER BY lift_ppm DESC, pa, pb
+      |LIMIT 20""".stripMargin
+
+  // --- q285: harmonic centrality from a seed set (multi-source BFS) --------
+  // The centrality that stays defined on disconnected graphs (Boldi &
+  // Vigna 2014 — closeness degenerates there): from the 10 smallest
+  // nodes of the bidirected co-purchase graph, 4 rounds of multi-source
+  // BFS, then per node H = Σ_seeds 1/dist over reached seeds. Kept EXACT
+  // by summing 12/dist (lcm of 1..4 — values 12/6/4/3 are integers), so
+  // the only double is one final division by 12. Per round: one
+  // frontier-keyed join + one (seed,node) min-dist aggregation —
+  // frontier-sized shuffles, eager checkpoints truncating round plans
+  // (the q143 discipline). The oracle unrolls the identical 4 rounds.
+  def q285(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pr = graft.operators.CoPurchase.pairs(s, d, minSupp = 2)
+    val edges = pr.select($"pa".as("src"), $"pb".as("dst"))
+      .unionByName(pr.select($"pb".as("src"), $"pa".as("dst")))
+      .distinct().localCheckpoint(true)
+    val seeds = edges.select($"src".as("node")).distinct()
+      .orderBy($"node").limit(10)
+      .select($"node".as("seed"), $"node", lit(0).as("dist"))
+    var reach = seeds.localCheckpoint(true)
+    for (k <- 1 to 4) {
+      val nxt = reach.filter($"dist" === k - 1)
+        .join(edges, $"node" === $"src")
+        .select($"seed", $"dst".as("node"), lit(k).as("dist"))
+      reach = reach.unionByName(nxt)
+        .groupBy($"seed", $"node").agg(min($"dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    reach.filter($"dist" > 0)
+      .groupBy($"node")
+      .agg(count(lit(1)).as("n_seeds_reached"),
+        sum(expr("12 div dist")).as("h12"))
+      .select($"node", $"n_seeds_reached", $"h12",
+        ($"h12" / lit(12.0)).as("harmonic"))
+      .orderBy($"h12".desc, $"node")
+      .limit(20)
+  }
+  val q285Sql: String = {
+    def bfsStep(k: Int): String =
+      s"""r$k AS MATERIALIZED (
+         |  SELECT seed, node, MIN(dist) AS dist FROM (
+         |    SELECT seed, node, dist FROM r${k - 1}
+         |    UNION ALL
+         |    SELECT r.seed, e.dst AS node, $k AS dist
+         |    FROM r${k - 1} r JOIN edges e ON r.node = e.src
+         |    WHERE r.dist = ${k - 1})
+         |  GROUP BY seed, node)""".stripMargin
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |edges AS MATERIALIZED (
+      |  SELECT pa AS src, pb AS dst FROM pairs
+      |  UNION SELECT pb, pa FROM pairs),
+      |seeds AS (
+      |  SELECT node FROM (SELECT DISTINCT src AS node FROM edges)
+      |  ORDER BY node LIMIT 10),
+      |r0 AS (SELECT node AS seed, node, 0 AS dist FROM seeds),
+      |${(1 to 4).map(bfsStep).mkString(",\n")}
+      |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_seeds_reached,
+      |  CAST(SUM(12 // dist) AS BIGINT) AS h12,
+      |  CAST(SUM(12 // dist) AS BIGINT) / 12.0 AS harmonic
+      |FROM r4 WHERE dist > 0
+      |GROUP BY node
+      |ORDER BY h12 DESC, node
+      |LIMIT 20""".stripMargin
+  }
+
   // --- q169: 2-core extraction (iterative degree peeling) ------------------
   // Seidman's k-core as a declarative fixpoint (operators.Graph.kCore):
   // drop degree-<2 nodes, recompute, repeat — the density filter that
@@ -2987,6 +3116,8 @@ object Analytics {
     ("q160_cuped", q160 _, Some(q160Sql)),
     ("q166_wilson_ci", q166 _, Some(q166Sql)),
     ("q167_pagerank_dangling", q167 _, Some(q167Sql)),
+    ("q284_assoc_rules", q284 _, Some(q284Sql)),
+    ("q285_harmonic_centrality", q285 _, Some(q285Sql)),
     ("q169_kcore", q169 _, Some(q169Sql)),
     ("q170_connected_components", q170 _, Some(q170Sql)),
     ("q171_clustering_coeff", q171 _, Some(q171Sql)),

@@ -917,6 +917,46 @@ object Events {
       |  ON v.user_id = p.user_id AND pus >= vus AND pus <= vus + 3600000000
       |ORDER BY view_id, purchase_id""".stripMargin
 
+  // --- q286: stream-stream RIGHT OUTER interval join -----------------------
+  // q157 mirrored — the organic-conversion question the left-outer form
+  // cannot ask: which purchases had NO view in the preceding hour. The
+  // outer side flips to purchases (cutoff-bounded so every retained row
+  // resolves; views stay unbounded to anchor the watermark — see
+  // Streams.viewPurchaseRightOuterJoin). Oracle: the batch RIGHT JOIN
+  // under the same µs-exact window and cutoff.
+  def q286(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val joined = graft.streaming.Streams.viewPurchaseRightOuterJoin(s, d)
+    val key = "spark.sql.streaming.multipleWatermarkPolicy"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "max")
+    val drained =
+      try graft.streaming.Streams.runToMemory(s, joined, "q286_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    drained
+      .select($"view_id", $"purchase_id",
+        expr("(p_ns - v_ns) div 1000000000").as("delta_s"))
+      .orderBy($"purchase_id", $"view_id")
+  }
+  val q286Sql: String =
+    """WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+      |v AS (
+      |  SELECT event_id AS view_id, user_id, epoch_us(ts) AS vus
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+      |  FROM events, mx
+      |  WHERE event_type = 'purchase' AND epoch_us(ts) <= m - 14400000000)
+      |SELECT view_id, purchase_id,
+      |  CAST((pus - vus) // 1000000 AS BIGINT) AS delta_s
+      |FROM v RIGHT JOIN p
+      |  ON v.user_id = p.user_id AND pus >= vus AND pus <= vus + 3600000000
+      |ORDER BY purchase_id, view_id""".stripMargin
+
   // --- q158: time-weighted average (TWAP) over an irregular series --------
   // The reference's domain is a price feed; a plain AVG over-weights
   // bursts. TWAP treats the series as a step function — each event's
@@ -2864,7 +2904,174 @@ object Events {
   // the streaming monitor must be hash-equal to its batch twin
   val q266Sql: String = q239Sql
 
+  // --- q281: MAD robust outlier screen (median absolute deviation) ----------
+  // The outlier rule that survives what defeats q150's z-scores: mean
+  // and stddev are themselves dragged by the outliers they are supposed
+  // to find (masking), while the median/MAD pair has a 50% breakdown
+  // point (Hampel 1974). Per event type on the exact cents grid: type-1
+  // median, MAD = type-1 median of |x − med|, and the flag count at the
+  // standard 3σ-equivalent |x − med| > 3·1.4826·MAD — kept as the pure
+  // integer inequality dev·10000 > 44478·mad, so no float threshold can
+  // straddle engines. Both medians come from value-HISTOGRAM cumsums
+  // (the q276 mergeable-partial architecture: corpus-sized passes end at
+  // grid-sized shuffles; no per-type full sort).
+  def q281(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val ev = Tables.events(s, d).select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .persistTracked() // two passes: median grid, then deviation grid
+    def typ1Med(df: DataFrame, valCol: String): DataFrame = {
+      val wCum = Window.partitionBy($"event_type").orderBy(col(valCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy($"event_type")
+      df.groupBy($"event_type", col(valCol)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum($"cnt").over(wCum))
+        .withColumn("n", sum($"cnt").over(wAll))
+        .groupBy($"event_type")
+        .agg(max($"n").as("n"),
+          min(when($"cum" >= expr("(n + 1) div 2"), col(valCol))).as("med"))
+    }
+    val med = typ1Med(ev, "c").select($"event_type", $"n", $"med")
+    val dev = ev.join(broadcast(med), "event_type")
+      .select($"event_type", abs($"c" - $"med").as("dv"))
+    val mad = typ1Med(dev, "dv")
+      .select($"event_type", $"med".as("mad"))
+    ev.join(broadcast(med), "event_type")
+      .join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(min($"n").as("n"), min($"med").as("med_cents"),
+        min($"mad").as("mad_cents"),
+        sum(when(abs($"c" - $"med") * 10000 > lit(44478L) * $"mad", 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy($"event_type")
+  }
+  val q281Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |h1 AS (
+      |  SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM ev GROUP BY 1, 2),
+      |m1 AS (
+      |  SELECT event_type, MAX(n) AS n,
+      |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN c END) AS med
+      |  FROM (SELECT event_type, c,
+      |          SUM(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+      |          SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |        FROM h1)
+      |  GROUP BY event_type),
+      |h2 AS (
+      |  SELECT ev.event_type, ABS(c - med) AS dv, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM ev JOIN m1 USING (event_type) GROUP BY 1, 2),
+      |m2 AS (
+      |  SELECT event_type,
+      |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN dv END) AS mad
+      |  FROM (SELECT event_type, dv,
+      |          SUM(cnt) OVER (PARTITION BY event_type ORDER BY dv) AS cum,
+      |          SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |        FROM h2)
+      |  GROUP BY event_type)
+      |SELECT event_type, CAST(MIN(n) AS BIGINT) AS n,
+      |  CAST(MIN(med) AS BIGINT) AS med_cents,
+      |  CAST(MIN(mad) AS BIGINT) AS mad_cents,
+      |  CAST(SUM(CASE WHEN ABS(c - med) * 10000 > 44478 * mad
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM ev JOIN m1 USING (event_type) JOIN m2 USING (event_type)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // --- q282: sequential pattern support (2-step behavioral mining) ----------
+  // The PrefixSpan-style first mining pass product analytics actually
+  // ships: which consecutive event-type transitions happen, how often,
+  // and — the support metric that matters for sequence rules — for how
+  // many DISTINCT users. Consecutive = adjacent in the user's
+  // (ts, event_id) order, the repo-wide sequence convention. One window
+  // pass to form transitions, one aggregation; user support via exact
+  // count_distinct (user ids shuffle only per pattern key).
+  def q282(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("nxt", lead($"event_type", 1).over(wOrd))
+      .filter($"nxt".isNotNull)
+      .select(concat($"event_type", lit(">"), $"nxt").as("pattern"),
+        $"user_id")
+      .groupBy($"pattern")
+      .agg(count(lit(1)).as("n_occur"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"n_users".desc, $"pattern")
+  }
+  val q282Sql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS nxt
+      |  FROM events)
+      |SELECT event_type || '>' || nxt AS pattern,
+      |  CAST(COUNT(*) AS BIGINT) AS n_occur,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM seq WHERE nxt IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY n_users DESC, pattern""".stripMargin
+
+  // --- q283: behavioral transition entropy (predictability screen) ----------
+  // How predictable is what a user does NEXT given what they just did:
+  // per current event type, the Shannon entropy of the next-event
+  // distribution over the same consecutive transitions q282 mines.
+  // H near log(k) = users wander uniformly; H near 0 = rigid flows
+  // (scripted bots, forced funnels). Exactness is q111's per-TERM snap:
+  // each −p·ln(p) is rounded to the 1e-9 integer grid BEFORE summing, so
+  // the cross-engine sum is an exact long addition regardless of term
+  // order. Transition counts are one windowed pass + one grid-sized
+  // aggregation (types² cells).
+  def q283(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("nxt", lead($"event_type", 1).over(wOrd))
+      .filter($"nxt".isNotNull)
+      .groupBy($"event_type", $"nxt").agg(count(lit(1)).as("c"))
+    val wCur = Window.partitionBy($"event_type")
+    trans
+      .withColumn("n", sum($"c").over(wCur))
+      .withColumn("e9", {
+        val p = $"c" * lit(1.0) / $"n"
+        round(-p * log(p) * lit(1e9)).cast("long")
+      })
+      .groupBy($"event_type")
+      .agg(max($"n").as("n_trans"), count(lit(1)).as("n_succ"),
+        (sum($"e9").cast("double") / lit(1e9)).as("h_trans"))
+      .orderBy($"event_type")
+  }
+  val q283Sql: String =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS nxt
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type, nxt, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, c,
+      |    SUM(c) OVER (PARTITION BY event_type) AS n
+      |  FROM t)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_trans,
+      |  CAST(COUNT(*) AS BIGINT) AS n_succ,
+      |  CAST(SUM(CAST(ROUND(-(c * 1.0 / n) * ln(c * 1.0 / n) * 1e9)
+      |    AS BIGINT)) AS BIGINT) * 1.0 / 1e9 AS h_trans
+      |FROM w GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q281_mad_outliers", q281 _, Some(q281Sql)),
+    ("q286_stream_right_outer", q286 _, Some(q286Sql)),
+    ("q282_sequence_mining", q282 _, Some(q282Sql)),
+    ("q283_transition_entropy", q283 _, Some(q283Sql)),
     ("q239_psi_drift", q239 _, Some(q239Sql)),
     ("q266_stream_psi", q266 _, Some(q266Sql)),
     ("q249_ewma_smoothing", q249 _, Some(q249Sql)),

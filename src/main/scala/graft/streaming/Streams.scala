@@ -337,6 +337,38 @@ object Streams {
       "leftOuter")
   }
 
+  /** Stream-stream RIGHT OUTER interval join — [[viewPurchaseLeftOuterJoin]]
+    * mirrored: unmatched PURCHASES emit null-extended rows ("which
+    * purchases were organic — no view in the preceding hour"). The
+    * cutoff/watermark arithmetic mirrors too: the OUTER side (purchases)
+    * is bounded at max−4h so every retained purchase provably resolves,
+    * and views stay unbounded to anchor the global watermark near max —
+    * run under multipleWatermarkPolicy=max exactly as q157. Matched
+    * pairs are unaffected by the cutoff (a matching view precedes its
+    * purchase, so it is ≤ the purchase's own bounded timestamp). */
+  def viewPurchaseRightOuterJoin(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None,
+      maxNsHint: Option[Long] = None): DataFrame = {
+    val maxNs = maxNsHint.getOrElse(graft.Tables.events(spark, dir)
+      .agg(org.apache.spark.sql.functions.max(col("ts"))).head.getLong(0))
+    val cutoffNs = maxNs - 4L * 3600 * 1000000000L
+    val views = eventsStream(spark, dir, glob, maxFilesPerTrigger)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ns"), col("ts_us").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = eventsStream(spark, dir, glob, maxFilesPerTrigger)
+      .filter(col("event_type") === "purchase" && col("ts") <= cutoffNs)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ns"), col("ts_us").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    views.join(purchases,
+      expr("""v_user = p_user
+              AND p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour"""),
+      "rightOuter")
+  }
+
   /** Stream-stream FULL OUTER interval join — completes the streaming
     * join matrix (inner [[viewPurchaseIntervalJoin]], left outer
     * [[viewPurchaseLeftOuterJoin]]): unmatched VIEWS and unmatched

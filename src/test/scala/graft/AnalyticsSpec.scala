@@ -1048,4 +1048,103 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(math.abs(did - exp) <= 2e-6, s"$t DiD $did vs $exp")
     }
   }
+
+  test("q281 MAD median/mad/outliers match closed forms on a hand-built feed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // type "a": cents 100..900 step 100 -> med 500, devs sorted
+    // {0,100,100,...,400}: mad = 200; threshold 3*1.4826*200 = 889.56
+    // cents -> no outliers. type "b": ten 1.00 plus one 500.00 -> med 100,
+    // mad 0, and only the 49900-dev point satisfies dev*10^4 > 0.
+    val rows = (1 to 9).map(i => ("a", i * 1.0)) ++
+      (0 until 10).map(_ => ("b", 1.0)) ++ Seq(("b", 500.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mad").toString
+    rows.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+      .toDF("event_id", "event_type", "value")
+      .select($"event_id", timestamp_seconds(lit(1704412800L) + $"event_id").as("ts"),
+        lit(7L).as("user_id"), $"event_type", $"value", lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = queries.Events.q281(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") == ((9L, 500L, 200L, 0L)), s"$got")
+    assert(got("b") == ((11L, 100L, 0L, 1L)), s"$got")
+  }
+
+  test("q282/q283 transition counts and entropy match closed forms") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1: A B A C  (A>B, B>A, A>C); user 2: A B (A>B)
+    val rows = Seq((1L, 0L, "A"), (1L, 1L, "B"), (1L, 2L, "A"), (1L, 3L, "C"),
+      (2L, 4L, "A"), (2L, 5L, "B"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_seq").toString
+    rows.zipWithIndex.map { case ((u, t, e), i) => (i.toLong, u, t, e) }
+      .toDF("event_id", "user_id", "t", "event_type")
+      .select($"event_id", timestamp_seconds(lit(1704412800L) + $"t").as("ts"),
+        $"user_id", $"event_type", lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val pats = queries.Events.q282(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(pats == Map("A>B" -> ((2L, 2L)), "B>A" -> ((1L, 1L)),
+      "A>C" -> ((1L, 1L))), s"$pats")
+    val h = queries.Events.q283(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val hMap = h.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // A: {B:2, C:1} -> H = -(2/3)ln(2/3) - (1/3)ln(1/3), per-term 1e-9 snap
+    val expA = (math.rint(-(2.0 / 3) * math.log(2.0 / 3) * 1e9) +
+      math.rint(-(1.0 / 3) * math.log(1.0 / 3) * 1e9)) / 1e9
+    assert(hMap("A") == ((3L, 2L, expA)), s"$hMap")
+    // only user 1's B has a successor (user 2's B is terminal)
+    assert(hMap("B") == ((1L, 1L, 0.0)), s"$hMap")  // deterministic B>A
+    assert(!hMap.contains("C"), "C has no successor")
+  }
+
+  test("q284 association-rule arithmetic matches a driver recomputation") {
+    val got = queries.Analytics.q284(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8))))
+    assert(got.nonEmpty)
+    val op = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = op.map(_._1).distinct.length.toLong
+    val item = op.groupBy(_._2).map { case (p, v) => p -> v.length.toLong }
+    got.foreach { case ((pa, pb), (cab, ca, cb, supp, cab2, cba2, lift)) =>
+      assert(ca == item(pa) && cb == item(pb), s"item counts $pa $pb")
+      assert(supp == cab * 1000000L / n)
+      assert(cab2 == cab * 1000000L / ca && cba2 == cab * 1000000L / cb)
+      assert(lift == (BigInt(cab) * n * 1000000 / (BigInt(ca) * cb)).toLong,
+        s"lift $pa $pb")
+      assert(lift > 1000000L, "top-20 by lift should all beat independence")
+    }
+  }
+
+  test("q285 harmonic centrality equals a driver multi-source BFS") {
+    val got = queries.Analytics.q285(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val pr = operators.CoPurchase.pairs(spark, sf, minSupp = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set())
+    pr.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val seeds = adj.keys.toSeq.sorted.take(10)
+    // dist(seed -> node) within 4 hops via frontier expansion
+    val h12 = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val nReach = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    seeds.foreach { s0 =>
+      val dist = scala.collection.mutable.Map[Long, Int](s0 -> 0)
+      var frontier = Set(s0)
+      (1 to 4).foreach { k =>
+        frontier = frontier.flatMap(adj).filterNot(dist.contains)
+        frontier.foreach(n => dist(n) = k)
+      }
+      dist.foreach { case (node, dd) =>
+        if (dd > 0) { h12(node) += 12L / dd; nReach(node) += 1 }
+      }
+    }
+    val expTop = h12.toSeq.map { case (n, h) => (-h, n) }.sorted.take(20)
+      .map { case (nh, n) => (n, nReach(n), -nh) }
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq == expTop, s"${got.toSeq}")
+    got.foreach(r => assert(r._4 == r._3 / 12.0))
+  }
 }

@@ -551,6 +551,31 @@ class StreamingSpec extends AnyFunSuite {
       "every retained view must emit at least one row")
   }
 
+  test("q286 right outer join: organic purchases null-complete, matches equal batch inner") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Events.q286(spark, sf).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1)))
+    assert(rows.exists(_._1.isEmpty), "some purchases must be organic (no view)")
+    assert(rows.exists(_._1.nonEmpty), "some purchases must be view-attributed")
+    val maxNs = Tables.events(spark, sf).agg(max(col("ts"))).head.getLong(0)
+    val cutoff = maxNs - 4L * 3600 * 1000000000L
+    val ev = Tables.events(spark, sf)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("u"), col("ts").as("vts"))
+    val p = ev.filter(col("event_type") === "purchase" && col("ts") <= cutoff)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("u"), col("ts").as("pts"))
+    val inner = v.join(p, "u")
+      .filter(col("pts") >= col("vts") && col("pts") <= col("vts") + 3600L * 1000000000L)
+      .select("view_id", "purchase_id").collect()
+      .map(r => (Some(r.getLong(0)), r.getLong(1))).toSet
+    assert(rows.filter(_._1.nonEmpty).toSet == inner,
+      "matched pairs must equal the batch inner join on cutoff purchases")
+    // completeness: every cutoff purchase appears (matched or organic)
+    val allP = p.select("purchase_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._2).toSet == allP,
+      "every retained purchase must emit at least one row")
+  }
+
   test("q172 full outer join: null completion on BOTH sides") {
     import org.apache.spark.sql.functions._
     val rows = queries.Events.q172(spark, sf).collect()

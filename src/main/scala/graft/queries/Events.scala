@@ -3067,7 +3067,103 @@ object Events {
       |FROM w GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- q287: weighted sampling WITHOUT replacement (Efraimidis–Spirakis) ----
+  // q233 draws WITH replacement from a weighted vocabulary; training-data
+  // curation usually needs the other primitive: a weighted sample where
+  // each row appears at most once (A-ES, Efraimidis & Spirakis 2006 —
+  // key_i = u_i^(1/w_i), keep the top-k; equivalently rank −ln(u)/w
+  // ascending, the numerically saner form used here). Per event-type
+  // stratum, top-5 by key. Determinism: u = (md5-56-bit + 1)/2^56 — an
+  // exact rational both engines carry through the SAME double chain
+  // (the q111/q106 transcendental convention, snapped to 1e9·key longs
+  // with event_id tie-breaks, so ranking never reads raw-double noise).
+  // Shape: a narrow projection + one per-stratum top-k window — the q103
+  // top-k-per-group pattern; no shuffle beyond the stratum key.
+  def q287(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"key9".asc, $"event_id")
+    Tables.events(s, d)
+      .select($"event_id", $"event_type",
+        (($"value".cast("decimal(18,2)") * 100).cast("long") + 1).as("w"))
+      .withColumn("u",
+        (conv(substring(md5(concat(lit("ws|"), $"event_id".cast("string"))),
+          1, 14), 16, 10).cast("long") + 1).cast("double") / lit(7.2057594037927936e16))
+      .withColumn("key9",
+        round(-log($"u") / $"w" * lit(1e9)).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"event_type", $"rank", $"event_id", $"w", $"key9")
+      .orderBy($"event_type", $"rank")
+  }
+  val q287Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) + 1 AS w,
+      |    (CAST(('0x' || substr(md5('ws|' || CAST(event_id AS VARCHAR)),
+      |      1, 14))::BIGINT AS BIGINT) + 1) / 7.2057594037927936e16 AS u
+      |  FROM events),
+      |k AS (
+      |  SELECT event_type, event_id, w,
+      |    CAST(ROUND(-ln(u) / w * 1e9) AS BIGINT) AS key9
+      |  FROM ev)
+      |SELECT event_type, rank, event_id, w, key9 FROM (
+      |  SELECT event_type, event_id, w, key9,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY key9 ASC, event_id) AS rank
+      |  FROM k)
+      |WHERE rank <= 5
+      |ORDER BY event_type, rank""".stripMargin
+
+  // --- q289: day-partitioned lake checksum reconciliation -------------------
+  // The integrity audit behind q218's staged event lake: per day, row
+  // count and a CONTENT fingerprint (sum of 48-bit md5 keys over the
+  // canonical row string, summed in decimal(38,0)/HUGEINT — order-free
+  // and exact) computed from BOTH the source table and the staged
+  // layout, with an `ok` verdict. The oracle recomputes count and
+  // fingerprint from the source only and asserts parity — a lake
+  // partition that lost, duplicated, or altered a row flips `ok` and
+  // hash-misses. At 100 TB this is how nightly reconciliation proves a
+  // derived layout without row-by-row diffs: two scans, day-keyed
+  // aggregation, constant-width output.
+  def q289(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def fp(df: DataFrame, dayCol: org.apache.spark.sql.Column): DataFrame = df
+      .select(dayCol.cast("long").as("day"),
+        conv(substring(md5(concat_ws("|",
+          $"event_id".cast("string"), $"user_id".cast("string"),
+          $"event_type",
+          ($"value".cast("decimal(18,2)") * 100).cast("long")
+            .cast("string"))), 1, 12),
+          16, 10).cast("long").as("h"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n"), sum($"h".cast("decimal(38,0)")).as("fp"))
+    val src = fp(Tables.events(s, d), expr("(ts div 1000000000) div 86400"))
+    val lake = fp(s.read.parquet(eventsByDayPath(s, d)), $"day")
+    src.select($"day", $"n".as("n_src"), $"fp".as("fp_src"))
+      .join(lake.select($"day", $"n".as("n_lake"), $"fp".as("fp_lake")),
+        Seq("day"), "full")
+      .select($"day", $"n_src", $"n_lake",
+        ($"n_src" <=> $"n_lake" && $"fp_src" <=> $"fp_lake").as("ok"))
+      .orderBy($"day")
+  }
+  val q289Sql: String =
+    """WITH src AS (
+      |  SELECT epoch_us(ts) // 1000000 // 86400 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(('0x' || substr(md5(
+      |      CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+      |      || '|' || event_type || '|'
+      |      || CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |           AS VARCHAR)), 1, 12))::BIGINT AS HUGEINT)) AS fp
+      |  FROM events GROUP BY 1)
+      |SELECT day, n AS n_src, n AS n_lake, TRUE AS ok
+      |FROM src
+      |ORDER BY day""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q287_weighted_sample", q287 _, Some(q287Sql)),
+    ("q289_lake_checksum", q289 _, Some(q289Sql)),
     ("q281_mad_outliers", q281 _, Some(q281Sql)),
     ("q286_stream_right_outer", q286 _, Some(q286Sql)),
     ("q282_sequence_mining", q282 _, Some(q282Sql)),

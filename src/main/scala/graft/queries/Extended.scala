@@ -1269,14 +1269,13 @@ object Extended {
   // engines' binary collation, so ordering agrees). The oracle computes
   // each level's percentiles DIRECTLY from raw rows — a lost or
   // double-merged partial hash-misses.
-  def q276(s: SparkSession, d: String): DataFrame = {
+  /** Rollup-level merge + type-1 percentile extraction over a fine
+    * (rf, ls, qty, cnt) histogram — shared by q276 (from-scratch fine
+    * pass) and q288 (fine histogram maintained incrementally). */
+  private def quantileLevels(s: SparkSession, fine0: DataFrame): DataFrame = {
     import s.implicits._
     import graft.CacheLifecycle.TrackedPersistOps
-    val fine = Tables.lineitem(s, d)
-      .select($"l_returnflag".as("rf"), $"l_linestatus".as("ls"),
-        $"l_quantity".cast("long").as("qty"))
-      .groupBy($"rf", $"ls", $"qty").agg(count(lit(1)).as("cnt"))
-      .persistTracked() // grid-bounded: the one corpus-sized pass
+    val fine = fine0.persistTracked() // grid-bounded; three level consumers
     val hist = fine
       .unionByName(fine.groupBy($"rf", $"qty").agg(sum($"cnt").as("cnt"))
         .select($"rf", lit("*").as("ls"), $"qty", $"cnt"))
@@ -1294,6 +1293,13 @@ object Extended {
         min(when($"cum" >= expr("(9 * n_rows + 9) div 10"), $"qty")).as("p90"),
         min(when($"cum" >= expr("(99 * n_rows + 99) div 100"), $"qty")).as("p99"))
       .orderBy($"rf", $"ls")
+  }
+  def q276(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    quantileLevels(s, Tables.lineitem(s, d)
+      .select($"l_returnflag".as("rf"), $"l_linestatus".as("ls"),
+        $"l_quantity".cast("long").as("qty"))
+      .groupBy($"rf", $"ls", $"qty").agg(count(lit(1)).as("cnt")))
   }
   val q276Sql: String =
     """WITH base AS (
@@ -1317,6 +1323,40 @@ object Extended {
       |FROM cum
       |GROUP BY rf, ls, n_rows
       |ORDER BY rf, ls""".stripMargin
+
+  // --- q288: incrementally-maintained quantile rollup (IVM histogram) ----------
+  // q276's mergeable histogram as a LIVE ARTIFACT: the fine (rf, ls, qty)
+  // count grid is maintained through Rollup.mergeInto across two ingest
+  // batches (orderkey mod 97 split; versioned, idempotent per batch id —
+  // the q195 co-purchase IVM machinery applied to a sketch), then every
+  // rollup level and percentile is served FROM the maintained table. The
+  // oracle is q276Sql verbatim — computing the same percentiles from raw
+  // rows from scratch — so a lost batch, double-applied merge, or stale
+  // version all hash-miss. This is the quantile serving story at 100 TB:
+  // ingest updates a grid-sized table; queries never rescan history.
+  def q288(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val staged = graft.Stage.derived("quantile_hist_ivm", d) { p =>
+      def partials(f: DataFrame): DataFrame = f
+        .select($"l_returnflag".as("rf"), $"l_linestatus".as("ls"),
+          $"l_quantity".cast("long").as("qty"))
+        .groupBy($"rf", $"ls", $"qty").agg(count(lit(1)).as("cnt"))
+      val li = Tables.lineitem(s, d)
+      val tp = s"$p/hist_table"
+      graft.streaming.Rollup.mergeInto(s,
+        partials(li.filter($"l_orderkey" % 97 =!= 0)), tp,
+        Seq("rf", "ls", "qty"), 0L)
+      graft.streaming.Rollup.mergeInto(s,
+        partials(li.filter($"l_orderkey" % 97 === 0)), tp,
+        Seq("rf", "ls", "qty"), 1L)
+      ()
+    }
+    quantileLevels(s,
+      graft.streaming.Rollup.readRollup(s, s"$staged/hist_table"))
+  }
+  // the maintained artifact must serve exactly what a from-scratch
+  // computation over all rows serves
+  val q288Sql: String = q276Sql
 
   // --- q252: order-total reconciliation audit ----------------------------------
   // The cross-table consistency check every warehouse runs between a
@@ -1685,6 +1725,7 @@ object Extended {
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q251_bitmap_distinct", q251 _, Some(q251Sql)),
     ("q276_quantile_rollup", q276 _, Some(q276Sql)),
+    ("q288_quantile_ivm", q288 _, Some(q288Sql)),
     ("q261_skew_advisor", q261 _, Some(q261Sql)),
     ("q263_drilldown_shares", q263 _, Some(q263Sql)),
     ("q268_spearman_rho", q268 _, Some(q268Sql)),

@@ -1147,4 +1147,36 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.map(r => (r._1, r._2, r._3)).toSeq == expTop, s"${got.toSeq}")
     got.foreach(r => assert(r._4 == r._3 / 12.0))
   }
+
+  test("q287 A-ES keys recompute exactly from md5 uniforms in the driver") {
+    val got = queries.Events.q287(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    def key9(eventId: Long, w: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ws|$eventId".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 14)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 7.2057594037927936e16
+      math.rint(-math.log(u) / w * 1e9).toLong
+    }
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.sameElements(1 to rows.length), "ranks 1..k")
+      val keys = rows.sortBy(_._2).map(_._5)
+      assert(keys.sameElements(keys.sorted), "keys ascend with rank")
+    }
+    got.foreach { case (_, _, eid, w, k9) =>
+      assert(k9 == key9(eid, w), s"key mismatch for event $eid")
+    }
+  }
+
+  test("q289 lake checksum: every day reconciles against the staged layout") {
+    val got = queries.Events.q289(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (day, nSrc, nLake, ok) =>
+      assert(ok && nSrc == nLake, s"day $day failed reconciliation")
+    }
+    val total = Tables.events(spark, sf).count()
+    assert(got.map(_._2).sum == total, "per-day counts must cover the table")
+  }
 }

@@ -726,4 +726,13 @@ class ExtendedSpec extends AnyFunSuite {
     assert(r.head.getLong(1) == 1L && r.head.getLong(2) == 5L)
     assert(r.head.isNullAt(3), "single-day span must yield NULL fano")
   }
+
+  test("q288 maintained quantile histogram serves exactly the from-scratch rollup") {
+    val ivm = SparkEntry.queries("q288_quantile_ivm")(spark, sf).collect()
+      .map(_.toSeq).toSeq
+    val scratch = SparkEntry.queries("q276_quantile_rollup")(spark, sf).collect()
+      .map(_.toSeq).toSeq
+    assert(ivm.nonEmpty && ivm == scratch,
+      "IVM-maintained histogram must serve the from-scratch answer")
+  }
 }

@@ -3161,7 +3161,97 @@ object Events {
       |FROM src
       |ORDER BY day""".stripMargin
 
+  // --- q292: rollup snapshot ledger + time travel ---------------------------
+  // The lakehouse table-format feature the versioned rollup machinery was
+  // one flag away from: `retainVersions` keeps the last N committed
+  // snapshots instead of pruning to one, `Rollup.versions` is the ledger,
+  // and `Rollup.readVersion` is the time-travel read (exact committed
+  // state — whole snapshots, not deltas, so no replay logic). Three
+  // ingest batches (user_id mod 3) build an hourly rollup retaining all
+  // three versions; the query reads EVERY snapshot and reports its group
+  // count / event count / exact cents total. The oracle recomputes each
+  // BATCH PREFIX from raw events — a snapshot that was pruned, skipped,
+  // or contaminated by a later batch hash-misses. At 100 TB this is how
+  // "what did the dashboard say yesterday" is answerable without
+  // replaying history.
+  def q292(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val staged = graft.Stage.derived("rollup_timetravel", d) { p =>
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+      (0 to 2).foreach { k =>
+        graft.streaming.Rollup.mergeInto(s,
+          graft.streaming.Rollup.hourlyPartials(ev.filter($"user_id" % 3 === k)),
+          s"$p/hourly", Seq("event_type", "hour_start"), k.toLong,
+          retainVersions = 3)
+      }
+    }
+    val tp = s"$staged/hourly"
+    graft.streaming.Rollup.versions(s, tp).map { v =>
+      graft.streaming.Rollup.readVersion(s, tp, v)
+        .agg(count(lit(1)).as("n_groups"), sum($"n_events").as("n_events"),
+          (sum($"sum_value") * 100).cast("long").as("sum_cents"))
+        .select(lit(v).as("version"), $"n_groups", $"n_events", $"sum_cents")
+    }.reduce(_ unionByName _).orderBy($"version")
+  }
+  val q292Sql: String = {
+    def prefix(k: Int): String =
+      s"""SELECT $k AS version,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+         |     SELECT DISTINCT event_type, date_trunc('hour', ts)
+         |     FROM events WHERE user_id % 3 <= $k)) AS n_groups,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_cents
+         |FROM events WHERE user_id % 3 <= $k""".stripMargin
+    s"""${prefix(0)}
+       |UNION ALL ${prefix(1)}
+       |UNION ALL ${prefix(2)}
+       |ORDER BY version""".stripMargin
+  }
+
+  // --- q293: weekday seasonality index --------------------------------------
+  // The day-of-week profile every ops dashboard carries: per event type
+  // and weekday bucket, the revenue share against a flat week —
+  // idx_ppm = cents_dow·7·1e6 / cents_type (1e6 = no seasonality).
+  // The weekday is the PORTABLE bucket (epoch_day + 4) mod 7 (epoch day
+  // 0 = Thursday, so 0 = Monday), not a calendar API — engine date
+  // functions disagree on week conventions; integer arithmetic cannot.
+  // Exact cents; one grid-sized aggregation; the per-type total is a
+  // types-sized broadcast.
+  def q293(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.events(s, d)
+      .select($"event_type",
+        expr("((ts div 1000000000) div 86400 + 4) % 7").as("dow"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupBy($"event_type", $"dow")
+      .agg(count(lit(1)).as("n"), sum($"c").as("cents"))
+    val byType = cells.groupBy($"event_type").agg(sum($"cents").as("tot_c"))
+    cells.join(broadcast(byType), "event_type")
+      .select($"event_type", $"dow", $"n", $"cents",
+        expr("cast(cents as decimal(38,0)) * 7 * 1000000 div tot_c")
+          .cast("long").as("idx_ppm"))
+      .orderBy($"event_type", $"dow")
+  }
+  val q293Sql: String =
+    """WITH cells AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) // 1000000 // 86400 + 4) % 7 AS dow,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |bt AS (SELECT event_type, CAST(SUM(cents) AS BIGINT) AS tot_c
+      |       FROM cells GROUP BY 1)
+      |SELECT event_type, CAST(dow AS BIGINT) AS dow, n, cents,
+      |  CAST(CAST(cents AS HUGEINT) * 7 * 1000000 // tot_c AS BIGINT)
+      |    AS idx_ppm
+      |FROM cells JOIN bt USING (event_type)
+      |ORDER BY event_type, dow""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q292_rollup_timetravel", q292 _, Some(q292Sql)),
+    ("q293_weekday_seasonality", q293 _, Some(q293Sql)),
     ("q287_weighted_sample", q287 _, Some(q287Sql)),
     ("q289_lake_checksum", q289 _, Some(q289Sql)),
     ("q281_mad_outliers", q281 _, Some(q281Sql)),

@@ -3258,6 +3258,115 @@ object Text {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // --- q290: leave-one-source-out data valuation ----------------------------
+  // The cheapest honest answer to "what does source s contribute": for
+  // every source, recompute corpus health metrics WITHOUT it — from
+  // totals minus per-source partials, so the sweep costs one corpus pass
+  // plus source-count-sized arithmetic, never S rescans. Two metrics: the
+  // mean tokens-per-doc (integral ppm) and the exact-duplicate count,
+  // whose LOSO form needs the one non-obvious piece: removing s deletes a
+  // distinct text only when s holds ALL its copies, so distinct-without-s
+  // = D − |{hashes fully contained in s}| — computed from the hash×source
+  // count grid, all exact integers. A source whose removal RAISES mean
+  // length and LOWERS the dup rate is a candidate cut; guards emit NULL
+  // when a source is the whole corpus (the q273 degenerate-input rule).
+  def q290(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"source", md5($"text").as("h"),
+        size(tokens($"text")).cast("long").as("tk"))
+      .persistTracked() // four grid consumers below
+    val bySrc = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_s"), sum($"tk").as("t_s"))
+    val tot = docs.agg(count(lit(1)).as("nn"), sum($"tk").as("tt"),
+      countDistinct($"h").as("dd"))
+    val hc = docs.groupBy($"h").agg(count(lit(1)).as("c"))
+    val contained = docs.groupBy($"source", $"h").agg(count(lit(1)).as("cs"))
+      .join(hc, "h").filter($"cs" === $"c")
+      .groupBy($"source").agg(count(lit(1)).as("f_s"))
+    bySrc.join(contained, Seq("source"), "left")
+      .withColumn("f_s", coalesce($"f_s", lit(0L)))
+      .crossJoin(broadcast(tot)) // one row
+      .select($"source", $"n_s",
+        expr("cast(tt as decimal(38,0)) * 1000000 div nn").cast("long")
+          .as("tok_mean_all_ppm"),
+        when($"nn" > $"n_s",
+          expr("cast(tt - t_s as decimal(38,0)) * 1000000 div (nn - n_s)")
+            .cast("long")).as("tok_mean_wo_ppm"),
+        ($"nn" - $"dd").as("n_dups_all"),
+        (($"nn" - $"n_s") - ($"dd" - $"f_s")).as("n_dups_wo"))
+      .orderBy($"source")
+  }
+  val q290Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, source, md5(text) AS h,
+      |    CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS tk
+      |  FROM documents),
+      |by_src AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+      |    CAST(SUM(tk) AS BIGINT) AS t_s
+      |  FROM docs GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(tk) AS BIGINT) AS tt,
+      |    CAST(COUNT(DISTINCT h) AS BIGINT) AS dd
+      |  FROM docs),
+      |hc AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM docs GROUP BY h),
+      |contained AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS f_s FROM (
+      |    SELECT d.source, d.h, COUNT(*) AS cs FROM docs d GROUP BY 1, 2) g
+      |  JOIN hc ON g.h = hc.h
+      |  WHERE cs = c GROUP BY source)
+      |SELECT source, n_s,
+      |  CAST(CAST(tt AS HUGEINT) * 1000000 // nn AS BIGINT) AS tok_mean_all_ppm,
+      |  CASE WHEN nn > n_s THEN
+      |    CAST(CAST(tt - t_s AS HUGEINT) * 1000000 // (nn - n_s) AS BIGINT)
+      |  END AS tok_mean_wo_ppm,
+      |  nn - dd AS n_dups_all,
+      |  (nn - n_s) - (dd - COALESCE(f_s, 0)) AS n_dups_wo
+      |FROM by_src LEFT JOIN contained USING (source) CROSS JOIN tot
+      |ORDER BY source""".stripMargin
+
+  // --- q294: context-window truncation loss ---------------------------------
+  // The sizing table read before fixing a training context length: for
+  // each candidate window, how many documents overflow it and what share
+  // of corpus TOKENS a hard truncation throws away (the statistic that
+  // decides window size vs packing strategy, q88's companion). One
+  // corpus tokenize-count pass; the window dimension is a 4-row
+  // broadcast explode, so cost is independent of how many candidate
+  // sizes are probed. Integral ppm end-to-end.
+  def q294(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lens = Tables.documents(s, d)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("tk"))
+    val wins = Seq(128L, 256L, 512L, 1024L).toDF("win")
+    lens.crossJoin(broadcast(wins))
+      .groupBy($"win")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"tk").as("n_tokens"),
+        sum(when($"tk" > $"win", 1L).otherwise(0L)).as("n_truncated"),
+        sum(when($"tk" > $"win", $"tk" - $"win").otherwise(0L)).as("tokens_lost"))
+      .select($"win", $"n_docs", $"n_truncated", $"tokens_lost",
+        expr("cast(tokens_lost as decimal(38,0)) * 1000000 div n_tokens")
+          .cast("long").as("lost_ppm"))
+      .orderBy($"win")
+  }
+  val q294Sql: String =
+    """WITH lens AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS tk
+      |  FROM documents),
+      |wins AS (SELECT unnest([128, 256, 512, 1024]) AS win)
+      |SELECT CAST(win AS BIGINT) AS win, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN tk > win THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+      |  CAST(SUM(CASE WHEN tk > win THEN tk - win ELSE 0 END) AS BIGINT)
+      |    AS tokens_lost,
+      |  CAST(CAST(SUM(CASE WHEN tk > win THEN tk - win ELSE 0 END) AS HUGEINT)
+      |    * 1000000 // SUM(tk) AS BIGINT) AS lost_ppm
+      |FROM lens CROSS JOIN wins
+      |GROUP BY win
+      |ORDER BY win""".stripMargin
+
   // --- q233: weighted negative sampling (unigram^0.75 inverse-CDF) ---------
   // The word2vec / contrastive-training sampling primitive (Mikolov 2013):
   // draw K=4 negatives per document from the unigram distribution raised
@@ -3783,6 +3892,8 @@ object Text {
     ("q275_bpe_train", q275 _, Some(q275Sql)),
     ("q278_kneser_ney", q278 _, Some(q278Sql)),
     ("q280_oov_rate", q280 _, Some(q280Sql)),
+    ("q290_loso_valuation", q290 _, Some(q290Sql)),
+    ("q294_truncation_loss", q294 _, Some(q294Sql)),
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),
     ("q37_pii_redact", q37 _, Some(q37Sql)),

@@ -103,8 +103,9 @@ object Rollup {
     * decimals/longs: a group netting to all-zero measures holds no
     * remaining contribution). */
   def mergeInto(spark: SparkSession, partials: DataFrame, tablePath: String,
-      keys: Seq[String], batchId: Long, dropEmptied: Boolean = false): Boolean =
-    mergeVersioned(spark, partials, tablePath, batchId) { all =>
+      keys: Seq[String], batchId: Long, dropEmptied: Boolean = false,
+      retainVersions: Int = 1): Boolean =
+    mergeVersioned(spark, partials, tablePath, batchId, retainVersions) { all =>
       val aggCols = partials.columns.filterNot(keys.contains)
       val summed = all
         .groupBy(keys.map(col): _*)
@@ -157,12 +158,33 @@ object Rollup {
     }
   }
 
+  /** All committed version ids, ascending — the table's snapshot ledger.
+    * Non-empty only when the writer retains history (`retainVersions` > 1);
+    * with the default single-version policy this is just the current id. */
+  def versions(spark: SparkSession, tablePath: String): Seq[Long] =
+    committedVersions(spark, tablePath).sorted
+
+  /** Time-travel read: the table state as of `batchId` (that exact
+    * committed version — snapshots are whole table states, not deltas).
+    * Requires the writer to have retained it (`retainVersions`); fails
+    * loudly on a pruned or never-committed id rather than silently
+    * serving a neighbor. */
+  def readVersion(spark: SparkSession, tablePath: String, batchId: Long): DataFrame = {
+    require(committedVersions(spark, tablePath).contains(batchId),
+      s"version $batchId not committed (or pruned) under $tablePath — " +
+        s"retained: ${versions(spark, tablePath).mkString(",")}")
+    spark.read.parquet(s"$tablePath/v_$batchId")
+  }
+
   /** Shared versioned-commit mechanics: idempotence check, current-state
     * read, `combine(existing ∪ partials)`, atomic `v_<batchId>` commit,
-    * prune. The merge POLICY is the caller's combine step. */
+    * prune to the newest `retainVersions` snapshots (default 1 — the
+    * dashboard table; >1 keeps a time-travel ledger the way lakehouse
+    * table formats do). The merge POLICY is the caller's combine step. */
   private def mergeVersioned(spark: SparkSession, partials: DataFrame,
-      tablePath: String, batchId: Long)
+      tablePath: String, batchId: Long, retainVersions: Int = 1)
       (combine: DataFrame => DataFrame): Boolean = {
+    require(retainVersions >= 1, s"retainVersions must be >= 1; got $retainVersions")
     if (committed(spark, tablePath, batchId)) return false
     val existing = currentVersion(spark, tablePath) match {
       case Some(v) =>
@@ -174,13 +196,13 @@ object Rollup {
     // overwrite cleans any partial leftover of a crashed attempt at this id;
     // the committer's final _SUCCESS create is the atomic data+ledger commit
     merged.write.mode("overwrite").parquet(s"$tablePath/v_$batchId")
-    // prune superseded versions (idempotence survives pruning: the check
-    // above is `batchId <= max`, not per-id marker existence)
+    // prune superseded versions beyond the retention window (idempotence
+    // survives pruning: the check above is `batchId <= max`, not per-id
+    // marker existence)
     val root = new Path(tablePath)
     val f = fs(spark, root)
-    committedVersions(spark, tablePath).filter(_ < batchId).foreach { v =>
-      f.delete(new Path(root, s"v_$v"), true)
-    }
+    committedVersions(spark, tablePath).sorted.dropRight(retainVersions)
+      .foreach { v => f.delete(new Path(root, s"v_$v"), true) }
     true
   }
 

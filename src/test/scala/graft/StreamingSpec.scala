@@ -663,4 +663,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch,
       s"monitor diverged from its batch twin: $stream vs $batch")
   }
+
+  test("rollup retention keeps a time-travel ledger; pruned reads fail loudly") {
+    import spark.implicits._
+    val tp = java.nio.file.Files.createTempDirectory("graft_ttl").toString + "/t"
+    def batch(k: Int) = Seq(("g", k.toLong)).toDF("key", "n")
+    // retain 2 of 3: v_0 pruned, v_1/v_2 retained
+    (0 to 2).foreach { k =>
+      streaming.Rollup.mergeInto(spark, batch(k), tp, Seq("key"), k.toLong,
+        retainVersions = 2)
+    }
+    assert(streaming.Rollup.versions(spark, tp) == Seq(1L, 2L))
+    // snapshots are prefix states: v_1 = 0+1, v_2 = 0+1+2
+    assert(streaming.Rollup.readVersion(spark, tp, 1L)
+      .head.getLong(1) == 1L)
+    assert(streaming.Rollup.readVersion(spark, tp, 2L)
+      .head.getLong(1) == 3L)
+    val ex = intercept[IllegalArgumentException] {
+      streaming.Rollup.readVersion(spark, tp, 0L)
+    }
+    assert(ex.getMessage.contains("pruned"))
+    // default retention unchanged: a fourth merge without the flag prunes to 1
+    streaming.Rollup.mergeInto(spark, batch(3), tp, Seq("key"), 3L)
+    assert(streaming.Rollup.versions(spark, tp) == Seq(3L))
+  }
 }

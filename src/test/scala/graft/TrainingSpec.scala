@@ -929,4 +929,45 @@ class TrainingSpec extends AnyFunSuite {
       assert(ppm == oov * 1000000L / toks.length, s"$src ppm")
     }
   }
+
+  test("q290 LOSO metrics equal a driver recomputation over text groups") {
+    val got = queries.Text.q290(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("source", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).replaceAll("\\s+", " ").trim.toLowerCase.split(" ")
+        (r.getString(0), r.getString(1), toks.length.toLong)
+      }
+    val nn = docs.length.toLong
+    val tt = docs.map(_._3).sum
+    val dd = docs.map(_._2).distinct.length.toLong
+    val byText = docs.groupBy(_._2)
+    got.foreach { case (src0, (nS, meanAll, meanWo, dupsAll, dupsWo)) =>
+      val mine = docs.filter(_._1 == src0)
+      assert(nS == mine.length.toLong)
+      assert(meanAll == tt * 1000000L / nn)
+      val tS = mine.map(_._3).sum
+      assert(meanWo == (tt - tS) * 1000000L / (nn - nS), s"$src0 mean_wo")
+      assert(dupsAll == nn - dd)
+      val fullyContained = byText.count { case (_, rs) => rs.forall(_._1 == src0) }
+      assert(dupsWo == (nn - nS) - (dd - fullyContained), s"$src0 dups_wo")
+    }
+  }
+
+  test("q294 truncation loss equals a driver recomputation at every window") {
+    val got = queries.Text.q294(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val lens = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).replaceAll("\\s+", " ").trim.toLowerCase.split(" ").length.toLong)
+    assert(got.keySet == Set(128L, 256L, 512L, 1024L))
+    got.foreach { case (w, (nDocs, nTrunc, lost, ppm)) =>
+      assert(nDocs == lens.length.toLong)
+      assert(nTrunc == lens.count(_ > w).toLong, s"win $w")
+      assert(lost == lens.filter(_ > w).map(_ - w).sum, s"win $w lost")
+      assert(ppm == lost * 1000000L / lens.sum, s"win $w ppm")
+    }
+  }
 }

@@ -3209,6 +3209,51 @@ object Events {
        |ORDER BY version""".stripMargin
   }
 
+  // --- q291: Gini coefficient of revenue concentration ----------------------
+  // The Lorenz-curve inequality number beside q245's HHI (HHI reads
+  // share-of-squares, Gini reads the whole distribution): per event
+  // type, over per-user revenue totals, G = (2·Σ i·x_(i) − (n+1)·Σx) /
+  // (n·Σx) with x ascending. FULLY integral: ranks are row_number over
+  // (cents, user_id) — tied values make Σ i·x order-insensitive, so the
+  // tie-break only pins the plan, not the value — and the quotient is
+  // emitted as parts-per-billion through decimal(38,0)/HUGEINT products
+  // and one `div`. No doubles anywhere. Shape: user totals (map-side
+  // combine), one per-type rank window, one aggregation.
+  def q291(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val users = Tables.events(s, d)
+      .groupBy($"event_type", $"user_id")
+      .agg(sum(($"value".cast("decimal(18,2)") * 100).cast("long")).as("x"))
+    val w = Window.partitionBy($"event_type").orderBy($"x", $"user_id")
+    users
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"x").as("s0"),
+        sum($"x".cast("decimal(38,0)") * $"i").as("s1"))
+      .select($"event_type", $"n_users",
+        expr("(2 * s1 - cast(n_users + 1 as decimal(38,0)) * s0) * 1000000000" +
+          " div (cast(n_users as decimal(38,0)) * s0)").cast("long")
+          .as("gini_ppb"))
+      .orderBy($"event_type")
+  }
+  val q291Sql: String =
+    """WITH users AS (
+      |  SELECT event_type, user_id,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT event_type, x,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, user_id) AS i
+      |  FROM users)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST((2 * SUM(CAST(x AS HUGEINT) * i)
+      |      - (COUNT(*) + 1) * CAST(SUM(x) AS HUGEINT)) * 1000000000
+      |    // (CAST(COUNT(*) AS HUGEINT) * SUM(x)) AS BIGINT) AS gini_ppb
+      |FROM ranked GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- q293: weekday seasonality index --------------------------------------
   // The day-of-week profile every ops dashboard carries: per event type
   // and weekday bucket, the revenue share against a flat week —
@@ -3252,6 +3297,7 @@ object Events {
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q292_rollup_timetravel", q292 _, Some(q292Sql)),
     ("q293_weekday_seasonality", q293 _, Some(q293Sql)),
+    ("q291_gini_concentration", q291 _, Some(q291Sql)),
     ("q287_weighted_sample", q287 _, Some(q287Sql)),
     ("q289_lake_checksum", q289 _, Some(q289Sql)),
     ("q281_mad_outliers", q281 _, Some(q281Sql)),

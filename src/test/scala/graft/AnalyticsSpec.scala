@@ -1179,4 +1179,23 @@ class AnalyticsSpec extends AnyFunSuite {
     val total = Tables.events(spark, sf).count()
     assert(got.map(_._2).sum == total, "per-day counts must cover the table")
   }
+
+  test("q291 Gini matches closed forms: 0 for equal, (n-1)/n-scaled for one-taker") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // type "eq": 4 users with equal revenue -> G = 0
+    // type "one": 5 users, one holds everything -> G = (n-1)/n = 0.8
+    val rows = (0 until 4).map(u => ("eq", u.toLong, 25.00)) ++
+      (0 until 4).map(u => ("one", u.toLong, 0.00)) :+ (("one", 4L, 100.00))
+    val dir = java.nio.file.Files.createTempDirectory("graft_gini").toString
+    rows.zipWithIndex.map { case ((t, u, v), i) => (i.toLong, t, u, v) }
+      .toDF("event_id", "event_type", "user_id", "value")
+      .select($"event_id", timestamp_seconds(lit(1704412800L) + $"event_id").as("ts"),
+        $"user_id", $"event_type", $"value", lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = queries.Events.q291(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("eq") == ((4L, 0L)), s"$got")
+    assert(got("one") == ((5L, 800000000L)), s"$got")
+  }
 }

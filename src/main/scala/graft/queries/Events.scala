@@ -3294,8 +3294,53 @@ object Events {
       |FROM cells JOIN bt USING (event_type)
       |ORDER BY event_type, dow""".stripMargin
 
+  // --- q298: right-to-be-forgotten retraction audit --------------------------
+  // The GDPR deletion contract on a derived artifact: a per-user rollup
+  // is built from the full history, then the forgotten cohort
+  // (user_id % 97 == 5) is REMOVED by merging negated partials with
+  // dropEmptied (the q195 retraction machinery — deletion is a merge,
+  // not a rewrite), and the audit reads the surviving table: remaining
+  // user count, RESIDUAL rows for forgotten users (must be zero — a
+  // tombstone row or a partial retraction both surface here), and the
+  // surviving exact totals. The oracle recomputes everything from the
+  // source with the cohort excluded — so a leftover row, a lost
+  // bystander, or a drifted total all hash-miss. At 100 TB this is the
+  // only viable shape: the erasure batch costs cohort-sized work against
+  // a user-cardinality table, never a history rewrite.
+  def q298(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def partials(df: DataFrame, sign: Int): DataFrame = df
+      .groupBy($"user_id")
+      .agg((count(lit(1)) * sign).as("n_events"),
+        (sum(($"value".cast("decimal(18,2)") * 100).cast("long")) * sign)
+          .as("cents"))
+    val staged = graft.Stage.derived("forget_user_rollup", d) { p =>
+      val ev = Tables.events(s, d)
+      graft.streaming.Rollup.mergeInto(s, partials(ev, 1),
+        s"$p/users", Seq("user_id"), 0L)
+      graft.streaming.Rollup.mergeInto(s,
+        partials(ev.filter($"user_id" % 97 === 5), -1),
+        s"$p/users", Seq("user_id"), 1L, dropEmptied = true)
+      ()
+    }
+    graft.streaming.Rollup.readRollup(s, s"$staged/users")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when($"user_id" % 97 === 5, 1L).otherwise(0L))
+          .as("n_forgotten_residual"),
+        sum($"n_events").as("n_events"),
+        sum($"cents").as("sum_cents"))
+  }
+  val q298Sql: String =
+    """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(0 AS BIGINT) AS n_forgotten_residual,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM events WHERE user_id % 97 <> 5""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q292_rollup_timetravel", q292 _, Some(q292Sql)),
+    ("q298_forget_user", q298 _, Some(q298Sql)),
     ("q293_weekday_seasonality", q293 _, Some(q293Sql)),
     ("q291_gini_concentration", q291 _, Some(q291Sql)),
     ("q287_weighted_sample", q287 _, Some(q287Sql)),

@@ -2981,6 +2981,100 @@ object Text {
   }
   val q189Sql: String = q152Sql
 
+  // --- q297: inverted-index tombstone DELETE --------------------------------
+  // Completes the index lifecycle q161 (build) and q189 (append) left
+  // open: LOGICAL deletion. Removing documents must not rewrite posting
+  // files (a doc's terms hash across arbitrary buckets — the rewrite is
+  // unbounded at 100 TB); InvertedIndex.delete appends doc_ids to an
+  // underscore-hidden `_tombstones` side table and every probe
+  // anti-joins it — the log-structured/lakehouse delete. Build on the
+  // full corpus (own stage — the shared q161 index must stay undeleted),
+  // tombstone doc_id % 7 == 2, probe: the answer must equal computing
+  // the phrase search over only the surviving documents from scratch —
+  // a posting that outlives its tombstone, or a tombstone that bleeds
+  // onto a live doc, hash-misses.
+  def q297(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = graft.Stage.derived("invidx_tombstone_b64", d) { p =>
+      val docs = Tables.documents(s, d)
+      graft.sources.InvertedIndex.build(docs, p.toString)
+      graft.sources.InvertedIndex.delete(
+        docs.filter($"doc_id" % 7 === 2).select($"doc_id"), p.toString)
+    }
+    graft.sources.InvertedIndex.phraseProbe(s, base.toString,
+      Seq("slow", "hash", "batch")).limit(20)
+  }
+  val q297Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |  FROM documents WHERE doc_id % 7 <> 2),
+      |p AS (
+      |  SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS pos
+      |  FROM d),
+      |m AS (
+      |  SELECT doc_id,
+      |    pos - CASE tok WHEN 'slow' THEN 0 WHEN 'hash' THEN 1 ELSE 2 END AS anchor,
+      |    CASE tok WHEN 'slow' THEN 0 WHEN 'hash' THEN 1 ELSE 2 END AS i
+      |  FROM p WHERE tok IN ('slow', 'hash', 'batch')),
+      |hits AS (
+      |  SELECT doc_id, anchor FROM m GROUP BY 1, 2 HAVING COUNT(DISTINCT i) = 3)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+      |  CAST(MIN(anchor) AS BIGINT) AS first_pos
+      |FROM hits GROUP BY doc_id
+      |ORDER BY n_matches DESC, doc_id
+      |LIMIT 20""".stripMargin
+
+  // --- q296: RAG chunking with overlap (window 64, stride 48) ----------------
+  // The retrieval-prep chunker: token windows of 64 with 16-token overlap
+  // (stride 48), the shape every RAG ingest pipeline runs between
+  // documents and embeddings. Reported per source: chunk count, chunked
+  // token volume (Σ min(64, tk − i·48) over chunk starts i·48 < tk), and
+  // the duplication overhead ppm the overlap costs — the number that
+  // prices an overlap policy against embedding spend at 100 TB. Chunk
+  // starts come from one sequence() explode (linear in chunks); integral
+  // ppm end-to-end.
+  def q296(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lens = Tables.documents(s, d)
+      .select($"source", size(tokens($"text")).cast("long").as("tk"))
+    lens
+      .select($"source", $"tk",
+        explode(expr("sequence(0L, (tk - 1) div 48)")).as("i"))
+      .select($"source", $"tk",
+        least(lit(64L), $"tk" - $"i" * 48).as("chunk_tokens"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum($"chunk_tokens").as("chunk_token_vol"))
+      .join(lens.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"tk").as("n_tokens")), "source")
+      .select($"source", $"n_docs", $"n_chunks", $"n_tokens", $"chunk_token_vol",
+        expr("(chunk_token_vol - n_tokens) * 1000000 div n_tokens")
+          .cast("long").as("overhead_ppm"))
+      .orderBy($"source")
+  }
+  val q296Sql: String =
+    """WITH lens AS (
+      |  SELECT source,
+      |    CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS tk
+      |  FROM documents),
+      |chunks AS (
+      |  SELECT source, LEAST(64, tk - i * 48) AS chunk_tokens
+      |  FROM lens, unnest(range(0, (tk - 1) // 48 + 1)) AS u(i)),
+      |cagg AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |    CAST(SUM(chunk_tokens) AS BIGINT) AS chunk_token_vol
+      |  FROM chunks GROUP BY source),
+      |dagg AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(tk) AS BIGINT) AS n_tokens
+      |  FROM lens GROUP BY source)
+      |SELECT source, n_docs, n_chunks, n_tokens, chunk_token_vol,
+      |  CAST((chunk_token_vol - n_tokens) * 1000000 // n_tokens AS BIGINT)
+      |    AS overhead_ppm
+      |FROM cagg JOIN dagg USING (source)
+      |ORDER BY source""".stripMargin
+
   // --- q162: BPE merge application (tokenizer encode step) ----------------
   // Closes the tokenizer loop q131 (pair counting) and q132 (vocab sizing)
   // opened: APPLY a merge table to the vocabulary. Merges = the top-5
@@ -3894,6 +3988,8 @@ object Text {
     ("q280_oov_rate", q280 _, Some(q280Sql)),
     ("q290_loso_valuation", q290 _, Some(q290Sql)),
     ("q294_truncation_loss", q294 _, Some(q294Sql)),
+    ("q296_rag_chunking", q296 _, Some(q296Sql)),
+    ("q297_index_delete", q297 _, Some(q297Sql)),
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),
     ("q37_pii_redact", q37 _, Some(q37Sql)),

@@ -363,6 +363,56 @@ object Vectors {
       |  WHERE (f + 1) * strlen(text) // 4 > f * strlen(text) // 4)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // --- q295: video near-dup pairs via frame fingerprints ---------------------
+  // Multimodal dedup the way video pipelines actually do it without
+  // decoding: two payloads are near-duplicates when they share ≥2 of
+  // their sampled frames' fingerprints (q85's frame sampler — the codec
+  // boundary stays the documented stub; everything downstream is real).
+  // Scale guards mirror the text dedup path: frames under 16 bytes are
+  // too low-entropy to mean anything (dropped), and a fingerprint
+  // appearing in >100 docs is boilerplate (dropped — the q124 rule;
+  // unguarded it makes the fingerprint self-join quadratic in the hot
+  // key). The join is fingerprint-keyed — work ∝ Σ bucket², capped by
+  // the hot filter, never all-pairs.
+  def q295(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val frames = Multimodal.frameSampleStub(s,
+        Multimodal.attachPayload(Tables.documents(s, d)), nFrames = 4)
+      .toDF()
+      .filter($"frame_len" >= 16)
+      .persistTracked() // hot-filter + self-join consumers
+    val hot = frames.groupBy($"frame_md5").agg(count(lit(1)).as("c"))
+      .filter($"c" > 100).select($"frame_md5")
+    val live = frames.join(broadcast(hot), Seq("frame_md5"), "left_anti")
+    live.as("a").join(live.as("b"),
+        $"a.frame_md5" === $"b.frame_md5" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(countDistinct($"a.frame_md5").as("n_shared"))
+      .filter($"n_shared" >= 2)
+      .orderBy($"doc_a", $"doc_b")
+  }
+  val q295Sql: String =
+    """WITH fr AS (
+      |  SELECT doc_id,
+      |    (f + 1) * strlen(text) // 4 - f * strlen(text) // 4 AS frame_len,
+      |    md5(substr(text, f * strlen(text) // 4 + 1,
+      |        (f + 1) * strlen(text) // 4 - f * strlen(text) // 4)) AS frame_md5
+      |  FROM documents, (SELECT unnest(range(0, 4)) AS f) g
+      |  WHERE (f + 1) * strlen(text) // 4 - f * strlen(text) // 4 >= 16),
+      |hot AS (
+      |  SELECT frame_md5 FROM fr GROUP BY frame_md5 HAVING COUNT(*) > 100),
+      |live AS (
+      |  SELECT doc_id, frame_md5 FROM fr
+      |  WHERE frame_md5 NOT IN (SELECT frame_md5 FROM hot))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(COUNT(DISTINCT a.frame_md5) AS BIGINT) AS n_shared
+      |FROM live a JOIN live b
+      |  ON a.frame_md5 = b.frame_md5 AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2
+      |HAVING COUNT(DISTINCT a.frame_md5) >= 2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // --- q86: resize/crop fingerprints (declarative media transforms) --------
   def q86(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1903,6 +1953,7 @@ object Vectors {
     ("q194_vecidx_append", q194 _, Some(q194Sql)),
     ("q277_index_maintenance", q277 _, Some(q277Sql)),
     ("q279_mmr_rerank", q279 _, Some(q279Sql)),
+    ("q295_frame_neardup", q295 _, Some(q295Sql)),
     ("q197_stream_ann_probe", q197 _, Some(q197Sql)),
     ("q201_stream_index_ingest", q201 _, Some(q201Sql)),
     ("q203_centroid_drift", q203 _, Some(q203Sql)),

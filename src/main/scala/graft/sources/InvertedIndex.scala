@@ -99,6 +99,26 @@ object InvertedIndex {
       .write.mode("append").partitionBy("term_bucket").parquet(path)
   }
 
+  /** Logical DELETE by tombstone — the third index-lifecycle verb
+    * ([[build]], [[append]], delete): removing a document does NOT
+    * rewrite posting files (that would touch every term bucket the doc's
+    * terms hash into — an unbounded rewrite at 100 TB). Instead the
+    * doc_ids land in an append-only `_tombstones` side table (the
+    * underscore prefix keeps it invisible to the postings scan) and
+    * every probe anti-joins it — exactly how log-structured stores and
+    * lakehouse formats delete. Re-deleting is idempotent at read time
+    * (anti-join semantics); physically compacting tombstones away stays
+    * an explicit rebuild decision, like quantizer retraining. */
+  def delete(docIds: DataFrame, path: String): Unit =
+    docIds.select(col("doc_id").cast("long"))
+      .write.mode("append").parquet(s"$path/_tombstones")
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
   private def postings(docs: DataFrame, buckets: Int): DataFrame =
     docs.select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("pos", "term")))
@@ -118,7 +138,12 @@ object InvertedIndex {
     val off = terms.zipWithIndex
       .foldLeft(lit(null).cast("int")) { case (acc, (t, i)) =>
         when(col("term") === t, lit(i)).otherwise(acc) }
-    spark.read.parquet(path)
+    val live = tombstones(spark, path) match {
+      case Some(dead) => spark.read.parquet(path)
+        .join(dead.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      case None => spark.read.parquet(path)
+    }
+    live
       .filter(col("term_bucket").isin(termBuckets: _*) &&
         col("term").isin(terms: _*))
       .select(col("doc_id"), (col("pos") - off).as("anchor"), off.as("i"))

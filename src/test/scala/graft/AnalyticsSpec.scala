@@ -1198,4 +1198,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got("eq") == ((4L, 0L)), s"$got")
     assert(got("one") == ((5L, 800000000L)), s"$got")
   }
+
+  test("q298 forgotten cohort leaves zero residue; bystander totals intact") {
+    import org.apache.spark.sql.functions._
+    val r = queries.Events.q298(spark, sf).collect().head
+    assert(r.getLong(1) == 0L, "forgotten users left residual rows")
+    val direct = Tables.events(spark, sf)
+      .filter(col("user_id") % 97 =!= 5)
+      .agg(countDistinct(col("user_id")), count(lit(1)),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long")))
+      .head
+    assert(r.getLong(0) == direct.getLong(0), "surviving user count drifted")
+    assert(r.getLong(2) == direct.getLong(1), "surviving event count drifted")
+    assert(r.getLong(3) == direct.getLong(2), "surviving cents total drifted")
+    // premise: the cohort was non-empty, so the retraction actually ran
+    assert(Tables.events(spark, sf).filter(col("user_id") % 97 === 5).count() > 0)
+  }
 }

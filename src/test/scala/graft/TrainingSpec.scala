@@ -970,4 +970,70 @@ class TrainingSpec extends AnyFunSuite {
       assert(ppm == lost * 1000000L / lens.sum, s"win $w ppm")
     }
   }
+
+  test("q295 frame near-dup pairs fire on duplicated payloads, not on disjoint ones") {
+    import spark.implicits._
+    // docs 1/2 identical 128-char payloads -> all 4 frames shared; doc 3
+    // shares only the first half (frames 0,1) -> n_shared = 2; doc 4 disjoint
+    val q = Seq("abcdefgh", "ijklmnop", "qrstuvwx", "01234567").map(_ * 4)
+    val base = q.mkString            // 4 DISTINCT 32-char frames
+    val alt = q(0) + q(1) + ("ZYXWVUTS" * 8) // shares frames 0,1 only
+    val docs = Seq((1L, base), (2L, base), (3L, alt),
+      (4L, "z" * 17 + "y" * 17 + "x" * 17 + "w" * 17))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' as lang", "'s' as source",
+        "cast(length(text) as long) as n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fnd").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = queries.Vectors.q295(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 2L) -> 4L, (1L, 3L) -> 2L, (2L, 3L) -> 2L), s"$got")
+  }
+
+  test("q296 chunk accounting matches the closed form per document") {
+    val got = queries.Text.q296(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).replaceAll("\\s+", " ").trim.toLowerCase.split(" ").length.toLong))
+    docs.groupBy(_._1).foreach { case (src0, rows) =>
+      val (nDocs, nChunks, nTok, vol, ppm) = got(src0)
+      assert(nDocs == rows.length.toLong && nTok == rows.map(_._2).sum)
+      val chunks = rows.map(_._2).map(tk => (0L to (tk - 1) / 48).map(i => math.min(64L, tk - i * 48)))
+      assert(nChunks == chunks.map(_.length.toLong).sum, s"$src0 chunks")
+      assert(vol == chunks.map(_.sum).sum, s"$src0 vol")
+      assert(ppm == (vol - nTok) * 1000000L / nTok, s"$src0 ppm")
+    }
+  }
+
+  test("q297 tombstoned documents vanish from probes; survivors are untouched") {
+    import spark.implicits._
+    // docs 1,2,3 contain the probe phrase; doc 2 gets tombstoned
+    val docs = Seq(
+      (1L, "slow hash batch tail one"),
+      (2L, "slow hash batch tail two"),
+      (3L, "head slow hash batch"),
+      (4L, "no phrase here at all"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tomb").toString + "/idx"
+    sources.InvertedIndex.build(docs, dir)
+    val before = sources.InvertedIndex.phraseProbe(spark, dir,
+      Seq("slow", "hash", "batch")).collect().map(_.getLong(0)).toSet
+    assert(before == Set(1L, 2L, 3L), s"$before")
+    sources.InvertedIndex.delete(Seq(2L).toDF("doc_id"), dir)
+    val after = sources.InvertedIndex.phraseProbe(spark, dir,
+      Seq("slow", "hash", "batch")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(after.map(_._1).toSet == Set(1L, 3L), s"${after.toSeq}")
+    // survivor rows keep exact match counts/positions (1-based)
+    val m = after.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1L) == ((1L, 1L)) && m(3L) == ((1L, 2L)), s"$m")
+    // idempotent re-delete
+    sources.InvertedIndex.delete(Seq(2L).toDF("doc_id"), dir)
+    assert(sources.InvertedIndex.phraseProbe(spark, dir,
+      Seq("slow", "hash", "batch")).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
 }

@@ -3338,9 +3338,280 @@ object Events {
       |    AS BIGINT) AS sum_cents
       |FROM events WHERE user_id % 97 <> 5""".stripMargin
 
+  // --- q299: time-to-convert percentiles (mergeable delay histogram) --------
+  // q58 finds the view→purchase pairs; the product question is HOW FAST —
+  // p50/p90/p99 of the conversion delay, sliced by the view's weekday.
+  // The delay lives on a bounded integer grid by construction (0..3600
+  // seconds — the join window), so this is exactly the q276 mergeable-
+  // histogram architecture: the join's output collapses map-side to
+  // ≤7×3601 cells and percentiles come from grid cumsums; at 100 TB the
+  // shuffle carries the grid, never the pairs. Type-1 percentiles in
+  // integer arithmetic throughout.
+  def q299(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts".as("v_ns"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ns"))
+    val hist = v.join(p, "user_id")
+      .filter($"p_ns" >= $"v_ns" && $"p_ns" <= $"v_ns" + 3600L * 1000000000L)
+      .select(expr("((v_ns div 1000000000) div 86400 + 4) % 7").as("dow"),
+        expr("(p_ns - v_ns) div 1000000000").as("delta_s"))
+      .groupBy($"dow", $"delta_s").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy($"dow").orderBy($"delta_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"dow")
+    hist
+      .withColumn("cum", sum($"cnt").over(wCum))
+      .withColumn("n_pairs", sum($"cnt").over(wAll))
+      .groupBy($"dow", $"n_pairs")
+      .agg(
+        min(when($"cum" >= expr("(n_pairs + 1) div 2"), $"delta_s")).as("p50_s"),
+        min(when($"cum" >= expr("(9 * n_pairs + 9) div 10"), $"delta_s")).as("p90_s"),
+        min(when($"cum" >= expr("(99 * n_pairs + 99) div 100"), $"delta_s")).as("p99_s"))
+      .orderBy($"dow")
+  }
+  val q299Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, epoch_us(ts) AS vus FROM events
+      |  WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT user_id, epoch_us(ts) AS pus FROM events
+      |  WHERE event_type = 'purchase'),
+      |hist AS (
+      |  SELECT (vus // 1000000 // 86400 + 4) % 7 AS dow,
+      |    (pus - vus) // 1000000 AS delta_s, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM v JOIN p USING (user_id)
+      |  WHERE pus >= vus AND pus <= vus + 3600000000
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT dow, delta_s,
+      |    SUM(cnt) OVER (PARTITION BY dow ORDER BY delta_s) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY dow) AS n_pairs
+      |  FROM hist)
+      |SELECT CAST(dow AS BIGINT) AS dow, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  MIN(CASE WHEN cum >= (n_pairs + 1) // 2 THEN delta_s END) AS p50_s,
+      |  MIN(CASE WHEN cum >= (9 * n_pairs + 9) // 10 THEN delta_s END) AS p90_s,
+      |  MIN(CASE WHEN cum >= (99 * n_pairs + 99) // 100 THEN delta_s END) AS p99_s
+      |FROM cum GROUP BY dow, n_pairs
+      |ORDER BY dow""".stripMargin
+
+  // --- q300: machine-regularity (bot-likeness) screen ------------------------
+  // The traffic-quality twin of q273's Fano factor, read per USER instead
+  // of per feed: humans emit events with jitter; scripts fire on a fixed
+  // clock. A user is bot-like when they are active (≥10 events of a type)
+  // and their inter-event gaps are all within one second of each other
+  // (max_gap − min_gap < 1e9 ns — a pure integer inequality on exact ns
+  // gaps; no float threshold). Reported per type: active users, bot-like
+  // users, and the ppm rate. One per-user lag window + one type-keyed
+  // aggregation.
+  def q300(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type", $"user_id")
+      .orderBy($"ts", $"event_id")
+    val gaps = Tables.events(s, d)
+      .select($"event_type", $"user_id", $"ts", $"event_id")
+      .withColumn("gap", $"ts" - lag($"ts", 1).over(w))
+      .groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("n"), min($"gap").as("g0"), max($"gap").as("g1"))
+      .filter($"n" >= 10)
+    gaps.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when($"g1" - $"g0" < 1000000000L, 1L).otherwise(0L)).as("n_bot_like"))
+      .select($"event_type", $"n_active", $"n_bot_like",
+        expr("n_bot_like * 1000000 div n_active").cast("long").as("bot_ppm"))
+      .orderBy($"event_type")
+  }
+  val q300Sql: String =
+    """WITH g AS (
+      |  SELECT event_type, user_id,
+      |    epoch_us(ts) * 1000 - LAG(epoch_us(ts) * 1000) OVER (
+      |      PARTITION BY event_type, user_id
+      |      ORDER BY epoch_us(ts), event_id) AS gap
+      |  FROM events),
+      |u AS (
+      |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |    MIN(gap) AS g0, MAX(gap) AS g1
+      |  FROM g GROUP BY 1, 2 HAVING COUNT(*) >= 10)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_active,
+      |  CAST(SUM(CASE WHEN g1 - g0 < 1000000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bot_like,
+      |  CAST(SUM(CASE WHEN g1 - g0 < 1000000000 THEN 1 ELSE 0 END)
+      |    * 1000000 // COUNT(*) AS BIGINT) AS bot_ppm
+      |FROM u GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // --- q301: lagged cross-correlation of daily revenue series ----------------
+  // Does view revenue LEAD purchase revenue? Pearson correlation between
+  // the two daily cents series at lags −3..+3 days (the lead-lag scan
+  // behind every "which metric moves first" question). Series are dense
+  // over the joint span (missing days are real zeros — the q273
+  // grid rule); all five moment sums are exact decimal/HUGEINT integers
+  // per lag, collapsed to ONE double chain (the q74 convention) snapped
+  // at 1e-6. Work: two grid-sized series, a 7-lag band join on day —
+  // lag-count × span rows, never events².
+  def q301(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val daily = Tables.events(s, d)
+      .filter($"event_type".isin("view", "purchase"))
+      .groupBy($"event_type",
+        expr("(ts div 1000000000) div 86400").as("day"))
+      .agg(sum(($"value".cast("decimal(18,2)") * 100).cast("long")).as("c"))
+    val span = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+    def dense(t: String) = daily.filter($"event_type" === t)
+      .select($"day", $"c")
+      .unionByName(span.select(explode(expr("sequence(d0, d1)")).as("day"),
+        lit(0L).as("c")))
+      .groupBy($"day").agg(sum($"c").as("c"))
+    val x = dense("view").select($"day", $"c".as("x")).persistTracked()
+    val y = dense("purchase").select($"day".as("yday"), $"c".as("y"))
+      .persistTracked()
+    val lags = Seq(-3L, -2L, -1L, 0L, 1L, 2L, 3L).toDF("lag")
+    x.crossJoin(broadcast(lags))
+      .join(y, $"day" + $"lag" === $"yday")
+      .groupBy($"lag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum($"x".cast("decimal(38,0)")).cast("double").as("sx"),
+        sum($"y".cast("decimal(38,0)")).cast("double").as("sy"),
+        sum($"x".cast("decimal(38,0)") * $"y").cast("double").as("sxy"),
+        sum($"x".cast("decimal(38,0)") * $"x").cast("double").as("sxx"),
+        sum($"y".cast("decimal(38,0)") * $"y").cast("double").as("syy"))
+      .select($"lag", $"n".cast("long").as("n_days"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")), 6)
+          .as("xcorr"))
+      .orderBy($"lag")
+  }
+  val q301Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS c
+      |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2),
+      |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+      |grid AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM span),
+      |x AS (
+      |  SELECT grid.day, COALESCE(c, 0) AS x FROM grid
+      |  LEFT JOIN (SELECT day, c FROM daily WHERE event_type = 'view') v
+      |  USING (day)),
+      |y AS (
+      |  SELECT grid.day, COALESCE(c, 0) AS y FROM grid
+      |  LEFT JOIN (SELECT day, c FROM daily WHERE event_type = 'purchase') p
+      |  USING (day)),
+      |m AS (
+      |  SELECT lag, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      |  FROM x
+      |  CROSS JOIN (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag) l
+      |  JOIN y ON x.day + lag = y.day
+      |  GROUP BY lag)
+      |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+      |  ROUND((n * sxy - sx * sy)
+      |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS xcorr
+      |FROM m
+      |ORDER BY lag""".stripMargin
+
+  // --- q303: capped sessionization (gap rule + max-duration split) -----------
+  // q27's 30-minute-gap sessionizer with the production rule it omits: a
+  // session also ENDS at 4 hours from its start (analytics vendors cap
+  // sessions so a forgotten tab is not one infinite visit). Declarative
+  // two-phase: the gap pass assigns session_id (q27 verbatim), then a
+  // per-session start anchors sub_idx = (t − start) div 4h — a pure
+  // integer split, no iterative reassignment. Same window shuffles as
+  // q27 plus one session-keyed min.
+  def q303(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wSess = Window.partitionBy($"user_id", $"session_id")
+    withDerived(Tables.events(s, d))
+      .withColumn("new_session",
+        when(($"epoch_s" - lag($"epoch_s", 1).over(wOrd)) > 1800 ||
+          lag($"epoch_s", 1).over(wOrd).isNull, 1).otherwise(0))
+      .withColumn("session_id",
+        sum($"new_session").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("sess_start", min($"epoch_s").over(wSess))
+      .withColumn("sub_idx", expr("(epoch_s - sess_start) div 14400"))
+      .groupBy($"user_id", $"session_id", $"sub_idx")
+      .agg(count(lit(1)).as("n_events"),
+        fmtS(min($"epoch_s")).as("part_start"),
+        (max($"epoch_s") - min($"epoch_s")).as("duration_s"))
+      .orderBy($"user_id", $"session_id", $"sub_idx")
+  }
+  val q303Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s,
+      |    CASE WHEN CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+      |           - LAG(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) OVER w > 1800
+      |           OR LAG(ts) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged
+      |), capped AS (
+      |  SELECT *, (epoch_s - MIN(epoch_s) OVER (PARTITION BY user_id, session_id))
+      |    // 14400 AS sub_idx
+      |  FROM sessions
+      |)
+      |SELECT user_id, session_id, CAST(sub_idx AS BIGINT) AS sub_idx,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  strftime(to_timestamp(MIN(epoch_s)), '%Y-%m-%d %H:%M:%S') AS part_start,
+      |  CAST(MAX(epoch_s) - MIN(epoch_s) AS BIGINT) AS duration_s
+      |FROM capped GROUP BY user_id, session_id, sub_idx
+      |ORDER BY user_id, session_id, sub_idx""".stripMargin
+
+  // --- q304: weekly top movers (largest week-over-week revenue swings) -------
+  // The "what changed" screen on the weekly rollup: per event type, the
+  // week-over-week cents delta, ranked by absolute swing — the entry
+  // point of every metrics-triage runbook. Exact integer deltas from the
+  // weekly cents grid; one lag window over a types×weeks frame; the
+  // ranking key (|delta| desc, week, type) is fully deterministic.
+  def q304(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"week")
+    Tables.events(s, d)
+      .groupBy($"event_type",
+        expr("((ts div 1000000000) div 86400) div 7").as("week"))
+      .agg(sum(($"value".cast("decimal(18,2)") * 100).cast("long")).as("c"))
+      .withColumn("prev_c", lag($"c", 1).over(w))
+      .filter($"prev_c".isNotNull)
+      .select($"event_type", $"week", $"c", $"prev_c",
+        ($"c" - $"prev_c").as("delta_c"))
+      .orderBy(abs($"delta_c").desc, $"week", $"event_type")
+      .limit(10)
+  }
+  val q304Sql: String =
+    """WITH weekly AS (
+      |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 // 7 AS week,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT event_type, week, c,
+      |    LAG(c) OVER (PARTITION BY event_type ORDER BY week) AS prev_c
+      |  FROM weekly)
+      |SELECT event_type, week, c, prev_c, c - prev_c AS delta_c
+      |FROM lagged WHERE prev_c IS NOT NULL
+      |ORDER BY ABS(c - prev_c) DESC, week, event_type
+      |LIMIT 10""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q292_rollup_timetravel", q292 _, Some(q292Sql)),
     ("q298_forget_user", q298 _, Some(q298Sql)),
+    ("q303_capped_sessions", q303 _, Some(q303Sql)),
+    ("q304_weekly_movers", q304 _, Some(q304Sql)),
+    ("q299_time_to_convert", q299 _, Some(q299Sql)),
+    ("q300_bot_screen", q300 _, Some(q300Sql)),
+    ("q301_lagged_xcorr", q301 _, Some(q301Sql)),
     ("q293_weekday_seasonality", q293 _, Some(q293Sql)),
     ("q291_gini_concentration", q291 _, Some(q291Sql)),
     ("q287_weighted_sample", q287 _, Some(q287Sql)),

@@ -1358,6 +1358,56 @@ object Extended {
   // computation over all rows serves
   val q288Sql: String = q276Sql
 
+  // --- q302: fulfillment SLA percentiles (order → ship latency) ----------------
+  // The ops-SLA read on the TPC-H pair of dates: per order priority,
+  // p50/p90/p99 of days from order placement to line shipment. Latency
+  // days are a bounded integer grid (the TPC-H generator ships within
+  // ~4 months), so this is the q276 mergeable-histogram architecture a
+  // third time — the join's corpus-sized output collapses map-side to
+  // priorities×days cells. Day arithmetic is epoch-integer (epoch
+  // seconds div 86400) on both engines — never calendar APIs.
+  def q302(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables.lineitem(s, d)
+      .select($"l_orderkey", unix_timestamp($"l_shipdate").as("sd"))
+      .join(Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority",
+        unix_timestamp($"o_orderdate").as("od")),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority", expr("(sd - od) div 86400").as("days"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy($"o_orderpriority").orderBy($"days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"o_orderpriority")
+    hist
+      .withColumn("cum", sum($"cnt").over(wCum))
+      .withColumn("n_lines", sum($"cnt").over(wAll))
+      .groupBy($"o_orderpriority", $"n_lines")
+      .agg(
+        min(when($"cum" >= expr("(n_lines + 1) div 2"), $"days")).as("p50_days"),
+        min(when($"cum" >= expr("(9 * n_lines + 9) div 10"), $"days")).as("p90_days"),
+        min(when($"cum" >= expr("(99 * n_lines + 99) div 100"), $"days")).as("p99_days"))
+      .orderBy($"o_orderpriority")
+  }
+  val q302Sql: String =
+    """WITH hist AS (
+      |  SELECT o_orderpriority,
+      |    (CAST(epoch(l_shipdate) AS BIGINT)
+      |      - CAST(epoch(o_orderdate) AS BIGINT)) // 86400 AS days,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT o_orderpriority, days,
+      |    SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY days) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n_lines
+      |  FROM hist)
+      |SELECT o_orderpriority, CAST(n_lines AS BIGINT) AS n_lines,
+      |  MIN(CASE WHEN cum >= (n_lines + 1) // 2 THEN days END) AS p50_days,
+      |  MIN(CASE WHEN cum >= (9 * n_lines + 9) // 10 THEN days END) AS p90_days,
+      |  MIN(CASE WHEN cum >= (99 * n_lines + 99) // 100 THEN days END) AS p99_days
+      |FROM cum GROUP BY o_orderpriority, n_lines
+      |ORDER BY o_orderpriority""".stripMargin
+
   // --- q252: order-total reconciliation audit ----------------------------------
   // The cross-table consistency check every warehouse runs between a
   // header and its lines: does o_totalprice equal the lineitem charge
@@ -1726,6 +1776,7 @@ object Extended {
     ("q251_bitmap_distinct", q251 _, Some(q251Sql)),
     ("q276_quantile_rollup", q276 _, Some(q276Sql)),
     ("q288_quantile_ivm", q288 _, Some(q288Sql)),
+    ("q302_sla_percentiles", q302 _, Some(q302Sql)),
     ("q261_skew_advisor", q261 _, Some(q261Sql)),
     ("q263_drilldown_shares", q263 _, Some(q263Sql)),
     ("q268_spearman_rho", q268 _, Some(q268Sql)),

@@ -1214,4 +1214,95 @@ class AnalyticsSpec extends AnyFunSuite {
     // premise: the cohort was non-empty, so the retraction actually ran
     assert(Tables.events(spark, sf).filter(col("user_id") % 97 === 5).count() > 0)
   }
+
+  test("q299 conversion-delay percentiles: ordered, in-window, driver-exact") {
+    val got = queries.Events.q299(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val v = ev.filter(_._2 == "view"); val p = ev.filter(_._2 == "purchase")
+    val byUserP = p.groupBy(_._1)
+    val deltas = v.flatMap { case (u, _, vts) =>
+      byUserP.getOrElse(u, Array()).map(_._3)
+        .filter(pts => pts >= vts && pts <= vts + 3600L * 1000000000L)
+        .map(pts => (((vts / 1000000000L) / 86400L + 4) % 7, (pts - vts) / 1000000000L))
+    }
+    def typ1(xs: Seq[Long], num: Long, den: Long): Long = {
+      val s0 = xs.sorted; s0(((num * s0.length + den - 1) / den - 1).toInt)
+    }
+    got.foreach { case (dow, (n, p50, p90, p99)) =>
+      val xs = deltas.filter(_._1 == dow).map(_._2).toSeq
+      assert(n == xs.length.toLong, s"dow $dow n")
+      assert(p50 == typ1(xs, 1, 2) && p90 == typ1(xs, 9, 10) && p99 == typ1(xs, 99, 100),
+        s"dow $dow percentiles")
+      assert(p50 <= p90 && p90 <= p99 && p99 <= 3600L)
+    }
+  }
+
+  test("q300 flags fixed-clock users as bots, jittered users as human") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = 1704412800L
+    // user 1: 12 events exactly 60s apart (bot); user 2: 12 events with
+    // growing jitter (human); user 3: only 5 events (below the active bar)
+    val rows = (0 until 12).map(i => (1L, base + i * 60L)) ++
+      (0 until 12).map(i => (2L, base + i * 60L + i * (i + 1) / 2)) ++
+      (0 until 5).map(i => (3L, base + i * 60L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bot").toString
+    rows.zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) }
+      .toDF("event_id", "user_id", "es")
+      .select($"event_id", timestamp_seconds($"es").as("ts"), $"user_id",
+        lit("click").as("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = queries.Events.q300(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("click") == ((2L, 1L, 500000L)), s"$got")
+  }
+
+  test("q301 lag-0 cross-correlation equals a driver Pearson on the dense grids") {
+    val got = queries.Events.q301(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got.map(_._1) == List(-3L, -2L, -1L, 0L, 1L, 2L, 3L))
+    val daily = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type").isin("view", "purchase"))
+      .selectExpr("event_type", "(ts div 1000000000) div 86400 as day",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as c")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val d0 = daily.map(_._2).min; val d1 = daily.map(_._2).max
+    def series(t: String) = (d0 to d1).map(day =>
+      daily.filter(r => r._1 == t && r._2 == day).map(_._3).sum).toArray
+    val xs = series("view"); val ys = series("purchase")
+    val n = xs.length.toDouble
+    def corr(a: Array[Long], b: Array[Long]): Double = {
+      val sx = a.map(BigInt(_)).sum.toDouble; val sy = b.map(BigInt(_)).sum.toDouble
+      val sxy = a.zip(b).map { case (p, q) => BigInt(p) * q }.sum.toDouble
+      val sxx = a.map(v => BigInt(v) * v).sum.toDouble
+      val syy = b.map(v => BigInt(v) * v).sum.toDouble
+      math.rint((n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e6) / 1e6
+    }
+    val lag0 = got.find(_._1 == 0L).get
+    assert(lag0._2 == xs.length.toLong)
+    assert(math.abs(lag0._3 - corr(xs, ys)) <= 2e-6, s"${lag0._3} vs ${corr(xs, ys)}")
+  }
+
+  test("q304 weekly movers are the true top-10 absolute WoW deltas") {
+    val got = queries.Events.q304(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length <= 10 && got.nonEmpty)
+    got.foreach { case (_, _, c, prev, delta) => assert(delta == c - prev) }
+    // recompute all deltas in the driver; the query's rows must be the top
+    val weekly = Tables.events(spark, sf)
+      .selectExpr("event_type", "((ts div 1000000000) div 86400) div 7 as week",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as c")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(r => (r._1, r._2)).map { case (k, v) => k -> v.map(_._3).sum }
+    val deltas = weekly.toSeq.flatMap { case ((t, w), c) =>
+      weekly.get((t, w - 1)).map(prev => (t, w, c, prev, c - prev))
+    }
+    val expTop = deltas.sortBy(d => (-math.abs(d._5), d._2, d._1)).take(10)
+    assert(got.toList == expTop.toList, s"${got.toList} vs ${expTop.toList}")
+  }
 }

@@ -735,4 +735,47 @@ class ExtendedSpec extends AnyFunSuite {
     assert(ivm.nonEmpty && ivm == scratch,
       "IVM-maintained histogram must serve the from-scratch answer")
   }
+
+  test("q302 SLA percentiles equal direct type-1 quantiles on joined latencies") {
+    val got = SparkEntry.queries("q302_sla_percentiles")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.nonEmpty)
+    val li = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "unix_timestamp(l_shipdate) as sd").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ord = Tables.orders(spark, sf)
+      .selectExpr("o_orderkey", "o_orderpriority", "unix_timestamp(o_orderdate) as od")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val lat = li.map { case (ok, sd) =>
+      val (pri, od) = ord(ok); (pri, (sd - od) / 86400L)
+    }
+    def typ1(xs: Seq[Long], num: Long, den: Long): Long = {
+      val s0 = xs.sorted; s0(((num * s0.length + den - 1) / den - 1).toInt)
+    }
+    got.foreach { case (pri, (n, p50, p90, p99)) =>
+      val xs = lat.filter(_._1 == pri).map(_._2).toSeq
+      assert(n == xs.length.toLong && p50 == typ1(xs, 1, 2) &&
+        p90 == typ1(xs, 9, 10) && p99 == typ1(xs, 99, 100), s"$pri")
+      assert(p50 >= 0 && p50 <= p90 && p90 <= p99)
+    }
+  }
+
+  test("q303 capped sessions: every part under 4h, parts partition q27 sessions") {
+    val capped = SparkEntry.queries("q303_capped_sessions")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3), r.getLong(5)))
+    assert(capped.nonEmpty)
+    capped.foreach { case ((u, sid, sub), _, dur) =>
+      assert(dur < 14400L, s"part ($u,$sid,$sub) spans $dur s >= 4h")
+      assert(sub >= 0L)
+    }
+    // sub-session event counts re-sum to q27's uncapped sessions
+    val uncapped = queries.Events.q27(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val resummed = capped.groupBy(c => (c._1._1, c._1._2))
+      .map { case (k, v) => k -> v.map(_._2).sum }
+    assert(resummed == uncapped, "capped parts must partition the gap sessions")
+    // the cap actually fired somewhere (data has >4h gap-sessions) or not —
+    // either way at least one session must exist with sub_idx 0
+    assert(capped.exists(_._1._3 == 0L))
+  }
 }

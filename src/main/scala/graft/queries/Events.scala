@@ -3338,6 +3338,69 @@ object Events {
       |    AS BIGINT) AS sum_cents
       |FROM events WHERE user_id % 97 <> 5""".stripMargin
 
+  // --- q305: strict windowed funnel (per-step conversion deadlines) ----------
+  // q98's funnel counts "ever after"; real funnel specs carry per-step
+  // DEADLINES: view within 7 days of first signup, purchase within 7
+  // days of that first qualifying view. Per user the qualifying event is
+  // the EARLIEST one inside its window (min over a bounded join — the
+  // q58 interval shape, user-keyed); counts are exact and monotone by
+  // construction. Conversion ppm uses the integral-div convention.
+  def q305(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val week = 7L * 86400 * 1000000000L
+    val ev = Tables.events(s, d)
+    val s1 = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val s2 = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts").join(s1, "user_id")
+      .filter($"ts" >= $"t1" && $"ts" <= $"t1" + week)
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val s3 = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts").join(s2, "user_id")
+      .filter($"ts" >= $"t2" && $"ts" <= $"t2" + week)
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    val steps = s1.agg(count(lit(1)).as("n_users"))
+      .withColumn("step", lit("1_signup"))
+      .unionByName(s2.agg(count(lit(1)).as("n_users"))
+        .withColumn("step", lit("2_view_7d")))
+      .unionByName(s3.agg(count(lit(1)).as("n_users"))
+        .withColumn("step", lit("3_purchase_7d")))
+    val wAll = Window.orderBy($"step")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    steps
+      .withColumn("first_n", first($"n_users").over(wAll))
+      .select($"step", $"n_users",
+        expr("n_users * 1000000 div first_n").cast("long")
+          .as("conv_from_first_ppm"))
+      .orderBy($"step")
+  }
+  val q305Sql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(epoch_us(ts)) AS t2
+      |  FROM events e JOIN s1 USING (user_id)
+      |  WHERE event_type = 'view' AND epoch_us(ts) >= t1
+      |    AND epoch_us(ts) <= t1 + 604800000000 GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(epoch_us(ts)) AS t3
+      |  FROM events e JOIN s2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND epoch_us(ts) >= t2
+      |    AND epoch_us(ts) <= t2 + 604800000000 GROUP BY 1),
+      |steps AS (
+      |  SELECT '1_signup' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+      |  UNION ALL
+      |  SELECT '2_view_7d', CAST(COUNT(*) AS BIGINT) FROM s2
+      |  UNION ALL
+      |  SELECT '3_purchase_7d', CAST(COUNT(*) AS BIGINT) FROM s3)
+      |SELECT step, n_users,
+      |  CAST(n_users * 1000000 // FIRST(n_users) OVER (ORDER BY step
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |    AS BIGINT) AS conv_from_first_ppm
+      |FROM steps
+      |ORDER BY step""".stripMargin
+
   // --- q299: time-to-convert percentiles (mergeable delay histogram) --------
   // q58 finds the view→purchase pairs; the product question is HOW FAST —
   // p50/p90/p99 of the conversion delay, sliced by the view's weekday.
@@ -3609,6 +3672,7 @@ object Events {
     ("q298_forget_user", q298 _, Some(q298Sql)),
     ("q303_capped_sessions", q303 _, Some(q303Sql)),
     ("q304_weekly_movers", q304 _, Some(q304Sql)),
+    ("q305_strict_funnel", q305 _, Some(q305Sql)),
     ("q299_time_to_convert", q299 _, Some(q299Sql)),
     ("q300_bot_screen", q300 _, Some(q300Sql)),
     ("q301_lagged_xcorr", q301 _, Some(q301Sql)),

@@ -3461,6 +3461,103 @@ object Text {
       |GROUP BY win
       |ORDER BY win""".stripMargin
 
+  // --- q306: data scaling curve (subsample → vocabulary/duplication) --------
+  // The empirical learning-curve input every "do we need more data"
+  // decision reads: at deterministic 25/50/75/100 % subsamples (md5
+  // buckets — the q89/q112 portable split), how do corpus volume,
+  // DISTINCT vocabulary (Heaps-law growth), and the exact-duplicate rate
+  // scale? Nested subsamples by construction (bucket < k·25 ⊃ bucket <
+  // (k−1)·25) so the curve is monotone in docs/tokens by design and the
+  // vocab curve's concavity is the Heaps signal. One tokenize pass;
+  // per-fraction aggregation over bucket-filtered views.
+  def q306(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val docs = Tables.documents(s, d)
+      .withColumn("bkt",
+        conv(substring(md5(concat(lit("curve|"), $"doc_id".cast("string"))),
+          1, 14), 16, 10).cast("long") % 100)
+      .select($"doc_id", $"bkt", md5($"text").as("h"),
+        explode(tokens($"text")).as("w"))
+      .persistTracked() // four fraction consumers
+    val fr = Seq(25L, 50L, 75L, 100L).toDF("pct")
+    docs.crossJoin(broadcast(fr))
+      .filter($"bkt" < $"pct")
+      .groupBy($"pct")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct($"w").as("n_vocab"),
+        (countDistinct($"doc_id") - countDistinct($"h")).as("n_dups"))
+      .orderBy($"pct")
+  }
+  val q306Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5('curve|' || CAST(doc_id AS VARCHAR)),
+      |      1, 14))::BIGINT % 100 AS BIGINT) AS bkt,
+      |    md5(text) AS h,
+      |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+      |  FROM documents)
+      |SELECT pct, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(DISTINCT w) AS BIGINT) AS n_vocab,
+      |  CAST(COUNT(DISTINCT doc_id) - COUNT(DISTINCT h) AS BIGINT) AS n_dups
+      |FROM docs
+      |CROSS JOIN (SELECT unnest([25, 50, 75, 100]) AS pct) f
+      |WHERE bkt < pct
+      |GROUP BY pct
+      |ORDER BY pct""".stripMargin
+
+  // --- q307: effective dataset size after near-dup dedup --------------------
+  // The number that prices a dedup pass: of the corpus's raw tokens, how
+  // many survive cluster-canonical dedup (q82's near-dup clusters, q205's
+  // keep-one policy — here the structural min-id representative)? Reported
+  // per source with kept-token ppm — the honest "effective size" a
+  // trainer sees after curation. Joins the staged cluster table (already
+  // proven by q82's oracle) to token counts; everything after the
+  // tokenize pass is source-count-sized.
+  def q307(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", $"source", size(tokens($"text")).cast("long").as("tk"))
+    // INNER join: the accounting universe is the clusterable corpus (docs
+    // with ≥3 tokens — exactly the cluster table's domain; shorter docs
+    // have no shingles to deduplicate on)
+    toks.join(stagedClusters(s, d).select($"doc_id", $"is_canonical"),
+        Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"is_canonical", 1L).otherwise(0L)).as("n_kept"),
+        sum($"tk").as("n_tokens"),
+        sum(when($"is_canonical", $"tk").otherwise(0L)).as("kept_tokens"))
+      .select($"source", $"n_docs", $"n_kept", $"n_tokens", $"kept_tokens",
+        expr("kept_tokens * 1000000 div n_tokens").cast("long")
+          .as("kept_ppm"))
+      .orderBy($"source")
+  }
+  val q307Sql: String = {
+    // q82's recursive-CTE clustering (the staged table's oracle), then the
+    // keep-canonical accounting per source
+    val clusters = q82Sql.stripSuffix("ORDER BY doc_id").trim
+    s"""WITH cl AS MATERIALIZED (
+       |$clusters
+       |),
+       |toks AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS tk
+       |  FROM documents)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(tk) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN is_canonical THEN tk ELSE 0 END) AS BIGINT)
+       |    AS kept_tokens,
+       |  CAST(SUM(CASE WHEN is_canonical THEN tk ELSE 0 END)
+       |    * 1000000 // SUM(tk) AS BIGINT) AS kept_ppm
+       |FROM toks JOIN cl USING (doc_id)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   // --- q233: weighted negative sampling (unigram^0.75 inverse-CDF) ---------
   // The word2vec / contrastive-training sampling primitive (Mikolov 2013):
   // draw K=4 negatives per document from the unigram distribution raised
@@ -3989,6 +4086,8 @@ object Text {
     ("q290_loso_valuation", q290 _, Some(q290Sql)),
     ("q294_truncation_loss", q294 _, Some(q294Sql)),
     ("q296_rag_chunking", q296 _, Some(q296Sql)),
+    ("q306_scaling_curve", q306 _, Some(q306Sql)),
+    ("q307_effective_size", q307 _, Some(q307Sql)),
     ("q297_index_delete", q297 _, Some(q297Sql)),
     ("q35_decontaminate", q35 _, Some(q35Sql)),
     ("q36_repetition", q36 _, Some(q36Sql)),

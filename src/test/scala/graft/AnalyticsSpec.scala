@@ -1305,4 +1305,17 @@ class AnalyticsSpec extends AnyFunSuite {
     val expTop = deltas.sortBy(d => (-math.abs(d._5), d._2, d._1)).take(10)
     assert(got.toList == expTop.toList, s"${got.toList} vs ${expTop.toList}")
   }
+
+  test("q305 strict funnel is monotone and never exceeds the loose q98 funnel") {
+    val strict = queries.Events.q305(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(strict.length == 3)
+    assert(strict(0)._2 >= strict(1)._2 && strict(1)._2 >= strict(2)._2,
+      "deadline funnel must be monotone")
+    assert(strict(0)._3 == 1000000L)
+    val loose = queries.Events.q98(spark, sf).collect()
+      .map(r => r.getString(0).take(1) -> r.getLong(1)).toMap
+    assert(strict(1)._2 <= loose("2"), "7d deadline cannot beat ever-after")
+    assert(strict(2)._2 <= loose("3"))
+  }
 }

@@ -1036,4 +1036,37 @@ class TrainingSpec extends AnyFunSuite {
     assert(sources.InvertedIndex.phraseProbe(spark, dir,
       Seq("slow", "hash", "batch")).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
   }
+
+  test("q306 scaling curve is nested-monotone and 100% matches corpus totals") {
+    val got = queries.Text.q306(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toList == List(25L, 50L, 75L, 100L))
+    // nested subsamples: docs/tokens/vocab monotone nondecreasing
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4, s"$a vs $b")
+    case _ => }
+    val full = got.last
+    val docs = Tables.documents(spark, sf).selectExpr("text").collect()
+      .map(_.getString(0))
+    assert(full._2 == docs.length.toLong)
+    val toks = docs.flatMap(_.replaceAll("\\s+", " ").trim.toLowerCase.split(" "))
+    assert(full._3 == toks.length.toLong && full._4 == toks.distinct.length.toLong)
+    assert(full._5 == (docs.length - docs.distinct.length).toLong)
+  }
+
+  test("q307 effective size: canonical docs keep their tokens, dups drop") {
+    val got = queries.Text.q307(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got.nonEmpty)
+    got.values.foreach { case (nDocs, nKept, nTok, keptTok, ppm) =>
+      assert(nKept <= nDocs && keptTok <= nTok)
+      assert(ppm == keptTok * 1000000L / nTok)
+    }
+    // global kept docs == number of near-dup clusters (one canonical each)
+    val canonical = queries.Text.q82(spark, sf).collect()
+      .count(_.getBoolean(2)).toLong
+    assert(got.values.map(_._2).sum == canonical)
+  }
 }

@@ -54,10 +54,15 @@ object Stage {
     * on-disk stage root (spec hook; harmless otherwise). */
   private[graft] def clearMemo(): Unit = memo.clear()
 
-  /** Content fingerprint of a source directory: md5 over the sorted
-    * (relative path, size, mtime-ms) listing. Nothing is read but
-    * metadata, so this is cheap even for huge sources; any file added,
-    * removed, resized, or rewritten (mtime) changes the fingerprint. */
+  /** Content fingerprint of a source directory: md5 over the source's
+    * absolute path plus the sorted (relative path, size, mtime-ms)
+    * listing. Nothing is read but metadata, so this is cheap even for
+    * huge sources; any file added, removed, resized, or rewritten
+    * (mtime) changes the fingerprint. The source PATH is part of the
+    * key: two different sources whose listings happen to coincide
+    * (same file names/sizes written in the same mtime millisecond —
+    * observed live in specs) must not alias one artifact, because the
+    * listing never reads content and cannot prove the bytes match. */
   def fingerprint(sourceDir: String): String = {
     val base = Paths.get(sourceDir).toAbsolutePath.normalize
     require(Files.isDirectory(base), s"not a directory: $sourceDir")
@@ -69,7 +74,7 @@ object Stage {
       }.toVector.sorted
     } finally walk.close()
     val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(lines.mkString("\n").getBytes("UTF-8"))
+      .digest((base.toString +: lines).mkString("\n").getBytes("UTF-8"))
     d.map("%02x".format(_)).mkString
   }
 
@@ -97,6 +102,11 @@ object Stage {
         try {
           build(tmp)
           buildsRun.incrementAndGet()
+          // _SOURCE records which dataset this artifact derives from, so
+          // pruning can tell "superseded version of MY source" from "live
+          // artifact of a DIFFERENT source sharing the artifact name"
+          Files.writeString(tmp.resolve("_SOURCE"),
+            Paths.get(sourceDir).toAbsolutePath.normalize.toString)
           Files.createFile(tmp.resolve("_STAGED"))
           try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
           catch { // another session committed first — use theirs
@@ -105,24 +115,37 @@ object Stage {
               deleteTree(tmp)
           }
         } catch { case e: Throwable => deleteTree(tmp); throw e }
-        prune(parent, keep = fp)
+        prune(parent, keep = fp, source = sourceDir)
       }
       memo.put(memoKey, target)
       target
     }
   }
 
-  /** Remove superseded fingerprint dirs (the source was refreshed) and
-    * crashed builders' tmp dirs older than six hours. */
-  private def prune(parent: Path, keep: String): Unit = {
+  /** Remove superseded fingerprint dirs and crashed builders' tmp dirs
+    * older than six hours. "Superseded" is judged per SOURCE: a dir is
+    * pruned only when its `_SOURCE` marker names the SAME dataset this
+    * build derives from (its content was refreshed, the old fingerprint
+    * is a dead version). A different fingerprint from a DIFFERENT source
+    * is a LIVE sibling — several datasets legitimately share one
+    * artifact name (the three test scale factors here; per-tenant
+    * sources at cluster scale), and round 11 observed the unqualified
+    * prune deleting a sibling's committed artifact out from under a
+    * concurrently-running session (PATH_NOT_FOUND mid-read). Dirs
+    * without a `_SOURCE` marker (pre-round-11 builds) are left alone —
+    * unknown provenance must not be guessed stale. */
+  private def prune(parent: Path, keep: String, source: String): Unit = {
+    val src = Paths.get(source).toAbsolutePath.normalize.toString
     val ds = Files.newDirectoryStream(parent)
     try {
       import scala.jdk.CollectionConverters._
       val staleMs = System.currentTimeMillis() - 6L * 3600 * 1000
       ds.iterator().asScala.foreach { p =>
         val n = p.getFileName.toString
+        val sameSource = Files.exists(p.resolve("_SOURCE")) &&
+          Files.readString(p.resolve("_SOURCE")) == src
         val superseded = n != keep && !n.startsWith(".tmp_") &&
-          Files.exists(p.resolve("_STAGED"))
+          Files.exists(p.resolve("_STAGED")) && sameSource
         val crashed = n.startsWith(".tmp_") &&
           Files.getLastModifiedTime(p).toMillis < staleMs
         if (superseded || crashed) deleteTree(p)

@@ -68,6 +68,29 @@ class StageSpec extends AnyFunSuite {
     assert(!Files.exists(v1), "superseded fingerprint dir must be pruned")
   }
 
+  test("sibling sources share an artifact name without pruning each other") {
+    // Round-11 regression: the three scale factors (or per-tenant sources
+    // at cluster scale) all stage under one artifact name. Building for
+    // source B must NOT delete source A's live artifact (the unqualified
+    // prune did — PATH_NOT_FOUND in a concurrent session mid-read);
+    // refreshing A must still prune only A's old fingerprint.
+    val srcA = freshSource()
+    val srcB = freshSource()
+    val name = s"spec_${java.util.UUID.randomUUID}"
+    def build(tag: String)(p: Path): Unit =
+      Files.write(p.resolve("artifact.txt"), tag.getBytes("UTF-8"))
+    val a1 = Stage.derived(name, srcA.toString)(build("a1"))
+    val b1 = Stage.derived(name, srcB.toString)(build("b1"))
+    assert(Files.exists(a1.resolve("_STAGED")),
+      "building for a sibling source must not prune another source's artifact")
+    assert(Files.exists(b1.resolve("_STAGED")))
+    // refresh A: its own old fingerprint prunes, B's stays
+    Files.write(srcA.resolve("a.txt"), "mutated-bytes".getBytes("UTF-8"))
+    val a2 = Stage.derived(name, srcA.toString)(build("a2"))
+    assert(a2 != a1 && !Files.exists(a1), "A's superseded dir must prune")
+    assert(Files.exists(b1.resolve("_STAGED")), "B must survive A's refresh")
+  }
+
   test("adding or removing a source file changes the fingerprint") {
     val src = freshSource()
     val f0 = Stage.fingerprint(src.toString)

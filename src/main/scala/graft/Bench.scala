@@ -1,16 +1,63 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Benchmark entrypoint: times every SparkEntry query at the given scale
   * factor and prints one JSON line. local[32] matches the driver's bench
   * environment; a warmup pass separates JVM/codegen startup cost from
   * per-query numbers. */
 object Bench {
+
+  /** Spark-4-on-JDK-17 module opens for the recheck child process (the
+    * same list build.sbt forks with — JavaModuleOptions.defaultModuleOptions). */
+  private val jdk17AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** 1-minute system load average (/proc/loadavg field 1) — recorded at
+    * the run's checkpoints so a graded artifact taken on a busy host
+    * carries the evidence in-band. -1 when unreadable (non-Linux). */
+  private def loadavg(): Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Most recent prior bench record (BENCH_PREV env, else the
+    * highest-numbered BENCH_r*.json in cwd): short query name → seconds.
+    * Used for the cross-round delta check — an entry far above its prior
+    * record is re-measured in a separate process before it is recorded. */
+  private def priorRecord(): Map[String, Double] = {
+    val explicit = sys.env.get("BENCH_PREV").map(new java.io.File(_))
+    val discovered = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .flatMap { f =>
+        "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
+          .map(m => (m.group(1).toInt, f))
+      }.sortBy(_._1).lastOption.map(_._2)
+    explicit.orElse(discovered).filter(_.isFile).map { f =>
+      val txt = try java.nio.file.Files.readString(f.toPath)
+        catch { case _: Throwable => "" }
+      "\"(q\\d+)\":(-?\\d+(?:\\.\\d+)?)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+  }
+
   def main(args: Array[String]): Unit = {
     java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Child mode (SPARK_GRAFT_CHILD): this JVM is the separate-process
+    // re-measure a parent run forked for its flagged outliers. Lean path:
+    // inline best-of-2/3 only — no second sweep, no sentinels, no
+    // recursive recheck. A fresh process is the point: it shares no GC
+    // history, no cache state, and no JIT profile with the parent sweep.
+    val child = sys.env.contains("SPARK_GRAFT_CHILD")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -38,8 +85,11 @@ object Bench {
     // above 0.6s; a FULL second sweep of every query (per-query min across
     // sweeps — two samples separated by the length of the run beat four
     // samples inside one window); an end-of-run re-measurement of
-    // outliers; and a fixed calibration sentinel timed at start/mid/end
-    // whose drift is recorded IN the JSON — when the host is contended for
+    // outliers; TWO fixed calibration sentinels (CPU-shaped and
+    // shuffle/memory-bandwidth-shaped) timed at start/mid/end whose drift
+    // is recorded IN the JSON; /proc/loadavg at the same checkpoints; and
+    // a cross-round delta check that re-measures suspect entries in a
+    // SEPARATE PROCESS after the sweep — when the host is contended for
     // the whole run, the record says so instead of presenting inflated
     // numbers as clean.
     // A query that throws must surface as a failure (-1), not as a fast
@@ -56,37 +106,64 @@ object Bench {
     }
     def better(a: Double, b: Double): Double =
       if (a < 0) b else if (b < 0) a else math.min(a, b)
-    // Host-band sentinel: a fixed CPU-bound aggregation (no IO, no shuffle
-    // variance) timed at start/mid/end of the run. Its drift is the
-    // honest signal for "this record was taken on a contended host" —
-    // best-of-two per checkpoint so a momentary blip doesn't false-alarm,
-    // while a run-long window still shows in all samples.
+    // Host-band sentinel #1: a fixed CPU-bound aggregation (no IO, no
+    // shuffle variance) timed at start/mid/end of the run. Catches
+    // CPU-core contention; best-of-two per checkpoint so a momentary blip
+    // doesn't false-alarm, while a run-long window still shows in all
+    // samples.
     def sentinelOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(1000000000L)
         .selectExpr("sum(id * 1000003 % 2654435761)").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    def sentinel(): Double = math.min(sentinelOnce(), sentinelOnce())
-    // The sentinel's own codegen/JIT warmup must not masquerade as drift:
-    // two untimed runs before the first checkpoint (observed 4x first-vs-
-    // second with none; ~1.7x residue persists even after two because the
-    // session-wide JIT is still tiering — hence the 2.5x drift threshold
-    // below rather than 2x; real contention windows measure 3-30x).
-    sentinelOnce(); sentinelOnce()
+    // Host-band sentinel #2: a fixed shuffle — 20M rows hashed to 1M keys,
+    // repartitioned and hash-aggregated. This is the round-11 blind spot:
+    // q83-class inflation came from MEMORY-BANDWIDTH/IO contention (the
+    // concurrent sf0.1 DuckDB dump) that a pure-CPU scan never feels; a
+    // shuffle write+read with a million-entry hash table feels exactly it.
+    def sentinelShuffleOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(20000000L)
+        .select((col("id") * 2654435761L % 1048576).as("k"), col("id"))
+        .repartition(64, col("k"))
+        .groupBy(col("k")).agg(sum(col("id")).as("s"))
+        .agg(sum(col("s"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Best-of-two per checkpoint (a momentary blip must not false-alarm),
+    // best-of-THREE at the first: checkpoint 0 runs right after warmup and
+    // often right after whatever job preceded the bench (the driver's own
+    // Verify sweep) — measured residue inflates the first shuffle sample
+    // 2-4x on an otherwise quiet host, and a run-long window still shows
+    // in all samples regardless.
+    def sentinel(samples: Int): (Double, Double) = (
+      Seq.fill(samples)(sentinelOnce()).min,
+      Seq.fill(samples)(sentinelShuffleOnce()).min)
+    // The sentinels' own codegen/JIT warmup must not masquerade as drift:
+    // two untimed runs each before the first checkpoint (observed 4x
+    // first-vs-second with none; ~1.7x residue persists even after two
+    // because the session-wide JIT is still tiering — hence the 2.5x drift
+    // threshold below rather than 2x; real contention windows measure
+    // 3-30x).
+    if (!child) {
+      sentinelOnce(); sentinelOnce()
+      sentinelShuffleOnce(); sentinelShuffleOnce()
+    }
     // Optional subset filter for local iteration: SPARK_GRAFT_ONLY=q45,q83
-    // times only the named qNN prefixes. The driver never sets it.
+    // times only the named qNN prefixes. The driver never sets it; the
+    // recheck child always does.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n.takeWhile(_ != '_'))) }
+    def short(name: String): String = name.takeWhile(_ != '_')
     // Clear cached relations BETWEEN queries (never between a query's two
     // runs — intra-query persist reuse is the operators' real behavior):
     // ~90 queries' internal persists otherwise accumulate, and the
     // resulting eviction + old-gen GC pressure inflated late-alphabet
     // queries 3x+ over their clean-session times.
-    val sen0 = sentinel()
-    val firstPass = ordered.map { case (name, fn) =>
+    def reset(): Unit = {
       CacheLifecycle.releaseAll(spark)
       spark.catalog.clearCache()
       // One explicit GC between queries: 100 queries' broadcasts, codegen
@@ -96,6 +173,11 @@ object Bench {
       // hygiene — each number should be the query's cost, not the
       // session's garbage.
       System.gc()
+    }
+    val load0 = loadavg()
+    val (sen0, senS0) = if (child) (0.0, 0.0) else sentinel(3)
+    val firstPass = ordered.map { case (name, fn) =>
+      reset()
       val first = once(fn)
       val two = if (first >= 0 && first < 60.0) better(first, once(fn)) else first
       // Queries past 0.6s get a third run: on a shared 32-core host a
@@ -105,20 +187,20 @@ object Bench {
       // makes a 2-sample coincidence a 3-sample one.
       (name, fn, if (two > 0.6 && two < 60.0) better(two, once(fn)) else two)
     }
-    val sen1 = sentinel()
+    val load1 = loadavg()
+    val (sen1, senS1) = if (child) (0.0, 0.0) else sentinel(2)
     // Full second sweep: one run per query, min'd against the first pass.
     // Two samples separated by the whole run's duration are the only
     // defense against a contention window that outlives any same-run
     // retry cluster (round 10's q83). Single-run here — the inline
     // best-of-2/3 already guarded pass one; this pass buys temporal
-    // separation, not more same-moment samples.
-    val secondPass = firstPass.map { case (name, fn, t) =>
-      CacheLifecycle.releaseAll(spark)
-      spark.catalog.clearCache()
-      System.gc()
-      (name, fn, better(t, once(fn)))
-    }
-    val sen2 = sentinel()
+    // separation, not more same-moment samples. (Skipped in child mode:
+    // the child IS the temporally-separated re-measure.)
+    val secondPass =
+      if (child) firstPass
+      else firstPass.map { case (name, fn, t) => reset(); (name, fn, better(t, once(fn))) }
+    val load2 = loadavg()
+    val (sen2, senS2) = if (child) (0.0, 0.0) else sentinel(2)
     val okTimes = secondPass.map(_._3).filter(_ >= 0).sorted
     val med = if (okTimes.nonEmpty) okTimes(okTimes.size / 2) else 0.0
     // End-of-run re-measure of everything still expensive: by now the
@@ -127,50 +209,111 @@ object Bench {
     // is judged on (round 7's q125 ghost — 4.67s recorded vs 0.91-1.05s on
     // every re-measure — sat below the old 5s bar). better() means this
     // pass can only improve numbers, never worsen them.
-    val results = secondPass.map { case (name, fn, t) =>
-      if (t > math.max(3 * med, 1.2)) {
-        CacheLifecycle.releaseAll(spark); spark.catalog.clearCache(); System.gc()
-        name -> better(t, once(fn))
+    val inProc = secondPass.map { case (name, fn, t) =>
+      if (!child && t > math.max(3 * med, 1.2)) {
+        reset(); (name, fn, better(t, once(fn)))
       }
-      else name -> t
+      else (name, fn, t)
+    }
+    // Separate-process recheck (round 12, closing round 10/11's gap): the
+    // in-process defenses all sample inside ONE JVM on one host timeline —
+    // a contention window spanning the whole run (q83: four
+    // temporally-separated samples, all 7x inflated, sentinel clean)
+    // defeats every one of them. A fresh process AFTER the sweep is a
+    // fifth, later sample with its own JVM. Flagged: anything still above
+    // max(3×median, 2s), plus anything >3× its previous-round record
+    // (BENCH_PREV env or the latest BENCH_r*.json in cwd) — capped at 12
+    // queries by cost. min() only — the child can only improve a number.
+    val prior = if (child) Map.empty[String, Double] else priorRecord()
+    val flagged = if (child) Seq.empty else inProc.collect {
+      case (name, _, t) if t > 0 && (t > math.max(3 * med, 2.0) ||
+        prior.get(short(name)).exists(p => p > 0 && t > 3 * p && t > 0.5)) =>
+        (name, t)
+    }.sortBy(-_._2).take(12)
+    val childTimes: Map[String, Double] =
+      if (flagged.isEmpty) Map.empty
+      else try {
+        val javaBin = s"${System.getProperty("java.home")}/bin/java"
+        val cp = System.getProperty("java.class.path")
+        val xmx = s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"
+        val cmd = (Seq(javaBin) ++ jdk17AddOpens ++
+          Seq(xmx, "-Dspark.ui.enabled=false", "-cp", cp, "graft.Bench"))
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.environment().put("SPARK_GRAFT_CHILD", "1")
+        pb.environment().put("SPARK_GRAFT_ONLY",
+          flagged.map(f => short(f._1)).mkString(","))
+        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT) // diag to stderr
+        val proc = pb.start()
+        val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+        val done = proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) { proc.destroyForcibly(); Map.empty }
+        else "\"(q\\d+)\":(-?\\d+(?:\\.\\d+)?)".r.findAllMatchIn(out)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 >= 0).toMap
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] recheck child failed: ${e.getMessage}")
+        Map.empty
+      }
+    val results = inProc.map { case (name, _, t) =>
+      name -> childTimes.get(short(name)).map(better(t, _)).getOrElse(t)
     }
     val sens = Seq(sen0, sen1, sen2)
-    // Two contamination signals: DRIFT (a window that starts or ends
-    // mid-run — some checkpoint 2.5x another) and ALL-ELEVATED (a window
-    // spanning the whole run, invisible to drift: even the best sentinel
-    // sample sits far above the quiet-host calibration). 0.25s is this
-    // sentinel's measured quiet value at local[32]; the absolute band only
-    // applies at the driver's 32-cpu configuration.
-    val contaminated = sens.max > 2.5 * sens.min ||
-      (cpus == "32" && sens.min > 0.75)
+    val senShuf = Seq(senS0, senS1, senS2)
+    val loads = Seq(load0, load1, load2)
+    // Contamination signals, two shapes x two tests each: DRIFT (a window
+    // that starts or ends mid-run — some checkpoint 2.5x another) and
+    // ALL-ELEVATED (a window spanning the whole run, invisible to drift:
+    // even the best sample sits far above the quiet-host calibration).
+    // Quiet values at local[32] on this host (measured round 12): CPU
+    // sentinel ~0.25s, shuffle sentinel ~1.3-1.7s; the absolute bands
+    // (0.75 / 3.0) give ~2-3x headroom and only apply at the driver's
+    // 32-cpu configuration. The loadavg samples include the bench's OWN
+    // threads — read them for extremes (a second heavy process), not as
+    // a cleanliness gate.
+    // cpus parsed NUMERICALLY: an equivalent spelling ("32 ", "032") must
+    // not silently disable the absolute bands — and when they ARE skipped
+    // (non-32 configuration), the record says so on stderr.
+    val cpusInt = cpus.trim.toIntOption
+    if (!child && !cpusInt.contains(32)) System.err.println(
+      s"[bench] absolute sentinel bands skipped: cpus=$cpus is not the " +
+        "calibrated 32-core configuration")
+    val contaminated = !child && (
+      sens.max > 2.5 * sens.min || senShuf.max > 2.5 * senShuf.min ||
+      (cpusInt.contains(32) && (sens.min > 0.75 || senShuf.min > 3.0)))
     // The driver records a fixed-size TAIL of this line; round 2's full
     // query names pushed it past the window and truncated q01–q18 plus the
     // total. Two fixes: per-query keys shortened to their unique qNN prefix
     // with 3-decimal values (the whole 79-query line now fits), and the
     // metric/total fields moved to the END of the object so they survive
     // even if the query map outgrows the window again.
-    def short(name: String): String = name.takeWhile(_ != '_')
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val failed = results.collect { case (k, v) if v < 0 => "\"" + short(k) + "\"" }
     val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // sentinel/contaminated ride in the JSON so a contended-host record
-    // carries its own caveat (round 10's graded artifact had none); they
-    // sit after the query map so the driver's fixed-size tail keeps them
-    // alongside metric/total.
+    // sentinels/loadavg/rechecked/contaminated ride in the JSON so a
+    // contended-host record carries its own caveat AND its correction
+    // trail (round 10's graded artifact had neither); they sit after the
+    // query map so the driver's fixed-size tail keeps them alongside
+    // metric/total.
     val senJson = sens.map(fmt).mkString("[", ",", "]")
-    println(s"""{"queries":$qs,"failed":[${failed.mkString(",")}],"sentinel":$senJson,"contaminated":$contaminated,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}""")
+    val senShufJson = senShuf.map(fmt).mkString("[", ",", "]")
+    val loadJson = loads.map(v => f"$v%.2f").mkString("[", ",", "]")
+    val rechecked = flagged.map(f => "\"" + short(f._1) + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"queries":$qs,"failed":[${failed.mkString(",")}],"sentinel":$senJson,"sentinel_shuffle":$senShufJson,"loadavg":$loadJson,"rechecked":$rechecked,"contaminated":$contaminated,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}""")
     // A non-empty failed list is a STOP-SHIP, not a footnote (round 6
     // shipped a snapshot with 18 silent -1s). Loud on stderr, after the
     // JSON line so the driver's parse is unaffected.
     if (failed.nonEmpty) System.err.println(
       s"[bench] STOP-SHIP: ${failed.size} queries FAILED: ${failed.mkString(", ")}")
     if (contaminated) System.err.println(
-      s"[bench] CONTAMINATION WARNING: calibration sentinel $senJson " +
-        f"(drift ${sens.max / sens.min}%.1fx, quiet-host band 0.25s) — " +
-        "timings above are host-band-inflated; rerun on a quiet host " +
-        "before treating them as the engine's numbers.")
+      s"[bench] CONTAMINATION WARNING: calibration sentinels cpu=$senJson " +
+        s"shuffle=$senShufJson loadavg=$loadJson (quiet-host bands 0.25s / " +
+        "1.3-1.7s) — timings above are host-band-inflated; rerun on a quiet " +
+        "host before treating them as the engine's numbers.")
     spark.stop()
   }
 }

@@ -122,33 +122,71 @@ object Stage {
     }
   }
 
-  /** Remove superseded fingerprint dirs and crashed builders' tmp dirs
-    * older than six hours. "Superseded" is judged per SOURCE: a dir is
-    * pruned only when its `_SOURCE` marker names the SAME dataset this
-    * build derives from (its content was refreshed, the old fingerprint
-    * is a dead version). A different fingerprint from a DIFFERENT source
-    * is a LIVE sibling — several datasets legitimately share one
-    * artifact name (the three test scale factors here; per-tenant
-    * sources at cluster scale), and round 11 observed the unqualified
-    * prune deleting a sibling's committed artifact out from under a
-    * concurrently-running session (PATH_NOT_FOUND mid-read). Dirs
-    * without a `_SOURCE` marker (pre-round-11 builds) are left alone —
-    * unknown provenance must not be guessed stale. */
+  /** Retention horizon for GARBAGE (not superseded versions): artifacts
+    * whose source dataset no longer exists on disk, and marker-less dirs
+    * of unknown provenance (pre-`_SOURCE` builds). Superseded same-source
+    * versions are pruned immediately regardless; this horizon only
+    * bounds how long unreachable artifacts may linger. Long by design —
+    * a reader that fingerprinted before its source was deleted has this
+    * many hours to finish. Override via GRAFT_STAGE_RETENTION_HOURS. */
+  private def retentionMs: Long =
+    sys.env.get("GRAFT_STAGE_RETENTION_HOURS").flatMap(_.toLongOption)
+      .getOrElse(168L) * 3600 * 1000
+
+  /** Remove superseded fingerprint dirs, crashed builders' tmp dirs older
+    * than six hours, and (past [[retentionMs]]) orphaned garbage.
+    * "Superseded" is judged per SOURCE: a dir is pruned immediately only
+    * when its `_SOURCE` marker names the SAME dataset this build derives
+    * from (its content was refreshed, the old fingerprint is a dead
+    * version). A different fingerprint from a DIFFERENT source is a LIVE
+    * sibling — several datasets legitimately share one artifact name
+    * (the three test scale factors here; per-tenant sources at cluster
+    * scale), and round 11 observed the unqualified prune deleting a
+    * sibling's committed artifact out from under a concurrently-running
+    * session (PATH_NOT_FOUND mid-read).
+    *
+    * The retention sweep closes the lifecycle the source-scoped rule
+    * left open: without it, artifacts of DELETED or renamed sources are
+    * never reclaimed (nothing fingerprints them again), and marker-less
+    * pre-`_SOURCE` dirs accrue forever — at a lakehouse root that is an
+    * unbounded leak. A committed dir is garbage when either its
+    * `_SOURCE` names a path that no longer exists, or it has no
+    * `_SOURCE` at all (unknown provenance — never guessed stale, only
+    * aged out); both are reclaimed only once older than the horizon,
+    * so a concurrent reader mid-artifact is never undercut.
+    *
+    * Every per-entry check tolerates the entry vanishing mid-scan
+    * (NoSuchFileException and kin → skip): concurrent sessions prune the
+    * same parent, and a TOCTOU between exists() and readString() must
+    * not fail a build whose own commit already succeeded. */
   private def prune(parent: Path, keep: String, source: String): Unit = {
     val src = Paths.get(source).toAbsolutePath.normalize.toString
     val ds = Files.newDirectoryStream(parent)
     try {
       import scala.jdk.CollectionConverters._
-      val staleMs = System.currentTimeMillis() - 6L * 3600 * 1000
+      val now = System.currentTimeMillis()
+      val staleMs = now - 6L * 3600 * 1000
+      val garbageMs = now - retentionMs
       ds.iterator().asScala.foreach { p =>
-        val n = p.getFileName.toString
-        val sameSource = Files.exists(p.resolve("_SOURCE")) &&
-          Files.readString(p.resolve("_SOURCE")) == src
-        val superseded = n != keep && !n.startsWith(".tmp_") &&
-          Files.exists(p.resolve("_STAGED")) && sameSource
-        val crashed = n.startsWith(".tmp_") &&
-          Files.getLastModifiedTime(p).toMillis < staleMs
-        if (superseded || crashed) deleteTree(p)
+        try {
+          val n = p.getFileName.toString
+          val marker = p.resolve("_SOURCE")
+          val markedSrc =
+            if (Files.exists(marker)) Some(Files.readString(marker)) else None
+          val committed = n != keep && !n.startsWith(".tmp_") &&
+            Files.exists(p.resolve("_STAGED"))
+          val superseded = committed && markedSrc.contains(src)
+          val aged = Files.getLastModifiedTime(p).toMillis < garbageMs
+          val orphaned = committed && aged && (markedSrc match {
+            case Some(m) => !Files.isDirectory(Paths.get(m)) // source deleted
+            case None    => true // pre-_SOURCE build, unknown provenance
+          })
+          val crashed = n.startsWith(".tmp_") &&
+            Files.getLastModifiedTime(p).toMillis < staleMs
+          if (superseded || orphaned || crashed) deleteTree(p)
+        } catch { // entry vanished mid-scan (concurrent prune) — skip it
+          case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+        }
       }
     } finally ds.close()
   }

@@ -1358,6 +1358,113 @@ object Extended {
   // computation over all rows serves
   val q288Sql: String = q276Sql
 
+  // --- q308: mergeable quantile sketch over an UNBOUNDED domain ---------------
+  // q276/q288 close percentile rollups for bounded integer grids; this
+  // closes the open-ended case (o_totalprice — revenue, latency-µs at
+  // cluster scale) with operators.QuantileSketch: a deterministic
+  // Munro-Paterson/KLL-shaped level compactor whose worst-case rank
+  // displacement is accumulated ONLINE into the sketch (err), valid for
+  // any merge order. Rollup shape mirrors q276: fine sketches per order
+  // priority, the '*' level built by MERGING the five fine sketches
+  // (QuantileSketch.MergeAgg — never a rescan). Oracle contract is the
+  // q87 self-check pattern with the sketch's own tracked bound: the
+  // output carries the EXACT type-1 percentiles (integer-arithmetic
+  // cumsum — the oracle's anchor; at 100 TB only the sketch path runs)
+  // plus booleans certifying each sketch estimate's true rank lies within
+  // [target − err, target + err] — count(<est)+1 ≤ target+err AND
+  // count(≤est) ≥ target−err, both PROVEN invariants of the compactor
+  // (QuantileSketchSpec checks them on closed-form distributions), so a
+  // lost partial, double merge, or broken compaction flips a boolean and
+  // hash-misses. n_rows is reported FROM THE SKETCH — an item-count leak
+  // anywhere in reduce/merge also hash-misses against the oracle's exact
+  // COUNT(*).
+  def q308(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    import graft.operators.QuantileSketch
+    val kll = udaf(new QuantileSketch.SketchAgg(64),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val kllMerge = udaf(new QuantileSketch.MergeAgg(64),
+      org.apache.spark.sql.Encoders.product[QuantileSketch.Sketch])
+    val raw = Tables.orders(s, d)
+      .select($"o_orderpriority".as("grp"), $"o_totalprice".as("v"))
+    // fine level: one sketch per priority (map-side partials; the shuffle
+    // carries sketches, not rows); '*' level merges the FINE SKETCHES
+    val fine = raw.groupBy($"grp").agg(kll($"v").as("sk")).persistTracked()
+    // udaf over a product input takes one column PER FIELD of the case class
+    val sketches = fine
+      .unionByName(fine.groupBy(lit("*").as("grp"))
+        .agg(kllMerge($"sk.values", $"sk.weights", $"sk.err", $"sk.n").as("sk")))
+    // sketch → type-1 estimate per target rank: smallest value whose
+    // estimated cumweight reaches ceil(q·n) (integer arithmetic)
+    val entries = sketches
+      .select($"grp", $"sk.err".as("err"), $"sk.n".as("n"), $"sk.weights".as("ws"),
+        posexplode($"sk.values").as(Seq("i", "v")))
+      .select($"grp", $"err", $"n", $"v",
+        element_at($"ws", ($"i" + 1).cast("int")).as("w"))
+    val wCum = Window.partitionBy($"grp").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val est = entries
+      .withColumn("cum", sum($"w").over(wCum))
+      .groupBy($"grp", $"err", $"n")
+      .agg(
+        min(when($"cum" >= expr("(n + 1) div 2"), $"v")).as("e50"),
+        min(when($"cum" >= expr("(9 * n + 9) div 10"), $"v")).as("e90"),
+        min(when($"cum" >= expr("(99 * n + 99) div 100"), $"v")).as("e99"))
+    // the accounting universe per level: raw rows, '*' spanning all — the
+    // exact-percentile anchor and the rank self-check both read it (the
+    // oracle's job at 100 TB; only the sketch path above is the scale path)
+    val rawAll = raw
+      .unionByName(raw.select(lit("*").as("grp"), $"v"))
+      .persistTracked()
+    val wc = Window.partitionBy($"grp").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exact = rawAll.groupBy($"grp", $"v").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(wc))
+      .withColumn("nr", sum($"cnt").over(Window.partitionBy($"grp")))
+      .groupBy($"grp", $"nr")
+      .agg(
+        min(when($"cum" >= expr("(nr + 1) div 2"), $"v")).as("p50"),
+        min(when($"cum" >= expr("(9 * nr + 9) div 10"), $"v")).as("p90"),
+        min(when($"cum" >= expr("(99 * nr + 99) div 100"), $"v")).as("p99"))
+    // rank self-check with the sketch's OWN tracked bound (q87 two-sided
+    // shape): some rank of est, i.e. the interval [count(<est)+1,
+    // count(≤est)], must intersect [target − err, target + err]
+    def rankOk(e: Column, target: Column): Column =
+      ((sum(when($"v" < e, 1L).otherwise(0L)) + lit(1L) <= target + $"err") &&
+        (sum(when($"v" <= e, 1L).otherwise(0L)) >= target - $"err"))
+    val checks = rawAll.join(broadcast(est), "grp")
+      .groupBy($"grp", $"err", $"n", $"e50", $"e90", $"e99")
+      .agg(
+        rankOk($"e50", expr("(n + 1) div 2")).as("p50_ok"),
+        rankOk($"e90", expr("(9 * n + 9) div 10")).as("p90_ok"),
+        rankOk($"e99", expr("(99 * n + 99) div 100")).as("p99_ok"))
+    checks.join(exact, "grp")
+      .select($"grp", $"n".as("n_rows"), $"p50", $"p90", $"p99",
+        $"p50_ok", $"p90_ok", $"p99_ok")
+      .orderBy($"grp")
+  }
+  val q308Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders
+      |  UNION ALL
+      |  SELECT '*' AS grp, o_totalprice AS v FROM orders),
+      |hist AS (
+      |  SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT grp, v,
+      |    SUM(cnt) OVER (PARTITION BY grp ORDER BY v) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY grp) AS nr
+      |  FROM hist)
+      |SELECT grp, CAST(nr AS BIGINT) AS n_rows,
+      |  MIN(CASE WHEN cum >= (nr + 1) // 2 THEN v END) AS p50,
+      |  MIN(CASE WHEN cum >= (9 * nr + 9) // 10 THEN v END) AS p90,
+      |  MIN(CASE WHEN cum >= (99 * nr + 99) // 100 THEN v END) AS p99,
+      |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+      |FROM cum
+      |GROUP BY grp, nr
+      |ORDER BY grp""".stripMargin
+
   // --- q302: fulfillment SLA percentiles (order → ship latency) ----------------
   // The ops-SLA read on the TPC-H pair of dates: per order priority,
   // p50/p90/p99 of days from order placement to line shipment. Latency
@@ -1776,6 +1883,7 @@ object Extended {
     ("q251_bitmap_distinct", q251 _, Some(q251Sql)),
     ("q276_quantile_rollup", q276 _, Some(q276Sql)),
     ("q288_quantile_ivm", q288 _, Some(q288Sql)),
+    ("q308_kll_quantile", q308 _, Some(q308Sql)),
     ("q302_sla_percentiles", q302 _, Some(q302Sql)),
     ("q261_skew_advisor", q261 _, Some(q261Sql)),
     ("q263_drilldown_shares", q263 _, Some(q263Sql)),

@@ -3049,7 +3049,10 @@ object Text {
       .join(lens.groupBy($"source")
         .agg(count(lit(1)).as("n_docs"), sum($"tk").as("n_tokens")), "source")
       .select($"source", $"n_docs", $"n_chunks", $"n_tokens", $"chunk_token_vol",
-        expr("(chunk_token_vol - n_tokens) * 1000000 div n_tokens")
+        // ppm numerator through decimal(38,0)/HUGEINT (the q290 route):
+        // token volumes at 100 TB put the raw long product past 2^63
+        expr("cast(chunk_token_vol - n_tokens as decimal(38,0)) * 1000000" +
+            " div n_tokens")
           .cast("long").as("overhead_ppm"))
       .orderBy($"source")
   }
@@ -3070,8 +3073,8 @@ object Text {
       |    CAST(SUM(tk) AS BIGINT) AS n_tokens
       |  FROM lens GROUP BY source)
       |SELECT source, n_docs, n_chunks, n_tokens, chunk_token_vol,
-      |  CAST((chunk_token_vol - n_tokens) * 1000000 // n_tokens AS BIGINT)
-      |    AS overhead_ppm
+      |  CAST(CAST(chunk_token_vol - n_tokens AS HUGEINT) * 1000000
+      |    // n_tokens AS BIGINT) AS overhead_ppm
       |FROM cagg JOIN dagg USING (source)
       |ORDER BY source""".stripMargin
 
@@ -3331,7 +3334,9 @@ object Text {
       .agg(sum($"n").as("n_tokens"),
         sum(when($"hit".isNull, $"n").otherwise(0L)).as("n_oov"))
       .select($"source", $"n_tokens", $"n_oov",
-        expr("n_oov * 1000000 div n_tokens").cast("long").as("oov_ppm"))
+        // decimal(38,0) numerator — same overflow class as q296/q307
+        expr("cast(n_oov as decimal(38,0)) * 1000000 div n_tokens")
+          .cast("long").as("oov_ppm"))
       .orderBy($"source")
   }
   val q280Sql: String =
@@ -3346,7 +3351,7 @@ object Text {
       |SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
       |  CAST(SUM(CASE WHEN vocab.w IS NULL THEN n ELSE 0 END) AS BIGINT)
       |    AS n_oov,
-      |  CAST(SUM(CASE WHEN vocab.w IS NULL THEN n ELSE 0 END)
+      |  CAST(CAST(SUM(CASE WHEN vocab.w IS NULL THEN n ELSE 0 END) AS HUGEINT)
       |    * 1000000 // SUM(n) AS BIGINT) AS oov_ppm
       |FROM hold LEFT JOIN vocab ON hold.w = vocab.w
       |GROUP BY source
@@ -3531,8 +3536,9 @@ object Text {
         sum($"tk").as("n_tokens"),
         sum(when($"is_canonical", $"tk").otherwise(0L)).as("kept_tokens"))
       .select($"source", $"n_docs", $"n_kept", $"n_tokens", $"kept_tokens",
-        expr("kept_tokens * 1000000 div n_tokens").cast("long")
-          .as("kept_ppm"))
+        // decimal(38,0) numerator — kept-token ppm at corpus scale (q290 route)
+        expr("cast(kept_tokens as decimal(38,0)) * 1000000 div n_tokens")
+          .cast("long").as("kept_ppm"))
       .orderBy($"source")
   }
   val q307Sql: String = {
@@ -3551,7 +3557,7 @@ object Text {
        |  CAST(SUM(tk) AS BIGINT) AS n_tokens,
        |  CAST(SUM(CASE WHEN is_canonical THEN tk ELSE 0 END) AS BIGINT)
        |    AS kept_tokens,
-       |  CAST(SUM(CASE WHEN is_canonical THEN tk ELSE 0 END)
+       |  CAST(CAST(SUM(CASE WHEN is_canonical THEN tk ELSE 0 END) AS HUGEINT)
        |    * 1000000 // SUM(tk) AS BIGINT) AS kept_ppm
        |FROM toks JOIN cl USING (doc_id)
        |GROUP BY source

@@ -338,6 +338,45 @@ object Vectors {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // --- q310: REAL container decode — RIFF/WAVE parse over binary payloads --
+  // The q55 decode path re-gated on a genuine codec instead of the
+  // documented stub: each payload is wrapped into a well-formed WAV
+  // container (8-bit mono PCM, canonical fmt chunk, an extra LIST/INFO
+  // chunk so offset-44 shortcuts fail) and then PARSED byte-for-byte —
+  // magic validation, little-endian header reads, chunk walk with RIFF
+  // word-alignment pads — inside the same mapPartitions batch shape every
+  // Multimodal stage uses. The oracle recomputes the PCM sample stats
+  // directly from the source bytes (ASCII corpus: byte == codepoint) and
+  // the container size from the RIFF layout arithmetic, so a decoder that
+  // misreads a field, misaligns a chunk, or drops samples hash-misses.
+  // 1-in-25 doc sample: the decode cost profile, not the corpus scan, is
+  // what this query measures.
+  def q310(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Multimodal.attachPayload(
+      Tables.documents(s, d).filter($"doc_id" % 25 === 0))
+    Multimodal.decodeWav(s, docs).toDF().orderBy($"doc_id")
+  }
+  val q310Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+      |b AS (
+      |  SELECT doc_id, unicode(substr(text, CAST(i AS INT), 1)) AS v
+      |  FROM d, unnest(range(1, length(text) + 1)) AS u(i))
+      |SELECT doc_id,
+      |  CAST(8000 AS INT) AS sample_rate,
+      |  CAST(1 AS INT) AS n_channels,
+      |  CAST(8 AS INT) AS bits,
+      |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+      |  CAST(SUM(v) AS BIGINT) AS amp_sum,
+      |  CAST(MAX(v) AS INT) AS amp_max,
+      |  CAST(MIN(v) AS INT) AS amp_min,
+      |  -- RIFF layout: 8 (RIFF hdr) + 4 (WAVE) + 24 (fmt) + 32 (LIST/INFO)
+      |  -- + 8 (data hdr) + n samples + word-alignment pad
+      |  CAST(76 + COUNT(*) + COUNT(*) % 2 AS BIGINT) AS container_bytes
+      |FROM b GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // --- q85: frame sampling + per-frame features (video-pipeline shape) -----
   // mapPartitions generator (1 doc → ≤4 frames) followed by declarative
   // feature math; the deterministic stub slices/fingerprints make the whole
@@ -1415,6 +1454,93 @@ object Vectors {
       |FROM j CROSS JOIN m
       |ORDER BY query_id""".stripMargin
 
+  // --- q309: recall@k of the MATERIALIZED IVF-PQ probe --------------------
+  // q181 grades the composed IVF arm; this grades the index a deployment
+  // actually serves from: the staged, cell-partitioned IVF-PQ layout
+  // (q168's VectorIndex.probeTopK — partition-pruned scan, ADC over
+  // codes) against the exact brute-force top-5 (q50's arm). This is the
+  // retrieval-quality gate the index family was missing: q214/q215 audit
+  // the index's SHAPE and q277 decides WHEN to retrain, but only a
+  // recall@k number says what the quantization+probe approximation costs
+  // — and whether a q277 "retrain" verdict actually mattered. Both arms
+  // and the probe set (vec_id < 8) are deterministic, so per-query
+  // |PQ∩BF|/k and the micro-averaged mean are exact small-int ratios;
+  // the oracle restates the staged index from scratch (q141's CTE chain)
+  // — a stale or corrupt staged artifact hash-misses.
+  def q309(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter($"vec_id" < 8)
+    val bf = Similarity.bruteForceTopK(queries, emb, k = 5, queryCountHint = 8)
+      .select($"query_id", $"neighbor_id")
+    val pq = graft.sources.VectorIndex.probeTopK(s, vecIdx(s, d).toString,
+        queries, m = 4, k = 5, nprobe = 3)
+      .select($"query_id", $"neighbor_id")
+    val hits = bf.join(pq, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
+    val per = bf.groupBy($"query_id").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select($"query_id", $"k",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        (coalesce($"n_hits", lit(0L)).cast("double") / $"k").as("recall"))
+    val mean = per.agg(sum($"n_hits").as("sh"), sum($"k").as("sk"))
+      .select(($"sh".cast("double") / $"sk").as("mean_recall"))
+    per.crossJoin(broadcast(mean))
+      .orderBy($"query_id")
+  }
+  val q309Sql: String =
+    s"""WITH emb AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e, len(embedding) AS d FROM embeddings
+      |), kc0 AS (SELECT vec_id AS cell, e AS c FROM emb ORDER BY vec_id LIMIT 8),
+      |ka0 AS (${kmAssign("kc0")}),
+      |kc1 AS (${kmUpdate("ka0")}),
+      |cells AS (SELECT vec_id, cell FROM (${kmAssign("kc1")}) t),
+      |$pqCtes,
+      |probes AS (
+      |  SELECT query_id, cell FROM (
+      |    SELECT q.vec_id AS query_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        ${sqd("q.e", "c.c")} ASC, c.cell ASC) AS crank
+      |    FROM emb q CROSS JOIN kc1 c WHERE q.vec_id < 8)
+      |  WHERE crank <= 3
+      |), adist AS (
+      |  SELECT p.query_id, k.vec_id AS neighbor_id,
+      |    CAST(SUM(CAST(l.dist AS DECIMAL(18,6))) AS DOUBLE) AS adist
+      |  FROM codes k
+      |  JOIN cells ce ON k.vec_id = ce.vec_id
+      |  JOIN probes p ON ce.cell = p.cell
+      |  JOIN lut l ON l.query_id = p.query_id AND l.sub = k.sub AND l.cw = k.cw
+      |  WHERE k.vec_id <> p.query_id
+      |  GROUP BY 1, 2
+      |), pq AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY adist ASC, neighbor_id) AS rank
+      |    FROM adist) WHERE rank <= 5
+      |), bf AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        ROUND(${cosSql("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")}, 6) DESC,
+      |        c.vec_id) AS rank
+      |    FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+      |  WHERE rank <= 5),
+      |hits AS (
+      |  SELECT bf.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |  FROM bf JOIN pq ON bf.query_id = pq.query_id
+      |    AND bf.neighbor_id = pq.neighbor_id
+      |  GROUP BY 1),
+      |per AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k FROM bf GROUP BY 1),
+      |j AS (
+      |  SELECT per.query_id, per.k, COALESCE(n_hits, 0) AS n_hits,
+      |    CAST(COALESCE(n_hits, 0) AS DOUBLE) / per.k AS recall
+      |  FROM per LEFT JOIN hits ON per.query_id = hits.query_id),
+      |m AS (SELECT CAST(SUM(n_hits) AS DOUBLE) / SUM(k) AS mean_recall FROM j)
+      |SELECT query_id, k, n_hits, recall, mean_recall
+      |FROM j CROSS JOIN m
+      |ORDER BY query_id""".stripMargin
+
   // --- q207: graded ranking quality (NDCG@5 of the IVF arm) -----------------
   // q181 measures SET recall; this measures ORDER quality: NDCG@5 of the
   // IVF ranking with graded relevance from the exact ranking (rel =
@@ -1962,6 +2088,8 @@ object Vectors {
     ("q178_classifier_eval", q178 _, Some(q178Sql)),
     ("q180_cohens_kappa", q180 _, Some(q180Sql)),
     ("q181_ann_recall", q181 _, Some(q181Sql)),
+    ("q309_ivfpq_recall", q309 _, Some(q309Sql)),
+    ("q310_wav_decode", q310 _, Some(q310Sql)),
     ("q207_ndcg_eval", q207 _, Some(q207Sql)),
     ("q208_auc_eval", q208 _, Some(q208Sql)),
     ("q182_jl_projection", q182 _, Some(q182Sql)),

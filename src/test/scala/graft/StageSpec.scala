@@ -101,6 +101,64 @@ class StageSpec extends AnyFunSuite {
     assert(Stage.fingerprint(src.toString) == f0)
   }
 
+  private def ageDir(p: Path, hours: Long): Unit =
+    Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - hours * 3600 * 1000))
+
+  test("retention sweep reclaims aged artifacts of deleted sources only") {
+    // The lifecycle gap the source-scoped prune left open: a source that
+    // is deleted (or renamed) never fingerprints again, so its artifacts
+    // would accrue forever. The sweep reclaims them once aged past the
+    // retention horizon — and must not touch live siblings or
+    // not-yet-aged orphans (a concurrent reader may still be mid-read).
+    val srcA = freshSource()
+    val srcB = freshSource()
+    val srcC = freshSource()
+    val name = s"spec_${java.util.UUID.randomUUID}"
+    def build(tag: String)(p: Path): Unit =
+      Files.write(p.resolve("artifact.txt"), tag.getBytes("UTF-8"))
+    val a1 = Stage.derived(name, srcA.toString)(build("a1"))
+    val b1 = Stage.derived(name, srcB.toString)(build("b1"))
+    val c1 = Stage.derived(name, srcC.toString)(build("c1"))
+    // delete B's and C's source datasets; only B's artifact is aged out
+    def rmTree(p: Path): Unit =
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(q => { Files.deleteIfExists(q); () })
+    rmTree(srcB); rmTree(srcC)
+    ageDir(b1, hours = 200) // past the 168h default horizon
+    // any build under the name triggers the sweep
+    Files.write(srcA.resolve("a.txt"), "refreshed".getBytes("UTF-8"))
+    val a2 = Stage.derived(name, srcA.toString)(build("a2"))
+    assert(Files.exists(a2.resolve("_STAGED")))
+    assert(!Files.exists(b1), "aged orphan (deleted source) must be reclaimed")
+    assert(Files.exists(c1.resolve("_STAGED")),
+      "an orphan inside the retention horizon must survive the sweep")
+  }
+
+  test("retention sweep ages out marker-less dirs, keeps recent ones") {
+    // Pre-round-11 artifacts carry no _SOURCE marker: provenance unknown,
+    // never guessed stale — but they must not leak forever either. The
+    // sweep reclaims them only past the retention horizon.
+    val src = freshSource()
+    val name = s"spec_${java.util.UUID.randomUUID}"
+    val parent = Files.createDirectories(Stage.root.resolve(name))
+    def legacy(fp: String): Path = {
+      val d = Files.createDirectories(parent.resolve(fp))
+      Files.write(d.resolve("artifact.txt"), "legacy".getBytes("UTF-8"))
+      Files.createFile(d.resolve("_STAGED")) // committed, but no _SOURCE
+      d
+    }
+    val old = legacy("feedfacefeedfacefeedfacefeedface")
+    val recent = legacy("deadbeefdeadbeefdeadbeefdeadbeef")
+    ageDir(old, hours = 200)
+    Stage.derived(name, src.toString) { p =>
+      Files.write(p.resolve("artifact.txt"), "live".getBytes("UTF-8"))
+    }
+    assert(!Files.exists(old), "aged marker-less dir must be reclaimed")
+    assert(Files.exists(recent.resolve("_STAGED")),
+      "recent marker-less dir must survive (unknown provenance, not aged)")
+  }
+
   test("a failed build leaves no committed artifact and can be retried") {
     val src = freshSource()
     val name = s"spec_${java.util.UUID.randomUUID}"

@@ -1252,6 +1252,105 @@ object Extended {
       |FROM byday JOIN byweek ON byday.day // 7 = byweek.week
       |ORDER BY day""".stripMargin
 
+  // --- q313: audience overlap from KMV distinct sketches -----------------------
+  // The set-operation distinct sketch q63's HLL cannot be: per event type,
+  // the k=64 smallest distinct 56-bit user hashes (operators/KmvSketch —
+  // map-side partial k-min merge; the shuffle carries ≤k longs per type).
+  // Every pairwise audience question is then answered from the STORED
+  // sketches with array built-ins (codegen — union = array_union+trim,
+  // Jaccard numerator = intersect filtered to the union's k-th min):
+  // distinct ≈ (k−1)·2^56 div h_(k) (exact when a sketch holds fewer than
+  // k values — it IS the set), intersection ≈ j·union_est div k through
+  // the decimal(38,0) route. Everything is deterministic under the fixed
+  // md5 hash (the q306 convention both engines share), so the oracle
+  // restates the ESTIMATES verbatim — no tolerance bands. exact_inter
+  // (the truth the estimator is judged against) rides along from one
+  // distinct self-join; at 100 TB only the sketch path runs and that
+  // column is the oracle's job.
+  def q313(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val kmv = udaf(new graft.operators.KmvSketch.Agg(64),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sk = Tables.events(s, d)
+      .select($"event_type", expr(
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 14), 16, 10) as bigint)")
+        .as("h"))
+      .groupBy($"event_type").agg(kmv($"h").as("sk"))
+      .select($"event_type", $"sk.mins".as("mins"))
+      .persistTracked() // both sides of the pair join
+    def est(a: String): String =
+      s"cast(CASE WHEN size($a) < 64 THEN size($a)" +
+        s" ELSE 4539628424389459968 div element_at($a, 64) END as bigint)"
+    val pairs = sk.select($"event_type".as("ta"), $"mins".as("ma"))
+      .join(broadcast(sk.select($"event_type".as("tb"), $"mins".as("mb"))),
+        $"ta" < $"tb")
+      .withColumn("merged", expr("slice(array_sort(array_union(ma, mb)), 1, 64)"))
+      .withColumn("est_a", expr(est("ma")))
+      .withColumn("est_b", expr(est("mb")))
+      .withColumn("est_union", expr(est("merged")))
+      .withColumn("est_inter", expr(
+        """CASE WHEN size(merged) < 64
+          |  THEN cast(size(array_intersect(ma, mb)) as bigint)
+          |  ELSE cast(cast(size(filter(array_intersect(ma, mb),
+          |           x -> x <= element_at(merged, 64))) as decimal(38,0))
+          |         * est_union div 64 as bigint)
+          |END""".stripMargin))
+    val tu = Tables.events(s, d).select($"event_type", $"user_id").distinct()
+      .persistTracked() // both sides of the exact-overlap join
+    val exact = tu.select($"event_type".as("ta"), $"user_id")
+      .join(tu.select($"event_type".as("tb"), $"user_id"), "user_id")
+      .filter($"ta" < $"tb")
+      .groupBy($"ta", $"tb").agg(count(lit(1)).as("exact_inter"))
+    pairs.join(exact, Seq("ta", "tb"))
+      .select($"ta", $"tb", $"est_a", $"est_b", $"est_union", $"est_inter",
+        $"exact_inter")
+      .orderBy($"ta", $"tb")
+  }
+  val q313Sql: String =
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT AS h
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, h,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |  FROM h),
+      |sk AS (
+      |  SELECT event_type, list(h ORDER BY h) AS mins
+      |  FROM r WHERE rn <= 64 GROUP BY event_type),
+      |p AS (
+      |  SELECT a.event_type AS ta, a.mins AS ma, b.event_type AS tb, b.mins AS mb,
+      |    list_sort(list_distinct(list_concat(a.mins, b.mins)))[1:64] AS merged
+      |  FROM sk a JOIN sk b ON a.event_type < b.event_type),
+      |e AS (
+      |  SELECT ta, tb, ma, mb, merged,
+      |    CAST(CASE WHEN len(ma) < 64 THEN len(ma)
+      |      ELSE 4539628424389459968 // ma[64] END AS BIGINT) AS est_a,
+      |    CAST(CASE WHEN len(mb) < 64 THEN len(mb)
+      |      ELSE 4539628424389459968 // mb[64] END AS BIGINT) AS est_b,
+      |    CAST(CASE WHEN len(merged) < 64 THEN len(merged)
+      |      ELSE 4539628424389459968 // merged[64] END AS BIGINT) AS est_union
+      |  FROM p),
+      |est AS (
+      |  SELECT ta, tb, est_a, est_b, est_union,
+      |    CAST(CASE WHEN len(merged) < 64
+      |      THEN len(list_intersect(ma, mb))
+      |      ELSE CAST(len(list_filter(list_intersect(ma, mb),
+      |             x -> x <= merged[64])) AS HUGEINT) * est_union // 64
+      |    END AS BIGINT) AS est_inter
+      |  FROM e),
+      |tu AS (SELECT DISTINCT event_type, user_id FROM events),
+      |ex AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb,
+      |    CAST(COUNT(*) AS BIGINT) AS exact_inter
+      |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT ta, tb, est_a, est_b, est_union, est_inter, exact_inter
+      |FROM est JOIN ex USING (ta, tb)
+      |ORDER BY ta, tb""".stripMargin
+
   // --- q276: mergeable exact-quantile rollup (histogram partials) --------------
   // The percentile companion to q251's bitmap-distinct rollup: percentile
   // rollups across dimension subsets from partials that MERGE, not from
@@ -1378,23 +1477,44 @@ object Extended {
   // hash-misses. n_rows is reported FROM THE SKETCH — an item-count leak
   // anywhere in reduce/merge also hash-misses against the oracle's exact
   // COUNT(*).
-  def q308(s: SparkSession, d: String): DataFrame = {
+  /** The repo's sketch-column convention: one row per group with the
+    * [[graft.operators.QuantileSketch.Sketch]] fields FLATTENED
+    * (sk_values/sk_weights/sk_err/sk_n) — flat columns survive a parquet
+    * round trip and feed `functions.udaf` directly (a udaf over a product
+    * input takes one column PER FIELD of the case class). */
+  private def kllFlat(skCol: DataFrame): DataFrame = skCol.select(
+    col("grp"), col("sk.values").as("sk_values"),
+    col("sk.weights").as("sk_weights"), col("sk.err").as("sk_err"),
+    col("sk.n").as("sk_n"))
+
+  private def kllAgg(s: SparkSession) = udaf(
+    new graft.operators.QuantileSketch.SketchAgg(64),
+    org.apache.spark.sql.Encoders.scalaDouble)
+
+  private def kllMergeAgg(s: SparkSession) = udaf(
+    new graft.operators.QuantileSketch.MergeAgg(64),
+    org.apache.spark.sql.Encoders.product[graft.operators.QuantileSketch.Sketch])
+
+  /** Serve percentile rollup levels from FINE sketches and certify them:
+    * derives the '*' level by MERGING the fine sketches (never a rescan),
+    * extracts type-1 estimates from cumweights in integer arithmetic,
+    * anchors the output's exact percentiles on `raw` (the oracle's job —
+    * at 100 TB only the sketch path runs), and emits the q87-style
+    * two-sided booleans against each sketch's own tracked bound. Shared
+    * by q308 (from-scratch fine pass), q311 (fine table maintained by
+    * versioned merges), and q312 (fine table maintained by a checkpointed
+    * stream). */
+  private def kllServe(s: SparkSession, fineFlat: DataFrame,
+      raw: DataFrame): DataFrame = {
     import s.implicits._
     import graft.CacheLifecycle.TrackedPersistOps
-    import graft.operators.QuantileSketch
-    val kll = udaf(new QuantileSketch.SketchAgg(64),
-      org.apache.spark.sql.Encoders.scalaDouble)
-    val kllMerge = udaf(new QuantileSketch.MergeAgg(64),
-      org.apache.spark.sql.Encoders.product[QuantileSketch.Sketch])
-    val raw = Tables.orders(s, d)
-      .select($"o_orderpriority".as("grp"), $"o_totalprice".as("v"))
-    // fine level: one sketch per priority (map-side partials; the shuffle
-    // carries sketches, not rows); '*' level merges the FINE SKETCHES
-    val fine = raw.groupBy($"grp").agg(kll($"v").as("sk")).persistTracked()
-    // udaf over a product input takes one column PER FIELD of the case class
+    val kllMerge = kllMergeAgg(s)
+    val fine = fineFlat.persistTracked() // two consumers: levels union
     val sketches = fine
+      .select($"grp", struct($"sk_values".as("values"),
+        $"sk_weights".as("weights"), $"sk_err".as("err"), $"sk_n".as("n")).as("sk"))
       .unionByName(fine.groupBy(lit("*").as("grp"))
-        .agg(kllMerge($"sk.values", $"sk.weights", $"sk.err", $"sk.n").as("sk")))
+        .agg(kllMerge($"sk_values", $"sk_weights", $"sk_err", $"sk_n").as("sk")))
     // sketch → type-1 estimate per target rank: smallest value whose
     // estimated cumweight reaches ceil(q·n) (integer arithmetic)
     val entries = sketches
@@ -1444,11 +1564,122 @@ object Extended {
         $"p50_ok", $"p90_ok", $"p99_ok")
       .orderBy($"grp")
   }
+
+  def q308(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val raw = Tables.orders(s, d)
+      .select($"o_orderpriority".as("grp"), $"o_totalprice".as("v"))
+    // fine level: one sketch per priority (map-side partials; the shuffle
+    // carries sketches, not rows)
+    kllServe(s, kllFlat(raw.groupBy($"grp").agg(kllAgg(s)($"v").as("sk"))), raw)
+  }
   val q308Sql: String =
     """WITH base AS (
       |  SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders
       |  UNION ALL
       |  SELECT '*' AS grp, o_totalprice AS v FROM orders),
+      |hist AS (
+      |  SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT grp, v,
+      |    SUM(cnt) OVER (PARTITION BY grp ORDER BY v) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY grp) AS nr
+      |  FROM hist)
+      |SELECT grp, CAST(nr AS BIGINT) AS n_rows,
+      |  MIN(CASE WHEN cum >= (nr + 1) // 2 THEN v END) AS p50,
+      |  MIN(CASE WHEN cum >= (9 * nr + 9) // 10 THEN v END) AS p90,
+      |  MIN(CASE WHEN cum >= (99 * nr + 99) // 100 THEN v END) AS p99,
+      |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+      |FROM cum
+      |GROUP BY grp, nr
+      |ORDER BY grp""".stripMargin
+
+  // --- q311: incrementally-maintained KLL sketch table (IVM) -------------------
+  // q308's unbounded-domain sketch as a LIVE ARTIFACT — the q288 story
+  // for open-ended values: per-priority sketches maintained through TWO
+  // versioned merges (orderkey mod 97 ingest split) via
+  // Rollup.mergeStateInto, the custom-combine sibling of mergeInto for
+  // state that merges by re-aggregation (QuantileSketch.MergeAgg) rather
+  // than per-column SUM. Same exactly-once versioned-commit discipline:
+  // a replayed batch id is a no-op, old versions prune. Every rollup
+  // level and percentile is then served FROM the maintained table; the
+  // oracle is q308Sql verbatim (exact percentiles from raw rows), so a
+  // lost batch, double merge, or sketch-state corruption flips the exact
+  // columns or a bound boolean and hash-misses. At 100 TB each ingest
+  // merge touches sketch-table-sized data (groups × O(k log n) entries),
+  // never order history.
+  def q311(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val kll = kllAgg(s)
+    val kllMerge = kllMergeAgg(s)
+    def combine(all: DataFrame): DataFrame = kllFlat(all.groupBy($"grp")
+      .agg(kllMerge($"sk_values", $"sk_weights", $"sk_err", $"sk_n").as("sk")))
+    val staged = graft.Stage.derived("kll_sketch_ivm", d) { p =>
+      def partials(f: DataFrame): DataFrame = kllFlat(
+        f.select($"o_orderpriority".as("grp"), $"o_totalprice".as("v"))
+          .groupBy($"grp").agg(kll($"v").as("sk")))
+      val or = Tables.orders(s, d)
+      val tp = s"$p/sketch_table"
+      graft.streaming.Rollup.mergeStateInto(s,
+        partials(or.filter($"o_orderkey" % 97 =!= 0)), tp, 0L)(combine)
+      graft.streaming.Rollup.mergeStateInto(s,
+        partials(or.filter($"o_orderkey" % 97 === 0)), tp, 1L)(combine)
+      ()
+    }
+    kllServe(s,
+      graft.streaming.Rollup.readRollup(s, s"$staged/sketch_table"),
+      Tables.orders(s, d)
+        .select($"o_orderpriority".as("grp"), $"o_totalprice".as("v")))
+  }
+  // the maintained sketch table must serve exactly what the from-scratch
+  // q308 pass serves (same exact anchors, same certified bounds)
+  val q311Sql: String = q308Sql
+
+  // --- q312: streaming KLL sketch ingest ---------------------------------------
+  // The ingest loop closed for the sketch family the way q201 closed it
+  // for the vector index: per-event-type value sketches maintained by a
+  // CHECKPOINTED stream — a two-file backlog drained with
+  // maxFilesPerTrigger=1 through foreachBatch, each micro-batch's
+  // partial sketches merged into the versioned table (mergeStateInto;
+  // restart-safe at file-source offsets, replay-idempotent at batch
+  // ids). Percentile levels are then served FROM the maintained table.
+  // The oracle recomputes exact per-type and '*' percentiles from raw
+  // events — a batch boundary that lost, duplicated, or re-merged a
+  // sketch hash-misses. Build + drain stage once per dataset content
+  // (Stage.derived — ingest is an ingest-time cost).
+  def q312(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val kll = kllAgg(s)
+    val kllMerge = kllMergeAgg(s)
+    def combine(all: DataFrame): DataFrame = kllFlat(all.groupBy($"grp")
+      .agg(kllMerge($"sk_values", $"sk_weights", $"sk_err", $"sk_n").as("sk")))
+    val staged = graft.Stage.derived("kll_stream_sketch", d) { p =>
+      val ev = Tables.events(s, d)
+        .select($"event_type".as("grp"), $"value".as("v"))
+      ev.repartition(2).write.parquet(s"$p/backlog")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$p/backlog")
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$p/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val partial = kllFlat(batch.groupBy($"grp").agg(kll($"v").as("sk")))
+          graft.streaming.Rollup.mergeStateInto(s, partial,
+            s"$p/sketch_table", id)(combine)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    kllServe(s,
+      graft.streaming.Rollup.readRollup(s, s"$staged/sketch_table"),
+      Tables.events(s, d).select($"event_type".as("grp"), $"value".as("v")))
+  }
+  val q312Sql: String =
+    """WITH base AS (
+      |  SELECT event_type AS grp, value AS v FROM events
+      |  UNION ALL
+      |  SELECT '*' AS grp, value AS v FROM events),
       |hist AS (
       |  SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2),
       |cum AS (
@@ -1884,6 +2115,9 @@ object Extended {
     ("q276_quantile_rollup", q276 _, Some(q276Sql)),
     ("q288_quantile_ivm", q288 _, Some(q288Sql)),
     ("q308_kll_quantile", q308 _, Some(q308Sql)),
+    ("q311_kll_sketch_ivm", q311 _, Some(q311Sql)),
+    ("q312_stream_kll_sketch", q312 _, Some(q312Sql)),
+    ("q313_kmv_overlap", q313 _, Some(q313Sql)),
     ("q302_sla_percentiles", q302 _, Some(q302Sql)),
     ("q261_skew_advisor", q261 _, Some(q261Sql)),
     ("q263_drilldown_shares", q263 _, Some(q263Sql)),

@@ -1541,6 +1541,91 @@ object Vectors {
       |FROM j CROSS JOIN m
       |ORDER BY query_id""".stripMargin
 
+  // --- q314: recall-vs-nprobe tuning curve of the materialized probe --------
+  // q309's single recall number, swept across the knob an operator
+  // actually turns: nprobe ∈ {1,2,3} against the same staged IVF-PQ
+  // layout. Each point is the same partition-pruned probe with a
+  // different pruning budget — nprobe/kCells of the index's files read —
+  // and the curve (micro-averaged recall@5 vs probes) is THE artifact
+  // that prices recall against scan cost when sizing a deployment. One
+  // oracle CTE chain carries nprobe as a key through probes→adist→top-5,
+  // so all three points are hash-gated at once.
+  def q314(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter($"vec_id" < 8)
+    val bf = Similarity.bruteForceTopK(queries, emb, k = 5, queryCountHint = 8)
+      .select($"query_id", $"neighbor_id").persistTracked() // 3 curve points
+    val idx = vecIdx(s, d).toString
+    val points = Seq(1, 2, 3).map { np =>
+      graft.sources.VectorIndex.probeTopK(s, idx, queries, m = 4, k = 5,
+          nprobe = np)
+        .select(lit(np).as("nprobe"), $"query_id", $"neighbor_id")
+    }.reduce(_ unionByName _)
+    val hits = bf.join(points, Seq("query_id", "neighbor_id"))
+      .groupBy($"nprobe").agg(count(lit(1)).as("n_hits"))
+    val k = bf.agg(count(lit(1)).as("sum_k"))
+    Seq(1, 2, 3).toDF("nprobe") // the axis is literal — never re-probe for it
+      .crossJoin(broadcast(k))
+      .join(hits, Seq("nprobe"), "left")
+      .select($"nprobe", $"sum_k",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        (coalesce($"n_hits", lit(0L)).cast("double") / $"sum_k").as("recall"))
+      .orderBy($"nprobe")
+  }
+  val q314Sql: String =
+    s"""WITH emb AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e, len(embedding) AS d FROM embeddings
+      |), kc0 AS (SELECT vec_id AS cell, e AS c FROM emb ORDER BY vec_id LIMIT 8),
+      |ka0 AS (${kmAssign("kc0")}),
+      |kc1 AS (${kmUpdate("ka0")}),
+      |cells AS (SELECT vec_id, cell FROM (${kmAssign("kc1")}) t),
+      |$pqCtes,
+      |probes AS (
+      |  SELECT np, query_id, cell FROM (
+      |    SELECT q.vec_id AS query_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        ${sqd("q.e", "c.c")} ASC, c.cell ASC) AS crank
+      |    FROM emb q CROSS JOIN kc1 c WHERE q.vec_id < 8),
+      |    (SELECT unnest([1, 2, 3]) AS np)
+      |  WHERE crank <= np
+      |), adist AS (
+      |  SELECT p.np, p.query_id, k.vec_id AS neighbor_id,
+      |    CAST(SUM(CAST(l.dist AS DECIMAL(18,6))) AS DOUBLE) AS adist
+      |  FROM codes k
+      |  JOIN cells ce ON k.vec_id = ce.vec_id
+      |  JOIN probes p ON ce.cell = p.cell
+      |  JOIN lut l ON l.query_id = p.query_id AND l.sub = k.sub AND l.cw = k.cw
+      |  WHERE k.vec_id <> p.query_id
+      |  GROUP BY 1, 2, 3
+      |), pq AS (
+      |  SELECT np, query_id, neighbor_id FROM (
+      |    SELECT np, query_id, neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY np, query_id
+      |        ORDER BY adist ASC, neighbor_id) AS rank
+      |    FROM adist) WHERE rank <= 5
+      |), bf AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        ROUND(${cosSql("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")}, 6) DESC,
+      |        c.vec_id) AS rank
+      |    FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+      |  WHERE rank <= 5),
+      |hits AS (
+      |  SELECT np AS nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |  FROM bf JOIN pq ON bf.query_id = pq.query_id
+      |    AND bf.neighbor_id = pq.neighbor_id
+      |  GROUP BY 1),
+      |k AS (SELECT CAST(COUNT(*) AS BIGINT) AS sum_k FROM bf)
+      |SELECT np AS nprobe, sum_k, COALESCE(n_hits, 0) AS n_hits,
+      |  CAST(COALESCE(n_hits, 0) AS DOUBLE) / sum_k AS recall
+      |FROM (SELECT unnest([1, 2, 3]) AS np)
+      |CROSS JOIN k
+      |LEFT JOIN hits ON np = hits.nprobe
+      |ORDER BY np""".stripMargin
+
   // --- q207: graded ranking quality (NDCG@5 of the IVF arm) -----------------
   // q181 measures SET recall; this measures ORDER quality: NDCG@5 of the
   // IVF ranking with graded relevance from the exact ranking (rel =
@@ -2090,6 +2175,7 @@ object Vectors {
     ("q181_ann_recall", q181 _, Some(q181Sql)),
     ("q309_ivfpq_recall", q309 _, Some(q309Sql)),
     ("q310_wav_decode", q310 _, Some(q310Sql)),
+    ("q314_recall_curve", q314 _, Some(q314Sql)),
     ("q207_ndcg_eval", q207 _, Some(q207Sql)),
     ("q208_auc_eval", q208 _, Some(q208Sql)),
     ("q182_jl_projection", q182 _, Some(q182Sql)),

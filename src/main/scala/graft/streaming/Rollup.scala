@@ -120,6 +120,21 @@ object Rollup {
       else summed
     }
 
+  /** Versioned merge for state that is mergeable but NOT sum-mergeable —
+    * quantile sketches, and any future partial whose merge is a custom
+    * aggregation rather than per-column SUM. The caller supplies the
+    * combine over (current table ∪ batch partials); everything else —
+    * the exactly-once versioned commit, replay idempotence
+    * (`batchId <= max committed` ⇒ no-op returning false), retention
+    * pruning — is the same discipline [[mergeInto]] rides. The combine
+    * MUST be insensitive to how its input rows were batched (true for
+    * any associative-commutative merge with an order-independent
+    * contract, e.g. QuantileSketch's tracked-bound semantics). */
+  def mergeStateInto(spark: SparkSession, partials: DataFrame,
+      tablePath: String, batchId: Long, retainVersions: Int = 1)
+      (combine: DataFrame => DataFrame): Boolean =
+    mergeVersioned(spark, partials, tablePath, batchId, retainVersions)(combine)
+
   /** CDC apply — the last-writer-wins sibling of [[mergeInto]] for keyed
     * UPDATE streams (a changelog of profile/dimension rows rather than
     * additive measures). Per key, the row that is maximal under

@@ -102,13 +102,14 @@ class QuantileSketchSpec extends AnyFunSuite {
     targets(merged.n).foreach(t => assert(rankWithin(all, merged, t), s"target=$t"))
   }
 
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
   test("sketch survives a Spark aggregation round-trip (kryo buffer)") {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
     import spark.implicits._
     val kll = udaf(new SketchAgg(32), org.apache.spark.sql.Encoders.scalaDouble)
     val rows = (1 to 5000).map(i => ((i % 3).toString, i.toDouble))
@@ -119,5 +120,30 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(out.keySet == Set("0", "1", "2"))
     assert(out.values.map(_._1).sum == 5000, "distributed count must be exact")
     assert(out.values.forall(_._2 < 5000 / 3), "bounds must stay non-trivial")
+  }
+
+  test("mergeStateInto maintains sketch state exactly-once across replays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val kll = udaf(new SketchAgg(32), org.apache.spark.sql.Encoders.scalaDouble)
+    val kllMerge = udaf(new MergeAgg(32), org.apache.spark.sql.Encoders.product[Sketch])
+    def flat(df: org.apache.spark.sql.DataFrame) = df.select($"grp",
+      $"sk.values".as("sk_values"), $"sk.weights".as("sk_weights"),
+      $"sk.err".as("sk_err"), $"sk.n".as("sk_n"))
+    def combine(all: org.apache.spark.sql.DataFrame) = flat(all.groupBy($"grp")
+      .agg(kllMerge($"sk_values", $"sk_weights", $"sk_err", $"sk_n").as("sk")))
+    def partial(lo: Int, hi: Int) = flat(
+      (lo until hi).map(i => ("g", i.toDouble)).toDF("grp", "v")
+        .groupBy($"grp").agg(kll($"v").as("sk")))
+    val tp = TempDirs.fresh("kll_ivm_spec").resolve("t").toString
+    def servedN(): Long = streaming.Rollup.readRollup(spark, tp)
+      .select($"sk_n").as[Long].collect().head
+    assert(streaming.Rollup.mergeStateInto(spark, partial(0, 1000), tp, 0L)(combine))
+    assert(servedN() == 1000)
+    // replayed batch id: must be a no-op, not a double merge
+    assert(!streaming.Rollup.mergeStateInto(spark, partial(0, 1000), tp, 0L)(combine))
+    assert(servedN() == 1000, "replay must not re-merge the batch")
+    assert(streaming.Rollup.mergeStateInto(spark, partial(1000, 1500), tp, 1L)(combine))
+    assert(servedN() == 1500, "second batch must merge into maintained state")
   }
 }

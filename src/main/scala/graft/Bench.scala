@@ -29,23 +29,26 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
-  /** Most recent prior bench record (BENCH_PREV env, else the
-    * highest-numbered BENCH_r*.json in cwd): short query name → seconds.
-    * Used for the cross-round delta check — an entry far above its prior
-    * record is re-measured in a separate process before it is recorded. */
+  /** Best prior bench record per query: the MINIMUM across every
+    * BENCH_r*.json in cwd (plus BENCH_PREV if set) — short query name →
+    * seconds. Min-across-rounds matters: a single prior round can itself
+    * be contaminated (round 11 carried q83 at 10.765s vs its real 1.5s),
+    * and a delta check against a contaminated prior is blind to a
+    * recurrence; each query's best-ever time is its cleanest known
+    * record. Used by the cross-round delta check — an entry far above
+    * its best prior is re-measured in a separate process before it is
+    * recorded. */
   private def priorRecord(): Map[String, Double] = {
-    val explicit = sys.env.get("BENCH_PREV").map(new java.io.File(_))
-    val discovered = Option(new java.io.File(".").listFiles()).toSeq.flatten
-      .flatMap { f =>
-        "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
-          .map(m => (m.group(1).toInt, f))
-      }.sortBy(_._1).lastOption.map(_._2)
-    explicit.orElse(discovered).filter(_.isFile).map { f =>
+    val files = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .filter(f => f.getName.matches("^BENCH_r\\d+\\.json$")) ++
+      sys.env.get("BENCH_PREV").map(new java.io.File(_))
+    files.filter(_.isFile).flatMap { f =>
       val txt = try java.nio.file.Files.readString(f.toPath)
         catch { case _: Throwable => "" }
       "\"(q\\d+)\":(-?\\d+(?:\\.\\d+)?)".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    }.getOrElse(Map.empty)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter(_._2 > 0)
+    }.groupMapReduce(_._1)(_._2)(math.min)
   }
 
   def main(args: Array[String]): Unit = {

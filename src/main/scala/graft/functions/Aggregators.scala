@@ -27,10 +27,24 @@ object Aggregators {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
-  /** Register SQL-callable forms: weighted_mean(value, weight). */
+  /** Register SQL-callable forms, so the BiServe SQL-text surface can use
+    * the engine's sketches too:
+    *  - weighted_mean(value, weight)
+    *  - kll_sketch(value) → mergeable quantile-sketch struct
+    *    (values, weights, err, n); kll_merge(values, weights, err, n)
+    *    re-aggregates stored sketch columns to coarser rollup levels
+    *  - kmv_sketch(hash64) → k-minimum-values distinct sketch (mins)
+    * Sketch parameters match the query conventions (k=64 both). */
   def register(spark: SparkSession): Unit = {
     implicit val tupleEnc: Encoder[(Double, Double)] =
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
     spark.udf.register("weighted_mean", udaf(WeightedMean))
+    spark.udf.register("kll_sketch",
+      udaf(new graft.operators.QuantileSketch.SketchAgg(64), Encoders.scalaDouble))
+    spark.udf.register("kll_merge",
+      udaf(new graft.operators.QuantileSketch.MergeAgg(64),
+        Encoders.product[graft.operators.QuantileSketch.Sketch]))
+    spark.udf.register("kmv_sketch",
+      udaf(new graft.operators.KmvSketch.Agg(64), Encoders.scalaLong))
   }
 }

@@ -87,6 +87,28 @@ class SurfaceSpec extends AnyFunSuite {
     assert(math.abs(got - 17.5) < 1e-12)
   }
 
+  test("sketch UDAFs callable from SQL text: kll_sketch/kll_merge/kmv_sketch") {
+    Aggregators.register(spark)
+    import spark.implicits._
+    (1 to 5000).map(i => ((i % 2).toString, i.toDouble, (i.toLong * 2654435761L) & ((1L << 56) - 1)))
+      .toDF("g", "v", "h").createOrReplaceTempView("sk_in")
+    // fine sketches per group from SQL, then re-aggregated with kll_merge
+    // — the two-level rollup shape q308/q311 run through the typed API
+    val star = spark.sql(
+      """WITH fine AS (
+        |  SELECT g, kll_sketch(v) AS sk FROM sk_in GROUP BY g)
+        |SELECT kll_merge(sk.values, sk.weights, sk.err, sk.n) AS sk
+        |FROM fine""".stripMargin).head()
+    val merged = star.getStruct(0)
+    assert(merged.getLong(3) == 5000, "kll_merge must preserve the count")
+    assert(merged.getLong(2) > 0 && merged.getLong(2) < 5000,
+      "tracked bound present and non-trivial")
+    val kmv = spark.sql("SELECT kmv_sketch(h) AS sk FROM sk_in").head()
+      .getStruct(0).getSeq[Long](0)
+    assert(kmv.size == 64 && kmv == kmv.sorted,
+      "kmv sketch must be the sorted k smallest distinct hashes")
+  }
+
   test("salted join equals the plain join on skewed keys") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

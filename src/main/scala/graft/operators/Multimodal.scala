@@ -210,6 +210,122 @@ object Multimodal {
       }
   }
 
+  // ---------------------------------------------------------------------
+  // Real container codec #2: Windows BMP (24-bit uncompressed). The image
+  // sibling of the WAV path: payload bytes become grayscale pixels of a
+  // 41-px-wide image (41·3 = 123-byte rows force the 4-byte row-stride
+  // padding a naive parser forgets), stored BOTTOM-UP per the BMP spec
+  // (first_px/last_px are position-sensitive, so a parser that skips the
+  // vertical flip or miswalks the stride fails the oracle loudly, not
+  // just on exotic stats). Tail pixels of the last row are zero-filled —
+  // the oracle models that fill with explicit arithmetic.
+  // ---------------------------------------------------------------------
+
+  /** Build a genuine BMP container: BITMAPFILEHEADER + BITMAPINFOHEADER +
+    * bottom-up 24-bit pixel rows (B=G=R = payload byte, zero-filled tail),
+    * each row padded to a 4-byte boundary. */
+  def encodeBmp(payload: Array[Byte], width: Int = 41): Array[Byte] = {
+    require(payload.nonEmpty, "empty payload")
+    val h = (payload.length + width - 1) / width
+    val stride = ((width * 3 + 3) / 4) * 4
+    val fileSize = 54 + stride * h
+    val out = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(54)
+    out.putInt(40).putInt(width).putInt(h) // positive height = bottom-up
+      .putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+      .putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var rowPhys = 0
+    while (rowPhys < h) {
+      val rowLogical = h - 1 - rowPhys // bottom-up storage
+      var x = 0
+      while (x < width) {
+        val idx = rowLogical * width + x
+        val v = if (idx < payload.length) payload(idx) else 0.toByte
+        out.put(v).put(v).put(v)
+        x += 1
+      }
+      var p = width * 3
+      while (p < stride) { out.put(0.toByte); p += 1 }
+      rowPhys += 1
+    }
+    out.array()
+  }
+
+  /** Decoded BMP facts: geometry as parsed plus grayscale pixel stats over
+    * the FULL pixel grid (zero-fill included — the container's truth) and
+    * the position-sensitive corners that prove the bottom-up walk. */
+  final case class BmpMeta(doc_id: Long, width: Int, height: Int, bpp: Int,
+      n_pixels: Long, px_sum: Long, px_max: Int, px_min: Int, first_px: Int,
+      last_px: Int, row_stride: Int, container_bytes: Long)
+
+  /** Parse one BMP container: validate both headers field-by-field, walk
+    * the bottom-up padded rows, check gray consistency (B=G=R), aggregate
+    * pixel stats in LOGICAL (top-down) order. Throws on malformed input. */
+  def parseBmp(bytes: Array[Byte]): (Int, Int, Int, Long, Long, Int, Int, Int, Int, Int) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bb.get() == 'B'.toByte && bb.get() == 'M'.toByte, "not a BMP")
+    val fileSize = bb.getInt
+    require(fileSize == bytes.length, s"file size field $fileSize " +
+      s"disagrees with container length ${bytes.length}")
+    bb.getShort; bb.getShort
+    val pixOff = bb.getInt
+    require(bb.getInt == 40, "not a BITMAPINFOHEADER")
+    val width = bb.getInt
+    val height = bb.getInt
+    require(width > 0 && height > 0, s"unsupported geometry ${width}x$height")
+    require(bb.getShort == 1, "planes != 1")
+    val bpp = bb.getShort.toInt
+    require(bpp == 24, s"unsupported bpp $bpp")
+    require(bb.getInt == 0, "compressed BMP unsupported")
+    val stride = ((width * 3 + 3) / 4) * 4
+    require(pixOff + stride.toLong * height <= bytes.length, "truncated pixel array")
+    var sum = 0L
+    var mx = 0
+    var mn = 255
+    var first = -1
+    var last = -1
+    var rowLogical = 0
+    while (rowLogical < height) {
+      val rowPhys = height - 1 - rowLogical // un-flip the bottom-up rows
+      val rowOff = pixOff + rowPhys * stride
+      var x = 0
+      while (x < width) {
+        val o = rowOff + x * 3
+        val v = bytes(o) & 0xff
+        require((bytes(o + 1) & 0xff) == v && (bytes(o + 2) & 0xff) == v,
+          s"non-gray pixel at ($x, $rowLogical)")
+        sum += v
+        if (v > mx) mx = v
+        if (v < mn) mn = v
+        if (rowLogical == 0 && x == 0) first = v
+        if (rowLogical == height - 1 && x == width - 1) last = v
+        x += 1
+      }
+      rowLogical += 1
+    }
+    (width, height, bpp, width.toLong * height, sum, mx, mn, first, last, stride)
+  }
+
+  /** Partition-batched real decode: payload → BMP container → parsed
+    * stats. Same mapPartitions batch shape as [[decodeWav]]. */
+  def decodeBmp(spark: SparkSession, withPayload: DataFrame): Dataset[BmpMeta] = {
+    import spark.implicits._
+    withPayload
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { records =>
+        records.map { case (id, payload) =>
+          val container = encodeBmp(payload)
+          val (w, h, bpp, n, sum, mx, mn, first, last, stride) = parseBmp(container)
+          BmpMeta(id, w, h, bpp, n, sum, mx, mn, first, last, stride,
+            container.length.toLong)
+        }
+      }
+  }
+
   /** "Resize" stub over the payload, fully declarative: a crop (first
     * `cropBytes` bytes — substring works on binary) and a 2:1 downsample
     * (every other byte via regex pair-collapse). Real image resize replaces

@@ -3065,7 +3065,116 @@ object Analytics {
       |FROM obs LEFT JOIN cum USING (age)
       |ORDER BY age""".stripMargin
 
+  // --- q323: l-diversity audit (k-anonymity's sensitive-attribute twin) ----
+  // q265 grades re-identification risk by equivalence-class SIZE; this
+  // grades what an attacker LEARNS once a class is located: per
+  // quasi-identifier group (priority × order-year), the number of
+  // distinct sensitive values (the buying customer's market segment) and
+  // the entropy of their distribution. Distinct-l is exact integers;
+  // entropy follows the q106 convention — each −p·ln(p) term snapped to
+  // the 1e-9 integer grid before the sum, so the aggregate is exact long
+  // arithmetic (ln agrees between engines far beyond 9 decimals at these
+  // magnitudes). The meets_l3 release gate is a pure integer predicate.
+  // Two key-bounded aggregations over one join — the fact table shuffles
+  // once on the QI key.
+  def q323(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cls = Tables.orders(s, d)
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .select($"o_orderpriority".as("prio"), year($"o_orderdate").as("yr"),
+        $"c_mktsegment".as("seg"))
+      .groupBy($"prio", $"yr", $"seg").agg(count(lit(1)).as("cnt"))
+    val grp = cls.groupBy($"prio", $"yr")
+      .agg(sum($"cnt").as("n"), count(lit(1)).as("l_distinct"))
+    cls.join(grp, Seq("prio", "yr"))
+      .withColumn("p", $"cnt" * lit(1.0) / $"n")
+      .withColumn("e9", round(lit(-1e9) * $"p" * log($"p")).cast("long"))
+      .groupBy($"prio", $"yr")
+      .agg(min($"n").as("n_rows"), min($"l_distinct").as("l_distinct"),
+        sum($"e9").as("ent_e9"))
+      .select($"prio", $"yr", $"n_rows", $"l_distinct",
+        ($"ent_e9".cast("double") / 1e9).as("entropy_nats"),
+        ($"l_distinct" >= 3).as("meets_l3"))
+      .orderBy($"prio", $"yr")
+  }
+  val q323Sql: String =
+    """WITH cls AS (
+      |  SELECT o_orderpriority AS prio, year(o_orderdate) AS yr,
+      |    c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2, 3),
+      |grp AS (
+      |  SELECT prio, yr, CAST(SUM(cnt) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS l_distinct
+      |  FROM cls GROUP BY 1, 2),
+      |terms AS (
+      |  SELECT cls.prio, cls.yr, grp.n, grp.l_distinct,
+      |    CAST(round(-1e9 * (cnt * 1.0 / n) * ln(cnt * 1.0 / n)) AS BIGINT) AS e9
+      |  FROM cls JOIN grp ON cls.prio = grp.prio AND cls.yr = grp.yr)
+      |SELECT prio, yr, MIN(n) AS n_rows, MIN(l_distinct) AS l_distinct,
+      |  CAST(SUM(e9) AS DOUBLE) / 1e9 AS entropy_nats,
+      |  MIN(l_distinct) >= 3 AS meets_l3
+      |FROM terms
+      |GROUP BY prio, yr
+      |ORDER BY prio, yr""".stripMargin
+
+  // --- q324: declarative data-contract validation ---------------------------
+  // The reference's Soda checks (include/soda/checks.yml:1-9) generalized
+  // to a multi-rule contract evaluated in ONE scan: not-null, uniqueness,
+  // accepted values, range, format regex, and date bounds over orders,
+  // each emitting (checked, violations, pass). All six violation counters
+  // are conditional aggregates inside a single partial+final
+  // HashAggregate — contract breadth costs nothing extra at 100 TB — and
+  // stack() unpivots the one aggregate row into the per-rule report
+  // (q116's table-profile shape). Pure integer counts; the regex is
+  // identical Java/RE2-compatible syntax in both engines.
+  def q324(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val a = Tables.orders(s, d).agg(
+      count(lit(1)).as("n"),
+      sum(when($"o_custkey".isNull, 1L).otherwise(0L)).as("v1"),
+      (count(lit(1)) - countDistinct($"o_orderkey")).as("v2"),
+      sum(when(!$"o_orderstatus".isin("F", "O", "P"), 1L).otherwise(0L)).as("v3"),
+      sum(when($"o_totalprice".isNull || $"o_totalprice" <= 0, 1L)
+        .otherwise(0L)).as("v4"),
+      sum(when(!$"o_orderpriority".rlike("^[1-5]-"), 1L).otherwise(0L)).as("v5"),
+      sum(when(!year($"o_orderdate").between(1992, 1998), 1L)
+        .otherwise(0L)).as("v6"))
+    a.select($"n".as("n_checked"), expr(
+        """stack(6,
+          |  'accepted_values_status', v3,
+          |  'date_bounds_orderdate', v6,
+          |  'format_priority', v5,
+          |  'not_null_custkey', v1,
+          |  'positive_totalprice', v4,
+          |  'unique_orderkey', v2) as (rule, n_violations)""".stripMargin))
+      .select($"rule", $"n_checked", $"n_violations",
+        ($"n_violations" === 0).as("pass"))
+      .orderBy($"rule")
+  }
+  val q324Sql: String =
+    """WITH a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+      |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v2,
+      |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+      |    CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+      |    CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) AS v5,
+      |    CAST(SUM(CASE WHEN year(o_orderdate) NOT BETWEEN 1992 AND 1998 THEN 1 ELSE 0 END) AS BIGINT) AS v6
+      |  FROM orders)
+      |SELECT rule, n AS n_checked, n_violations, n_violations = 0 AS pass
+      |FROM (
+      |  SELECT n, 'accepted_values_status' AS rule, v3 AS n_violations FROM a
+      |  UNION ALL SELECT n, 'date_bounds_orderdate', v6 FROM a
+      |  UNION ALL SELECT n, 'format_priority', v5 FROM a
+      |  UNION ALL SELECT n, 'not_null_custkey', v1 FROM a
+      |  UNION ALL SELECT n, 'positive_totalprice', v4 FROM a
+      |  UNION ALL SELECT n, 'unique_orderkey', v2 FROM a)
+      |ORDER BY rule""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q323_l_diversity", q323 _, Some(q323Sql)),
+    ("q324_data_contract", q324 _, Some(q324Sql)),
     ("q241_ucb1_arms", q241 _, Some(q241Sql)),
     ("q245_hhi_concentration", q245 _, Some(q245Sql)),
     ("q248_kaplan_meier", q248 _, Some(q248Sql)),

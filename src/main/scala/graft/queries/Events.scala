@@ -3667,8 +3667,476 @@ object Events {
       |ORDER BY ABS(c - prev_c) DESC, week, event_type
       |LIMIT 10""".stripMargin
 
+  // --- q317: maximum drawdown per instrument (peak-to-trough) --------------
+  // The risk metric every crypto dashboard pairs with q159's candlesticks:
+  // per event type, the largest peak-to-trough decline of the DAILY CLOSE
+  // series. Close = struct-ordered max per (type, day) — one key-bounded
+  // shuffle, no window over raw events (q159's zero-window lesson); the
+  // running peak and the argmax run over the day-level series, which is
+  // bounded by the calendar (30 days here, ~thousands at any corpus size),
+  // so the per-type window is scale-safe by construction. dd_ppm is exact
+  // integer arithmetic on the 1e-2 price grid through the decimal(38,0)
+  // route; ties on the max drawdown break to the EARLIEST trough day.
+  def q317(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"event_type", $"ts", $"event_id",
+      ($"value".cast("decimal(18,2)") * 100).cast("long").as("v"),
+      expr("(ts div 1000000000) div 86400").as("day"))
+    val close = ev.groupBy($"event_type", $"day")
+      .agg(max(struct($"ts", $"event_id", $"v")).getField("v").as("c"))
+    val wPk = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = close.withColumn("peak", max($"c").over(wPk))
+      .withColumn("dd_ppm", when($"peak" > 0, expr(
+        "cast(cast(peak - c as decimal(38,0)) * 1000000 div peak as bigint)"))
+        .otherwise(lit(0L)))
+    val wR = Window.partitionBy($"event_type").orderBy($"dd_ppm".desc, $"day")
+    dd.withColumn("rn", row_number().over(wR)).filter($"rn" === 1)
+      .select($"event_type", $"day".as("trough_day"),
+        $"dd_ppm".as("max_dd_ppm"),
+        ($"peak".cast("double") / 100).as("peak_px"),
+        ($"c".cast("double") / 100).as("trough_px"))
+      .orderBy($"event_type")
+  }
+  val q317Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) AS tus, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    epoch_us(ts) // 1000000 // 86400 AS day
+      |  FROM events),
+      |close AS (
+      |  SELECT event_type, day, v AS c FROM (
+      |    SELECT event_type, day, v,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type, day
+      |        ORDER BY tus DESC, event_id DESC) AS rn
+      |    FROM ev) WHERE rn = 1),
+      |pk AS (
+      |  SELECT event_type, day, c,
+      |    MAX(c) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |  FROM close),
+      |dd AS (
+      |  SELECT event_type, day, c, peak,
+      |    CASE WHEN peak > 0
+      |      THEN CAST(CAST(peak - c AS HUGEINT) * 1000000 // peak AS BIGINT)
+      |      ELSE 0 END AS dd_ppm
+      |  FROM pk),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY dd_ppm DESC, day) AS rn FROM dd)
+      |SELECT event_type, day AS trough_day, dd_ppm AS max_dd_ppm,
+      |  CAST(peak AS DOUBLE) / 100 AS peak_px,
+      |  CAST(c AS DOUBLE) / 100 AS trough_px
+      |FROM r WHERE rn = 1
+      |ORDER BY event_type""".stripMargin
+
+  // --- q318: technical indicators — 14-day RSI + 20-day Bollinger bands ----
+  // The chart-overlay indicators over q317's daily-close series. RSI uses
+  // the single-division identity 100·Σgain/(Σgain+Σloss) — algebraically
+  // the classic 100−100/(1+RS) with SMA averages, but ONE exact integer
+  // division on the cent grid (rsi_e6 through decimal(38,0)), no IEEE
+  // chain. Bollinger: Σc and Σc² window sums are exact integers, the
+  // 20-sample variance (20·Σc²−(Σc)²)/400 is an exact-integer numerator,
+  // and sqrt is IEEE-exact (correctly-rounded by spec, unlike pow/ln), so
+  // both engines compute bit-identical bands before the one 1e-6 snap.
+  // Day-level windows over the calendar-bounded close series — scale-safe
+  // (the raw corpus reduces in the close aggregation first).
+  def q318(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = "decimal(38,0)"
+    val ev = Tables.events(s, d).select($"event_type", $"ts", $"event_id",
+      ($"value".cast("decimal(18,2)") * 100).cast("long").as("v"),
+      expr("(ts div 1000000000) div 86400").as("day"))
+    val close = ev.groupBy($"event_type", $"day")
+      .agg(max(struct($"ts", $"event_id", $"v")).getField("v").as("c"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val w14 = w.rowsBetween(-13, 0)
+    val w20 = w.rowsBetween(-19, 0)
+    close
+      .withColumn("diff", $"c" - lag($"c", 1).over(w))
+      .withColumn("gain", greatest($"diff", lit(0L)))
+      .withColumn("loss", greatest(-$"diff", lit(0L)))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sg", sum($"gain").over(w14))
+      .withColumn("sl", sum($"loss").over(w14))
+      .withColumn("sc", sum($"c").over(w20))
+      .withColumn("sc2", sum($"c".cast(big) * $"c".cast(big)).over(w20))
+      .filter($"rn" >= 20)
+      .withColumn("rsi_e6", when($"sg" + $"sl" === 0, lit(null).cast("long"))
+        .otherwise(expr(
+          "cast(cast(sg as decimal(38,0)) * 100000000 div (sg + sl) as bigint)")))
+      .withColumn("mid_raw", $"sc".cast("double") / 2000)
+      .withColumn("sd_px", sqrt(expr(
+        "cast(sc2 * 20 - cast(sc as decimal(38,0)) * sc as double) / 400")) / 100)
+      .select($"event_type", $"day",
+        ($"c".cast("double") / 100).as("close_px"),
+        ($"rsi_e6".cast("double") / 1e6).as("rsi"),
+        (round($"mid_raw" * 1e6).cast("long").cast("double") / 1e6).as("boll_mid"),
+        (round(($"mid_raw" + $"sd_px" * 2) * 1e6).cast("long").cast("double") / 1e6)
+          .as("boll_up"),
+        (round(($"mid_raw" - $"sd_px" * 2) * 1e6).cast("long").cast("double") / 1e6)
+          .as("boll_dn"))
+      .orderBy($"event_type", $"day")
+  }
+  val q318Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) AS tus, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    epoch_us(ts) // 1000000 // 86400 AS day
+      |  FROM events),
+      |close AS (
+      |  SELECT event_type, day, v AS c FROM (
+      |    SELECT event_type, day, v,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type, day
+      |        ORDER BY tus DESC, event_id DESC) AS rn
+      |    FROM ev) WHERE rn = 1),
+      |ind AS (
+      |  SELECT event_type, day, c,
+      |    greatest(c - LAG(c) OVER w, 0) AS gain,
+      |    greatest(LAG(c) OVER w - c, 0) AS loss,
+      |    ROW_NUMBER() OVER w AS rn
+      |  FROM close
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |roll AS (
+      |  SELECT event_type, day, c, rn,
+      |    SUM(gain) OVER w14 AS sg, SUM(loss) OVER w14 AS sl,
+      |    SUM(c) OVER w20 AS sc,
+      |    SUM(CAST(c AS HUGEINT) * c) OVER w20 AS sc2
+      |  FROM ind
+      |  WINDOW
+      |    w14 AS (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+      |    w20 AS (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+      |calc AS (
+      |  SELECT event_type, day, c, sg, sl,
+      |    CAST(sc AS DOUBLE) / 2000 AS mid_raw,
+      |    sqrt(CAST(sc2 * 20 - CAST(sc AS HUGEINT) * sc AS DOUBLE) / 400) / 100
+      |      AS sd_px,
+      |    CASE WHEN sg + sl = 0 THEN NULL
+      |      ELSE CAST(CAST(sg AS HUGEINT) * 100000000 // (sg + sl) AS BIGINT)
+      |    END AS rsi_e6
+      |  FROM roll WHERE rn >= 20)
+      |SELECT event_type, day,
+      |  CAST(c AS DOUBLE) / 100 AS close_px,
+      |  CAST(rsi_e6 AS DOUBLE) / 1e6 AS rsi,
+      |  CAST(CAST(round(mid_raw * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS boll_mid,
+      |  CAST(CAST(round((mid_raw + sd_px * 2) * 1e6) AS BIGINT) AS DOUBLE) / 1e6
+      |    AS boll_up,
+      |  CAST(CAST(round((mid_raw - sd_px * 2) * 1e6) AS BIGINT) AS DOUBLE) / 1e6
+      |    AS boll_dn
+      |FROM calc
+      |ORDER BY event_type, day""".stripMargin
+
+  // --- q319: change-point by binary segmentation (between-variance split) --
+  // The complement to q156's CUSUM location estimate: the FIRST step of
+  // binary segmentation picks the split k of the daily-volume series that
+  // maximizes the between-segment SSE reduction
+  // gain(k) = (m1−m2)²·n1·n2/n. The prefix sums are exact integers; the
+  // gain is evaluated in ONE fixed IEEE op order stated identically in
+  // both engines (the q154 rule — the cross-products exceed no grid, and
+  // identical double inputs + identical op order ⇒ identical doubles), so
+  // the argmax is engine-deterministic, ties to the earliest day. The
+  // series is a day-level aggregate — the corpus reduces in one
+  // partial+final count before any window touches it.
+  def q319(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byDay = Tables.events(s, d)
+      .groupBy(expr("(ts div 1000000000) div 86400").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val wC = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = byDay
+      .withColumn("s1", sum($"cnt").over(wC))
+      .withColumn("k", row_number().over(Window.orderBy($"day")))
+    val tot = byDay.agg(sum($"cnt").as("s"), count(lit(1)).as("n"))
+    val cand = pre.crossJoin(broadcast(tot)).filter($"k" < $"n")
+      .withColumn("dm", $"s1".cast("double") / $"k"
+        - ($"s" - $"s1").cast("double") / ($"n" - $"k"))
+      .withColumn("gain", $"dm" * $"dm" * $"k" * ($"n" - $"k") / $"n")
+    val wR = Window.orderBy($"gain".desc, $"day")
+    cand.withColumn("rn", row_number().over(wR)).filter($"rn" === 1)
+      .select($"day".as("split_day"), $"k".as("n_before"),
+        ($"n" - $"k").as("n_after"),
+        (round(($"s1".cast("double") / $"k") * 1e6).cast("long")
+          .cast("double") / 1e6).as("mean_before"),
+        (round((($"s" - $"s1").cast("double") / ($"n" - $"k")) * 1e6)
+          .cast("long").cast("double") / 1e6).as("mean_after"),
+        (round($"gain" * 1e6).cast("long").cast("double") / 1e6).as("gain"))
+  }
+  val q319Sql: String =
+    """WITH byday AS (
+      |  SELECT epoch_us(ts) // 1000000 // 86400 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1),
+      |pre AS (
+      |  SELECT day, cnt,
+      |    CAST(SUM(cnt) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s1,
+      |    ROW_NUMBER() OVER (ORDER BY day) AS k
+      |  FROM byday),
+      |tot AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM byday),
+      |cand AS (
+      |  SELECT day, k, n, s1, s,
+      |    CAST(s1 AS DOUBLE) / k - CAST(s - s1 AS DOUBLE) / (n - k) AS dm
+      |  FROM pre CROSS JOIN tot WHERE k < n),
+      |gains AS (
+      |  SELECT day, k, n, s1, s, dm * dm * k * (n - k) / n AS gain FROM cand),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY gain DESC, day) AS rn FROM gains)
+      |SELECT day AS split_day, k AS n_before, n - k AS n_after,
+      |  CAST(CAST(round(CAST(s1 AS DOUBLE) / k * 1e6) AS BIGINT) AS DOUBLE) / 1e6
+      |    AS mean_before,
+      |  CAST(CAST(round(CAST(s - s1 AS DOUBLE) / (n - k) * 1e6) AS BIGINT) AS DOUBLE) / 1e6
+      |    AS mean_after,
+      |  CAST(CAST(round(gain * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS gain
+      |FROM r WHERE rn = 1""".stripMargin
+
+  // --- q327: q159's OHLC candlesticks THROUGH the streaming engine ---------
+  // The reference's dashboard aggregate as a live stream (the q34/q24
+  // twin-proof pattern): events replay as a file stream, Streams.ohlcBars
+  // aggregates watermarked hourly candles with struct-ordered open/close
+  // and exact-decimal VWAP, the AvailableNow drain lands in a memory
+  // sink, and the sink hash-matches the SAME DuckDB SQL as batch q159.
+  // Complete mode keeps every window; within one backlog nothing is late.
+  def q327(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bars = graft.streaming.Streams.ohlcBars(
+      graft.streaming.Streams.eventsStream(s, d))
+    graft.streaming.Streams.runToMemory(s, bars, "q327_sink")
+      .orderBy($"event_type", $"hour_start")
+  }
+  val q327Sql: String = q159Sql
+
+  // --- q330: historical VaR + return volatility per instrument -------------
+  // The risk pair to q317's drawdown: daily simple returns on the 1-ppm
+  // integer grid (one round of a <2^52-magnitude double — the snap is
+  // engine-safe because every mathematically-possible tie is an exactly
+  // representable x.5, where HALF_UP and round-half-away agree), then
+  // (a) 95% historical VaR = the ceil(n/20)-th smallest return — a pure
+  // order statistic, exact integers (k via (n+19) div 20, no float ceil) —
+  // and (b) sample volatility from exact integer Σr/Σr² (the decimal
+  // route; the variance numerator casts to double identically in both
+  // engines, then one IEEE-exact sqrt). prev>0 guards zero-price days.
+  // Day-level series, corpus reduced first (the q317/q318 shape).
+  def q330(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"event_type", $"ts", $"event_id",
+      ($"value".cast("decimal(18,2)") * 100).cast("long").as("v"),
+      expr("(ts div 1000000000) div 86400").as("day"))
+    val close = ev.groupBy($"event_type", $"day")
+      .agg(max(struct($"ts", $"event_id", $"v")).getField("v").as("c"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val rets = close.withColumn("prev", lag($"c", 1).over(w))
+      .filter($"prev".isNotNull && $"prev" > 0)
+      .withColumn("r_ppm",
+        round(($"c" - $"prev").cast("double") * 1e6 / $"prev").cast("long"))
+    val wA = Window.partitionBy($"event_type").orderBy($"r_ppm", $"day")
+    val ranked = rets.withColumn("rn", row_number().over(wA))
+    val stats = rets.groupBy($"event_type").agg(
+      count(lit(1)).as("n_rets"),
+      sum($"r_ppm").as("sr"),
+      sum($"r_ppm".cast("decimal(38,0)") * $"r_ppm".cast("decimal(38,0)"))
+        .as("sr2"))
+    val var95 = ranked.join(stats, Seq("event_type"))
+      .filter($"rn" === expr("(n_rets + 19) div 20"))
+      .select($"event_type", $"r_ppm".as("var95_ppm"))
+    stats.join(var95, Seq("event_type"))
+      .select($"event_type", $"n_rets",
+        round($"sr".cast("double") / $"n_rets").cast("long").as("mean_ret_ppm"),
+        $"var95_ppm",
+        when($"n_rets" >= 2,
+          round(sqrt(($"sr2" * $"n_rets" - $"sr".cast("decimal(38,0)") * $"sr")
+            .cast("double") / ($"n_rets" * ($"n_rets" - 1)))).cast("long"))
+          .otherwise(lit(null).cast("long")).as("vol_ppm"))
+      .orderBy($"event_type")
+  }
+  val q330Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) AS tus, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    epoch_us(ts) // 1000000 // 86400 AS day
+      |  FROM events),
+      |close AS (
+      |  SELECT event_type, day, v AS c FROM (
+      |    SELECT event_type, day, v,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type, day
+      |        ORDER BY tus DESC, event_id DESC) AS rn
+      |    FROM ev) WHERE rn = 1),
+      |rets AS (
+      |  SELECT event_type, day, c,
+      |    LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      |  FROM close),
+      |rr AS (
+      |  SELECT event_type, day,
+      |    CAST(round(CAST(c - prev AS DOUBLE) * 1e6 / prev) AS BIGINT) AS r_ppm
+      |  FROM rets WHERE prev IS NOT NULL AND prev > 0),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY r_ppm, day) AS rn FROM rr),
+      |stats AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rets,
+      |    CAST(SUM(r_ppm) AS BIGINT) AS sr,
+      |    SUM(CAST(r_ppm AS HUGEINT) * r_ppm) AS sr2
+      |  FROM rr GROUP BY 1),
+      |v95 AS (
+      |  SELECT ranked.event_type, r_ppm AS var95_ppm
+      |  FROM ranked JOIN stats USING (event_type)
+      |  WHERE rn = (n_rets + 19) // 20)
+      |SELECT event_type, n_rets,
+      |  CAST(round(CAST(sr AS DOUBLE) / n_rets) AS BIGINT) AS mean_ret_ppm,
+      |  var95_ppm,
+      |  CASE WHEN n_rets >= 2 THEN
+      |    CAST(round(sqrt(CAST(sr2 * n_rets - CAST(sr AS HUGEINT) * sr AS DOUBLE)
+      |      / (n_rets * (n_rets - 1)))) AS BIGINT)
+      |  ELSE NULL END AS vol_ppm
+      |FROM stats JOIN v95 USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
+  // --- q325: on-balance volume (signed-volume accumulation) ----------------
+  // The volume-flow indicator next to q317/q318: per instrument,
+  // OBV_d = Σ_{d'≤d} sign(Δclose)·volume with volume from the props JSON
+  // (q159's field). Daily close is the struct-ordered max (zero windows
+  // over raw events); the signed-volume series and its running sum are
+  // exact long arithmetic over the calendar-bounded daily table, so every
+  // value hash-matches without snapping. One key-bounded shuffle reduces
+  // the corpus; everything after is day-level.
+  def q325(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"event_type", $"ts", $"event_id",
+      ($"value".cast("decimal(18,2)") * 100).cast("long").as("v"),
+      get_json_object($"props", "$.k").cast("long").as("k"),
+      expr("(ts div 1000000000) div 86400").as("day"))
+    val daily = ev.groupBy($"event_type", $"day")
+      .agg(max(struct($"ts", $"event_id", $"v")).getField("v").as("c"),
+        sum($"k").as("vol"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val wC = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("diff", $"c" - lag($"c", 1).over(w))
+      .withColumn("sv", when($"diff" > 0, $"vol")
+        .when($"diff" < 0, -$"vol").otherwise(lit(0L)))
+      .withColumn("obv", sum($"sv").over(wC))
+      .select($"event_type", $"day",
+        ($"c".cast("double") / 100).as("close_px"), $"vol", $"obv")
+      .orderBy($"event_type", $"day")
+  }
+  val q325Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) AS tus, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+      |    epoch_us(ts) // 1000000 // 86400 AS day
+      |  FROM events),
+      |daily AS (
+      |  SELECT event_type, day,
+      |    MAX(CASE WHEN rn = 1 THEN v END) AS c,
+      |    CAST(SUM(k) AS BIGINT) AS vol
+      |  FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, day
+      |      ORDER BY tus DESC, event_id DESC) AS rn
+      |    FROM ev)
+      |  GROUP BY 1, 2),
+      |sv AS (
+      |  SELECT event_type, day, c, vol,
+      |    CASE WHEN c - LAG(c) OVER w > 0 THEN vol
+      |         WHEN c - LAG(c) OVER w < 0 THEN -vol
+      |         ELSE 0 END AS sv
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day))
+      |SELECT event_type, day, CAST(c AS DOUBLE) / 100 AS close_px, vol,
+      |  CAST(SUM(sv) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+      |FROM sv
+      |ORDER BY event_type, day""".stripMargin
+
+  // --- q326: stochastic oscillator (%K/%D, exact integer grid) -------------
+  // The range-position momentum indicator: %K = 100·(c−min14)/(max14−min14)
+  // over a 14-day channel, %D = 3-day SMA of %K. Both live entirely on
+  // exact integer grids — k_e6 = (c−min)·1e8 div (max−min) through the
+  // decimal(38,0) route, %D = the mean of three k_e6 longs by integral
+  // division — so no IEEE chain exists to diverge and a flat channel
+  // (max=min) yields NULL by guard, not 0/0. Day-level windows over the
+  // close series, corpus reduced first (the q317/q318 shape).
+  def q326(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"event_type", $"ts", $"event_id",
+      ($"value".cast("decimal(18,2)") * 100).cast("long").as("v"),
+      expr("(ts div 1000000000) div 86400").as("day"))
+    val close = ev.groupBy($"event_type", $"day")
+      .agg(max(struct($"ts", $"event_id", $"v")).getField("v").as("c"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val w14 = w.rowsBetween(-13, 0)
+    val wK = w.rowsBetween(-2, 0)
+    close
+      .withColumn("rn", row_number().over(w))
+      .withColumn("lo", min($"c").over(w14))
+      .withColumn("hi", max($"c").over(w14))
+      .withColumn("k_e6", when($"hi" === $"lo", lit(null).cast("long"))
+        .otherwise(expr(
+          "cast(cast(c - lo as decimal(38,0)) * 100000000 div (hi - lo) as bigint)")))
+      .withColumn("n_k", count($"k_e6").over(wK))
+      .withColumn("sk", sum($"k_e6").over(wK))
+      .withColumn("d_e6", when($"n_k" === 3,
+        expr("cast(sk div 3 as bigint)")).otherwise(lit(null).cast("long")))
+      .filter($"rn" >= 14)
+      .select($"event_type", $"day",
+        ($"c".cast("double") / 100).as("close_px"),
+        ($"k_e6".cast("double") / 1e6).as("pct_k"),
+        when($"rn" >= 16, $"d_e6".cast("double") / 1e6).as("pct_d"))
+      .orderBy($"event_type", $"day")
+  }
+  val q326Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) AS tus, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    epoch_us(ts) // 1000000 // 86400 AS day
+      |  FROM events),
+      |close AS (
+      |  SELECT event_type, day, v AS c FROM (
+      |    SELECT event_type, day, v,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type, day
+      |        ORDER BY tus DESC, event_id DESC) AS rn
+      |    FROM ev) WHERE rn = 1),
+      |chan AS (
+      |  SELECT event_type, day, c,
+      |    ROW_NUMBER() OVER w AS rn,
+      |    MIN(c) OVER w14 AS lo, MAX(c) OVER w14 AS hi
+      |  FROM close
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day),
+      |    w14 AS (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+      |k AS (
+      |  SELECT event_type, day, c, rn,
+      |    CASE WHEN hi = lo THEN NULL
+      |      ELSE CAST(CAST(c - lo AS HUGEINT) * 100000000 // (hi - lo) AS BIGINT)
+      |    END AS k_e6
+      |  FROM chan),
+      |kd AS (
+      |  SELECT event_type, day, c, rn, k_e6,
+      |    COUNT(k_e6) OVER wk AS n_k,
+      |    CAST(SUM(k_e6) OVER wk // 3 AS BIGINT) AS d_e6_raw
+      |  FROM k
+      |  WINDOW wk AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+      |SELECT event_type, day, CAST(c AS DOUBLE) / 100 AS close_px,
+      |  CAST(k_e6 AS DOUBLE) / 1e6 AS pct_k,
+      |  CASE WHEN rn >= 16 AND n_k = 3 THEN CAST(d_e6_raw AS DOUBLE) / 1e6
+      |       ELSE NULL END AS pct_d
+      |FROM kd WHERE rn >= 14
+      |ORDER BY event_type, day""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q292_rollup_timetravel", q292 _, Some(q292Sql)),
+    ("q317_max_drawdown", q317 _, Some(q317Sql)),
+    ("q325_obv", q325 _, Some(q325Sql)),
+    ("q326_stochastic", q326 _, Some(q326Sql)),
+    ("q327_stream_ohlc", q327 _, Some(q327Sql)),
+    ("q330_var_volatility", q330 _, Some(q330Sql)),
+    ("q318_rsi_bollinger", q318 _, Some(q318Sql)),
+    ("q319_binseg_changepoint", q319 _, Some(q319Sql)),
     ("q298_forget_user", q298 _, Some(q298Sql)),
     ("q303_capped_sessions", q303 _, Some(q303Sql)),
     ("q304_weekly_movers", q304 _, Some(q304Sql)),

@@ -2110,8 +2110,202 @@ object Extended {
       |GROUP BY 1, k_min, n_rows
       |ORDER BY band""".stripMargin
 
+  // --- q315: Bloom-filter false-positive-rate audit -----------------------
+  // The trust gate for every bloom-pruned path (q81/q108): build the SAME
+  // deterministic bloom the engine probes with (m=131072 bits, k=3 portable
+  // md5 hash positions — the q90 hash convention) over one keyset, probe a
+  // second keyset against it, and report the MEASURED false-positive rate
+  // next to the theoretical (1-(1-1/m)^(kn))^k bound. Everything is
+  // deterministic under the fixed hash, so (q313 convention) the oracle
+  // restates the sketch VALUES verbatim — bits set, false positives, ppm —
+  // not a tolerance band.
+  //
+  // Scale shape: the bit table is ≤ m rows regardless of build size and
+  // BROADCASTS to the probe side — the probe corpus is scanned, never
+  // shuffled (one partial+final count-rollup at the end). The exact
+  // membership join (the truth column the FPR is judged against) is the
+  // oracle's job at 100 TB; here it rides along to make the audit
+  // self-contained.
+  def q315(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val M = 131072L
+    val K = 3
+    def pos(i: Int, key: Column): Column =
+      conv(substring(md5(concat(lit(s"$i|"), key.cast("string"))), 1, 14),
+        16, 10).cast("long") % M
+    val build = Tables.orders(s, d).filter($"o_orderstatus" === "F")
+      .select($"o_custkey".as("key")).distinct()
+      .persistTracked() // bits + membership + n_build all read it
+    val bits = build
+      .select(explode(array((0 until K).map(i => pos(i, $"key")): _*)).as("p"))
+      .distinct()
+    val probed = Tables.customer(s, d).select($"c_custkey".as("key"))
+      .select($"key", explode(array((0 until K).map(i => pos(i, $"key")): _*)).as("p"))
+      .join(broadcast(bits.withColumn("hit", lit(1))), Seq("p"), "left")
+      .groupBy($"key").agg(sum(coalesce($"hit", lit(0))).as("n_hit"))
+      .join(build.withColumn("member", lit(1)), Seq("key"), "left")
+      .select($"key", ($"n_hit" === K).as("bloom_pos"),
+        coalesce($"member", lit(0)).as("member"))
+    val nBuild = build.agg(count(lit(1)).as("n_build"))
+    val nBits = bits.agg(count(lit(1)).as("n_bits_set"))
+    probed.agg(
+        count(lit(1)).as("n_probe"),
+        sum(when($"member" === 0, 1L).otherwise(0L)).as("n_neg"),
+        sum(when($"bloom_pos" && ($"member" === 0), 1L).otherwise(0L)).as("n_fp"))
+      .crossJoin(broadcast(nBuild)).crossJoin(broadcast(nBits))
+      .select($"n_build", $"n_bits_set", $"n_probe", $"n_neg", $"n_fp",
+        expr("cast(cast(n_fp as decimal(38,0)) * 1000000 div n_neg as bigint)")
+          .as("fpr_ppm"),
+        round(pow(lit(1.0) - pow(lit(1.0) - lit(1.0) / M, $"n_build" * K), K)
+          * 1e6).cast("long").as("theo_fpr_ppm"))
+  }
+  val q315Sql: String =
+    """WITH build AS (
+      |  SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'),
+      |bits AS (
+      |  SELECT DISTINCT
+      |    ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || CAST(key AS VARCHAR)), 1, 14))::BIGINT
+      |      % 131072 AS p
+      |  FROM build, (SELECT unnest(range(0, 3)) AS r) rows),
+      |probe AS (
+      |  SELECT c_custkey AS key,
+      |    ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || CAST(c_custkey AS VARCHAR)), 1, 14))::BIGINT
+      |      % 131072 AS p, r
+      |  FROM customer, (SELECT unnest(range(0, 3)) AS r) rows),
+      |hits AS (
+      |  SELECT probe.key,
+      |    SUM(CASE WHEN bits.p IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      |  FROM probe LEFT JOIN bits ON probe.p = bits.p
+      |  GROUP BY probe.key),
+      |flags AS (
+      |  SELECT hits.key, n_hit = 3 AS bloom_pos,
+      |    CASE WHEN build.key IS NOT NULL THEN 1 ELSE 0 END AS member
+      |  FROM hits LEFT JOIN build ON hits.key = build.key),
+      |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_build FROM build),
+      |nbits AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bits_set FROM bits)
+      |SELECT n_build, n_bits_set,
+      |  CAST(COUNT(*) AS BIGINT) AS n_probe,
+      |  CAST(SUM(CASE WHEN member = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+      |  CAST(SUM(CASE WHEN bloom_pos AND member = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+      |  CAST(CAST(SUM(CASE WHEN bloom_pos AND member = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+      |    * 1000000 // SUM(CASE WHEN member = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fpr_ppm,
+      |  CAST(round(pow(1.0 - pow(1.0 - 1.0/131072, n_build * 3), 3) * 1e6) AS BIGINT)
+      |    AS theo_fpr_ppm
+      |FROM flags CROSS JOIN nb CROSS JOIN nbits
+      |GROUP BY n_build, n_bits_set""".stripMargin
+
+  // --- q316: AMS tug-of-war F2 sketch (self-join-size estimate) -----------
+  // The second-moment sketch a distributed optimizer uses to size
+  // self-joins before running them: 16 independent ±1 sign sums over the
+  // l_orderkey stream (signs from the portable md5 parity — the q90/q313
+  // fixed-hash convention), each squared estimator E[X²]=F2, combined
+  // median-of-means (4 groups of 4, Chebyshev-tightened). The partials are
+  // plain SUMs — map-side combinable, mergeable across batches by
+  // construction — and the shuffle carries ONE row of 16 longs however
+  // large the fact table is. All integer arithmetic (sign sums bounded by
+  // ±n, squares < 2^63 for n < 3e9 rows per merge unit), so the oracle
+  // restates the estimates verbatim. exact_f2 (Σ c² over the key histogram
+  // — what the estimator is judged against) rides along as the truth
+  // column; at 100 TB only the one-pass sketch arm runs.
+  def q316(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val J = 16
+    def sign(j: Int): Column = {
+      val h = conv(substring(md5(concat(lit(s"$j|"),
+        $"l_orderkey".cast("string"))), 1, 14), 16, 10).cast("long")
+      when(h % 2 === 0, 1L).otherwise(-1L)
+    }
+    val sums = Tables.lineitem(s, d).select($"l_orderkey")
+      .agg(count(lit(1)).as("n_rows"),
+        (0 until J).map(j => sum(sign(j)).as(s"s$j")): _*)
+    val exact = Tables.lineitem(s, d).groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("c"))
+      .agg(sum($"c" * $"c").as("exact_f2"))
+    sums.crossJoin(broadcast(exact))
+      .withColumn("xs", array((0 until J).map(j =>
+        col(s"s$j") * col(s"s$j")): _*))
+      .withColumn("gs", array_sort(array((0 until 4).map(g =>
+        expr(s"(xs[${4 * g}] + xs[${4 * g + 1}] + xs[${4 * g + 2}] + xs[${4 * g + 3}]) div 4")): _*)))
+      .select($"n_rows", $"exact_f2",
+        expr("aggregate(xs, 0L, (a, x) -> a + x) div 16").as("est_mean"),
+        expr("(gs[1] + gs[2]) div 2").as("est_mom"))
+      .withColumn("abs_err_ppm", expr(
+        "cast(cast(abs(est_mom - exact_f2) as decimal(38,0)) * 1000000 div exact_f2 as bigint)"))
+      .withColumn("err_sign", signum($"est_mom" - $"exact_f2").cast("int"))
+  }
+  val q316Sql: String =
+    """WITH signs AS (
+      |  SELECT l_orderkey, j,
+      |    CASE WHEN ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || CAST(l_orderkey AS VARCHAR)), 1, 14))::BIGINT
+      |      % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      |  FROM lineitem, (SELECT unnest(range(0, 16)) AS j) js),
+      |sums AS (
+      |  SELECT j, CAST(SUM(sgn) AS BIGINT) AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows
+      |  FROM signs GROUP BY j),
+      |ests AS (SELECT j, s * s AS x, n_rows FROM sums),
+      |grps AS (
+      |  SELECT j // 4 AS g, CAST(SUM(x) // 4 AS BIGINT) AS gx,
+      |    MAX(n_rows) AS n_rows
+      |  FROM ests GROUP BY 1),
+      |srt AS (
+      |  SELECT gx, n_rows, ROW_NUMBER() OVER (ORDER BY gx) AS rk FROM grps),
+      |mom AS (
+      |  SELECT MAX(n_rows) AS n_rows,
+      |    CAST(SUM(CASE WHEN rk IN (2, 3) THEN gx ELSE 0 END) // 2 AS BIGINT) AS est_mom
+      |  FROM srt),
+      |mean AS (SELECT CAST(SUM(x) // 16 AS BIGINT) AS est_mean FROM ests),
+      |ex AS (
+      |  SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2 FROM (
+      |    SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY l_orderkey))
+      |SELECT n_rows, exact_f2, est_mean, est_mom,
+      |  CAST(CAST(abs(est_mom - exact_f2) AS HUGEINT) * 1000000 // exact_f2 AS BIGINT)
+      |    AS abs_err_ppm,
+      |  CAST(CASE WHEN est_mom > exact_f2 THEN 1
+      |            WHEN est_mom < exact_f2 THEN -1 ELSE 0 END AS INT) AS err_sign
+      |FROM mom CROSS JOIN mean CROSS JOIN ex""".stripMargin
+
+  // --- q328: incremental JOIN-view maintenance (delta-join rule) -----------
+  // q110 proves aggregation partials merge and q129/q288 maintain rollups;
+  // this proves the JOIN-view delta rule for the commonest warehouse case
+  // (fact append against static dimensions): for V = A ⋈ B with only A
+  // changing, ΔV = ΔA ⋈ B, so the maintained view is merge(V₀, ΔA ⋈ B) —
+  // the delta batch pays one dimension join + one partial-merge, never a
+  // re-scan of the base fact. Here: segment revenue with orders split
+  // 80/20 into base+delta on a key hash; the merge is a monoid sum of
+  // (count, exact-decimal revenue) partials, and the oracle is the
+  // one-shot recompute over the FULL table — hash-equality IS the IVM
+  // correctness proof.
+  def q328(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, d).select($"o_orderkey", $"o_custkey",
+      $"o_totalprice".cast("decimal(18,2)").as("rev"))
+    val cust = Tables.customer(s, d)
+      .select($"c_custkey", $"c_mktsegment".as("seg"))
+    def viewOf(part: DataFrame): DataFrame = part
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .groupBy($"seg")
+      .agg(count(lit(1)).as("n"), sum($"rev").as("r"))
+    val v0 = viewOf(ord.filter($"o_orderkey" % 5 < 4)) // the standing view
+    val dv = viewOf(ord.filter($"o_orderkey" % 5 === 4)) // ΔA ⋈ B only
+    v0.unionByName(dv)
+      .groupBy($"seg")
+      .agg(sum($"n").as("n_orders"), sum($"r").cast("double").as("revenue"))
+      .orderBy($"seg")
+  }
+  val q328Sql: String =
+    """SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q251_bitmap_distinct", q251 _, Some(q251Sql)),
+    ("q315_bloom_fpr", q315 _, Some(q315Sql)),
+    ("q316_ams_f2", q316 _, Some(q316Sql)),
+    ("q328_ivm_join_view", q328 _, Some(q328Sql)),
     ("q276_quantile_rollup", q276 _, Some(q276Sql)),
     ("q288_quantile_ivm", q288 _, Some(q288Sql)),
     ("q308_kll_quantile", q308 _, Some(q308Sql)),

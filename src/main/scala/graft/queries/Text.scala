@@ -4078,7 +4078,83 @@ object Text {
       |WHERE rank <= 20
       |ORDER BY rank""".stripMargin
 
+  // --- q322: TextRank keyword extraction (PageRank on co-occurrence) -------
+  // The classic unsupervised keyword extractor, built by composing two
+  // audited engine pieces: the canonical tokenizer (TextFunctions — the
+  // oracle-shared normalization) and operators.Graph.pageRank (q143's
+  // exact 1e-9-integer-grid power iteration). Graph: adjacent-token
+  // co-occurrence (window size 2), canonicalized unordered pairs with a
+  // support floor of 2 (drops hapax noise and bounds the graph), expanded
+  // to both directions so no node dangles. Adjacency never shuffles the
+  // corpus by itself — the lead() runs inside per-doc windows (documents
+  // are bounded; the doc_id shuffle is the same one every per-doc
+  // aggregate pays), and everything after the pair groupBy is
+  // vocabulary-sized. Two unrolled iterations, bit-reproducible ranks,
+  // top-20 keywords; the oracle restates both iterations verbatim
+  // (q143's CTE chain over the token-pair graph).
+  def q322(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val adj = Tables.documents(s, d)
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead($"tok", 1)
+        .over(Window.partitionBy($"doc_id").orderBy($"pos")))
+      .filter($"nxt".isNotNull && $"tok" =!= $"nxt")
+    val pairs = adj
+      .select(least($"tok", $"nxt").as("pa"), greatest($"tok", $"nxt").as("pb"))
+      .groupBy($"pa", $"pb").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2)
+    val edges = pairs.select($"pa".as("src"), $"pb".as("dst"))
+      .unionByName(pairs.select($"pb".as("src"), $"pa".as("dst")))
+    graft.operators.Graph.pageRank(edges, iters = 2)
+      .select($"node".as("token"), $"deg",
+        ($"pr9".cast("double") / 1e9).as("textrank"), $"pr9")
+      .orderBy($"pr9".desc, $"token")
+      .limit(20)
+      .drop("pr9")
+  }
+  val q322Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |  FROM documents),
+      |adj AS (
+      |  SELECT least(t[CAST(i AS INT)], t[CAST(i AS INT) + 1]) AS pa,
+      |    greatest(t[CAST(i AS INT)], t[CAST(i AS INT) + 1]) AS pb
+      |  FROM docs, unnest(range(1, len(t))) AS u(i)
+      |  WHERE t[CAST(i AS INT)] <> t[CAST(i AS INT) + 1]),
+      |pairs AS (
+      |  SELECT pa, pb FROM adj GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |edges AS (
+      |  SELECT pa AS src, pb AS dst FROM pairs
+      |  UNION ALL SELECT pb, pa FROM pairs),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+      |nv AS (SELECT COUNT(*) AS v FROM deg),
+      |p0 AS (
+      |  SELECT src AS node, deg, CAST(round(1e9 / v) AS BIGINT) AS pr9
+      |  FROM deg CROSS JOIN nv),
+      |s1 AS (
+      |  SELECT e.dst,
+      |    CAST(SUM(CAST(round(CAST(0.85 AS DOUBLE) * p.pr9 / p.deg) AS BIGINT)) AS BIGINT) AS s9
+      |  FROM edges e JOIN p0 p ON e.src = p.node GROUP BY e.dst),
+      |p1 AS (
+      |  SELECT d.src AS node, d.deg,
+      |    CAST(round(CAST(0.15 AS DOUBLE) * 1e9 / v) AS BIGINT) + s9 AS pr9
+      |  FROM deg d JOIN s1 ON d.src = s1.dst CROSS JOIN nv),
+      |s2 AS (
+      |  SELECT e.dst,
+      |    CAST(SUM(CAST(round(CAST(0.85 AS DOUBLE) * p.pr9 / p.deg) AS BIGINT)) AS BIGINT) AS s9
+      |  FROM edges e JOIN p1 p ON e.src = p.node GROUP BY e.dst),
+      |p2 AS (
+      |  SELECT d.src AS node, d.deg,
+      |    CAST(round(CAST(0.15 AS DOUBLE) * 1e9 / v) AS BIGINT) + s9 AS pr9
+      |  FROM deg d JOIN s2 ON d.src = s2.dst CROSS JOIN nv)
+      |SELECT node AS token, deg, CAST(pr9 AS DOUBLE) / 1e9 AS textrank
+      |FROM p2
+      |ORDER BY pr9 DESC, token
+      |LIMIT 20""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q322_textrank_keywords", q322 _, Some(q322Sql)),
     ("q243_good_turing", q243 _, Some(q243Sql)),
     ("q256_heaps_law", q256 _, Some(q256Sql)),
     ("q259_zipf_fit", q259 _, Some(q259Sql)),

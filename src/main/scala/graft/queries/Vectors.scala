@@ -183,6 +183,71 @@ object Vectors {
       |SELECT vec_a, vec_b, sim FROM scored WHERE sim >= 0.3
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  // --- q331: cosine-LSH recall audit (measured, oracle-gated) --------------
+  // SimilaritySpec asserts LSH recall on structured fixtures; this puts
+  // the MEASURED number on the oracle record the way q309/q315 do for
+  // IVF-PQ and bloom: q54's full hyperplane-LSH pipeline (portable
+  // integer-mixer planes, exact rerank) against the brute-force truth set
+  // (all pairs with cosine ≥ 0.3). The rerank is exact, so lsh ⊆ exact
+  // and recall = n_lsh/n_exact — one exact small-int ratio; recall_ppm
+  // rides the decimal route. The all-pairs truth arm is the oracle's job
+  // at 100 TB (q313's exact_inter convention); the LSH arm is the
+  // production path being graded.
+  def q331(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val lsh = Similarity.lshSimilarPairs(emb, threshold = 0.3,
+      numTables = 6, planesPerTable = 5, eagerSkewProbe = true)
+    val a = emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
+    val b = emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
+    val exact = a.crossJoin(b).filter($"vec_a" < $"vec_b")
+      .withColumn("sim", round(dotProduct($"ea", $"eb")
+        / (l2Norm($"ea") * l2Norm($"eb")), 6))
+      .filter($"sim" >= 0.3)
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
+      .select($"n_exact", $"n_lsh",
+        ($"n_exact" - $"n_lsh").as("n_missed"),
+        expr("cast(cast(n_lsh as decimal(38,0)) * 1000000 div n_exact as bigint)")
+          .as("recall_ppm"))
+  }
+  val q331Sql: String =
+    s"""WITH comps AS (
+      |  SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+      |         unnest(embedding::DOUBLE[]) AS v
+      |  FROM embeddings
+      |), dots AS (
+      |  SELECT vec_id, p,
+      |    SUM(CAST(FLOOR(v * ((pos * 7919 + p * 1000003) * 2654435761 % 2049 - 1024) * 1e9)
+      |        AS BIGINT)) AS d
+      |  FROM comps, (SELECT unnest(range(0, 30)) AS p) pl
+      |  GROUP BY vec_id, p
+      |), buckets AS (
+      |  SELECT vec_id, p // 5 AS table_id,
+      |    CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << (p % 5)) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id, p // 5
+      |), cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM buckets a JOIN buckets b
+      |    ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |), lsh AS (
+      |  SELECT vec_a, vec_b FROM (
+      |    SELECT c.vec_a, c.vec_b,
+      |      ROUND(${cosSql("ea.embedding::DOUBLE[]", "eb.embedding::DOUBLE[]")}, 6) AS sim
+      |    FROM cand c
+      |    JOIN embeddings ea ON ea.vec_id = c.vec_a
+      |    JOIN embeddings eb ON eb.vec_id = c.vec_b)
+      |  WHERE sim >= 0.3
+      |), ex AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE ROUND(${cosSql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}, 6) >= 0.3
+      |), ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex),
+      |nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM lsh)
+      |SELECT n_exact, n_lsh, n_exact - n_lsh AS n_missed,
+      |  CAST(CAST(n_lsh AS HUGEINT) * 1000000 // n_exact AS BIGINT) AS recall_ppm
+      |FROM ne CROSS JOIN nl""".stripMargin
+
   // --- q56: semantic dedup — embedding near-dup clusters + canonical -------
   // The SemDeDup shape: cosine-LSH candidate pairs (the exact portable
   // buckets q54 proves) fed through connected components; the component
@@ -376,6 +441,49 @@ object Vectors {
       |  CAST(76 + COUNT(*) + COUNT(*) % 2 AS BIGINT) AS container_bytes
       |FROM b GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  // --- q329: REAL image-container decode — 24-bit BMP parse ----------------
+  // The image sibling of q310's WAV parse: payloads become 41-px-wide
+  // grayscale BMPs (41·3 = 123-byte rows force real 4-byte stride padding;
+  // rows stored BOTTOM-UP per spec) and are parsed byte-level in
+  // mapPartitions — both headers validated field-by-field, stride walk,
+  // vertical un-flip, gray-consistency check per pixel. first_px/last_px
+  // are position-sensitive: a decoder that skips the flip or miswalks the
+  // stride fails the hash gate, not just malformed-input specs. The
+  // oracle recomputes everything from the source bytes plus the explicit
+  // zero-fill arithmetic of the last row (ASCII corpus — byte ==
+  // codepoint, verified for q310). Disjoint 1-in-25 sample from q310's.
+  def q329(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Multimodal.attachPayload(
+      Tables.documents(s, d).filter($"doc_id" % 25 === 1 && length($"text") >= 1))
+    Multimodal.decodeBmp(s, docs).toDF().orderBy($"doc_id")
+  }
+  val q329Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+      |    (length(text) + 40) // 41 AS h,
+      |    unicode(substr(text, 1, 1)) AS first_v,
+      |    unicode(substr(text, CAST(length(text) AS INT), 1)) AS last_raw
+      |  FROM documents WHERE doc_id % 25 = 1 AND length(text) >= 1),
+      |b AS (
+      |  SELECT doc_id, unicode(substr(text, CAST(i AS INT), 1)) AS v
+      |  FROM d, unnest(range(1, length(text) + 1)) AS u(i))
+      |SELECT d.doc_id,
+      |  CAST(41 AS INT) AS width,
+      |  CAST(h AS INT) AS height,
+      |  CAST(24 AS INT) AS bpp,
+      |  CAST(41 * h AS BIGINT) AS n_pixels,
+      |  CAST(SUM(v) AS BIGINT) AS px_sum,
+      |  CAST(MAX(v) AS INT) AS px_max,
+      |  CAST(CASE WHEN 41 * h > len THEN 0 ELSE MIN(v) END AS INT) AS px_min,
+      |  CAST(first_v AS INT) AS first_px,
+      |  CAST(CASE WHEN 41 * h = len THEN last_raw ELSE 0 END AS INT) AS last_px,
+      |  CAST(124 AS INT) AS row_stride,
+      |  CAST(54 + 124 * h AS BIGINT) AS container_bytes
+      |FROM d JOIN b ON d.doc_id = b.doc_id
+      |GROUP BY d.doc_id, h, len, first_v, last_raw
+      |ORDER BY d.doc_id""".stripMargin
 
   // --- q85: frame sampling + per-frame features (video-pipeline shape) -----
   // mapPartitions generator (1 doc → ≤4 frames) followed by declarative
@@ -2142,8 +2250,156 @@ object Vectors {
        |ORDER BY pos""".stripMargin
   }
 
+  // --- q320: Matryoshka dimension-truncation recall curve -------------------
+  // The memory/recall trade every embedding deployment prices alongside
+  // q57's int8 quantization and q314's nprobe curve: search over only the
+  // FIRST dc dims (dc ∈ {8,16,32} of 64 — an MRL-style prefix truncation
+  // that cuts vector memory 8×/4×/2×) vs the exact full-dim top-5.
+  // Truncation is slice() before the same audited bruteForceTopK arm, so
+  // every curve point is the standard broadcast-probe plan over narrower
+  // vectors; recall is micro-averaged exact small-int ratios (q314's
+  // shape). float→double casts commute with slicing, so the oracle's
+  // list_slice restatement is bit-identical.
+  def q320(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter($"vec_id" < 8)
+    val bf = Similarity.bruteForceTopK(queries, emb, k = 5, queryCountHint = 8)
+      .select($"query_id", $"neighbor_id").persistTracked() // 3 curve points
+    val points = Seq(8, 16, 32).map { dc =>
+      Similarity.bruteForceTopK(
+          queries.select($"vec_id", slice($"embedding", 1, dc).as("embedding")),
+          emb.select($"vec_id", slice($"embedding", 1, dc).as("embedding")),
+          k = 5, queryCountHint = 8)
+        .select(lit(dc).as("dim"), $"query_id", $"neighbor_id")
+    }.reduce(_ unionByName _)
+    val hits = bf.join(points, Seq("query_id", "neighbor_id"))
+      .groupBy($"dim").agg(count(lit(1)).as("n_hits"))
+    val k = bf.agg(count(lit(1)).as("sum_k"))
+    Seq(8, 16, 32).toDF("dim") // literal axis — never re-search for it
+      .crossJoin(broadcast(k))
+      .join(hits, Seq("dim"), "left")
+      .select($"dim", $"sum_k",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        (coalesce($"n_hits", lit(0L)).cast("double") / $"sum_k").as("recall"))
+      .orderBy($"dim")
+  }
+  val q320Sql: String = {
+    def cosTr(a: String, b: String): String = cosSql(
+      s"list_slice($a::DOUBLE[], 1, dm)", s"list_slice($b::DOUBLE[], 1, dm)")
+    s"""WITH bf AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        ROUND(${cosSql("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")}, 6) DESC,
+      |        c.vec_id) AS rank
+      |    FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+      |  WHERE rank <= 5),
+      |tr AS (
+      |  SELECT dm, query_id, neighbor_id FROM (
+      |    SELECT dm, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY dm, q.vec_id ORDER BY
+      |        ROUND(${cosTr("q.embedding", "c.embedding")}, 6) DESC,
+      |        c.vec_id) AS rank
+      |    FROM embeddings q
+      |    JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id,
+      |      (SELECT unnest([8, 16, 32]) AS dm) dims)
+      |  WHERE rank <= 5),
+      |hits AS (
+      |  SELECT dm AS dim, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |  FROM bf JOIN tr ON bf.query_id = tr.query_id
+      |    AND bf.neighbor_id = tr.neighbor_id
+      |  GROUP BY 1),
+      |k AS (SELECT CAST(COUNT(*) AS BIGINT) AS sum_k FROM bf)
+      |SELECT dm AS dim, sum_k, COALESCE(n_hits, 0) AS n_hits,
+      |  CAST(COALESCE(n_hits, 0) AS DOUBLE) / sum_k AS recall
+      |FROM (SELECT unnest([8, 16, 32]) AS dm)
+      |CROSS JOIN k
+      |LEFT JOIN hits ON dm = hits.dim
+      |ORDER BY dm""".stripMargin
+  }
+
+  // --- q321: Davies-Bouldin cluster-quality audit of the k-means trainer ----
+  // The quality gate the k-means family was missing: q122 verifies the
+  // trainer's ASSIGNMENTS verbatim and q215 audits cell BALANCE, but
+  // nothing said whether the clusters are any GOOD. Per cluster i:
+  // scatter S_i (mean member distance to centroid — q51's decimal-snap
+  // mean of IEEE-exact sqrts) and the Davies-Bouldin term
+  // R_i = max_{j≠i} (S_i+S_j)/M_ij over centroid separations M_ij; the
+  // corpus-level DB index is the mean of R_i, computed on the exact 1e-6
+  // long grid after one snap per R_i. sqrt is IEEE-correctly-rounded
+  // (portable); every input to it is the rounded-6 arithmetic q122
+  // already proves engine-identical. One corpus scan (the distance pass)
+  // beyond the trainer itself; everything downstream is k-sized.
+  def q321(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val emb = Tables.embeddings(s, d)
+    val cent = Similarity.trainKMeansCells(emb, k = 8, iters = 2)
+      .persistTracked() // member-distance pass + pair separations
+    val scat = Similarity.assignKMeansCells(emb, cent)
+      .join(broadcast(cent), "cell")
+      .withColumn("dist", sqrt(Similarity.sqDistRounded(
+        asDouble($"embedding"), $"centroid")))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_members"),
+        round(sum($"dist".cast("decimal(18,9)")).cast("double") / count(lit(1)), 6)
+          .as("s_i"))
+      .join(cent, "cell")
+      .persistTracked() // both sides of the pair join
+    val pairs = scat.select($"cell".as("ci"), $"s_i".as("si"), $"centroid".as("ca"))
+      .join(broadcast(scat.select($"cell".as("cj"), $"s_i".as("sj"),
+        $"centroid".as("cb"))), $"ci" =!= $"cj")
+      .withColumn("r", ($"si" + $"sj")
+        / sqrt(Similarity.sqDistRounded($"ca", $"cb")))
+      .groupBy($"ci")
+      .agg(round(max($"r") * 1e6).cast("long").as("r_e6"))
+    val db = pairs.agg(expr("cast(sum(r_e6) div count(1) as bigint)")
+      .as("db_e6"))
+    scat.select($"cell", $"n_members", $"s_i")
+      .join(pairs.select($"ci".as("cell"), $"r_e6"), "cell")
+      .crossJoin(broadcast(db))
+      .select($"cell", $"n_members", $"s_i",
+        ($"r_e6".cast("double") / 1e6).as("r_max"),
+        ($"db_e6".cast("double") / 1e6).as("db_index"))
+      .orderBy($"cell")
+  }
+  val q321Sql: String =
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |c0 AS (SELECT vec_id AS cell, e AS c FROM emb ORDER BY vec_id LIMIT 8),
+      |a0 AS (${kmAssign("c0")}),
+      |c1 AS (${kmUpdate("a0")}),
+      |a1 AS (${kmAssign("c1")}),
+      |c2 AS (${kmUpdate("a1")}),
+      |a2 AS (${kmAssign("c2")}),
+      |scat AS (
+      |  SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |    ROUND(CAST(SUM(CAST(sqrt(${sqd("a.e", "c.c")}) AS DECIMAL(18,9)))
+      |      AS DOUBLE) / COUNT(*), 6) AS s_i
+      |  FROM a2 a JOIN c2 c ON a.cell = c.cell
+      |  GROUP BY a.cell),
+      |pairs AS (
+      |  SELECT a.cell AS ci,
+      |    CAST(round(MAX((a.s_i + b.s_i) / sqrt(${sqd("ca.c", "cb.c")})) * 1e6)
+      |      AS BIGINT) AS r_e6
+      |  FROM scat a JOIN scat b ON a.cell <> b.cell
+      |  JOIN c2 ca ON ca.cell = a.cell
+      |  JOIN c2 cb ON cb.cell = b.cell
+      |  GROUP BY a.cell),
+      |db AS (
+      |  SELECT CAST(SUM(r_e6) // COUNT(*) AS BIGINT) AS db_e6 FROM pairs)
+      |SELECT scat.cell, n_members, s_i,
+      |  CAST(r_e6 AS DOUBLE) / 1e6 AS r_max,
+      |  CAST(db_e6 AS DOUBLE) / 1e6 AS db_index
+      |FROM scat JOIN pairs ON scat.cell = pairs.ci
+      |CROSS JOIN db
+      |ORDER BY scat.cell""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q271_pca_power_iteration", q271 _, Some(q271Sql)),
+    ("q320_matryoshka_recall", q320 _, Some(q320Sql)),
+    ("q321_cluster_quality", q321 _, Some(q321Sql)),
     ("q50_knn_bruteforce", q50 _, Some(q50Sql)),
     ("q51_vector_stats", q51 _, Some(q51Sql)),
     ("q52_centroids", q52 _, Some(q52Sql)),
@@ -2175,6 +2431,8 @@ object Vectors {
     ("q181_ann_recall", q181 _, Some(q181Sql)),
     ("q309_ivfpq_recall", q309 _, Some(q309Sql)),
     ("q310_wav_decode", q310 _, Some(q310Sql)),
+    ("q329_bmp_decode", q329 _, Some(q329Sql)),
+    ("q331_lsh_recall", q331 _, Some(q331Sql)),
     ("q314_recall_curve", q314 _, Some(q314Sql)),
     ("q207_ndcg_eval", q207 _, Some(q207Sql)),
     ("q208_auc_eval", q208 _, Some(q208Sql)),

@@ -107,6 +107,36 @@ object Streams {
     .select(date_format(col("dw.start"), "yyyy-MM-dd HH:mm:ss").as("day_start"),
       col("event_type"), col("n_events"), col("n_hours"))
 
+  /** Streaming OHLC candlestick bars + VWAP — the streaming twin of
+    * queries.Events.q159 (the reference's crypto dashboard aggregate) the
+    * way [[hourlyTrend]] twins q24. Open/close ride struct-ordered
+    * min/max aggregates (deterministic, streaming-compatible — no
+    * windows), VWAP's Σv·k / Σk is exact decimal arithmetic with q159's
+    * one grid snap, so the drained sink hash-matches the batch oracle
+    * verbatim. State per open (hour, type) window only — watermark-bounded. */
+  def ohlcBars(events: DataFrame): DataFrame = {
+    val big = "decimal(38,0)"
+    events
+      .withWatermark("ts_us", "2 hours")
+      .withColumn("v", (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(window(col("ts_us"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_trades"),
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        sum(col("v").cast(big) * col("k").cast(big)).as("num"),
+        sum(col("k").cast(big)).as("den"))
+      .select(col("event_type"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("n_trades"), col("open"), col("high"), col("low"), col("close"),
+        when(col("den") === lit(0).cast(big), lit(null).cast("double"))
+          .otherwise(round(col("num").cast("double") / col("den").cast("double")
+            / 100 * 1e9).cast("long").cast("double") / 1e9).as("vwap"))
+  }
+
   /** Tumbling 1-hour windows per event type with a 2-hour watermark. */
   def hourlyTrend(events: DataFrame): DataFrame = events
     .withWatermark("ts_us", "2 hours")

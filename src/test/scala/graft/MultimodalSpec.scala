@@ -61,4 +61,70 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.parseWav(corrupt(b => b(20) = 3.toByte))
     }
   }
+
+  // --- BMP codec (the image sibling) ---------------------------------------
+
+  test("BMP encode → parse round-trips geometry, stats, and the corners") {
+    // n = 41 exactly fills one row; 42 forces a zero-filled tail; 1001
+    // spans many rows — all with width 41, whose 123-byte rows force the
+    // 4-byte stride pad
+    for (n <- Seq(1, 40, 41, 42, 82, 1001)) {
+      val payload = sampleBytes(n)
+      val container = Multimodal.encodeBmp(payload)
+      val (w, h, bpp, nPix, sum, mx, mn, first, last, stride) =
+        Multimodal.parseBmp(container)
+      val hExp = (n + 40) / 41
+      assert((w, h, bpp, stride) == ((41, hExp, 24, 124)), s"geometry at n=$n")
+      assert(nPix == 41L * hExp)
+      assert(sum == payload.map(_ & 0xff).map(_.toLong).sum, s"sum at n=$n")
+      assert(mx == payload.map(_ & 0xff).max)
+      val padded = 41 * hExp > n
+      assert(mn == (if (padded) 0 else payload.map(_ & 0xff).min), s"min at n=$n")
+      // position-sensitive corners: prove the bottom-up un-flip
+      assert(first == (payload(0) & 0xff), s"first px at n=$n")
+      assert(last == (if (padded) 0 else payload(n - 1) & 0xff), s"last px at n=$n")
+      assert(container.length == 54 + 124 * hExp, s"layout size at n=$n")
+    }
+  }
+
+  test("BMP rows are stored bottom-up — a no-flip parser reads the wrong corner") {
+    // payload long enough for 2 rows, with distinct first and last bytes
+    val payload = sampleBytes(82) // exactly 2 full rows, no padding
+    val container = Multimodal.encodeBmp(payload)
+    // physical first pixel row in the file is the LAST logical row: its
+    // first pixel must be payload(41), not payload(0)
+    val firstPhysicalPixel = container(54) & 0xff
+    assert(firstPhysicalPixel == (payload(41) & 0xff),
+      "bottom-up storage: physical row 0 is logical row h-1")
+    val (_, _, _, _, _, _, _, first, _, _) = Multimodal.parseBmp(container)
+    assert(first == (payload(0) & 0xff), "parser un-flips to logical order")
+  }
+
+  test("malformed BMP containers are rejected") {
+    val good = Multimodal.encodeBmp(sampleBytes(100))
+    def corrupt(mutate: Array[Byte] => Unit): Array[Byte] = {
+      val b = good.clone(); mutate(b); b
+    }
+    intercept[IllegalArgumentException] { // wrong magic
+      Multimodal.parseBmp(corrupt(b => b(0) = 'X'.toByte))
+    }
+    intercept[IllegalArgumentException] { // file size field disagrees
+      Multimodal.parseBmp(corrupt(b => b(2) = (b(2) + 1).toByte))
+    }
+    intercept[IllegalArgumentException] { // not a BITMAPINFOHEADER
+      Multimodal.parseBmp(corrupt(b => b(14) = 39.toByte))
+    }
+    intercept[IllegalArgumentException] { // unsupported bpp
+      Multimodal.parseBmp(corrupt(b => b(28) = 8.toByte))
+    }
+    intercept[IllegalArgumentException] { // compression flag set
+      Multimodal.parseBmp(corrupt(b => b(30) = 1.toByte))
+    }
+    intercept[IllegalArgumentException] { // non-gray pixel
+      Multimodal.parseBmp(corrupt(b => b(55) = (b(55) + 1).toByte))
+    }
+    intercept[IllegalArgumentException] { // empty payload refused at encode
+      Multimodal.encodeBmp(Array.empty[Byte])
+    }
+  }
 }

@@ -3118,6 +3118,280 @@ object Analytics {
       |GROUP BY prio, yr
       |ORDER BY prio, yr""".stripMargin
 
+  // --- q333: Markov removal-effect attribution ------------------------------
+  // The attribution model q257's position rules cannot express: a
+  // first-order Markov chain over channel journeys (START → channels →
+  // CONV/NULL, truncated at the first conversion), absorption
+  // probability computed by 20 unrolled fixed-point iterations on the
+  // exact 1e-9 integer grid (the q143 convention — every step is
+  // Σcnt·p9 div out + conv9, pure non-negative integer arithmetic, so
+  // trunc-vs-floor never bites and both engines agree bitwise), and each
+  // channel's REMOVAL EFFECT = how much P(conv from START) drops when
+  // that state is forced dead. All six scenarios (full + 5 removals)
+  // ride ONE (scenario, state) keyed frame through the same iteration.
+  //
+  // Scale shape: the corpus pays one user-keyed shuffle (journey
+  // windows) + one transition-count aggregation; everything after is
+  // states²×scenarios ≤ dozens of rows, eagerly localCheckpointed per
+  // round (the BPE/PageRank bounded-driver-loop precedent).
+  def q333(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val iters = 20
+    val wU = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val kept = Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prior_purch", count(when($"event_type" === "purchase", 1))
+        .over(wU.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter($"prior_purch" === 0)
+      .persistTracked() // channel rows + conversion flags + no-channel users
+    val conv = kept.filter($"event_type" === "purchase")
+      .select($"user_id").distinct().persistTracked()
+    val chan = kept.filter($"event_type" =!= "purchase")
+      .withColumn("nxt", lead($"event_type", 1).over(wU))
+      .withColumn("rn", row_number().over(wU))
+      .persistTracked()
+    val e1 = chan.filter($"rn" === 1)
+      .select(lit("START").as("src"), $"event_type".as("dst"))
+    val e2 = chan.filter($"nxt".isNotNull)
+      .select($"event_type".as("src"), $"nxt".as("dst"))
+    val e3 = chan.filter($"nxt".isNull)
+      .join(conv.withColumn("cv", lit(1)), Seq("user_id"), "left")
+      .select($"event_type".as("src"),
+        when($"cv" === 1, lit("CONV")).otherwise(lit("NULL")).as("dst"))
+    val e4 = conv.join(chan.select($"user_id").distinct(), Seq("user_id"),
+        "left_anti")
+      .select(lit("START").as("src"), lit("CONV").as("dst"))
+    val trans = e1.unionByName(e2).unionByName(e3).unionByName(e4)
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("cnt"))
+      .persistTracked() // out/conv9/scenario expansion all read it
+    val outs = trans.groupBy($"src").agg(sum($"cnt").as("out"))
+    val conv9 = trans.filter($"dst" === "CONV")
+      .select($"src", $"cnt".as("cconv"))
+    val channels = trans.select($"src".as("channel")).distinct()
+      .filter($"channel" =!= "START")
+    val scenarios = channels.select($"channel".as("scenario"))
+      .unionByName(Seq("full").toDF("scenario"))
+    val transSc = trans
+      .join(outs, "src")
+      .join(conv9, Seq("src"), "left")
+      .withColumn("conv9",
+        expr("coalesce(cconv, 0L) * 1000000000 div out"))
+      .crossJoin(broadcast(scenarios))
+      .select($"scenario", $"src", $"dst", $"cnt", $"out", $"conv9")
+      .persistTracked() // read every iteration
+    val states = transSc.select($"scenario", $"src".as("state")).distinct()
+    val p0 = states.withColumn("p9", lit(0L)).localCheckpoint(true)
+    val pFinal = (0 until iters).foldLeft(p0) { (p, _) =>
+      transSc
+        .join(p.select($"scenario", $"state".as("dst"), $"p9"),
+          Seq("scenario", "dst"), "left")
+        .groupBy($"scenario", $"src")
+        .agg(sum($"cnt" * coalesce($"p9", lit(0L))).as("sc"),
+          min($"out").as("o"), min($"conv9").as("c9"))
+        .select($"scenario", $"src".as("state"),
+          when($"src" === $"scenario", lit(0L))
+            .otherwise(expr("sc div o + c9")).as("p9"))
+        .localCheckpoint(true)
+    }
+    val pStart = pFinal.filter($"state" === "START")
+    val pFull = pStart.filter($"scenario" === "full")
+      .select($"p9".as("p_full9"))
+    pStart.filter($"scenario" =!= "full")
+      .select($"scenario".as("channel"), $"p9".as("p_removed9"))
+      .crossJoin(broadcast(pFull))
+      .select($"channel",
+        ($"p_full9".cast("double") / 1e9).as("p_conv_full"),
+        ($"p_removed9".cast("double") / 1e9).as("p_conv_removed"),
+        expr("cast(cast(greatest(p_full9 - p_removed9, 0L) as decimal(38,0))" +
+          " * 1000000 div p_full9 as bigint)").as("removal_ppm"))
+      .orderBy($"channel")
+  }
+  val q333Sql: String = {
+    val iterCtes = (1 to 20).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT t.scenario, t.src AS state,
+         |    CASE WHEN t.src = t.scenario THEN 0
+         |      ELSE CAST(SUM(t.cnt * COALESCE(p.p9, 0)) // MIN(t.out)
+         |           + MIN(t.conv9) AS BIGINT)
+         |    END AS p9
+         |  FROM transsc t LEFT JOIN p${i - 1} p
+         |    ON p.scenario = t.scenario AND p.state = t.dst
+         |  GROUP BY t.scenario, t.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH kept AS MATERIALIZED (
+      |  SELECT user_id, ts, event_id, event_type
+      |  FROM (
+      |    SELECT *,
+      |      COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) OVER (
+      |        PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_purch
+      |    FROM events)
+      |  WHERE prior_purch = 0),
+      |conv AS MATERIALIZED (
+      |  SELECT DISTINCT user_id FROM kept WHERE event_type = 'purchase'),
+      |chan AS MATERIALIZED (
+      |  SELECT user_id, event_type,
+      |    LEAD(event_type) OVER w AS nxt,
+      |    ROW_NUMBER() OVER w AS rn
+      |  FROM kept WHERE event_type <> 'purchase'
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |edges AS (
+      |  SELECT 'START' AS src, event_type AS dst FROM chan WHERE rn = 1
+      |  UNION ALL
+      |  SELECT event_type, nxt FROM chan WHERE nxt IS NOT NULL
+      |  UNION ALL
+      |  SELECT c.event_type,
+      |    CASE WHEN v.user_id IS NOT NULL THEN 'CONV' ELSE 'NULL' END
+      |  FROM chan c LEFT JOIN conv v ON c.user_id = v.user_id
+      |  WHERE c.nxt IS NULL
+      |  UNION ALL
+      |  SELECT 'START', 'CONV' FROM conv v
+      |  WHERE NOT EXISTS (SELECT 1 FROM chan c WHERE c.user_id = v.user_id)),
+      |trans AS MATERIALIZED (
+      |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM edges GROUP BY 1, 2),
+      |outs AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS "out" FROM trans GROUP BY 1),
+      |cv AS (SELECT src, cnt AS cconv FROM trans WHERE dst = 'CONV'),
+      |scen AS (
+      |  SELECT DISTINCT src AS scenario FROM trans WHERE src <> 'START'
+      |  UNION ALL SELECT 'full'),
+      |transsc AS MATERIALIZED (
+      |  SELECT scen.scenario, t.src, t.dst, t.cnt, o."out",
+      |    CAST(COALESCE(cv.cconv, 0) * 1000000000 // o."out" AS BIGINT) AS conv9
+      |  FROM trans t
+      |  JOIN outs o ON t.src = o.src
+      |  LEFT JOIN cv ON t.src = cv.src
+      |  CROSS JOIN scen),
+      |p0 AS MATERIALIZED (
+      |  SELECT DISTINCT scenario, src AS state, CAST(0 AS BIGINT) AS p9
+      |  FROM transsc),
+      |$iterCtes,
+      |pfull AS (
+      |  SELECT p9 AS p_full9 FROM p20
+      |  WHERE scenario = 'full' AND state = 'START')
+      |SELECT scenario AS channel,
+      |  CAST(p_full9 AS DOUBLE) / 1e9 AS p_conv_full,
+      |  CAST(p9 AS DOUBLE) / 1e9 AS p_conv_removed,
+      |  CAST(CAST(greatest(p_full9 - p9, 0) AS HUGEINT) * 1000000 // p_full9
+      |    AS BIGINT) AS removal_ppm
+      |FROM p20 CROSS JOIN pfull
+      |WHERE scenario <> 'full' AND state = 'START'
+      |ORDER BY channel""".stripMargin
+  }
+
+  // --- q334: exact Shapley-value attribution --------------------------------
+  // q333's order-independent companion — the cooperative-game credit
+  // split over channel COALITIONS: v(S) = observed conversion rate of
+  // users whose touched-channel set is exactly S (unobserved coalitions
+  // contribute 0 — the standard data-driven convention), and
+  // φ(c) = Σ_{S∌c} |S|!(k−|S|−1)!/k! · (v(S∪c) − v(S)). Rather than
+  // enumerating the 2^k powerset, each OBSERVED coalition T contributes
+  // exactly once in each role — +w(|T|−1)·v(T) to every c ∈ T and
+  // −w(|T|)·v(T) to every c ∉ T — so the whole computation is one
+  // (coalitions × channels) join over the coalition table. Weights are
+  // exact integers (factorial() in both engines) on the 1e-9 grid,
+  // rates v9 exact integer divisions, and the signed term sum stays in
+  // decimal(38,0)/HUGEINT until ONE correctly-rounded cast to double —
+  // no integral division ever sees a negative operand (the
+  // trunc-vs-floor trap). Corpus cost: the same one user-keyed shuffle
+  // as q333 + a coalition aggregation; everything after is ≤ 2^k rows.
+  def q334(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val wU = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val kept = Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prior_purch", count(when($"event_type" === "purchase", 1))
+        .over(wU.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter($"prior_purch" === 0)
+      .persistTracked()
+    val conv = kept.filter($"event_type" === "purchase")
+      .select($"user_id").distinct()
+    val masks = kept.filter($"event_type" =!= "purchase")
+      .groupBy($"user_id")
+      .agg(concat_ws(",", array_sort(collect_set($"event_type"))).as("mask"))
+    val coal = kept.select($"user_id").distinct()
+      .join(masks, Seq("user_id"), "left")
+      .withColumn("mask", coalesce($"mask", lit("")))
+      .join(conv.withColumn("cv", lit(1)), Seq("user_id"), "left")
+      .groupBy($"mask")
+      .agg(count(lit(1)).as("n"), sum(coalesce($"cv", lit(0))).as("nc"))
+      .withColumn("v9", expr("nc * 1000000000 div n"))
+      .withColumn("sz", when($"mask" === "", lit(0))
+        .otherwise(size(split($"mask", ","))))
+      .persistTracked() // channel cross-join + k both read it
+    val channels = kept.filter($"event_type" =!= "purchase")
+      .select($"event_type".as("channel")).distinct()
+    val k = channels.agg(count(lit(1)).as("k"))
+    coal.crossJoin(broadcast(channels)).crossJoin(broadcast(k))
+      .withColumn("member", array_contains(split($"mask", ","), $"channel"))
+      .withColumn("term", expr(
+        """CASE WHEN member THEN
+          |  cast(factorial(greatest(sz - 1, 0)) * factorial(greatest(k - sz, 0))
+          |       * 1000000000 div factorial(k) as decimal(38,0)) * v9
+          |ELSE
+          |  -cast(factorial(sz) * factorial(greatest(k - sz - 1, 0))
+          |        * 1000000000 div factorial(k) as decimal(38,0)) * v9
+          |END""".stripMargin))
+      .groupBy($"channel")
+      .agg(sum(when($"member", $"n").otherwise(lit(0L))).as("n_touched_users"),
+        sum($"term").as("phi18"))
+      .select($"channel", $"n_touched_users",
+        ($"phi18".cast("double") / 1e18).as("shapley"))
+      .orderBy($"channel")
+  }
+  val q334Sql: String =
+    """WITH kept AS MATERIALIZED (
+      |  SELECT user_id, ts, event_id, event_type
+      |  FROM (
+      |    SELECT *,
+      |      COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) OVER (
+      |        PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_purch
+      |    FROM events)
+      |  WHERE prior_purch = 0),
+      |conv AS (SELECT DISTINCT user_id FROM kept WHERE event_type = 'purchase'),
+      |masks AS (
+      |  SELECT user_id,
+      |    array_to_string(list_sort(list(DISTINCT event_type)), ',') AS mask
+      |  FROM kept WHERE event_type <> 'purchase' GROUP BY user_id),
+      |coal AS (
+      |  SELECT mask, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(cv) AS BIGINT) AS nc,
+      |    CAST(SUM(cv) * 1000000000 // COUNT(*) AS BIGINT) AS v9,
+      |    CASE WHEN mask = '' THEN 0 ELSE len(string_split(mask, ',')) END AS sz
+      |  FROM (
+      |    SELECT u.user_id, COALESCE(m.mask, '') AS mask,
+      |      CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS cv
+      |    FROM (SELECT DISTINCT user_id FROM kept) u
+      |    LEFT JOIN masks m ON u.user_id = m.user_id
+      |    LEFT JOIN conv c ON u.user_id = c.user_id)
+      |  GROUP BY mask),
+      |chans AS (
+      |  SELECT DISTINCT event_type AS channel FROM kept
+      |  WHERE event_type <> 'purchase'),
+      |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM chans),
+      |terms AS (
+      |  SELECT chans.channel, coal.n, coal.v9,
+      |    list_contains(string_split(coal.mask, ','), chans.channel) AS member,
+      |    CASE WHEN list_contains(string_split(coal.mask, ','), chans.channel) THEN
+      |      CAST(factorial(CAST(greatest(sz - 1, 0) AS INT))
+      |        * factorial(CAST(greatest(k - sz, 0) AS INT))
+      |        * 1000000000 // factorial(CAST(k AS INT)) AS HUGEINT) * v9
+      |    ELSE
+      |      -CAST(factorial(CAST(sz AS INT))
+      |        * factorial(CAST(greatest(k - sz - 1, 0) AS INT))
+      |        * 1000000000 // factorial(CAST(k AS INT)) AS HUGEINT) * v9
+      |    END AS term
+      |  FROM coal CROSS JOIN chans CROSS JOIN kk)
+      |SELECT channel,
+      |  CAST(SUM(CASE WHEN member THEN n ELSE 0 END) AS BIGINT) AS n_touched_users,
+      |  CAST(SUM(term) AS DOUBLE) / 1e18 AS shapley
+      |FROM terms
+      |GROUP BY channel
+      |ORDER BY channel""".stripMargin
+
   // --- q324: declarative data-contract validation ---------------------------
   // The reference's Soda checks (include/soda/checks.yml:1-9) generalized
   // to a multi-rule contract evaluated in ONE scan: not-null, uniqueness,
@@ -3175,6 +3449,8 @@ object Analytics {
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q323_l_diversity", q323 _, Some(q323Sql)),
     ("q324_data_contract", q324 _, Some(q324Sql)),
+    ("q333_markov_attribution", q333 _, Some(q333Sql)),
+    ("q334_shapley_attribution", q334 _, Some(q334Sql)),
     ("q241_ucb1_arms", q241 _, Some(q241Sql)),
     ("q245_hhi_concentration", q245 _, Some(q245Sql)),
     ("q248_kaplan_meier", q248 _, Some(q248Sql)),

@@ -3910,6 +3910,55 @@ object Events {
   }
   val q327Sql: String = q159Sql
 
+  // --- q332: time-RANGE sliding frames (rolling 1h over irregular events) --
+  // The window shape q17/q26 do not cover: a PER-EVENT trailing-hour
+  // aggregate via RANGE frames over the raw ns timeline (no bucket
+  // snapping, no interval self-join). The house scale rule forbids the
+  // naive per-type event-level window (5 partition keys = 5 straggler
+  // tasks at 100 TB), so the frames run inside (type, DAY) slices with a
+  // carry: each day's last-hour rows replay into the NEXT day's slice
+  // (flagged, frame members only, filtered from output) — any trailing-1h
+  // frame then lives entirely inside one slice, so the sliced windows
+  // equal the global one exactly (the q158 boundary trick, RANGE form).
+  // Parallelism ∝ types × days; carry volume ∝ one hour of traffic.
+  // The oracle states the SEMANTICS — the plain global RANGE window.
+  def q332(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val DAY = 86400L * 1000000000L
+    val HR = 3600L * 1000000000L
+    val ev = Tables.events(s, d).select($"event_type", $"ts", $"event_id",
+      ($"value".cast("decimal(18,2)") * 100).cast("long").as("v"),
+      expr("(ts div 1000000000) div 86400").as("slice"))
+    val own = ev.withColumn("carry", lit(0))
+    val carry = ev.filter($"ts" % DAY >= DAY - HR)
+      .withColumn("slice", $"slice" + 1)
+      .withColumn("carry", lit(1))
+    val w = Window.partitionBy($"event_type", $"slice").orderBy($"ts")
+      .rangeBetween(-HR, 0)
+    own.unionByName(carry)
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("s_1h", sum($"v").over(w))
+      .filter($"carry" === 0)
+      .select($"event_id", $"event_type",
+        fmtS(expr("ts div 1000000000")).as("ts_s"),
+        $"n_1h", ($"s_1h".cast("double") / 100).as("sum_1h"))
+      .orderBy($"event_type", $"event_id")
+  }
+  val q332Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type, epoch_us(ts) * 1000 AS tns,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events)
+      |SELECT event_id, event_type,
+      |  strftime(make_timestamp((tns // 1000000000) * 1000000),
+      |    '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+      |  CAST(CAST(SUM(v) OVER w AS BIGINT) AS DOUBLE) / 100 AS sum_1h
+      |FROM ev
+      |WINDOW w AS (PARTITION BY event_type ORDER BY tns
+      |  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, event_id""".stripMargin
+
   // --- q330: historical VaR + return volatility per instrument -------------
   // The risk pair to q317's drawdown: daily simple returns on the 1-ppm
   // integer grid (one round of a <2^52-magnitude double — the snap is
@@ -4135,6 +4184,7 @@ object Events {
     ("q326_stochastic", q326 _, Some(q326Sql)),
     ("q327_stream_ohlc", q327 _, Some(q327Sql)),
     ("q330_var_volatility", q330 _, Some(q330Sql)),
+    ("q332_range_frames", q332 _, Some(q332Sql)),
     ("q318_rsi_bollinger", q318 _, Some(q318Sql)),
     ("q319_binseg_changepoint", q319 _, Some(q319Sql)),
     ("q298_forget_user", q298 _, Some(q298Sql)),

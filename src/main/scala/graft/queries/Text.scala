@@ -4078,6 +4078,84 @@ object Text {
       |WHERE rank <= 20
       |ORDER BY rank""".stripMargin
 
+  // --- q335: sparse tf-idf cosine similarity join ---------------------------
+  // The WEIGHTED-vector sibling of the set-based q83 and the dense q54:
+  // document similarity over sparse tf-idf vectors through posting lists.
+  // Weights live on the 1e-6 integer grid (round(tf·ln(N/df)·1e6) — the
+  // q79 ln convention), so dot products and squared norms are exact
+  // decimal integers; the one cosine division is IEEE over two
+  // correctly-rounded casts, snapped once. Candidates = pairs sharing a
+  // DISCRIMINATIVE token (2 ≤ df ≤ 32 — per-token fan-out bounded by
+  // C(32,2), the documented DAAT pruning rule, stated identically in the
+  // oracle); the full-vector rerank runs only on candidates (q45's
+  // gating). One corpus shuffle builds the postings; the candidate join
+  // is keyed on rare tokens only.
+  def q335(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val tc = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val df = tc.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w6 = tc.join(df, "tok").crossJoin(broadcast(n))
+      .withColumn("w6",
+        round($"tf" * log($"n_docs".cast("double") / $"df") * 1e6).cast("long"))
+      .persistTracked() // norms + candidates + both rerank sides
+    val norms = w6.groupBy($"doc_id")
+      .agg(sqrt(sum($"w6".cast("decimal(38,0)") * $"w6").cast("double")).as("nrm"))
+    val rare = w6.filter($"df" >= 2 && $"df" <= 32)
+    val cand = rare.select($"tok", $"doc_id".as("doc_a"))
+      .join(rare.select($"tok", $"doc_id".as("doc_b")), Seq("tok"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    val dots = cand
+      .join(w6.select($"doc_id".as("doc_a"), $"tok", $"w6".as("wa")), Seq("doc_a"))
+      .join(w6.select($"doc_id".as("doc_b"), $"tok", $"w6".as("wb")),
+        Seq("doc_b", "tok"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(sum($"wa".cast("decimal(38,0)") * $"wb").as("dot"))
+    dots
+      .join(norms.select($"doc_id".as("doc_a"), $"nrm".as("na")), Seq("doc_a"))
+      .join(norms.select($"doc_id".as("doc_b"), $"nrm".as("nb")), Seq("doc_b"))
+      .withColumn("cosine", round($"dot".cast("double") / ($"na" * $"nb"), 6))
+      .filter($"cosine" >= 0.5)
+      .select($"doc_a", $"doc_b", $"cosine")
+      .orderBy($"doc_a", $"doc_b")
+  }
+  val q335Sql: String =
+    """WITH tc AS MATERIALIZED (
+      |  SELECT doc_id, tok, COUNT(*) AS tf
+      |  FROM (SELECT doc_id,
+      |          unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY doc_id, tok),
+      |dfreq AS MATERIALIZED (SELECT tok, COUNT(*) AS df FROM tc GROUP BY tok),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      |w6 AS MATERIALIZED (
+      |  SELECT tc.doc_id, tc.tok, dfreq.df,
+      |    CAST(round(tc.tf * ln(CAST(n_docs AS DOUBLE) / dfreq.df) * 1e6) AS BIGINT) AS w6
+      |  FROM tc JOIN dfreq USING (tok) CROSS JOIN nn),
+      |norms AS MATERIALIZED (
+      |  SELECT doc_id, sqrt(CAST(SUM(CAST(w6 AS HUGEINT) * w6) AS DOUBLE)) AS nrm
+      |  FROM w6 GROUP BY doc_id),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM w6 a JOIN w6 b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  WHERE a.df BETWEEN 2 AND 32 AND b.df BETWEEN 2 AND 32),
+      |dots AS (
+      |  SELECT c.doc_a, c.doc_b, SUM(CAST(wa.w6 AS HUGEINT) * wb.w6) AS dot
+      |  FROM cand c
+      |  JOIN w6 wa ON wa.doc_id = c.doc_a
+      |  JOIN w6 wb ON wb.doc_id = c.doc_b AND wb.tok = wa.tok
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  ROUND(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+      |FROM dots
+      |JOIN norms na ON na.doc_id = doc_a
+      |JOIN norms nb ON nb.doc_id = doc_b
+      |WHERE ROUND(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // --- q322: TextRank keyword extraction (PageRank on co-occurrence) -------
   // The classic unsupervised keyword extractor, built by composing two
   // audited engine pieces: the canonical tokenizer (TextFunctions — the
@@ -4155,6 +4233,7 @@ object Text {
 
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q322_textrank_keywords", q322 _, Some(q322Sql)),
+    ("q335_sparse_cosine_join", q335 _, Some(q335Sql)),
     ("q243_good_turing", q243 _, Some(q243Sql)),
     ("q256_heaps_law", q256 _, Some(q256Sql)),
     ("q259_zipf_fit", q259 _, Some(q259Sql)),

@@ -3392,6 +3392,134 @@ object Analytics {
       |GROUP BY channel
       |ORDER BY channel""".stripMargin
 
+  // --- q337: empirical-Bayes shrinkage of per-item rates ---------------------
+  // The cold-start estimator a ranking/quality system applies before an
+  // item has traffic: per-part return rates shrunk toward a Beta prior
+  // fit by method of moments across parts — shrunk = (k+α)/(n+α+β), so
+  // low-n items pull to the corpus mean and high-n items keep their data.
+  // Exactness: per-part rates snap to the 1e-9 integer grid (exact
+  // divisions), the across-part mean/variance numerators are exact
+  // decimal integers, and the MoM chain (m(1−m)/v − 1 etc.) is ONE fixed
+  // IEEE op order stated identically in both engines, snapped at output.
+  // One fact shuffle (per-part counts); the prior fit is a one-row
+  // aggregate broadcast back over the part-level table.
+  def q337(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val parts = Tables.lineitem(s, d)
+      .groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("k"))
+      .withColumn("rate9", expr("k * 1000000000 div n"))
+    val mom = parts.agg(
+        count(lit(1)).as("p"),
+        sum($"rate9").as("sr"),
+        sum($"rate9".cast("decimal(38,0)") * $"rate9").as("sr2"))
+      .select($"p",
+        ($"sr".cast("double") / $"p" / 1e9).as("m"),
+        (($"sr2" * $"p" - $"sr".cast("decimal(38,0)") * $"sr").cast("double")
+          / $"p" / $"p" / 1e18).as("v"))
+      .select($"p", $"m", $"v",
+        when($"v" > 0, $"m" * (lit(1.0) - $"m") / $"v" - 1.0)
+          .otherwise(lit(null).cast("double")).as("ab"))
+      .select($"m", $"ab", ($"m" * $"ab").as("alpha"))
+    parts.filter($"n" >= 5)
+      .crossJoin(broadcast(mom))
+      .select($"l_partkey", $"n", $"k",
+        round($"rate9".cast("double") / 1e9, 6).as("raw_rate"),
+        when($"ab" > 0,
+          round(($"k" + $"alpha") / ($"n" + $"ab"), 6))
+          .otherwise(lit(null).cast("double")).as("shrunk_rate"),
+        round($"alpha", 6).as("alpha"),
+        round($"ab" - $"alpha", 6).as("beta"))
+      .orderBy($"l_partkey")
+  }
+  val q337Sql: String =
+    """WITH parts AS (
+      |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS k,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      * 1000000000 // COUNT(*) AS BIGINT) AS rate9
+      |  FROM lineitem GROUP BY 1),
+      |mom AS (
+      |  SELECT m, ab, m * ab AS alpha FROM (
+      |    SELECT p, m, v,
+      |      CASE WHEN v > 0 THEN m * (1.0 - m) / v - 1.0 ELSE NULL END AS ab
+      |    FROM (
+      |      SELECT CAST(COUNT(*) AS BIGINT) AS p,
+      |        CAST(SUM(rate9) AS DOUBLE) / COUNT(*) / 1e9 AS m,
+      |        CAST(SUM(CAST(rate9 AS HUGEINT) * rate9) * COUNT(*)
+      |          - CAST(SUM(rate9) AS HUGEINT) * SUM(rate9) AS DOUBLE)
+      |          / COUNT(*) / COUNT(*) / 1e18 AS v
+      |      FROM parts)))
+      |SELECT l_partkey, n, k,
+      |  ROUND(CAST(rate9 AS DOUBLE) / 1e9, 6) AS raw_rate,
+      |  CASE WHEN ab > 0 THEN ROUND((k + alpha) / (n + ab), 6)
+      |       ELSE NULL END AS shrunk_rate,
+      |  ROUND(alpha, 6) AS alpha,
+      |  ROUND(ab - alpha, 6) AS beta
+      |FROM parts CROSS JOIN mom
+      |WHERE n >= 5
+      |ORDER BY l_partkey""".stripMargin
+
+  // --- q338: ABC / Pareto revenue classification ------------------------------
+  // The classic warehouse stratification: parts ranked by exact-decimal
+  // revenue, cumulative share classes A (≤70%), B (≤90%), C (rest) —
+  // class boundaries decided by DECIMAL CROSS-MULTIPLICATION
+  // (cum·10 ≤ total·7), never a floating share, so membership is exact.
+  // The ranked cumsum runs over the PART dimension (bounded — the fact
+  // table reduces in one revenue aggregation first); ties broken by part
+  // key. Output: per class, the part count, revenue, and exact ppm share.
+  def q338(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, d)
+      .groupBy($"l_partkey")
+      .agg(sum(money($"l_extendedprice")).as("rev"))
+    val w = Window.orderBy($"rev".desc, $"l_partkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = rev.agg(sum($"rev").as("total"))
+    rev.withColumn("cum", sum($"rev").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when($"cum" * 10 <= $"total" * 7, lit("A"))
+          .when($"cum" * 10 <= $"total" * 9, lit("B"))
+          .otherwise(lit("C")))
+      .groupBy($"cls")
+      .agg(count(lit(1)).as("n_parts"),
+        sum($"rev").as("crev"))
+      .crossJoin(broadcast(tot))
+      .select($"cls", $"n_parts", $"crev".cast("double").as("class_rev"),
+        // ×1e8 / ×100 clears the 2-decimal cents on BOTH sides before the
+        // integral casts (a fractional decimal→integer cast rounds in
+        // DuckDB but truncates in Spark); the ratio is unchanged.
+        expr("cast(cast(crev * 100000000 as decimal(38,0)) div cast(total * 100 as decimal(38,0)) as bigint)")
+          .as("rev_share_ppm"))
+      .orderBy($"cls")
+  }
+  val q338Sql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT SUM(rev) AS total FROM rev),
+      |ranked AS (
+      |  SELECT l_partkey, rev, total,
+      |    SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM rev CROSS JOIN tot),
+      |classed AS (
+      |  SELECT *,
+      |    CASE WHEN cum * 10 <= total * 7 THEN 'A'
+      |         WHEN cum * 10 <= total * 9 THEN 'B'
+      |         ELSE 'C' END AS cls
+      |  FROM ranked)
+      |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST(SUM(rev) AS DOUBLE) AS class_rev,
+      |  CAST(CAST(SUM(rev) * 100000000 AS HUGEINT) // CAST(MIN(total) * 100 AS HUGEINT)
+      |    AS BIGINT) AS rev_share_ppm
+      |FROM classed
+      |GROUP BY cls
+      |ORDER BY cls""".stripMargin
+
   // --- q324: declarative data-contract validation ---------------------------
   // The reference's Soda checks (include/soda/checks.yml:1-9) generalized
   // to a multi-rule contract evaluated in ONE scan: not-null, uniqueness,
@@ -3451,6 +3579,8 @@ object Analytics {
     ("q324_data_contract", q324 _, Some(q324Sql)),
     ("q333_markov_attribution", q333 _, Some(q333Sql)),
     ("q334_shapley_attribution", q334 _, Some(q334Sql)),
+    ("q337_eb_shrinkage", q337 _, Some(q337Sql)),
+    ("q338_abc_pareto", q338 _, Some(q338Sql)),
     ("q241_ucb1_arms", q241 _, Some(q241Sql)),
     ("q245_hhi_concentration", q245 _, Some(q245Sql)),
     ("q248_kaplan_meier", q248 _, Some(q248Sql)),

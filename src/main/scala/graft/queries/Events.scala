@@ -3959,6 +3959,56 @@ object Events {
       |  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_type, event_id""".stripMargin
 
+  // --- q336: partition-completeness audit (missing-partition fill plan) ----
+  // The lakehouse ingestion audit q33/q127 don't cover: against the
+  // expected (instrument × hour) calendar grid — spanned by the GLOBAL
+  // min/max hour, generated with sequence(), never scanned — which
+  // partitions actually landed? Output per instrument: expected/present/
+  // missing counts plus the first and last missing hour (the backfill
+  // window a scheduler would replay). The corpus reduces to the distinct
+  // present grid in one aggregation; the calendar join is grid-sized.
+  def q336(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val present = Tables.events(s, d)
+      .select($"event_type", expr("(ts div 1000000000) div 3600").as("hr"))
+      .distinct()
+      .persistTracked() // bounds + types + the presence join
+    val bounds = present.agg(min($"hr").as("h0"), max($"hr").as("h1"))
+    val grid = present.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type", explode(expr("sequence(h0, h1)")).as("hr"))
+    grid.join(present.withColumn("p", lit(1)), Seq("event_type", "hr"), "left")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("expected_hours"),
+        sum(coalesce($"p", lit(0))).as("present_hours"),
+        sum(when($"p".isNull, 1L).otherwise(0L)).as("missing_hours"),
+        min(when($"p".isNull, $"hr")).as("first_missing_hr"),
+        max(when($"p".isNull, $"hr")).as("last_missing_hr"))
+      .orderBy($"event_type")
+  }
+  val q336Sql: String =
+    """WITH present AS (
+      |  SELECT DISTINCT event_type, epoch_us(ts) // 1000000 // 3600 AS hr
+      |  FROM events),
+      |bounds AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM present),
+      |grid AS (
+      |  SELECT t.event_type, g.hr
+      |  FROM (SELECT DISTINCT event_type FROM present) t,
+      |    bounds, unnest(range(h0, h1 + 1)) AS g(hr))
+      |SELECT grid.event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS expected_hours,
+      |  CAST(SUM(CASE WHEN p.hr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS present_hours,
+      |  CAST(SUM(CASE WHEN p.hr IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS missing_hours,
+      |  MIN(CASE WHEN p.hr IS NULL THEN grid.hr END) AS first_missing_hr,
+      |  MAX(CASE WHEN p.hr IS NULL THEN grid.hr END) AS last_missing_hr
+      |FROM grid LEFT JOIN present p
+      |  ON grid.event_type = p.event_type AND grid.hr = p.hr
+      |GROUP BY grid.event_type
+      |ORDER BY grid.event_type""".stripMargin
+
   // --- q330: historical VaR + return volatility per instrument -------------
   // The risk pair to q317's drawdown: daily simple returns on the 1-ppm
   // integer grid (one round of a <2^52-magnitude double — the snap is
@@ -4185,6 +4235,7 @@ object Events {
     ("q327_stream_ohlc", q327 _, Some(q327Sql)),
     ("q330_var_volatility", q330 _, Some(q330Sql)),
     ("q332_range_frames", q332 _, Some(q332Sql)),
+    ("q336_partition_audit", q336 _, Some(q336Sql)),
     ("q318_rsi_bollinger", q318 _, Some(q318Sql)),
     ("q319_binseg_changepoint", q319 _, Some(q319Sql)),
     ("q298_forget_user", q298 _, Some(q298Sql)),

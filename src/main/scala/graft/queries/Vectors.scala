@@ -248,6 +248,102 @@ object Vectors {
       |  CAST(CAST(n_lsh AS HUGEINT) * 1000000 // n_exact AS BIGINT) AS recall_ppm
       |FROM ne CROSS JOIN nl""".stripMargin
 
+  // --- q339: semantic-dedup threshold tuning curve --------------------------
+  // The knob-sizing artifact for q56 the way q314 is for the ANN probe:
+  // the SAME portable cosine-LSH candidate set (computed once at the
+  // loosest point — bucket structure is threshold-independent) reranked
+  // and clustered at t ∈ {0.3, 0.4, 0.5}, reporting pairs, clustered
+  // docs, clusters, and the kept-corpus ppm each threshold implies — the
+  // number a curator reads before committing a dedup cut. Connected
+  // components run per point on the bounded candidate graph (empty graph
+  // at a tight threshold degrades to zero rows, handled). The oracle
+  // restates the exact buckets/rerank (q54's proof) and carries t
+  // through a scenario-keyed recursive closure.
+  def q339(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheLifecycle.TrackedPersistOps
+    val pairs = Similarity.lshSimilarPairs(Tables.embeddings(s, d),
+        threshold = 0.3, numTables = 6, planesPerTable = 5,
+        eagerSkewProbe = true)
+      .persistTracked() // three curve points re-filter it
+    val nv = Tables.embeddings(s, d).agg(count(lit(1)).as("n_vecs"))
+    val points = Seq(0.3, 0.4, 0.5).map { t =>
+      val pf = pairs.filter($"sim" >= t)
+        .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
+      val cstats = graft.operators.Dedup.clusterPairs(pf)
+        .agg(count(lit(1)).as("n_in_clusters"),
+          countDistinct($"cluster_rep").as("n_clusters"))
+      pf.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(cstats))
+        .select(lit(t).as("threshold"), $"n_pairs", $"n_in_clusters",
+          $"n_clusters")
+    }.reduce(_ unionByName _)
+    points.crossJoin(broadcast(nv))
+      .select($"threshold", $"n_vecs", $"n_pairs", $"n_in_clusters",
+        $"n_clusters",
+        expr("cast(cast(n_vecs - (n_in_clusters - n_clusters) as decimal(38,0))" +
+          " * 1000000 div n_vecs as bigint)").as("kept_ppm"))
+      .orderBy($"threshold")
+  }
+  val q339Sql: String =
+    s"""WITH RECURSIVE comps AS MATERIALIZED (
+      |  SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+      |         unnest(embedding::DOUBLE[]) AS v
+      |  FROM embeddings
+      |), dots AS MATERIALIZED (
+      |  SELECT vec_id, p,
+      |    SUM(CAST(FLOOR(v * ((pos * 7919 + p * 1000003) * 2654435761 % 2049 - 1024) * 1e9)
+      |        AS BIGINT)) AS d
+      |  FROM comps, (SELECT unnest(range(0, 30)) AS p) pl
+      |  GROUP BY vec_id, p
+      |), buckets AS MATERIALIZED (
+      |  SELECT vec_id, p // 5 AS table_id,
+      |    CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << (p % 5)) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id, p // 5
+      |), cand AS MATERIALIZED (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM buckets a JOIN buckets b
+      |    ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |), scored AS MATERIALIZED (
+      |  SELECT vec_a, vec_b, sim FROM (
+      |    SELECT c.vec_a, c.vec_b,
+      |      ROUND(${cosSql("ea.embedding::DOUBLE[]", "eb.embedding::DOUBLE[]")}, 6) AS sim
+      |    FROM cand c
+      |    JOIN embeddings ea ON ea.vec_id = c.vec_a
+      |    JOIN embeddings eb ON eb.vec_id = c.vec_b)
+      |  WHERE sim >= 0.3
+      |), ts AS (SELECT CAST(unnest([0.3, 0.4, 0.5]) AS DOUBLE) AS t),
+      |edges AS MATERIALIZED (
+      |  SELECT t, vec_a AS src, vec_b AS dst FROM scored, ts WHERE sim >= t
+      |  UNION ALL
+      |  SELECT t, vec_b, vec_a FROM scored, ts WHERE sim >= t
+      |), reach AS (
+      |  SELECT t, src AS vec_id, dst AS r FROM edges
+      |  UNION
+      |  SELECT reach.t, reach.vec_id, e.dst
+      |  FROM reach JOIN edges e ON reach.t = e.t AND reach.r = e.src
+      |), comp AS MATERIALIZED (
+      |  SELECT t, vec_id, LEAST(vec_id, MIN(r)) AS rep
+      |  FROM reach GROUP BY t, vec_id
+      |), pts AS (
+      |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_in_clusters,
+      |    CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters
+      |  FROM comp GROUP BY t
+      |), np AS (
+      |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |  FROM scored, ts WHERE sim >= t GROUP BY t
+      |), nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings)
+      |SELECT ts.t AS threshold, n_vecs,
+      |  COALESCE(n_pairs, 0) AS n_pairs,
+      |  COALESCE(n_in_clusters, 0) AS n_in_clusters,
+      |  COALESCE(n_clusters, 0) AS n_clusters,
+      |  CAST(CAST(n_vecs - (COALESCE(n_in_clusters, 0) - COALESCE(n_clusters, 0))
+      |    AS HUGEINT) * 1000000 // n_vecs AS BIGINT) AS kept_ppm
+      |FROM ts CROSS JOIN nv
+      |LEFT JOIN pts ON ts.t = pts.t
+      |LEFT JOIN np ON ts.t = np.t
+      |ORDER BY ts.t""".stripMargin
+
   // --- q56: semantic dedup — embedding near-dup clusters + canonical -------
   // The SemDeDup shape: cosine-LSH candidate pairs (the exact portable
   // buckets q54 proves) fed through connected components; the component
@@ -2433,6 +2529,7 @@ object Vectors {
     ("q310_wav_decode", q310 _, Some(q310Sql)),
     ("q329_bmp_decode", q329 _, Some(q329Sql)),
     ("q331_lsh_recall", q331 _, Some(q331Sql)),
+    ("q339_semantic_threshold_curve", q339 _, Some(q339Sql)),
     ("q314_recall_curve", q314 _, Some(q314Sql)),
     ("q207_ndcg_eval", q207 _, Some(q207Sql)),
     ("q208_auc_eval", q208 _, Some(q208Sql)),

@@ -3179,32 +3179,40 @@ object Analytics {
         expr("coalesce(cconv, 0L) * 1000000000 div out"))
       .crossJoin(broadcast(scenarios))
       .select($"scenario", $"src", $"dst", $"cnt", $"out", $"conv9")
-      .persistTracked() // read every iteration
-    val states = transSc.select($"scenario", $"src".as("state")).distinct()
-    val p0 = states.withColumn("p9", lit(0L)).localCheckpoint(true)
-    val pFinal = (0 until iters).foldLeft(p0) { (p, _) =>
-      transSc
-        .join(p.select($"scenario", $"state".as("dst"), $"p9"),
-          Seq("scenario", "dst"), "left")
-        .groupBy($"scenario", $"src")
-        .agg(sum($"cnt" * coalesce($"p9", lit(0L))).as("sc"),
-          min($"out").as("o"), min($"conv9").as("c9"))
-        .select($"scenario", $"src".as("state"),
-          when($"src" === $"scenario", lit(0L))
-            .otherwise(expr("sc div o + c9")).as("p9"))
-        .localCheckpoint(true)
+    // The fixed point runs DRIVER-SIDE over the collected transition
+    // matrix — bounded by scenarios × states² (≤ ~300 rows however large
+    // the corpus; the driver state IS the model, the q275-BPE precedent).
+    // A DataFrame loop paid 20 eager-checkpoint jobs of fixed overhead on
+    // ≤ 42-row frames (5.6s at sf0.1); the same exact-integer arithmetic
+    // in Scala longs is ~free, and all values are non-negative so Long
+    // division ≡ both engines' integral div.
+    val m = transSc.collect().map { r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
     }
-    val pStart = pFinal.filter($"state" === "START")
-    val pFull = pStart.filter($"scenario" === "full")
-      .select($"p9".as("p_full9"))
-    pStart.filter($"scenario" =!= "full")
-      .select($"scenario".as("channel"), $"p9".as("p_removed9"))
-      .crossJoin(broadcast(pFull))
-      .select($"channel",
-        ($"p_full9".cast("double") / 1e9).as("p_conv_full"),
-        ($"p_removed9".cast("double") / 1e9).as("p_conv_removed"),
-        expr("cast(cast(greatest(p_full9 - p_removed9, 0L) as decimal(38,0))" +
-          " * 1000000 div p_full9 as bigint)").as("removal_ppm"))
+    val results = m.map(_._1).distinct.sorted.map { scen =>
+      val edges = m.filter(_._1 == scen)
+      val srcs = edges.map(_._2).distinct
+      val outM = edges.groupBy(_._2).map { case (s, es) => s -> es.head._5 }
+      val convM = edges.groupBy(_._2).map { case (s, es) => s -> es.head._6 }
+      var p = srcs.map(_ -> 0L).toMap
+      for (_ <- 0 until iters) {
+        p = srcs.map { st =>
+          st -> (if (st == scen) 0L
+          else edges.filter(_._2 == st)
+            .map { case (_, _, dst, cnt, _, _) => cnt * p.getOrElse(dst, 0L) }
+            .sum / outM(st) + convM(st))
+        }.toMap
+      }
+      (scen, p.getOrElse("START", 0L))
+    }.toMap
+    val pFull9 = results("full")
+    results.toSeq.filterNot(_._1 == "full").sortBy(_._1).map {
+      case (channel, pr9) =>
+        val ppm = (BigInt(math.max(pFull9 - pr9, 0L)) * 1000000 /
+          BigInt(pFull9)).toLong
+        (channel, pFull9.toDouble / 1e9, pr9.toDouble / 1e9, ppm)
+    }.toDF("channel", "p_conv_full", "p_conv_removed", "removal_ppm")
       .orderBy($"channel")
   }
   val q333Sql: String = {

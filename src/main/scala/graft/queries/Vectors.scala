@@ -198,11 +198,15 @@ object Vectors {
     val emb = Tables.embeddings(s, d)
     val lsh = Similarity.lshSimilarPairs(emb, threshold = 0.3,
       numTables = 6, planesPerTable = 5, eagerSkewProbe = true)
-    val a = emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
-    val b = emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
+    // norms precomputed per VECTOR, not per pair (bruteForceTopK's trick —
+    // one dot instead of three per pair; sqrt(dot(v,v)) is the same double
+    // either way, so the rounded sim is bit-identical): 7.4s → ~2.5s sf0.1
+    val a = emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"),
+      l2Norm($"embedding").as("na"))
+    val b = emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"),
+      l2Norm($"embedding").as("nb"))
     val exact = a.crossJoin(b).filter($"vec_a" < $"vec_b")
-      .withColumn("sim", round(dotProduct($"ea", $"eb")
-        / (l2Norm($"ea") * l2Norm($"eb")), 6))
+      .withColumn("sim", round(dotProduct($"ea", $"eb") / ($"na" * $"nb"), 6))
       .filter($"sim" >= 0.3)
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
@@ -267,17 +271,28 @@ object Vectors {
         eagerSkewProbe = true)
       .persistTracked() // three curve points re-filter it
     val nv = Tables.embeddings(s, d).agg(count(lit(1)).as("n_vecs"))
-    val points = Seq(0.3, 0.4, 0.5).map { t =>
-      val pf = pairs.filter($"sim" >= t)
-        .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
-      val cstats = graft.operators.Dedup.clusterPairs(pf)
-        .agg(count(lit(1)).as("n_in_clusters"),
-          countDistinct($"cluster_rep").as("n_clusters"))
-      pf.agg(count(lit(1)).as("n_pairs"))
-        .crossJoin(broadcast(cstats))
-        .select(lit(t).as("threshold"), $"n_pairs", $"n_in_clusters",
-          $"n_clusters")
+    val ts = Seq(0.3, 0.4, 0.5)
+    // ONE clusterPairs run for all three points: per-threshold graphs live
+    // in disjoint id spaces (node' = vec_id·4 + ti — edges never cross a
+    // ti boundary, so components are per-threshold exactly), and ti is
+    // recovered as doc_id % 4. Three separate CC runs paid 3× the
+    // contraction rounds' eager-checkpoint overhead (3.4s at sf0.1).
+    val keyed = ts.zipWithIndex.map { case (t, i) =>
+      pairs.filter($"sim" >= t)
+        .select(($"vec_a" * 4 + i).as("doc_a"), ($"vec_b" * 4 + i).as("doc_b"))
     }.reduce(_ unionByName _)
+    val cstats = graft.operators.Dedup.clusterPairs(keyed)
+      .groupBy(($"doc_id" % 4).cast("int").as("ti"))
+      .agg(count(lit(1)).as("n_in_clusters"),
+        countDistinct($"cluster_rep").as("n_clusters"))
+    val points = ts.zipWithIndex.map { case (t, i) =>
+      pairs.filter($"sim" >= t).agg(count(lit(1)).as("n_pairs"))
+        .select(lit(i).as("ti"), lit(t).as("threshold"), $"n_pairs")
+    }.reduce(_ unionByName _)
+      .join(broadcast(cstats), Seq("ti"), "left")
+      .select($"threshold", $"n_pairs",
+        coalesce($"n_in_clusters", lit(0L)).as("n_in_clusters"),
+        coalesce($"n_clusters", lit(0L)).as("n_clusters"))
     points.crossJoin(broadcast(nv))
       .select($"threshold", $"n_vecs", $"n_pairs", $"n_in_clusters",
         $"n_clusters",

@@ -177,6 +177,30 @@ object Bench {
       // session's garbage.
       System.gc()
     }
+    // Cross-round prior record + cpu-configuration gate: computed ONCE —
+    // they don't change between requeue attempts.
+    val prior = if (child) Map.empty[String, Double] else priorRecord()
+    // cpus parsed NUMERICALLY: an equivalent spelling ("32 ", "032") must
+    // not silently disable the absolute bands — and when they ARE skipped
+    // (non-32 configuration), the record says so on stderr.
+    val cpusInt = cpus.trim.toIntOption
+    if (!child && !cpusInt.contains(32)) System.err.println(
+      s"[bench] absolute sentinel bands skipped: cpus=$cpus is not the " +
+        "calibrated 32-core configuration")
+
+    /** One full defended sweep — everything the graded record needs. The
+      * requeue loop below runs this again (after a wait-for-quiet) when
+      * the contamination detector fires, so the EMITTED record is clean
+      * by construction whenever the host ever goes quiet, and the
+      * discarded attempt rides in the JSON as its own evidence trail. */
+    case class Sweep(results: Seq[(String, Double)], sens: Seq[Double],
+      senShuf: Seq[Double], loads: Seq[Double],
+      flagged: Seq[(String, Double)], contaminated: Boolean)
+
+    // Test hook (never set by the driver): force attempt 1 to read as
+    // contaminated so the requeue path itself is testable end-to-end.
+    val forceFirstDirty = sys.env.contains("SPARK_GRAFT_FORCE_CONTAMINATED")
+    def runSweep(attemptNo: Int): Sweep = {
     val load0 = loadavg()
     val (sen0, senS0) = if (child) (0.0, 0.0) else sentinel(3)
     val firstPass = ordered.map { case (name, fn) =>
@@ -227,7 +251,6 @@ object Bench {
     // max(3×median, 2s), plus anything >3× its previous-round record
     // (BENCH_PREV env or the latest BENCH_r*.json in cwd) — capped at 12
     // queries by cost. min() only — the child can only improve a number.
-    val prior = if (child) Map.empty[String, Double] else priorRecord()
     val flagged = if (child) Seq.empty else inProc.collect {
       case (name, _, t) if t > 0 && (t > math.max(3 * med, 2.0) ||
         prior.get(short(name)).exists(p => p > 0 && t > 3 * p && t > 0.5)) =>
@@ -275,16 +298,60 @@ object Bench {
     // 32-cpu configuration. The loadavg samples include the bench's OWN
     // threads — read them for extremes (a second heavy process), not as
     // a cleanliness gate.
-    // cpus parsed NUMERICALLY: an equivalent spelling ("32 ", "032") must
-    // not silently disable the absolute bands — and when they ARE skipped
-    // (non-32 configuration), the record says so on stderr.
-    val cpusInt = cpus.trim.toIntOption
-    if (!child && !cpusInt.contains(32)) System.err.println(
-      s"[bench] absolute sentinel bands skipped: cpus=$cpus is not the " +
-        "calibrated 32-core configuration")
-    val contaminated = !child && (
+    val contaminated = (!child && (
       sens.max > 2.5 * sens.min || senShuf.max > 2.5 * senShuf.min ||
-      (cpusInt.contains(32) && (sens.min > 0.75 || senShuf.min > 3.0)))
+      (cpusInt.contains(32) && (sens.min > 0.75 || senShuf.min > 3.0)))) ||
+      (forceFirstDirty && attemptNo == 1)
+    Sweep(results, sens, senShuf, loads, flagged, contaminated)
+    }
+
+    // Requeue-on-contamination (clean-by-construction, round 13): the
+    // detector working is necessary but not sufficient — three rounds of
+    // graded artifacts needed PLANS.md footnotes pointing at separate
+    // clean records. So ACT on the detector before emitting: when a
+    // sweep's sentinels fire, wait for the host to go quiet (poll
+    // /proc/loadavg until the 1-min load drops under the threshold — the
+    // bench's own threads are idle during the wait, so what remains is
+    // other processes), then run the whole sweep again. Bounded retries;
+    // every discarded attempt is summarized IN the JSON so the final
+    // record carries its own correction trail instead of a footnote.
+    def waitForQuiet(threshold: Double, maxWaitMs: Long): Long = {
+      val t0 = System.currentTimeMillis()
+      var l = loadavg()
+      while (l >= 0 && l > threshold &&
+          System.currentTimeMillis() - t0 < maxWaitMs) {
+        Thread.sleep(20000L)
+        l = loadavg()
+      }
+      (System.currentTimeMillis() - t0) / 1000
+    }
+    val maxAttempts = if (child) 1
+      else sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS")
+        .flatMap(_.trim.toIntOption).getOrElse(2)
+    var discarded = List.empty[String]
+    var sweepRec = runSweep(1)
+    var attempt = 1
+    while (sweepRec.contaminated && attempt < maxAttempts) {
+      System.err.println(
+        s"[bench] attempt $attempt contaminated (cpu sentinel " +
+          s"${sweepRec.sens.map(v => f"$v%.3f").mkString("/")}, shuffle " +
+          s"${sweepRec.senShuf.map(v => f"$v%.3f").mkString("/")}, loadavg " +
+          s"${sweepRec.loads.map(v => f"$v%.2f").mkString("/")}) — " +
+          "discarding, waiting for quiet host, requeueing full sweep")
+      System.gc()
+      val waited = waitForQuiet(threshold = 4.0, maxWaitMs = 15 * 60 * 1000L)
+      def arr(xs: Seq[Double]) =
+        xs.map(v => if (v < 0) "-1" else f"$v%.3f").mkString("[", ",", "]")
+      val total0 = sweepRec.results.map(_._2).filter(_ >= 0).sum
+      discarded ::= s"""{"attempt":$attempt,"total":${f"$total0%.3f"},""" +
+        s""""sentinel":${arr(sweepRec.sens)},""" +
+        s""""sentinel_shuffle":${arr(sweepRec.senShuf)},""" +
+        s""""loadavg":${sweepRec.loads.map(v => f"$v%.2f").mkString("[", ",", "]")},""" +
+        s""""waited_sec":$waited}"""
+      sweepRec = runSweep(attempt + 1)
+      attempt += 1
+    }
+    val Sweep(results, sens, senShuf, loads, flagged, contaminated) = sweepRec
     // The driver records a fixed-size TAIL of this line; round 2's full
     // query names pushed it past the window and truncated q01–q18 plus the
     // total. Two fixes: per-query keys shortened to their unique qNN prefix
@@ -306,7 +373,8 @@ object Bench {
     val loadJson = loads.map(v => f"$v%.2f").mkString("[", ",", "]")
     val rechecked = flagged.map(f => "\"" + short(f._1) + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"queries":$qs,"failed":[${failed.mkString(",")}],"sentinel":$senJson,"sentinel_shuffle":$senShufJson,"loadavg":$loadJson,"rechecked":$rechecked,"contaminated":$contaminated,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}""")
+    val discardedJson = discarded.reverse.mkString("[", ",", "]")
+    println(s"""{"queries":$qs,"failed":[${failed.mkString(",")}],"sentinel":$senJson,"sentinel_shuffle":$senShufJson,"loadavg":$loadJson,"rechecked":$rechecked,"discarded":$discardedJson,"contaminated":$contaminated,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}""")
     // A non-empty failed list is a STOP-SHIP, not a footnote (round 6
     // shipped a snapshot with 18 silent -1s). Loud on stderr, after the
     // JSON line so the driver's parse is unaffected.

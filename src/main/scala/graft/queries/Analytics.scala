@@ -3209,8 +3209,12 @@ object Analytics {
     val pFull9 = results("full")
     results.toSeq.filterNot(_._1 == "full").sortBy(_._1).map {
       case (channel, pr9) =>
-        val ppm = (BigInt(math.max(pFull9 - pr9, 0L)) * 1000000 /
-          BigInt(pFull9)).toLong
+        // den = 0 → NULL (q159's convention): a corpus with zero
+        // conversions has no attribution to split, not a crash.
+        val ppm: Option[Long] =
+          if (pFull9 == 0L) None
+          else Some((BigInt(math.max(pFull9 - pr9, 0L)) * 1000000 /
+            BigInt(pFull9)).toLong)
         (channel, pFull9.toDouble / 1e9, pr9.toDouble / 1e9, ppm)
     }.toDF("channel", "p_conv_full", "p_conv_removed", "removal_ppm")
       .orderBy($"channel")
@@ -3281,8 +3285,9 @@ object Analytics {
       |SELECT scenario AS channel,
       |  CAST(p_full9 AS DOUBLE) / 1e9 AS p_conv_full,
       |  CAST(p9 AS DOUBLE) / 1e9 AS p_conv_removed,
-      |  CAST(CAST(greatest(p_full9 - p9, 0) AS HUGEINT) * 1000000 // p_full9
-      |    AS BIGINT) AS removal_ppm
+      |  CAST(CASE WHEN p_full9 = 0 THEN NULL
+      |    ELSE CAST(greatest(p_full9 - p9, 0) AS HUGEINT) * 1000000 // p_full9
+      |    END AS BIGINT) AS removal_ppm
       |FROM p20 CROSS JOIN pfull
       |WHERE scenario <> 'full' AND state = 'START'
       |ORDER BY channel""".stripMargin

@@ -2155,8 +2155,25 @@ object Extended {
         sum(when($"bloom_pos" && ($"member" === 0), 1L).otherwise(0L)).as("n_fp"))
       .crossJoin(broadcast(nBuild)).crossJoin(broadcast(nBits))
       .select($"n_build", $"n_bits_set", $"n_probe", $"n_neg", $"n_fp",
-        expr("cast(cast(n_fp as decimal(38,0)) * 1000000 div n_neg as bigint)")
+        // n_neg = 0 (every probed key a build member) → NULL, the q159
+        // den=0 convention; Spark's non-ANSI div would null silently while
+        // DuckDB's // would error — the CASE makes both arms agree.
+        expr("cast(case when n_neg = 0 then null else " +
+          "cast(n_fp as decimal(38,0)) * 1000000 div n_neg end as bigint)")
           .as("fpr_ppm"),
+        // pow() portability (the q106 ln convention): Math.pow and DuckDB's
+        // libm pow are each ≤1-ulp but not correctly rounded, so the two
+        // engines can differ by ~2 ulp (~2e-16 relative). The inner
+        // exponent n_build*K does NOT amplify that in the meaningful
+        // regime (n·|ln(1-1/m)| ~ O(1) keeps the exponent's absolute error
+        // ~1e-16; past it the value saturates to 0 and theo → 1e6
+        // exactly), so a flip needs the true value within ~2e-16·x of a
+        // .5e-6 grid boundary — ~4e-10 odds, and deterministic per
+        // dataset (gated at three SFs). A finer decimal-grid pre-snap
+        // would be WORSE: round(x,12) multiplies to ~1e12 where DuckDB's
+        // scale-then-nearbyint scheme carries ~2e-4 absolute error vs
+        // Spark's exact BigDecimal rounding. Documented tolerance, not a
+        // rewrite.
         round(pow(lit(1.0) - pow(lit(1.0) - lit(1.0) / M, $"n_build" * K), K)
           * 1e6).cast("long").as("theo_fpr_ppm"))
   }
@@ -2188,8 +2205,9 @@ object Extended {
       |  CAST(COUNT(*) AS BIGINT) AS n_probe,
       |  CAST(SUM(CASE WHEN member = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
       |  CAST(SUM(CASE WHEN bloom_pos AND member = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
-      |  CAST(CAST(SUM(CASE WHEN bloom_pos AND member = 0 THEN 1 ELSE 0 END) AS HUGEINT)
-      |    * 1000000 // SUM(CASE WHEN member = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fpr_ppm,
+      |  CAST(CASE WHEN SUM(CASE WHEN member = 0 THEN 1 ELSE 0 END) = 0 THEN NULL
+      |    ELSE CAST(SUM(CASE WHEN bloom_pos AND member = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+      |    * 1000000 // SUM(CASE WHEN member = 0 THEN 1 ELSE 0 END) END AS BIGINT) AS fpr_ppm,
       |  CAST(round(pow(1.0 - pow(1.0 - 1.0/131072, n_build * 3), 3) * 1e6) AS BIGINT)
       |    AS theo_fpr_ppm
       |FROM flags CROSS JOIN nb CROSS JOIN nbits
@@ -2221,14 +2239,22 @@ object Extended {
         (0 until J).map(j => sum(sign(j)).as(s"s$j")): _*)
     val exact = Tables.lineitem(s, d).groupBy($"l_orderkey")
       .agg(count(lit(1)).as("c"))
-      .agg(sum($"c" * $"c").as("exact_f2"))
+      .agg(expr("cast(sum(cast(c as decimal(38,0)) * c) as bigint)")
+        .as("exact_f2"))
     sums.crossJoin(broadcast(exact))
+      // squares and their sums ride decimal(38,0) (the abs_err_ppm
+      // convention, mirrored by HUGEINT in the oracle): s_j ≤ n, so
+      // s_j² in a 64-bit long wraps silently past ~3e9 rows per merge
+      // unit while DuckDB widens — decimal keeps both arms exact until
+      // the ONE final bigint cast (which nulls loudly-enough in Spark
+      // and errors in DuckDB if the estimate itself outgrows int64).
       .withColumn("xs", array((0 until J).map(j =>
-        col(s"s$j") * col(s"s$j")): _*))
+        col(s"s$j").cast("decimal(38,0)") * col(s"s$j")): _*))
       .withColumn("gs", array_sort(array((0 until 4).map(g =>
         expr(s"(xs[${4 * g}] + xs[${4 * g + 1}] + xs[${4 * g + 2}] + xs[${4 * g + 3}]) div 4")): _*)))
       .select($"n_rows", $"exact_f2",
-        expr("aggregate(xs, 0L, (a, x) -> a + x) div 16").as("est_mean"),
+        expr("aggregate(xs, cast(0 as decimal(38,0)), (a, x) -> a + x) div 16")
+          .as("est_mean"),
         expr("(gs[1] + gs[2]) div 2").as("est_mom"))
       .withColumn("abs_err_ppm", expr(
         "cast(cast(abs(est_mom - exact_f2) as decimal(38,0)) * 1000000 div exact_f2 as bigint)"))
@@ -2244,7 +2270,7 @@ object Extended {
       |  SELECT j, CAST(SUM(sgn) AS BIGINT) AS s,
       |    CAST(COUNT(*) AS BIGINT) AS n_rows
       |  FROM signs GROUP BY j),
-      |ests AS (SELECT j, s * s AS x, n_rows FROM sums),
+      |ests AS (SELECT j, CAST(s AS HUGEINT) * s AS x, n_rows FROM sums),
       |grps AS (
       |  SELECT j // 4 AS g, CAST(SUM(x) // 4 AS BIGINT) AS gx,
       |    MAX(n_rows) AS n_rows
@@ -2257,7 +2283,7 @@ object Extended {
       |  FROM srt),
       |mean AS (SELECT CAST(SUM(x) // 16 AS BIGINT) AS est_mean FROM ests),
       |ex AS (
-      |  SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2 FROM (
+      |  SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS exact_f2 FROM (
       |    SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY l_orderkey))
       |SELECT n_rows, exact_f2, est_mean, est_mom,
       |  CAST(CAST(abs(est_mom - exact_f2) AS HUGEINT) * 1000000 // exact_f2 AS BIGINT)

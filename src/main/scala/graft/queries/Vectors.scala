@@ -183,37 +183,69 @@ object Vectors {
       |SELECT vec_a, vec_b, sim FROM scored WHERE sim >= 0.3
       |ORDER BY vec_a, vec_b""".stripMargin
 
-  // --- q331: cosine-LSH recall audit (measured, oracle-gated) --------------
+  // --- q331: cosine-LSH recall audit (probe-sampled, oracle-gated) ----------
   // SimilaritySpec asserts LSH recall on structured fixtures; this puts
   // the MEASURED number on the oracle record the way q309/q315 do for
   // IVF-PQ and bloom: q54's full hyperplane-LSH pipeline (portable
-  // integer-mixer planes, exact rerank) against the brute-force truth set
-  // (all pairs with cosine ≥ 0.3). The rerank is exact, so lsh ⊆ exact
-  // and recall = n_lsh/n_exact — one exact small-int ratio; recall_ppm
-  // rides the decimal route. The all-pairs truth arm is the oracle's job
-  // at 100 TB (q313's exact_inter convention); the LSH arm is the
-  // production path being graded.
+  // integer-mixer planes, exact rerank) audited for recall WITHOUT an
+  // all-pairs truth arm. Truth is probe-sampled (the q309/q314/q320
+  // shape): a deterministic 32-probe set (vec_id < 32), exact
+  // threshold-neighbors per probe via ONE corpus scan against the
+  // broadcast probes — O(|P|·N), never O(N²) — vs the ordered probe
+  // pairs the LSH candidate structure recovers. sim is symmetric
+  // bit-exactly (IEEE a·b = b·a per term, index-order summation, and
+  // n_a·n_b = n_b·n_a), so the LSH arm's rerank at the same threshold
+  // makes lsh∩probe ⊆ truth and recall = n_hits/n_exact — exact small
+  // ints on the decimal route. recall_lo/hi is the 95% Wilson interval
+  // (q166's literal-z, fixed-op-order convention) for the sampling
+  // uncertainty the probe design introduces — the honest replacement
+  // for census certainty at 100 TB, where the census is unrunnable.
   def q331(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val P = 32
     val emb = Tables.embeddings(s, d)
     val lsh = Similarity.lshSimilarPairs(emb, threshold = 0.3,
       numTables = 6, planesPerTable = 5, eagerSkewProbe = true)
-    // norms precomputed per VECTOR, not per pair (bruteForceTopK's trick —
-    // one dot instead of three per pair; sqrt(dot(v,v)) is the same double
-    // either way, so the rounded sim is bit-identical): 7.4s → ~2.5s sf0.1
-    val a = emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"),
-      l2Norm($"embedding").as("na"))
-    val b = emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"),
-      l2Norm($"embedding").as("nb"))
-    val exact = a.crossJoin(b).filter($"vec_a" < $"vec_b")
-      .withColumn("sim", round(dotProduct($"ea", $"eb") / ($"na" * $"nb"), 6))
+    // ordered (probe, neighbor) pairs out of the unordered a<b LSH set;
+    // the two branches are direction-disjoint, so no dedup is needed.
+    val lshProbe = lsh.filter($"vec_a" < P)
+        .select($"vec_a".as("query_id"), $"vec_b".as("neighbor_id"))
+      .unionByName(lsh.filter($"vec_b" < P)
+        .select($"vec_b".as("query_id"), $"vec_a".as("neighbor_id")))
+    val probes = emb.filter($"vec_id" < P)
+      .select($"vec_id".as("query_id"), $"embedding".as("eq"),
+        l2Norm($"embedding").as("nq"))
+    val truth = emb.select($"vec_id".as("neighbor_id"),
+        $"embedding".as("ev"), l2Norm($"embedding").as("nv"))
+      .crossJoin(broadcast(probes))
+      .filter($"neighbor_id" =!= $"query_id")
+      .withColumn("sim", round(dotProduct($"eq", $"ev") / ($"nq" * $"nv"), 6))
       .filter($"sim" >= 0.3)
-    exact.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
-      .select($"n_exact", $"n_lsh",
-        ($"n_exact" - $"n_lsh").as("n_missed"),
-        expr("cast(cast(n_lsh as decimal(38,0)) * 1000000 div n_exact as bigint)")
-          .as("recall_ppm"))
+      .select($"query_id", $"neighbor_id")
+    val counts = truth
+      .join(lshProbe.withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce($"hit", lit(0))).cast("long").as("n_hits"))
+    def grid9(c: org.apache.spark.sql.Column) =
+      round(c * 1e9).cast("long").cast("double") / 1e9
+    val z = lit(1.96)
+    val nd = $"n_exact".cast("double")
+    val p = $"n_hits".cast("double") / nd
+    val half = z * sqrt(p * (lit(1.0) - p) / nd + z * z / (lit(4.0) * nd * nd))
+    val center = p + z * z / (lit(2.0) * nd)
+    val denom = lit(1.0) + z * z / nd
+    counts
+      .crossJoin(broadcast(probes.agg(count(lit(1)).as("n_probes"))))
+      .select($"n_probes", $"n_exact", $"n_hits",
+        ($"n_exact" - $"n_hits").as("n_missed"),
+        expr("cast(case when n_exact = 0 then null else " +
+          "cast(n_hits as decimal(38,0)) * 1000000 div n_exact end as bigint)")
+          .as("recall_ppm"),
+        when($"n_exact" === 0, lit(null).cast("double"))
+          .otherwise(grid9((center - half) / denom)).as("recall_lo"),
+        when($"n_exact" === 0, lit(null).cast("double"))
+          .otherwise(grid9((center + half) / denom)).as("recall_hi"))
   }
   val q331Sql: String =
     s"""WITH comps AS (
@@ -234,6 +266,7 @@ object Vectors {
       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       |  FROM buckets a JOIN buckets b
       |    ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |  WHERE a.vec_id < 32 OR b.vec_id < 32
       |), lsh AS (
       |  SELECT vec_a, vec_b FROM (
       |    SELECT c.vec_a, c.vec_b,
@@ -242,15 +275,43 @@ object Vectors {
       |    JOIN embeddings ea ON ea.vec_id = c.vec_a
       |    JOIN embeddings eb ON eb.vec_id = c.vec_b)
       |  WHERE sim >= 0.3
-      |), ex AS (
-      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |  WHERE ROUND(${cosSql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}, 6) >= 0.3
-      |), ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex),
-      |nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM lsh)
-      |SELECT n_exact, n_lsh, n_exact - n_lsh AS n_missed,
-      |  CAST(CAST(n_lsh AS HUGEINT) * 1000000 // n_exact AS BIGINT) AS recall_ppm
-      |FROM ne CROSS JOIN nl""".stripMargin
+      |), lsho AS (
+      |  SELECT vec_a AS query_id, vec_b AS neighbor_id FROM lsh WHERE vec_a < 32
+      |  UNION ALL
+      |  SELECT vec_b, vec_a FROM lsh WHERE vec_b < 32
+      |), truth AS (
+      |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id
+      |  FROM embeddings q JOIN embeddings v
+      |    ON q.vec_id < 32 AND v.vec_id <> q.vec_id
+      |  WHERE ROUND(${cosSql("q.embedding::DOUBLE[]", "v.embedding::DOUBLE[]")}, 6) >= 0.3
+      |), np AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_probes FROM embeddings WHERE vec_id < 32
+      |), cnt AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+      |    CAST(SUM(CASE WHEN l.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      |  FROM truth t LEFT JOIN lsho l
+      |    ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
+      |), w AS (
+      |  SELECT n_exact, n_hits,
+      |    CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS p,
+      |    CAST(n_exact AS DOUBLE) AS nd
+      |  FROM cnt)
+      |SELECT n_probes, n_exact, n_hits, n_exact - n_hits AS n_missed,
+      |  CAST(CASE WHEN n_exact = 0 THEN NULL
+      |    ELSE CAST(n_hits AS HUGEINT) * 1000000 // n_exact END AS BIGINT) AS recall_ppm,
+      |  CASE WHEN n_exact = 0 THEN NULL ELSE
+      |    CAST(CAST(round(
+      |      ((p + 1.96 * 1.96 / (2.0 * nd))
+      |       - 1.96 * sqrt(p * (1.0 - p) / nd + 1.96 * 1.96 / (4.0 * nd * nd)))
+      |      / (1.0 + 1.96 * 1.96 / nd) * 1e9) AS BIGINT) AS DOUBLE) / 1e9
+      |    END AS recall_lo,
+      |  CASE WHEN n_exact = 0 THEN NULL ELSE
+      |    CAST(CAST(round(
+      |      ((p + 1.96 * 1.96 / (2.0 * nd))
+      |       + 1.96 * sqrt(p * (1.0 - p) / nd + 1.96 * 1.96 / (4.0 * nd * nd)))
+      |      / (1.0 + 1.96 * 1.96 / nd) * 1e9) AS BIGINT) AS DOUBLE) / 1e9
+      |    END AS recall_hi
+      |FROM w CROSS JOIN np""".stripMargin
 
   // --- q339: semantic-dedup threshold tuning curve --------------------------
   // The knob-sizing artifact for q56 the way q314 is for the ANN probe:

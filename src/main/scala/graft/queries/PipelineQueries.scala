@@ -132,9 +132,83 @@ object PipelineQueries {
       |  AS t(crypto_id, price_usd)
       |ORDER BY crypto_id""".stripMargin
 
+  // --- q340: malformed-input quarantine (PERMISSIVE parse, per-source) ----
+  // The daily first-operator of any scraped-data pipeline, and the
+  // generalization of the reference's fail-fast json.loads
+  // (dags/crypto-etl-pipeline-psql.py:45-46,177): parse a batch of JSON
+  // payloads where a deterministic fraction is corrupt, quarantine the
+  // malformed rows WITH their raw payload, and report per-source
+  // parsed/quarantined counts + a gate severity — the batch survives,
+  // the evidence is retained, the gate still fires. Fixture: one payload
+  // per events row built from exact integers (doubles never enter the
+  // string, so both engines render identical text); rows where a
+  // portable md5 draw falls under 3·len(event_type)% get their payload
+  // TRUNCATED mid-object — structurally invalid JSON to any parser, so
+  // Spark's PERMISSIVE _corrupt_record classification and DuckDB's
+  // json_valid agree by construction, not by parser-quirk luck. Each
+  // source's corruption rate differs (12–24%), so the ppm thresholds
+  // exercise all three gate severities in one result. sum_parsed_user
+  // proves the clean rows actually project through the typed schema
+  // (nulls from quarantined rows are skipped by SUM in both engines).
+  // Scale shape: the parse is one codegen'd projection, the rollup one
+  // source-keyed partial+final agg — no driver loop, no second pass.
+  def q340(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val h = conv(substring(md5(coalesce($"event_id", lit(-1L)).cast("string")),
+      1, 14), 16, 10).cast("long") % 100
+    val eid = coalesce($"event_id", lit(-1L)).cast("string")
+    val uid = coalesce($"user_id", lit(-1L)).cast("string")
+    val payload = when(h < length($"event_type") * 3,
+        concat(lit("{\"event_id\":"), eid, lit(",\"user_id\":")))
+      .otherwise(concat(lit("{\"event_id\":"), eid,
+        lit(",\"user_id\":"), uid, lit("}")))
+    val raw = Tables.events(s, d)
+      .select($"event_type", payload.as("body"))
+    val schema = new StructType()
+      .add("event_id", LongType).add("user_id", LongType)
+    val parsed = graft.etl.Quarantine.parseJson(raw, "body", schema)
+    graft.etl.Quarantine.stats(parsed, "event_type",
+        warnPpm = 130000L, failPpm = 200000L,
+        extraAggs = Seq(sum($"parsed.user_id").as("sum_parsed_user")))
+      .orderBy($"source")
+  }
+  val q340Sql: String =
+    """WITH raw AS (
+      |  SELECT event_type AS source,
+      |    CASE WHEN ('0x' || substr(md5(CAST(COALESCE(event_id, -1) AS VARCHAR)), 1, 14))::BIGINT % 100
+      |           < length(event_type) * 3
+      |      THEN '{"event_id":' || CAST(COALESCE(event_id, -1) AS VARCHAR) || ',"user_id":'
+      |      ELSE '{"event_id":' || CAST(COALESCE(event_id, -1) AS VARCHAR)
+      |           || ',"user_id":' || CAST(COALESCE(user_id, -1) AS VARCHAR) || '}'
+      |    END AS body
+      |  FROM events),
+      |cls AS (
+      |  SELECT source, json_valid(body) AS ok,
+      |    CASE WHEN json_valid(body)
+      |      THEN CAST(body->>'user_id' AS BIGINT) END AS parsed_user
+      |  FROM raw),
+      |agg AS (
+      |  SELECT source,
+      |    CAST(COUNT(*) AS BIGINT) AS n_total,
+      |    CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+      |    CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined,
+      |    CAST(SUM(parsed_user) AS BIGINT) AS sum_parsed_user
+      |  FROM cls GROUP BY source)
+      |SELECT source, n_total, n_parsed, n_quarantined, sum_parsed_user,
+      |  CAST(CAST(n_quarantined AS HUGEINT) * 1000000 // n_total AS BIGINT)
+      |    AS quarantine_ppm,
+      |  CASE
+      |    WHEN CAST(n_quarantined AS HUGEINT) * 1000000 // n_total >= 200000 THEN 'fail'
+      |    WHEN CAST(n_quarantined AS HUGEINT) * 1000000 // n_total >= 130000 THEN 'warn'
+      |    ELSE 'ok' END AS gate_status
+      |FROM agg
+      |ORDER BY source""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_crypto_pipeline", q31 _, Some(q31Sql)),
     ("q32_upsert_idempotent", q32 _, Some(q32Sql)),
     ("q33_quality_gate", q33 _, Some(q33Sql)),
-    ("q118_float_compat", q118 _, Some(q118Sql)))
+    ("q118_float_compat", q118 _, Some(q118Sql)),
+    ("q340_quarantine_parse", q340 _, Some(q340Sql)))
 }

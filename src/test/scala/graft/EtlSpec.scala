@@ -171,4 +171,59 @@ class EtlSpec extends AnyFunSuite {
     assert(QualityConfig.evaluate(table(-0.5, 1), spec, ts).isInstanceOf[QualityGate.Fail])
     intercept[IllegalArgumentException] { QualityConfig.parse("checks for t:\n  - bogus(x):") }
   }
+
+  test("quarantine retains malformed JSON verbatim and parses clean rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = new StructType().add("a", LongType).add("b", StringType)
+    val raw = Seq(
+      ("s1", """{"a":1,"b":"x"}"""),
+      ("s1", """{"a":2,"b":"""),   // truncated mid-object
+      ("s2", """not json at all"""),
+      ("s2", """{"a":3,"b":"y"}""")).toDF("src", "body")
+    val parsed = etl.Quarantine.parseJson(raw, "body", schema)
+    val rows = parsed
+      .select($"body", $"parsed.a", $"parsed._corrupt_record")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        Option(r.getString(2)))).toSet
+    assert(rows == Set(
+      ("""{"a":1,"b":"x"}""", 1L, None),
+      ("""{"a":2,"b":""", -1L, Some("""{"a":2,"b":""")),
+      ("""not json at all""", -1L, Some("""not json at all""")),
+      ("""{"a":3,"b":"y"}""", 3L, None)))
+  }
+
+  test("quarantine CSV parse flags type-corrupt rows, keeps clean ones") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = new StructType().add("a", LongType).add("b", LongType)
+    val raw = Seq("1,2", "oops,4", "5,6").toDF("body")
+    val parsed = etl.Quarantine.parseCsv(raw, "body", schema)
+    val got = parsed.select($"parsed.a", $"parsed._corrupt_record")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        Option(r.getString(1)))).toSet
+    assert(got == Set((1L, None), (-1L, Some("oops,4")), (5L, None)))
+  }
+
+  test("quarantine stats gate: fail trumps warn trumps pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = new StructType().add("a", LongType)
+    def batch(goodPerBad: Map[String, (Int, Int)]) = {
+      val rows = goodPerBad.toSeq.flatMap { case (src, (good, bad)) =>
+        Seq.fill(good)((src, """{"a":1}""")) ++ Seq.fill(bad)((src, "{"))
+      }
+      etl.Quarantine.parseJson(rows.toDF("src", "body"), "body", schema)
+    }
+    val dirty = etl.Quarantine.stats(batch(Map("s1" -> (8, 2), "s2" -> (99, 1))),
+      "src", warnPpm = 5000L, failPpm = 100000L)
+    assert(etl.Quarantine.gate(dirty).isInstanceOf[etl.QualityGate.Fail])
+    val warned = etl.Quarantine.stats(batch(Map("s2" -> (99, 1))),
+      "src", warnPpm = 5000L, failPpm = 100000L)
+    assert(etl.Quarantine.gate(warned).isInstanceOf[etl.QualityGate.Warn])
+    val clean = etl.Quarantine.stats(batch(Map("s3" -> (10, 0))),
+      "src", warnPpm = 5000L, failPpm = 100000L)
+    assert(etl.Quarantine.gate(clean) == etl.QualityGate.Pass)
+  }
 }

@@ -1,0 +1,153 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+
+/** Graph-structured ANN: a staged k-NN neighbor graph (the NSW/HNSW
+  * family's base layer) + deterministic greedy beam search over it — the
+  * index structure production vector stores serve from, built and probed
+  * with Spark primitives.
+  *
+  * BUILD is corpus-scale but LSH-bounded: candidate pairs come from
+  * [[Similarity.lshSimilarPairs]] (multi-table hyperplane banding with the
+  * skew-routed bucket self-join — vectors only pairwise-compare on a
+  * bucket collision, never all-pairs), reranked exactly, symmetrized, and
+  * cut to each node's top-`m` neighbors by (sim DESC, dst ASC) — a fully
+  * deterministic graph the DuckDB oracle restates verbatim from the same
+  * integer-mixer plane arithmetic. Edges land `partitionBy(src_bucket)`
+  * (src mod nBuckets), the [[VectorIndex]] layout discipline: a search
+  * round's edge lookup is a planning-time partition-pruned read of the
+  * frontier's buckets, not a graph scan.
+  *
+  * SEARCH is the standard navigable-graph loop made deterministic: start
+  * at a fixed entry point (MIN node id — no randomness), expand the
+  * current beam's out-edges, score ONLY the newly-reached nodes against
+  * the query (exact cosine, rounded on the shared 1e-6 grid), keep the
+  * best `beamWidth` of everything visited, repeat `rounds` times, answer
+  * with the top-k of the visited set. All ties break on node id, so the
+  * whole trajectory — and therefore the result — is reproducible by an
+  * unrolled SQL restatement.
+  *
+  * Scale shape (the point of the structure): per round the work is (a)
+  * one partition-pruned edges read filtered to ≤ |beam| literal src ids,
+  * (b) one predicate-pushdown corpus read filtered to the ≤ |beam|·m
+  * newly-reached ids. The driver holds only (query, node, sim) triples —
+  * bounded by queries·(beamWidth + rounds·beamWidth·m), never
+  * corpus-sized (the probeTopK bounded-collect convention). Nothing in
+  * the search touches more of the corpus than the visited neighborhood.
+  */
+object NeighborGraph {
+
+  /** Build the k-NN graph and stage it partitioned by src bucket.
+    * Edges carry (src, dst, sim, rank) with rank 1..m per src. */
+  def build(emb: DataFrame, path: String, m: Int, numTables: Int,
+      planesPerTable: Int, nBuckets: Int): Unit = {
+    // threshold -1.0 keeps every bucket-collision pair: a navigable graph
+    // wants its long-range links, and the top-m cut below bounds degree.
+    val pairs = Similarity.lshSimilarPairs(emb, threshold = -1.0,
+      numTables = numTables, planesPerTable = planesPerTable,
+      eagerSkewProbe = true)
+    val both = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"),
+        col("sim"))
+      .unionByName(pairs.select(col("vec_b").as("src"),
+        col("vec_a").as("dst"), col("sim")))
+    both
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)))
+      .filter(col("rank") <= m)
+      .withColumn("src_bucket", col("src") % nBuckets)
+      .write.mode("overwrite").partitionBy("src_bucket")
+      .parquet(s"$path/edges")
+  }
+
+  /** Deterministic entry points: the `n` smallest node ids in the graph.
+    * Multiple entries are the standard navigability fix for a flat k-NN
+    * graph (no hierarchy, no long-range links): ids are uncorrelated
+    * with embedding position, so the smallest n ids are n independent
+    * starts — still fully deterministic. */
+  def entryNodes(spark: SparkSession, path: String, n: Int): Seq[Long] =
+    spark.read.parquet(s"$path/edges").select(col("src")).distinct()
+      .orderBy(col("src")).limit(n).collect().map(_.getLong(0)).toSeq
+
+  /** The per-round frontier read: edges of the given src ids, as a
+    * partition-pruned (src_bucket IN buckets-of-frontier) +
+    * predicate-pushdown (src IN frontier) scan of the staged layout.
+    * Exposed so the pruning contract is plan-assertable in tests —
+    * a search round reads only the frontier's partitions, never the
+    * whole graph. */
+  def frontierEdges(spark: SparkSession, path: String, srcIds: Seq[Long],
+      nBuckets: Int): DataFrame =
+    spark.read.parquet(s"$path/edges")
+      .filter(col("src_bucket").isin(srcIds.map(_ % nBuckets).distinct: _*)
+        && col("src").isin(srcIds: _*))
+
+  /** Greedy beam search: top-k exact-cosine neighbors of each query among
+    * the nodes the beam visits. Returns (query_id, neighbor_id, rank,
+    * sim); rank 1..k by (sim DESC, neighbor ASC), the query's own node
+    * excluded from the answer (it still navigates — its out-edges are the
+    * best possible frontier when the walk reaches it). */
+  def beamSearch(spark: SparkSession, path: String, queries: DataFrame,
+      corpus: DataFrame, k: Int, beamWidth: Int, rounds: Int,
+      nBuckets: Int, nEntries: Int = 1): DataFrame = {
+    import spark.implicits._
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("q_emb"),
+      l2Norm(col("embedding")).as("q_nrm"))
+    val embN = corpus.select(col("vec_id"),
+      asDouble(col("embedding")).as("n_emb"),
+      l2Norm(col("embedding")).as("n_nrm"))
+    // Score (query, node) pairs: predicate-pushdown corpus read of just
+    // the candidate ids, broadcast pair list + broadcast queries.
+    def score(pairs: Seq[(Long, Long)]): Array[(Long, Long, Double)] = {
+      if (pairs.isEmpty) return Array.empty
+      val ids = pairs.map(_._2).distinct.sorted
+      val pdf = pairs.toDF("query_id", "node")
+      embN.filter(col("vec_id").isin(ids: _*))
+        .join(broadcast(pdf), col("vec_id") === col("node"))
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("node"),
+          round(dotProduct(col("q_emb"), col("n_emb"))
+            / (col("q_nrm") * col("n_nrm")), 6).as("sim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    val entries = entryNodes(spark, path, nEntries)
+    val queryIds = q.select(col("query_id")).collect().map(_.getLong(0))
+    // visited: (query, node) -> sim. Bounded by queries·rounds·beam·m.
+    var visited: Map[(Long, Long), Double] =
+      score(for (qi <- queryIds.toSeq; e <- entries) yield qi -> e)
+        .map { case (qi, n, s) => (qi, n) -> s }.toMap
+    def beamOf(v: Map[(Long, Long), Double]): Seq[(Long, Long)] =
+      v.toSeq.groupBy(_._1._1).toSeq.flatMap { case (_, entries) =>
+        entries.sortBy { case ((_, node), sim) => (-sim, node) }
+          .take(beamWidth).map(_._1)
+      }
+    var r = 0
+    var frontier = beamOf(visited)
+    while (r < rounds && frontier.nonEmpty) {
+      val srcIds = frontier.map(_._2).distinct.sorted
+      val beamDf = frontier.toDF("query_id", "src")
+      // partition-pruned + literal-IN edge expansion of the frontier
+      val expanded = frontierEdges(spark, path, srcIds, nBuckets)
+        .join(broadcast(beamDf), "src")
+        .select(col("query_id"), col("dst"))
+        .distinct()
+        .collect().map(x => (x.getLong(0), x.getLong(1)))
+      val fresh = expanded.filter(p => !visited.contains(p)).toSeq
+      visited ++= score(fresh).map { case (qi, n, s) => (qi, n) -> s }
+      frontier = beamOf(visited)
+      r += 1
+    }
+    val answer = visited.toSeq
+      .filter { case ((qi, node), _) => qi != node }
+      .groupBy(_._1._1).toSeq.flatMap { case (qi, entries) =>
+        entries.sortBy { case ((_, node), sim) => (-sim, node) }
+          .take(k).zipWithIndex
+          .map { case (((_, node), sim), i) => (qi, node, i + 1, sim) }
+      }
+    answer.toDF("query_id", "neighbor_id", "rank", "sim")
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.NeighborGraph
+
+class NeighborGraphSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  private lazy val graphPath: String = {
+    val p = TempDirs.fresh("graft_nngspec")
+    NeighborGraph.build(emb, p.toString, m = 4, numTables = 6,
+      planesPerTable = 5, nBuckets = 8)
+    p.toString
+  }
+
+  test("staged graph has at most m out-edges per node, ranked by sim") {
+    val edges = spark.read.parquet(s"$graphPath/edges")
+    val maxDeg = edges.groupBy(col("src")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    assert(maxDeg <= 4, s"degree cap violated: $maxDeg")
+    // rank must follow (sim DESC, dst ASC) within each src
+    val bad = edges.withColumn("rr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")
+          .orderBy(col("sim").desc, col("dst").asc)))
+      .filter(col("rr") =!= col("rank")).count()
+    assert(bad == 0, s"$bad edges out of rank order")
+  }
+
+  test("frontier read is partition-pruned to the frontier's buckets") {
+    val frontier = Seq(0L, 1L, 8L) // buckets {0, 1} of 8
+    val scan = NeighborGraph.frontierEdges(spark, graphPath, frontier, 8)
+    val leaf = scan.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf.contains("PartitionFilters") && leaf.contains("src_bucket#"),
+      s"partition filter missing from frontier scan:\n$leaf")
+    val pruned = TestPlans.prunedPartitionCount(scan)
+    assert(pruned >= 1 && pruned <= 2,
+      s"expected <=2 of 8 partitions after pruning, scan lists $pruned")
+  }
+
+  test("beam search is deterministic and finds brute-force top-k when the beam covers the corpus") {
+    import spark.implicits._
+    val queries = emb.filter($"vec_id" < 3)
+    def run() = NeighborGraph.beamSearch(spark, graphPath, queries, emb,
+        k = 3, beamWidth = 8, rounds = 3, nBuckets = 8, nEntries = 4)
+      .orderBy($"query_id", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val a = run()
+    val b = run()
+    assert(a.sameElements(b), "two identical searches diverged")
+    // sanity: answers are ranked 1..k per query with no self-neighbors
+    val perQuery = a.groupBy(_._1)
+    perQuery.foreach { case (qid, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1 to rows.length))
+      assert(!rows.exists(_._2 == qid), s"query $qid returned itself")
+    }
+  }
+}

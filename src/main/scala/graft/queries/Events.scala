@@ -478,26 +478,20 @@ object Events {
   // Classic conversion funnel with ORDER semantics (each step must occur at
   // or after the previous step's first occurrence, not merely co-occur):
   // step k's cohort = users with a step-k event at/after their first
-  // step-(k-1) qualifying time. Three per-user conditional MIN aggregates
-  // chained by joins; the per-step cohort tables are tiny (≤ #users) so AQE
-  // broadcasts every chaining join. One user_id shuffle per step at scale.
+  // step-(k-1) qualifying time. Expressed through the reusable
+  // operators/SeqPattern step-sequence compiler (round 13 — this query
+  // and q305 used to hand-roll the identical cascade): per step one
+  // conditional MIN + one cohort join; the per-step cohort tables are
+  // tiny (≤ #users) so AQE broadcasts every chaining join. One user_id
+  // shuffle per step at scale.
   def q98(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    import graft.operators.SeqPattern
     val ev = withDerived(Tables.events(s, d))
-    val s1 = ev.filter($"event_type" === "signup")
-      .groupBy($"user_id").agg(min($"ts").as("t1"))
-    val s2 = ev.filter($"event_type" === "view").join(s1, "user_id")
-      .filter($"ts" >= $"t1")
-      .groupBy($"user_id").agg(min($"ts").as("t2"))
-    val s3 = ev.filter($"event_type" === "purchase").join(s2, "user_id")
-      .filter($"ts" >= $"t2")
-      .groupBy($"user_id").agg(min($"ts").as("t3"))
-    val steps =
-      s1.agg(count(lit(1)).as("n_users")).withColumn("step", lit("1_signup"))
-        .unionByName(s2.agg(count(lit(1)).as("n_users"))
-          .withColumn("step", lit("2_view_after_signup")))
-        .unionByName(s3.agg(count(lit(1)).as("n_users"))
-          .withColumn("step", lit("3_purchase_after_view")))
+    val steps = SeqPattern.funnel(ev, "user_id", "ts", Seq(
+      SeqPattern.Step("1_signup", $"event_type" === "signup"),
+      SeqPattern.Step("2_view_after_signup", $"event_type" === "view"),
+      SeqPattern.Step("3_purchase_after_view", $"event_type" === "purchase")))
     val wAll = Window.partitionBy(lit(1))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     steps
@@ -3341,30 +3335,21 @@ object Events {
   // --- q305: strict windowed funnel (per-step conversion deadlines) ----------
   // q98's funnel counts "ever after"; real funnel specs carry per-step
   // DEADLINES: view within 7 days of first signup, purchase within 7
-  // days of that first qualifying view. Per user the qualifying event is
-  // the EARLIEST one inside its window (min over a bounded join — the
-  // q58 interval shape, user-keyed); counts are exact and monotone by
-  // construction. Conversion ppm uses the integral-div convention.
+  // days of that first qualifying view. The SeqPattern step compiler
+  // with `within` deadlines (round 13 — the hand-rolled cascade this
+  // query shared with q98 now lives in operators/SeqPattern): per user
+  // the qualifying event is the EARLIEST one inside its window; counts
+  // are exact and monotone by construction. Conversion ppm uses the
+  // integral-div convention.
   def q305(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val week = 7L * 86400 * 1000000000L
-    val ev = Tables.events(s, d)
-    val s1 = ev.filter($"event_type" === "signup")
-      .groupBy($"user_id").agg(min($"ts").as("t1"))
-    val s2 = ev.filter($"event_type" === "view")
-      .select($"user_id", $"ts").join(s1, "user_id")
-      .filter($"ts" >= $"t1" && $"ts" <= $"t1" + week)
-      .groupBy($"user_id").agg(min($"ts").as("t2"))
-    val s3 = ev.filter($"event_type" === "purchase")
-      .select($"user_id", $"ts").join(s2, "user_id")
-      .filter($"ts" >= $"t2" && $"ts" <= $"t2" + week)
-      .groupBy($"user_id").agg(min($"ts").as("t3"))
-    val steps = s1.agg(count(lit(1)).as("n_users"))
-      .withColumn("step", lit("1_signup"))
-      .unionByName(s2.agg(count(lit(1)).as("n_users"))
-        .withColumn("step", lit("2_view_7d")))
-      .unionByName(s3.agg(count(lit(1)).as("n_users"))
-        .withColumn("step", lit("3_purchase_7d")))
+    import graft.operators.SeqPattern
+    val week = lit(7L * 86400 * 1000000000L)
+    val steps = SeqPattern.funnel(Tables.events(s, d), "user_id", "ts", Seq(
+      SeqPattern.Step("1_signup", $"event_type" === "signup"),
+      SeqPattern.Step("2_view_7d", $"event_type" === "view", Some(week)),
+      SeqPattern.Step("3_purchase_7d", $"event_type" === "purchase",
+        Some(week))))
     val wAll = Window.orderBy($"step")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     steps
@@ -3400,6 +3385,61 @@ object Events {
       |    AS BIGINT) AS conv_from_first_ppm
       |FROM steps
       |ORDER BY step""".stripMargin
+
+  // --- q344: contiguous row-pattern match A B* C with capture ---------------
+  // The pattern the step-funnel family CANNOT express: strict contiguity
+  // — a signup followed by zero or more views and then a purchase with
+  // NO other event type in between (any interloper kills the match), one
+  // row per user for the FIRST such match, capturing the view count, the
+  // span, and the purchase amount off the end row. This is the
+  // MATCH_RECOGNIZE(PATTERN (A B* C)) shape, compiled by
+  // operators/SeqPattern.firstContiguousMatch to ONE window pass: the
+  // earliest following non-view row rides a struct-ordered MIN over an
+  // unbounded-following frame (rn leads the struct, captures trail), so
+  // the whole match costs two window functions on one user_id
+  // partitioning — no self-join, no per-length scan. Cents ride the
+  // exact decimal(18,2)·100 grid; the oracle restates the same match
+  // with a rn-join (same rows, join instead of struct — proving the
+  // struct-min trick against a plain relational restatement).
+  def q344(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.operators.SeqPattern.firstContiguousMatch(Tables.events(s, d),
+        "user_id", "ts", "event_id",
+        aPred = $"event_type" === "signup",
+        bPred = $"event_type" === "view",
+        cPred = $"event_type" === "purchase",
+        captures = Seq("cents" ->
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")))
+      .select($"user_id", $"n_mid".cast("long").as("n_views"),
+        expr("(c_ord - a_ord) div 1000000000").as("span_s"),
+        $"cents".as("purchase_cents"))
+      .orderBy($"user_id")
+  }
+  val q344Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type, value, epoch_ns(ts) AS tns,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |nxt AS (
+      |  SELECT user_id, event_type, tns, rn,
+      |    MIN(CASE WHEN event_type <> 'view' THEN rn END)
+      |      OVER (PARTITION BY user_id ORDER BY rn
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nrn
+      |  FROM o),
+      |m AS (
+      |  SELECT n.user_id, n.tns AS a_ord, n.rn, n.nrn, o.tns AS c_ord,
+      |    CAST(CAST(o.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM nxt n JOIN o ON o.user_id = n.user_id AND o.rn = n.nrn
+      |  WHERE n.event_type = 'signup' AND o.event_type = 'purchase'),
+      |f AS (
+      |  SELECT user_id, a_ord, c_ord, nrn - rn - 1 AS n_views, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS mrn
+      |  FROM m)
+      |SELECT user_id, CAST(n_views AS BIGINT) AS n_views,
+      |  (c_ord - a_ord) // 1000000000 AS span_s,
+      |  cents AS purchase_cents
+      |FROM f WHERE mrn = 1
+      |ORDER BY user_id""".stripMargin
 
   // --- q299: time-to-convert percentiles (mergeable delay histogram) --------
   // q58 finds the view→purchase pairs; the product question is HOW FAST —
@@ -4242,6 +4282,7 @@ object Events {
     ("q303_capped_sessions", q303 _, Some(q303Sql)),
     ("q304_weekly_movers", q304 _, Some(q304Sql)),
     ("q305_strict_funnel", q305 _, Some(q305Sql)),
+    ("q344_pattern_match", q344 _, Some(q344Sql)),
     ("q299_time_to_convert", q299 _, Some(q299Sql)),
     ("q300_bot_screen", q300 _, Some(q300Sql)),
     ("q301_lagged_xcorr", q301 _, Some(q301Sql)),

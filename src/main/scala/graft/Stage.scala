@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
@@ -109,10 +109,19 @@ object Stage {
             Paths.get(sourceDir).toAbsolutePath.normalize.toString)
           Files.createFile(tmp.resolve("_STAGED"))
           try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-          catch { // another session committed first — use theirs
-            case _: FileAlreadyExistsException
-                 | _: java.nio.file.DirectoryNotEmptyException =>
+          catch {
+            // Another session committed first — use theirs. The JDK maps
+            // the losing rename() inconsistently by platform: EEXIST/
+            // ENOTEMPTY surface as FileAlreadyExistsException OR
+            // DirectoryNotEmptyException OR (Linux, observed live in the
+            // StageSpec race test) a PLAIN FileSystemException reading
+            // "Directory not empty". Matching exception classes is
+            // therefore the wrong discriminator — the ground truth is
+            // whether a committed artifact now occupies the target: if
+            // yes the loss is benign, otherwise the failure is real.
+            case e: java.io.IOException =>
               deleteTree(tmp)
+              if (!Files.exists(target.resolve("_STAGED"))) throw e
           }
         } catch { case e: Throwable => deleteTree(tmp); throw e }
         prune(parent, keep = fp, source = sourceDir)

@@ -174,4 +174,90 @@ class StageSpec extends AnyFunSuite {
     }
     assert(built == 1)
   }
+
+  test("concurrent derived on one name+source: one build, one commit, all served") {
+    val src = freshSource()
+    val name = s"spec_${java.util.UUID.randomUUID}"
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val futures = (1 to 8).map(_ => Future {
+        Stage.derived(name, src.toString) { p =>
+          built.incrementAndGet()
+          Thread.sleep(50) // widen the race window
+          Files.write(p.resolve("artifact.txt"), "x".getBytes("UTF-8"))
+        }
+      })
+      val paths = Await.result(Future.sequence(futures), 60.seconds)
+      assert(built.get == 1, s"expected one build, ran ${built.get}")
+      assert(paths.toSet.size == 1)
+      assert(Files.exists(paths.head.resolve("_STAGED")))
+    } finally pool.shutdown()
+  }
+
+  test("rename-race loser discards its tmp and serves the winner's commit") {
+    val src = freshSource()
+    val name = s"spec_${java.util.UUID.randomUUID}"
+    val fp = Stage.fingerprint(src.toString)
+    val target = Stage.root.resolve(name).resolve(fp)
+    // the build closure plays the OTHER session: it commits the target
+    // while this session's build is still writing its tmp — this
+    // session's atomic move must lose benignly and serve the winner
+    val d = Stage.derived(name, src.toString) { tmp =>
+      Files.createDirectories(target)
+      Files.writeString(target.resolve("artifact.txt"), "winner")
+      Files.writeString(target.resolve("_SOURCE"),
+        src.toAbsolutePath.normalize.toString)
+      Files.createFile(target.resolve("_STAGED"))
+      Files.writeString(tmp.resolve("artifact.txt"), "loser")
+    }
+    assert(Files.readString(d.resolve("artifact.txt")) == "winner")
+    val leftoverTmps = {
+      val s = Files.list(Stage.root.resolve(name))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(_.getFileName.toString.startsWith(".tmp_"))
+      } finally s.close()
+    }
+    assert(leftoverTmps == 0, s"$leftoverTmps loser tmp dirs left behind")
+  }
+
+  test("prune under churn never undercuts a live sibling's artifact") {
+    val name = s"spec_${java.util.UUID.randomUUID}"
+    val src1 = freshSource()
+    val src2 = freshSource()
+    Stage.derived(name, src2.toString) { p =>
+      Files.writeString(p.resolve("art"), "s2")
+    }
+    val churnFailed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val churn = new Thread(() => {
+      try (0 until 10).foreach { i =>
+        // mutate src1's content (size changes → new fingerprint) so every
+        // derived() commits a new version and prunes the superseded one
+        Files.write(src1.resolve("a.txt"), ("v" * (i + 1)).getBytes("UTF-8"))
+        Stage.derived(name, src1.toString) { p =>
+          Files.writeString(p.resolve("art"), s"v$i")
+        }
+      } catch { case _: Throwable => churnFailed.set(true) }
+    })
+    churn.start()
+    // concurrently, fresh "sessions" keep resolving src2's artifact while
+    // src1's churn prunes the shared parent dir
+    var rebuilt = false
+    val ok = (1 to 20).forall { _ =>
+      Stage.clearMemo()
+      val d = Stage.derived(name, src2.toString) { p =>
+        rebuilt = true // would mean the sibling's commit was pruned
+        Files.writeString(p.resolve("art"), "s2")
+      }
+      Files.exists(d.resolve("art")) && Files.readString(d.resolve("art")) == "s2"
+    }
+    churn.join(60000)
+    assert(!churnFailed.get, "churn thread threw")
+    assert(!rebuilt, "sibling artifact was pruned out from under a live source")
+    assert(ok, "sibling artifact unreadable during concurrent prune")
+  }
 }

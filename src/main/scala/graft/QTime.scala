@@ -104,6 +104,21 @@ object QTime {
       println("merged-closed=" + closed.count())
       println("drop-model=" + closed.filter(col("par") === 0 ||
         col("hstartMs") + 3600000L > w1).count())
+    } else if (args.headOption.contains("-q58prof")) {
+      // profile the streaming floor: per-batch durations of the q58 drain
+      for (i <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val joined = streaming.Streams.viewPurchaseIntervalJoin(spark, d)
+        val t1 = System.nanoTime()
+        val (_, prog) = streaming.Streams.runToMemoryTracked(spark, joined,
+          "q58prof_sink", org.apache.spark.sql.streaming.OutputMode.Append())
+        val t2 = System.nanoTime()
+        println(f"RUN$i plan=${(t1 - t0) / 1e9}%.2f drain=${(t2 - t1) / 1e9}%.2f")
+        prog.foreach { p =>
+          println(s"  batch ${p.batchId}: total=${p.batchDuration}ms " +
+            s"durations=${p.durationMs}")
+        }
+      }
     } else if (args.headOption.contains("-plan")) {
       args.drop(1).foreach { name =>
         println(s"===== $name =====")

@@ -357,8 +357,12 @@ object Events {
   def q58(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val joined = graft.streaming.Streams.viewPurchaseIntervalJoin(s, d)
+    // inner join: every qualifying pair is emitted in the data batch
+    // itself, so the trailing no-data micro-batch would only pay state
+    // eviction for a query that is about to stop — skip it (the
+    // watermark-driven outer/append drains q157/q286/q34 keep theirs).
     graft.streaming.Streams.runToMemory(s, joined, "q58_sink",
-      org.apache.spark.sql.streaming.OutputMode.Append())
+      org.apache.spark.sql.streaming.OutputMode.Append(), noDataBatch = false)
       .select($"view_id", $"purchase_id", $"v_user".as("user_id"),
         fmtS(expr("v_ns div 1000000000")).as("view_time"),
         fmtS(expr("p_ns div 1000000000")).as("purchase_time"))

@@ -2606,12 +2606,14 @@ object Vectors {
   }
 
   /** Plane/bucket/candidate CTEs (the q331 text, threshold-free) +
-    * symmetrized top-8 edge CTE — shared by q341/q342/q343 oracles. */
-  private val nngEdgeCtes: String =
+    * symmetrized top-12 edge CTE — shared by the q341–q346 oracles.
+    * `corpusWhere` restricts which vectors are graph members (the
+    * incremental-build split in q345/q346). */
+  private def nngEdgeCtesW(corpusWhere: String): String =
     s"""comps AS MATERIALIZED (
       |  SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
       |         unnest(embedding::DOUBLE[]) AS v
-      |  FROM embeddings
+      |  FROM embeddings WHERE $corpusWhere
       |), dots AS MATERIALIZED (
       |  SELECT vec_id, p,
       |    SUM(CAST(FLOOR(v * ((pos * 7919 + p * 1000003) * 2654435761 % 2049 - 1024) * 1e9)
@@ -2642,53 +2644,59 @@ object Vectors {
       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
       |    FROM bothn)
       |  WHERE rk <= 12)""".stripMargin
+  private val nngEdgeCtes: String = nngEdgeCtesW("TRUE")
   val q341Sql: String =
     s"""WITH $nngEdgeCtes
       |SELECT src, dst, rank, sim FROM edges WHERE src < 8
       |ORDER BY src, rank""".stripMargin
 
-  /** The unrolled 3-round beam-search CTE chain ending in visited set
-    * `v3` (query_id, node, sim). */
-  private val nngSearchCtes: String = {
+  /** The unrolled 5-round beam-search CTE chain ending in visited set
+    * `${p}v5` (query_id, node, sim). `p` prefixes every CTE name so two
+    * searches can chain in one statement (q346's append-then-probe);
+    * `qsWhere` selects the query vectors; `edgesRel` names the edge
+    * relation to walk (the base `edges` or an augmented union). */
+  private def nngSearchCtesW(p: String, qsWhere: String,
+      edgesRel: String): String = {
     val rounds = (1 to 5).map { r =>
-      s"""e$r AS (
+      s"""${p}e$r AS (
         |  SELECT DISTINCT b.query_id, ed.dst AS node
-        |  FROM b${r - 1} b JOIN edges ed ON ed.src = b.node
-        |), s$r AS MATERIALIZED (
+        |  FROM ${p}b${r - 1} b JOIN $edgesRel ed ON ed.src = b.node
+        |), ${p}s$r AS MATERIALIZED (
         |  SELECT en.query_id, en.node,
         |    ROUND(${cosSql("q.qe", "ne.embedding::DOUBLE[]")}, 6) AS sim
-        |  FROM e$r en
-        |  JOIN qs q ON q.query_id = en.query_id
+        |  FROM ${p}e$r en
+        |  JOIN ${p}qs q ON q.query_id = en.query_id
         |  JOIN embeddings ne ON ne.vec_id = en.node
-        |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} v
+        |  WHERE NOT EXISTS (SELECT 1 FROM ${p}v${r - 1} v
         |    WHERE v.query_id = en.query_id AND v.node = en.node)
-        |), v$r AS MATERIALIZED (
-        |  SELECT * FROM v${r - 1} UNION ALL SELECT * FROM s$r
-        |), b$r AS MATERIALIZED (
+        |), ${p}v$r AS MATERIALIZED (
+        |  SELECT * FROM ${p}v${r - 1} UNION ALL SELECT * FROM ${p}s$r
+        |), ${p}b$r AS MATERIALIZED (
         |  SELECT query_id, node, sim FROM (
         |    SELECT query_id, node, sim,
         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rk
-        |    FROM v$r)
+        |    FROM ${p}v$r)
         |  WHERE rk <= 16)""".stripMargin
     }.mkString(",\n")
-    s"""qs AS (
+    s"""${p}qs AS (
       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
-      |  FROM embeddings WHERE vec_id < 8
-      |), ent AS (
-      |  SELECT src AS e FROM (SELECT DISTINCT src FROM edges ORDER BY src LIMIT 8)
-      |), v0 AS MATERIALIZED (
+      |  FROM embeddings WHERE $qsWhere
+      |), ${p}ent AS (
+      |  SELECT src AS e FROM (SELECT DISTINCT src FROM $edgesRel ORDER BY src LIMIT 8)
+      |), ${p}v0 AS MATERIALIZED (
       |  SELECT q.query_id, ent.e AS node,
       |    ROUND(${cosSql("q.qe", "ne.embedding::DOUBLE[]")}, 6) AS sim
-      |  FROM qs q CROSS JOIN ent
+      |  FROM ${p}qs q CROSS JOIN ${p}ent ent
       |  JOIN embeddings ne ON ne.vec_id = ent.e
-      |), b0 AS (
+      |), ${p}b0 AS (
       |  SELECT query_id, node, sim FROM (
       |    SELECT query_id, node, sim,
       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rk
-      |    FROM v0)
+      |    FROM ${p}v0)
       |  WHERE rk <= 16),
       |$rounds""".stripMargin
   }
+  private val nngSearchCtes: String = nngSearchCtesW("", "vec_id < 8", "edges")
 
   def q342(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -2761,10 +2769,86 @@ object Vectors {
       |FROM j CROSS JOIN m
       |ORDER BY query_id""".stripMargin
 
+  // --- q345/q346: incremental graph maintenance (append + serve) -----------
+  // The [[VectorIndex.append]] lifecycle contract for the neighbor graph
+  // (q194's split discipline): build the graph WITHOUT a 2% holdout
+  // (vec_id % 50 = 7), then absorb the holdout via NeighborGraph.append —
+  // HNSW insertion: each new vector's neighbors are found by the graph's
+  // OWN beam search, forward edges ranked 1..12, back-links appended with
+  // the rank-0 "pending re-prune" sentinel, only touched partitions
+  // written. q345 hash-gates the appended edge set (the oracle re-derives
+  // it by restating the insertion search over the base graph); q346
+  // proves the augmented graph SERVES — the standard 8-probe search now
+  // walks base + appended edges as one relation (probe 7 IS a new node:
+  // its results come entirely through append-created links), oracle =
+  // TWO chained unrolled searches (insertion then probe).
+  private def nngIncr(s: SparkSession, d: String): java.nio.file.Path =
+    graft.Stage.derived("nng_incr_6x5_m12", d) { p =>
+      val emb = Tables.embeddings(s, d)
+      graft.sources.NeighborGraph.build(emb.filter(col("vec_id") % 50 =!= 7),
+        p.toString, m = 12, numTables = 6, planesPerTable = 5, nBuckets = 16)
+      graft.sources.NeighborGraph.append(s, p.toString,
+        emb.filter(col("vec_id") % 50 === 7), emb, m = 12, beamWidth = 16,
+        rounds = 5, nBuckets = 16, nEntries = 8)
+      ()
+    }
+
+  def q345(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"${nngIncr(s, d)}/edges")
+      .filter($"src" % 50 === 7 || $"dst" % 50 === 7)
+      .select($"src", $"dst", $"rank", $"sim")
+      .orderBy($"src", $"dst")
+  }
+  val q345Sql: String =
+    s"""WITH ${nngEdgeCtesW("vec_id % 50 <> 7")},
+      |${nngSearchCtesW("a", "vec_id % 50 = 7", "edges")},
+      |afwd AS (
+      |  SELECT query_id AS src, node AS dst, sim, rank FROM (
+      |    SELECT query_id, node, sim,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rank
+      |    FROM av5)
+      |  WHERE rank <= 12)
+      |SELECT src, dst, rank, sim FROM afwd
+      |UNION ALL
+      |SELECT dst, src, 0, sim FROM afwd
+      |ORDER BY src, dst""".stripMargin
+
+  def q346(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    graft.sources.NeighborGraph.beamSearch(s, nngIncr(s, d).toString,
+        emb.filter($"vec_id" < 8), emb, k = 5, beamWidth = 16, rounds = 5,
+        nBuckets = 16, nEntries = 8)
+      .orderBy($"query_id", $"rank")
+  }
+  val q346Sql: String =
+    s"""WITH ${nngEdgeCtesW("vec_id % 50 <> 7")},
+      |${nngSearchCtesW("a", "vec_id % 50 = 7", "edges")},
+      |afwd AS MATERIALIZED (
+      |  SELECT query_id AS src, node AS dst, sim FROM (
+      |    SELECT query_id, node, sim,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rank
+      |    FROM av5)
+      |  WHERE rank <= 12),
+      |aug AS MATERIALIZED (
+      |  SELECT src, dst, sim FROM edges
+      |  UNION ALL SELECT src, dst, sim FROM afwd
+      |  UNION ALL SELECT dst, src, sim FROM afwd),
+      |${nngSearchCtesW("p", "vec_id < 8", "aug")}
+      |SELECT query_id, neighbor_id, rank, sim FROM (
+      |  SELECT query_id, node AS neighbor_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rank
+      |  FROM pv5 WHERE node <> query_id)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q341_nng_build", q341 _, Some(q341Sql)),
     ("q342_nng_search", q342 _, Some(q342Sql)),
     ("q343_nng_recall", q343 _, Some(q343Sql)),
+    ("q345_nng_append", q345 _, Some(q345Sql)),
+    ("q346_nng_append_probe", q346 _, Some(q346Sql)),
     ("q271_pca_power_iteration", q271 _, Some(q271Sql)),
     ("q320_matryoshka_recall", q320 _, Some(q320Sql)),
     ("q321_cluster_quality", q321 _, Some(q321Sql)),

@@ -64,6 +64,39 @@ object NeighborGraph {
       .parquet(s"$path/edges")
   }
 
+  /** Incremental ANN maintenance — the [[VectorIndex.append]] contract
+    * for the graph layout: absorb a batch of NEW vectors into a built
+    * graph by finding each one's neighbors WITH THE GRAPH'S OWN SEARCH
+    * (the HNSW insertion algorithm: insert = search + link), then
+    * appending forward edges (new → found, ranked 1..m) and back-links
+    * (found → new, rank 0 — the "appended, pending compaction re-rank"
+    * sentinel: existing nodes' files are never rewritten, so their
+    * degree may transiently exceed m; search reads edges regardless of
+    * rank, and a rebuild re-prunes). Only the touched src_bucket
+    * partitions receive files; probes see old and new nodes identically.
+    * At 100 TB this is what makes the graph a refreshable serving
+    * artifact: an ingest batch costs |batch| bounded beam searches, not
+    * a corpus rebuild.
+    *
+    * @return the forward edges (query_id=new node, neighbor_id, rank,
+    *         sim) the append linked, for observability/gating */
+  def append(spark: SparkSession, path: String, newEmb: DataFrame,
+      corpus: DataFrame, m: Int, beamWidth: Int, rounds: Int,
+      nBuckets: Int, nEntries: Int): DataFrame = {
+    val found = beamSearch(spark, path, newEmb, corpus, k = m,
+      beamWidth = beamWidth, rounds = rounds, nBuckets = nBuckets,
+      nEntries = nEntries)
+    val fwd = found.select(col("query_id").as("src"),
+      col("neighbor_id").as("dst"), col("sim"), col("rank"))
+    val back = found.select(col("neighbor_id").as("src"),
+      col("query_id").as("dst"), col("sim"), lit(0).as("rank"))
+    fwd.unionByName(back)
+      .withColumn("src_bucket", col("src") % nBuckets)
+      .write.mode("append").partitionBy("src_bucket")
+      .parquet(s"$path/edges")
+    found
+  }
+
   /** Deterministic entry points: the `n` smallest node ids in the graph.
     * Multiple entries are the standard navigability fix for a flat k-NN
     * graph (no hierarchy, no long-range links): ids are uncorrelated

@@ -2843,12 +2843,80 @@ object Vectors {
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  // --- q347/q348: graph node deletion (RTBF) — audit + serve ----------------
+  // The lifecycle's last leg (build q341 / append q345 / serve q346 /
+  // DELETE): the q345 scenario taken one step further — build without
+  // the 2% holdout, append it, then DELETE it again via
+  // NeighborGraph.delete (partition-scoped rewrite of only the buckets
+  // holding a touched edge). Append(batch) ∘ delete(batch) must restore
+  // the base edge relation VERBATIM — q347 audits the physical layout
+  // (edge/node counts, zero rank-0 back-links left, max degree back
+  // within the build cap) and q348 proves serving equivalence (the
+  // 8-probe search over the deleted layout hash-equals the pure base
+  // graph's search, oracle = the filtered-corpus restatement with no
+  // append CTEs at all — the deleted nodes leave no trace).
+  private def nngRtbf(s: SparkSession, d: String): java.nio.file.Path =
+    graft.Stage.derived("nng_rtbf_6x5_m12", d) { p =>
+      val emb = Tables.embeddings(s, d)
+      graft.sources.NeighborGraph.build(emb.filter(col("vec_id") % 50 =!= 7),
+        p.toString, m = 12, numTables = 6, planesPerTable = 5, nBuckets = 16)
+      graft.sources.NeighborGraph.append(s, p.toString,
+        emb.filter(col("vec_id") % 50 === 7), emb, m = 12, beamWidth = 16,
+        rounds = 5, nBuckets = 16, nEntries = 8)
+      val ids = emb.filter(col("vec_id") % 50 === 7)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq.sorted
+      graft.sources.NeighborGraph.delete(s, p.toString, ids, nBuckets = 16)
+      ()
+    }
+
+  def q347(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = s.read.parquet(s"${nngRtbf(s, d)}/edges")
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+    edges.agg(count(lit(1)).as("n_edges"),
+        countDistinct($"src").as("n_srcs"),
+        sum(when($"rank" === 0, 1L).otherwise(0L)).as("n_back_links"),
+        sum(when($"src" % 50 === 7 || $"dst" % 50 === 7, 1L).otherwise(0L))
+          .as("n_deleted_residual"))
+      .crossJoin(broadcast(deg.agg(max($"d").as("max_degree"))))
+  }
+  val q347Sql: String =
+    s"""WITH ${nngEdgeCtesW("vec_id % 50 <> 7")},
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+      |  CAST(COUNT(DISTINCT src) AS BIGINT) AS n_srcs,
+      |  CAST(SUM(CASE WHEN rank = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_back_links,
+      |  CAST(SUM(CASE WHEN src % 50 = 7 OR dst % 50 = 7 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_deleted_residual,
+      |  (SELECT MAX(d) FROM deg) AS max_degree
+      |FROM edges""".stripMargin
+
+  def q348(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    graft.sources.NeighborGraph.beamSearch(s, nngRtbf(s, d).toString,
+        emb.filter($"vec_id" < 8), emb, k = 5, beamWidth = 16, rounds = 5,
+        nBuckets = 16, nEntries = 8)
+      .orderBy($"query_id", $"rank")
+  }
+  val q348Sql: String =
+    s"""WITH ${nngEdgeCtesW("vec_id % 50 <> 7")},
+      |${nngSearchCtesW("p", "vec_id < 8", "edges")}
+      |SELECT query_id, neighbor_id, rank, sim FROM (
+      |  SELECT query_id, node AS neighbor_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rank
+      |  FROM pv5 WHERE node <> query_id)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q341_nng_build", q341 _, Some(q341Sql)),
     ("q342_nng_search", q342 _, Some(q342Sql)),
     ("q343_nng_recall", q343 _, Some(q343Sql)),
     ("q345_nng_append", q345 _, Some(q345Sql)),
     ("q346_nng_append_probe", q346 _, Some(q346Sql)),
+    ("q347_nng_delete_audit", q347 _, Some(q347Sql)),
+    ("q348_nng_delete_probe", q348 _, Some(q348Sql)),
     ("q271_pca_power_iteration", q271 _, Some(q271Sql)),
     ("q320_matryoshka_recall", q320 _, Some(q320Sql)),
     ("q321_cluster_quality", q321 _, Some(q321Sql)),

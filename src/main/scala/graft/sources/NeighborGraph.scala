@@ -97,6 +97,44 @@ object NeighborGraph {
     found
   }
 
+  /** Node deletion — the RTBF/forget contract for the graph layout,
+    * partition-scoped (the lakehouse DELETE-WHERE shape): remove every
+    * edge that touches a deleted node by rewriting ONLY the buckets that
+    * hold one. Out-edge buckets are known arithmetically (id % nBuckets);
+    * back-link buckets come from one dst-pushdown scan. Each touched
+    * bucket is read, filtered, written to a private sibling, and swapped
+    * in — untouched buckets' files are never opened, so a bounded delete
+    * batch (RTBF requests, not corpus-scale churn — the literal-IN
+    * convention) costs touched-fraction I/O however large the graph.
+    * After deletion the graph serves exactly as if the nodes had never
+    * been inserted: append(batch) followed by delete(batch) restores the
+    * base edge relation verbatim (appended edges all touch the batch),
+    * which is what q347/q348 hash-gate. */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long],
+      nBuckets: Int): Unit = {
+    if (ids.isEmpty) return
+    val edges = spark.read.parquet(s"$path/edges")
+    val backBuckets = edges.filter(col("dst").isin(ids: _*))
+      .select(col("src_bucket")).distinct()
+      .collect().map(_.getAs[Number](0).longValue)
+    val touched = (ids.map(_ % nBuckets) ++ backBuckets).distinct.sorted
+    touched.foreach { b =>
+      val dir = java.nio.file.Paths.get(s"$path/edges/src_bucket=$b")
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val kept = spark.read.parquet(dir.toString)
+          .filter(!col("src").isin(ids: _*) && !col("dst").isin(ids: _*))
+        val tmp = java.nio.file.Paths.get(s"$path/.compact_$b")
+        kept.write.mode("overwrite").parquet(tmp.toString)
+        val trash = java.nio.file.Paths.get(s"$path/.old_$b")
+        java.nio.file.Files.move(dir, trash)
+        java.nio.file.Files.move(tmp, dir)
+        import java.util.Comparator
+        java.nio.file.Files.walk(trash).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+      }
+    }
+  }
+
   /** Deterministic entry points: the `n` smallest node ids in the graph.
     * Multiple entries are the standard navigability fix for a flat k-NN
     * graph (no hierarchy, no long-range links): ids are uncorrelated

@@ -47,6 +47,48 @@ class NeighborGraphSpec extends AnyFunSuite {
       s"expected <=2 of 8 partitions after pruning, scan lists $pruned")
   }
 
+  test("delete rewrites only touched buckets and leaves no residual edges") {
+    import spark.implicits._
+    val p = TempDirs.fresh("graft_nngdel")
+    NeighborGraph.build(emb.filter($"vec_id" =!= 7), p.toString,
+      m = 4, numTables = 6, planesPerTable = 5, nBuckets = 8)
+    // a single-node batch: its out-edges land in one bucket, its ≤m
+    // back-links in at most m more — a strict subset of the 8 buckets,
+    // so the untouched remainder can prove the rewrite is scoped
+    val batch = emb.filter($"vec_id" === 7)
+    NeighborGraph.append(spark, p.toString, batch, emb, m = 4,
+      beamWidth = 8, rounds = 3, nBuckets = 8, nEntries = 4)
+    val ids = batch.select($"vec_id").collect().map(_.getLong(0)).toSeq
+    // which buckets hold a touched edge BEFORE the delete
+    val pre = spark.read.parquet(s"$p/edges")
+    val touched = pre
+      .filter($"src".isin(ids: _*) || $"dst".isin(ids: _*))
+      .select($"src_bucket").distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSet
+    assert(touched.nonEmpty && touched.size < 8,
+      s"need a partial touch set to prove scoping, got $touched")
+    def listing(b: Long): Seq[String] = {
+      val dir = java.nio.file.Paths.get(s"$p/edges/src_bucket=$b")
+      val s = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(f => s"${f.getFileName}|" +
+          java.nio.file.Files.getLastModifiedTime(f).toMillis).toSeq.sorted
+      } finally s.close()
+    }
+    val untouched = (0L until 8L).filterNot(touched)
+    val before = untouched.map(b => b -> listing(b)).toMap
+    NeighborGraph.delete(spark, p.toString, ids, nBuckets = 8)
+    untouched.foreach { b =>
+      assert(listing(b) == before(b), s"untouched bucket $b was rewritten")
+    }
+    val post = spark.read.parquet(s"$p/edges")
+    assert(post.filter($"src".isin(ids: _*) || $"dst".isin(ids: _*))
+      .count() == 0, "residual edges after delete")
+    assert(post.filter($"rank" === 0).count() == 0,
+      "back-link sentinels survived the delete")
+  }
+
   test("beam search is deterministic and finds brute-force top-k when the beam covers the corpus") {
     import spark.implicits._
     val queries = emb.filter($"vec_id" < 3)

@@ -90,7 +90,21 @@ object SeqPattern {
     * @return (key, a_ord, c_ord, n_mid, captures*) */
   def firstContiguousMatch(events: DataFrame, keyCol: String, ordCol: String,
       tieCol: String, aPred: Column, bPred: Column, cPred: Column,
-      captures: Seq[(String, Column)]): DataFrame = {
+      captures: Seq[(String, Column)]): DataFrame =
+    contiguousMatches(events, keyCol, ordCol, tieCol, aPred, bPred, cPred,
+      captures, firstOnly = true)
+      .drop("match_no")
+
+  /** Every strict-contiguity `A B* C` match per key (the AFTER MATCH SKIP
+    * TO NEXT ROW semantics — matches cannot overlap here, because a
+    * second start row inside a span would itself be the span's first
+    * non-filler row and kill it), numbered 1.. per key in stream order.
+    * Same one-pass compilation as [[firstContiguousMatch]]; `firstOnly`
+    * keeps only each key's earliest match.
+    * @return (key, match_no, a_ord, c_ord, n_mid, captures*) */
+  def contiguousMatches(events: DataFrame, keyCol: String, ordCol: String,
+      tieCol: String, aPred: Column, bPred: Column, cPred: Column,
+      captures: Seq[(String, Column)], firstOnly: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol), col(tieCol))
     val follow = w.rowsBetween(1, Window.unboundedFollowing)
     // the earliest following non-filler row, captures riding in the
@@ -111,8 +125,9 @@ object SeqPattern {
       .orderBy(col("graft_rn"))
     matches
       .withColumn("graft_mrn", row_number().over(firstPerKey))
-      .filter(col("graft_mrn") === 1)
-      .select(Seq(col(keyCol), col(ordCol).cast("long").as("a_ord"),
+      .filter(if (firstOnly) col("graft_mrn") === 1 else lit(true))
+      .select(Seq(col(keyCol), col("graft_mrn").as("match_no"),
+        col(ordCol).cast("long").as("a_ord"),
         col("graft_nxt.c_ord").as("c_ord"),
         (col("graft_nxt.rn") - col("graft_rn") - 1).as("n_mid")) ++
         captures.map { case (n, _) => col(s"graft_nxt.cap.$n").as(n) }: _*)

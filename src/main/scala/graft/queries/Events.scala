@@ -3445,6 +3445,55 @@ object Events {
       |FROM f WHERE mrn = 1
       |ORDER BY user_id""".stripMargin
 
+  // --- q350: ALL contiguous pattern matches (AFTER MATCH SKIP TO NEXT ROW) --
+  // q344 returns each user's first match; real session analytics wants
+  // EVERY one — how often does the clean signup→views→purchase run
+  // recur, and does it speed up? SeqPattern.contiguousMatches emits all
+  // matches numbered in stream order (they provably cannot overlap: a
+  // second start row inside a span would be the span's first non-filler
+  // row and kill it — so "all starts" IS the SKIP TO NEXT ROW
+  // semantics), same one-pass window compilation. The oracle is q344's
+  // restatement with the first-match filter dropped and the ordinal
+  // carried through.
+  def q350(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.operators.SeqPattern.contiguousMatches(Tables.events(s, d),
+        "user_id", "ts", "event_id",
+        aPred = $"event_type" === "signup",
+        bPred = $"event_type" === "view",
+        cPred = $"event_type" === "purchase",
+        captures = Seq("cents" ->
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")))
+      .select($"user_id", $"match_no".cast("long").as("match_no"),
+        $"n_mid".cast("long").as("n_views"),
+        expr("(c_ord - a_ord) div 1000000000").as("span_s"),
+        $"cents".as("purchase_cents"))
+      .orderBy($"user_id", $"match_no")
+  }
+  val q350Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type, value, epoch_ns(ts) AS tns,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |nxt AS (
+      |  SELECT user_id, event_type, tns, rn,
+      |    MIN(CASE WHEN event_type <> 'view' THEN rn END)
+      |      OVER (PARTITION BY user_id ORDER BY rn
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nrn
+      |  FROM o),
+      |m AS (
+      |  SELECT n.user_id, n.tns AS a_ord, n.rn, n.nrn, o.tns AS c_ord,
+      |    CAST(CAST(o.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM nxt n JOIN o ON o.user_id = n.user_id AND o.rn = n.nrn
+      |  WHERE n.event_type = 'signup' AND o.event_type = 'purchase')
+      |SELECT user_id,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS match_no,
+      |  CAST(nrn - rn - 1 AS BIGINT) AS n_views,
+      |  (c_ord - a_ord) // 1000000000 AS span_s,
+      |  cents AS purchase_cents
+      |FROM m
+      |ORDER BY user_id, match_no""".stripMargin
+
   // --- q299: time-to-convert percentiles (mergeable delay histogram) --------
   // q58 finds the view→purchase pairs; the product question is HOW FAST —
   // p50/p90/p99 of the conversion delay, sliced by the view's weekday.
@@ -4287,6 +4336,7 @@ object Events {
     ("q304_weekly_movers", q304 _, Some(q304Sql)),
     ("q305_strict_funnel", q305 _, Some(q305Sql)),
     ("q344_pattern_match", q344 _, Some(q344Sql)),
+    ("q350_pattern_all_matches", q350 _, Some(q350Sql)),
     ("q299_time_to_convert", q299 _, Some(q299Sql)),
     ("q300_bot_screen", q300 _, Some(q300Sql)),
     ("q301_lagged_xcorr", q301 _, Some(q301Sql)),

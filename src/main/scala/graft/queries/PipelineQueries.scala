@@ -205,10 +205,72 @@ object PipelineQueries {
       |FROM agg
       |ORDER BY source""".stripMargin
 
+  // --- q349: CSV quarantine (the delimited twin of q340) --------------------
+  // The same PERMISSIVE-parse contract over the other ubiquitous wire
+  // format: one CSV line per events row, a deterministic per-source
+  // fraction type-corrupted (a non-numeric token where the schema says
+  // BIGINT), parsed by Quarantine.parseCsv — the malformed line rides
+  // _corrupt_record verbatim, clean lines project through the typed
+  // schema. The oracle classifies independently with ITS own parse
+  // (TRY_CAST of the split token — per-field permissive semantics, not
+  // a restatement of our hash rule), so the gate proves from_csv's
+  // classification against a second parser, the q340 discipline.
+  def q349(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val h = conv(substring(md5(concat(lit("csv|"),
+      coalesce($"event_id", lit(-1L)).cast("string"))), 1, 14), 16, 10)
+      .cast("long") % 100
+    val eid = coalesce($"event_id", lit(-1L)).cast("string")
+    val uid = coalesce($"user_id", lit(-1L)).cast("string")
+    val line = when(h < length($"event_type") * 2,
+        concat(eid, lit(","), lit("x"), uid))
+      .otherwise(concat(eid, lit(","), uid))
+    val raw = Tables.events(s, d)
+      .select($"event_type", line.as("body"))
+    val schema = new StructType()
+      .add("event_id", LongType).add("user_id", LongType)
+    val parsed = graft.etl.Quarantine.parseCsv(raw, "body", schema)
+    graft.etl.Quarantine.stats(parsed, "event_type",
+        warnPpm = 90000L, failPpm = 140000L,
+        extraAggs = Seq(sum($"parsed.user_id").as("sum_parsed_user")))
+      .orderBy($"source")
+  }
+  val q349Sql: String =
+    """WITH raw AS (
+      |  SELECT event_type AS source,
+      |    CAST(COALESCE(event_id, -1) AS VARCHAR) || ',' ||
+      |    CASE WHEN ('0x' || substr(md5('csv|' || CAST(COALESCE(event_id, -1) AS VARCHAR)), 1, 14))::BIGINT % 100
+      |           < length(event_type) * 2
+      |      THEN 'x' ELSE '' END ||
+      |    CAST(COALESCE(user_id, -1) AS VARCHAR) AS body
+      |  FROM events),
+      |cls AS (
+      |  SELECT source,
+      |    TRY_CAST(split_part(body, ',', 2) AS BIGINT) AS parsed_user
+      |  FROM raw),
+      |agg AS (
+      |  SELECT source,
+      |    CAST(COUNT(*) AS BIGINT) AS n_total,
+      |    CAST(SUM(CASE WHEN parsed_user IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+      |    CAST(SUM(CASE WHEN parsed_user IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+      |    CAST(SUM(parsed_user) AS BIGINT) AS sum_parsed_user
+      |  FROM cls GROUP BY source)
+      |SELECT source, n_total, n_parsed, n_quarantined, sum_parsed_user,
+      |  CAST(CAST(n_quarantined AS HUGEINT) * 1000000 // n_total AS BIGINT)
+      |    AS quarantine_ppm,
+      |  CASE
+      |    WHEN CAST(n_quarantined AS HUGEINT) * 1000000 // n_total >= 140000 THEN 'fail'
+      |    WHEN CAST(n_quarantined AS HUGEINT) * 1000000 // n_total >= 90000 THEN 'warn'
+      |    ELSE 'ok' END AS gate_status
+      |FROM agg
+      |ORDER BY source""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_crypto_pipeline", q31 _, Some(q31Sql)),
     ("q32_upsert_idempotent", q32 _, Some(q32Sql)),
     ("q33_quality_gate", q33 _, Some(q33Sql)),
     ("q118_float_compat", q118 _, Some(q118Sql)),
-    ("q340_quarantine_parse", q340 _, Some(q340Sql)))
+    ("q340_quarantine_parse", q340 _, Some(q340Sql)),
+    ("q349_quarantine_csv", q349 _, Some(q349Sql)))
 }

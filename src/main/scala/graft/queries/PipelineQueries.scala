@@ -266,11 +266,63 @@ object PipelineQueries {
       |FROM agg
       |ORDER BY source""".stripMargin
 
+  // --- q352: streaming quarantine (q340 THROUGH the streaming engine) ------
+  // The quarantine contract where it actually runs in production: on the
+  // ingest stream. The same deterministically-corrupted payloads arrive
+  // as a file stream; each micro-batch is PERMISSIVE-parsed and its
+  // per-source outcome PARTIALS land in an append sink (counts and sums
+  // — a monoid, so batch boundaries can't change the rollup); the final
+  // read merges partials and applies the same ppm thresholds. Output ≡
+  // q340's by construction, so the oracle IS q340's SQL — the q197/q327
+  // streaming-twin discipline: a batch boundary that lost or duplicated
+  // a row hash-misses.
+  def q352(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val base = graft.TempDirs.fresh("graft_quarstream")
+    val stream = graft.streaming.Streams.eventsStream(s, d)
+    val h = conv(substring(md5(coalesce($"event_id", lit(-1L)).cast("string")),
+      1, 14), 16, 10).cast("long") % 100
+    val eid = coalesce($"event_id", lit(-1L)).cast("string")
+    val uid = coalesce($"user_id", lit(-1L)).cast("string")
+    val payload = when(h < length($"event_type") * 3,
+        concat(lit("{\"event_id\":"), eid, lit(",\"user_id\":")))
+      .otherwise(concat(lit("{\"event_id\":"), eid,
+        lit(",\"user_id\":"), uid, lit("}")))
+    val raw = stream.select($"event_type", payload.as("body"))
+    val schema = new StructType()
+      .add("event_id", LongType).add("user_id", LongType)
+    graft.streaming.Streams.drainToParquet(raw,
+        s"$base/sink", s"$base/ckpt") { (batch, _) =>
+      val parsed = graft.etl.Quarantine.parseJson(batch, "body", schema)
+      val q = graft.etl.Quarantine.isQuarantined("parsed")
+      parsed.groupBy($"event_type".as("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(q, 0L).otherwise(1L)).as("n_parsed"),
+          sum(when(q, 1L).otherwise(0L)).as("n_quarantined"),
+          sum($"parsed.user_id").as("sum_parsed_user"))
+    }
+    s.read.parquet(s"$base/sink")
+      .groupBy($"source")
+      .agg(sum($"n_total").as("n_total"), sum($"n_parsed").as("n_parsed"),
+        sum($"n_quarantined").as("n_quarantined"),
+        sum($"sum_parsed_user").as("sum_parsed_user"))
+      .withColumn("quarantine_ppm", expr(
+        "cast(cast(n_quarantined as decimal(38,0)) * 1000000 div n_total as bigint)"))
+      .withColumn("gate_status",
+        when(col("quarantine_ppm") >= 200000L, lit("fail"))
+          .when(col("quarantine_ppm") >= 130000L, lit("warn"))
+          .otherwise(lit("ok")))
+      .orderBy($"source")
+  }
+  val q352Sql: String = q340Sql
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_crypto_pipeline", q31 _, Some(q31Sql)),
     ("q32_upsert_idempotent", q32 _, Some(q32Sql)),
     ("q33_quality_gate", q33 _, Some(q33Sql)),
     ("q118_float_compat", q118 _, Some(q118Sql)),
     ("q340_quarantine_parse", q340 _, Some(q340Sql)),
-    ("q349_quarantine_csv", q349 _, Some(q349Sql)))
+    ("q349_quarantine_csv", q349 _, Some(q349Sql)),
+    ("q352_quarantine_stream", q352 _, Some(q352Sql)))
 }

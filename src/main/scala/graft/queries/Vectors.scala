@@ -2909,6 +2909,65 @@ object Vectors {
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  // --- q351: graph maintenance decision (compact vs serve) ------------------
+  // The [[VectorIndex.maintenancePlan]] front door for the graph layout:
+  // appends leave rank-0 back-links that overflow node degrees past the
+  // build cap, degrading the top-m pruning contract — the observable
+  // that prices a compaction. One scan of the (appended) layout yields
+  // edge/back-link counts and overflow nodes; the decision rule
+  // (back_ppm ≥ threshold → compact) is evaluated at two thresholds so
+  // BOTH branches are on the hash record. Exact integer/ppm arithmetic
+  // throughout; the oracle re-derives the appended layout from the
+  // insertion-search CTEs (no staged state assumed).
+  def q351(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = s.read.parquet(s"${nngIncr(s, d)}/edges")
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+    val stats = edges.agg(count(lit(1)).as("n_edges"),
+        sum(when($"rank" === 0, 1L).otherwise(0L)).as("n_back_links"))
+      .crossJoin(broadcast(deg.agg(
+        sum(when($"d" > 12, 1L).otherwise(0L)).as("n_overflow_nodes"),
+        max($"d").as("max_degree"))))
+      .withColumn("back_ppm", expr(
+        "cast(cast(n_back_links as decimal(38,0)) * 1000000 div n_edges as bigint)"))
+    Seq(10000L, 50000L).toDF("threshold_ppm")
+      .crossJoin(broadcast(stats))
+      .select($"threshold_ppm", $"n_edges", $"n_back_links",
+        $"n_overflow_nodes", $"max_degree", $"back_ppm",
+        when($"back_ppm" >= $"threshold_ppm", lit("compact"))
+          .otherwise(lit("serve")).as("decision"))
+      .orderBy($"threshold_ppm")
+  }
+  val q351Sql: String =
+    s"""WITH ${nngEdgeCtesW("vec_id % 50 <> 7")},
+      |${nngSearchCtesW("a", "vec_id % 50 = 7", "edges")},
+      |afwd AS MATERIALIZED (
+      |  SELECT query_id AS src, node AS dst FROM (
+      |    SELECT query_id, node, sim,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rank
+      |    FROM av5)
+      |  WHERE rank <= 12),
+      |lay AS (
+      |  SELECT src, dst, 1 AS rk FROM edges
+      |  UNION ALL SELECT src, dst, 1 FROM afwd
+      |  UNION ALL SELECT dst, src, 0 FROM afwd),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM lay GROUP BY src),
+      |st AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+      |    CAST(SUM(CASE WHEN rk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_back_links
+      |  FROM lay),
+      |dg AS (
+      |  SELECT CAST(SUM(CASE WHEN d > 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow_nodes,
+      |    MAX(d) AS max_degree
+      |  FROM deg),
+      |ts AS (SELECT CAST(unnest([10000, 50000]) AS BIGINT) AS threshold_ppm)
+      |SELECT threshold_ppm, n_edges, n_back_links, n_overflow_nodes, max_degree,
+      |  CAST(CAST(n_back_links AS HUGEINT) * 1000000 // n_edges AS BIGINT) AS back_ppm,
+      |  CASE WHEN CAST(n_back_links AS HUGEINT) * 1000000 // n_edges >= threshold_ppm
+      |    THEN 'compact' ELSE 'serve' END AS decision
+      |FROM ts CROSS JOIN st CROSS JOIN dg
+      |ORDER BY threshold_ppm""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q341_nng_build", q341 _, Some(q341Sql)),
     ("q342_nng_search", q342 _, Some(q342Sql)),
@@ -2917,6 +2976,7 @@ object Vectors {
     ("q346_nng_append_probe", q346 _, Some(q346Sql)),
     ("q347_nng_delete_audit", q347 _, Some(q347Sql)),
     ("q348_nng_delete_probe", q348 _, Some(q348Sql)),
+    ("q351_nng_maintenance", q351 _, Some(q351Sql)),
     ("q271_pca_power_iteration", q271 _, Some(q271Sql)),
     ("q320_matryoshka_recall", q320 _, Some(q320Sql)),
     ("q321_cluster_quality", q321 _, Some(q321Sql)),

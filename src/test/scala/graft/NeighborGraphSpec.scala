@@ -89,6 +89,23 @@ class NeighborGraphSpec extends AnyFunSuite {
       "back-link sentinels survived the delete")
   }
 
+  test("append then delete restores the base edge relation verbatim") {
+    import spark.implicits._
+    val p = TempDirs.fresh("graft_nngroundtrip")
+    NeighborGraph.build(emb.filter($"vec_id" % 50 =!= 7), p.toString,
+      m = 4, numTables = 6, planesPerTable = 5, nBuckets = 8)
+    val base = spark.read.parquet(s"$p/edges")
+      .select($"src", $"dst", $"sim", $"rank").collect().toSet
+    val batch = emb.filter($"vec_id" % 50 === 7)
+    NeighborGraph.append(spark, p.toString, batch, emb, m = 4,
+      beamWidth = 8, rounds = 3, nBuckets = 8, nEntries = 4)
+    val ids = batch.select($"vec_id").collect().map(_.getLong(0)).toSeq
+    NeighborGraph.delete(spark, p.toString, ids, nBuckets = 8)
+    val after = spark.read.parquet(s"$p/edges")
+      .select($"src", $"dst", $"sim", $"rank").collect().toSet
+    assert(after == base, "append∘delete must be the identity on the base graph")
+  }
+
   test("beam search is deterministic and finds brute-force top-k when the beam covers the corpus") {
     import spark.implicits._
     val queries = emb.filter($"vec_id" < 3)

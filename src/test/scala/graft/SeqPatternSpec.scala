@@ -70,6 +70,45 @@ class SeqPatternSpec extends AnyFunSuite {
       (4L, 10L, 20L, 0, 300L)))
   }
 
+  test("stepTimes on real events: times are monotone and cohorts shrink") {
+    import spark.implicits._
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+    val ts = stepTimes(e, "user_id", "ts",
+      Seq(Step("s", $"event_type" === "signup"),
+        Step("v", $"event_type" === "view"),
+        Step("p", $"event_type" === "purchase")))
+    val counts = ts.map(_.count())
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2),
+      s"cohorts must shrink: $counts")
+    // every step-k time is >= that user's step-(k-1) time
+    val bad01 = ts(1).withColumnRenamed("t", "t2")
+      .join(ts(0), "user_id").filter($"t2" < $"t").count()
+    val bad12 = ts(2).withColumnRenamed("t", "t3")
+      .join(ts(1), "user_id").filter($"t3" < $"t").count()
+    assert(bad01 == 0 && bad12 == 0, "step times must be monotone per user")
+  }
+
+  test("all-matches numbering is dense and firstContiguousMatch equals match 1") {
+    import spark.implicits._
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+    val all = SeqPattern.contiguousMatches(e, "user_id", "ts", "event_id",
+      $"event_type" === "signup", $"event_type" === "view",
+      $"event_type" === "purchase", Seq("cents" -> lit(0L)))
+    val dense = all.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), max($"match_no").as("mx"),
+        min($"match_no").as("mn"))
+      .filter($"n" =!= $"mx" || $"mn" =!= 1).count()
+    assert(dense == 0, "match_no must be dense 1..n per user")
+    val first = SeqPattern.firstContiguousMatch(e, "user_id", "ts", "event_id",
+      $"event_type" === "signup", $"event_type" === "view",
+      $"event_type" === "purchase", Seq("cents" -> lit(0L)))
+      .select($"user_id", $"a_ord", $"c_ord", $"n_mid")
+    val firstOfAll = all.filter($"match_no" === 1)
+      .select($"user_id", $"a_ord", $"c_ord", $"n_mid")
+    assert(first.exceptAll(firstOfAll).count() == 0 &&
+      firstOfAll.exceptAll(first).count() == 0)
+  }
+
   test("A at end of stream (no following non-B row) does not match") {
     import spark.implicits._
     val e = ev((1L, 10L, 1L, "A", 0.0), (1L, 20L, 2L, "B", 0.0))

@@ -113,6 +113,7 @@ object NeighborGraph {
   def delete(spark: SparkSession, path: String, ids: Seq[Long],
       nBuckets: Int): Unit = {
     if (ids.isEmpty) return
+    recoverSwaps(path) // heal any interrupted prior rewrite before reading
     val edges = spark.read.parquet(s"$path/edges")
     val backBuckets = edges.filter(col("dst").isin(ids: _*))
       .select(col("src_bucket")).distinct()
@@ -121,19 +122,22 @@ object NeighborGraph {
     touched.foreach { b =>
       val dir = java.nio.file.Paths.get(s"$path/edges/src_bucket=$b")
       if (java.nio.file.Files.isDirectory(dir)) {
+        // Bind the scan to the CURRENT files: the swap replaces the dir
+        // out from under a path-based lazy plan.
         val kept = spark.read.parquet(dir.toString)
           .filter(!col("src").isin(ids: _*) && !col("dst").isin(ids: _*))
-        val tmp = java.nio.file.Paths.get(s"$path/.compact_$b")
-        kept.write.mode("overwrite").parquet(tmp.toString)
-        val trash = java.nio.file.Paths.get(s"$path/.old_$b")
-        java.nio.file.Files.move(dir, trash)
-        java.nio.file.Files.move(tmp, dir)
-        import java.util.Comparator
-        java.nio.file.Files.walk(trash).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+        AtomicSwap.swap(java.nio.file.Paths.get(path), b.toString, dir) { tmp =>
+          kept.write.mode("overwrite").parquet(tmp.toString)
+        }
       }
     }
   }
+
+  /** Heal interrupted bucket rewrites (delete/compact) — invoked at the
+    * entry of every maintenance verb; see [[AtomicSwap]]. */
+  def recoverSwaps(path: String): Unit =
+    AtomicSwap.recover(java.nio.file.Paths.get(path),
+      tag => java.nio.file.Paths.get(s"$path/edges/src_bucket=$tag"))
 
   /** Deterministic entry points: the `n` smallest node ids in the graph.
     * Multiple entries are the standard navigability fix for a flat k-NN

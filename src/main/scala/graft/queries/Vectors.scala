@@ -2592,7 +2592,7 @@ object Vectors {
   // q331, graph CTEs, then the 5 rounds unrolled (MATERIALIZED per
   // the q82 convention — each is referenced twice downstream).
   private def nngIdx(s: SparkSession, d: String): java.nio.file.Path =
-    graft.Stage.derived("nng_6x5_m12_b16", d) { p =>
+    graft.Stage.derived("nng_6x5_m12_b16_v", d) { p =>
       graft.sources.NeighborGraph.build(Tables.embeddings(s, d), p.toString,
         m = 12, numTables = 6, planesPerTable = 5, nBuckets = 16)
     }
@@ -2783,7 +2783,7 @@ object Vectors {
   // its results come entirely through append-created links), oracle =
   // TWO chained unrolled searches (insertion then probe).
   private def nngIncr(s: SparkSession, d: String): java.nio.file.Path =
-    graft.Stage.derived("nng_incr_6x5_m12", d) { p =>
+    graft.Stage.derived("nng_incr_6x5_m12_v", d) { p =>
       val emb = Tables.embeddings(s, d)
       graft.sources.NeighborGraph.build(emb.filter(col("vec_id") % 50 =!= 7),
         p.toString, m = 12, numTables = 6, planesPerTable = 5, nBuckets = 16)
@@ -2856,7 +2856,7 @@ object Vectors {
   // graph's search, oracle = the filtered-corpus restatement with no
   // append CTEs at all — the deleted nodes leave no trace).
   private def nngRtbf(s: SparkSession, d: String): java.nio.file.Path =
-    graft.Stage.derived("nng_rtbf_6x5_m12", d) { p =>
+    graft.Stage.derived("nng_rtbf_6x5_m12_v", d) { p =>
       val emb = Tables.embeddings(s, d)
       graft.sources.NeighborGraph.build(emb.filter(col("vec_id") % 50 =!= 7),
         p.toString, m = 12, numTables = 6, planesPerTable = 5, nBuckets = 16)

@@ -32,18 +32,23 @@ import graft.operators.Similarity
   * whole trajectory — and therefore the result — is reproducible by an
   * unrolled SQL restatement.
   *
-  * Scale shape (the point of the structure): per round the work is (a)
-  * one partition-pruned edges read filtered to ≤ |beam| literal src ids,
-  * (b) one predicate-pushdown corpus read filtered to the ≤ |beam|·m
-  * newly-reached ids. The driver holds only (query, node, sim) triples —
-  * bounded by queries·(beamWidth + rounds·beamWidth·m), never
-  * corpus-sized (the probeTopK bounded-collect convention). Nothing in
-  * the search touches more of the corpus than the visited neighborhood.
+  * Scale shape (the point of the structure): edges carry their dst's
+  * embedding (the HNSW trade — vectors co-located with adjacency at the
+  * cost of an m× vector copy), so a search round is ONE partition-pruned
+  * edges read filtered to ≤ |beam| literal src ids that expands AND
+  * scores in the same plan — the corpus is never touched after the
+  * entry-point scoring. The driver holds only (query, node, sim)
+  * triples — bounded by queries·(beamWidth + rounds·beamWidth·m), never
+  * corpus-sized (the probeTopK bounded-collect convention).
   */
 object NeighborGraph {
 
   /** Build the k-NN graph and stage it partitioned by src bucket.
-    * Edges carry (src, dst, sim, rank) with rank 1..m per src. */
+    * Edges carry (src, dst, sim, rank, dst_emb, dst_nrm) with rank 1..m
+    * per src; dst_emb/dst_nrm are the dst vector and its L2 norm, exactly
+    * the doubles the corpus read would produce (float→double cast is
+    * exact; parquet round-trips doubles bit-identically), so fused
+    * search scoring matches a corpus-read restatement verbatim. */
   def build(emb: DataFrame, path: String, m: Int, numTables: Int,
       planesPerTable: Int, nBuckets: Int): Unit = {
     // threshold -1.0 keeps every bucket-collision pair: a navigable graph
@@ -55,10 +60,16 @@ object NeighborGraph {
         col("sim"))
       .unionByName(pairs.select(col("vec_b").as("src"),
         col("vec_a").as("dst"), col("sim")))
-    both
+    val cut = both
       .withColumn("rank", row_number().over(
         Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)))
       .filter(col("rank") <= m)
+    cut
+      .join(emb.select(col("vec_id").as("dst"),
+        asDouble(col("embedding")).as("dst_emb"),
+        l2Norm(col("embedding")).as("dst_nrm")), "dst")
+      .select(col("src"), col("dst"), col("sim"), col("rank"),
+        col("dst_emb"), col("dst_nrm")) // one field order across all files
       .withColumn("src_bucket", col("src") % nBuckets)
       .write.mode("overwrite").partitionBy("src_bucket")
       .parquet(s"$path/edges")
@@ -86,11 +97,27 @@ object NeighborGraph {
     val found = beamSearch(spark, path, newEmb, corpus, k = m,
       beamWidth = beamWidth, rounds = rounds, nBuckets = nBuckets,
       nEntries = nEntries)
+    // Attach the stored-vector columns: forward edges carry the FOUND
+    // neighbor's vector (bounded literal-IN corpus read — ≤ |batch|·m
+    // ids), back-links carry the NEW vector's (already in the batch).
+    val foundIds = found.select(col("neighbor_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val nbrEmb = corpus.filter(col("vec_id").isin(foundIds: _*))
+      .select(col("vec_id").as("dst"),
+        asDouble(col("embedding")).as("dst_emb"),
+        l2Norm(col("embedding")).as("dst_nrm"))
+    val newVec = newEmb.select(col("vec_id").as("dst"),
+      asDouble(col("embedding")).as("dst_emb"),
+      l2Norm(col("embedding")).as("dst_nrm"))
     val fwd = found.select(col("query_id").as("src"),
-      col("neighbor_id").as("dst"), col("sim"), col("rank"))
+        col("neighbor_id").as("dst"), col("sim"), col("rank"))
+      .join(broadcast(nbrEmb), "dst")
     val back = found.select(col("neighbor_id").as("src"),
-      col("query_id").as("dst"), col("sim"), lit(0).as("rank"))
+        col("query_id").as("dst"), col("sim"), lit(0).as("rank"))
+      .join(broadcast(newVec), "dst")
     fwd.unionByName(back)
+      .select(col("src"), col("dst"), col("sim"), col("rank"),
+        col("dst_emb"), col("dst_nrm"))
       .withColumn("src_bucket", col("src") % nBuckets)
       .write.mode("append").partitionBy("src_bucket")
       .parquet(s"$path/edges")
@@ -143,10 +170,20 @@ object NeighborGraph {
     * Multiple entries are the standard navigability fix for a flat k-NN
     * graph (no hierarchy, no long-range links): ids are uncorrelated
     * with embedding position, so the smallest n ids are n independent
-    * starts — still fully deterministic. */
-  def entryNodes(spark: SparkSession, path: String, n: Int): Seq[Long] =
-    spark.read.parquet(s"$path/edges").select(col("src")).distinct()
-      .orderBy(col("src")).limit(n).collect().map(_.getLong(0)).toSeq
+    * starts — still fully deterministic.
+    *
+    * Memoized on the layout's LISTING fingerprint (the [[graft.Stage]]
+    * staleness discipline — relative path + size + mtime, no data read):
+    * repeated serving probes of an immutable staged graph skip the scan,
+    * while any append/delete changes the listing and invalidates. */
+  def entryNodes(spark: SparkSession, path: String, n: Int): Seq[Long] = {
+    val key = (path, n, graft.Stage.fingerprint(s"$path/edges"))
+    entryMemo.computeIfAbsent(key, _ =>
+      spark.read.parquet(s"$path/edges").select(col("src")).distinct()
+        .orderBy(col("src")).limit(n).collect().map(_.getLong(0)).toSeq)
+  }
+  private val entryMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, String), Seq[Long]]()
 
   /** The per-round frontier read: edges of the given src ids, as a
     * partition-pruned (src_bucket IN buckets-of-frontier) +
@@ -156,7 +193,14 @@ object NeighborGraph {
     * whole graph. */
   def frontierEdges(spark: SparkSession, path: String, srcIds: Seq[Long],
       nBuckets: Int): DataFrame =
-    spark.read.parquet(s"$path/edges")
+    frontierEdges(spark.read.parquet(s"$path/edges"), srcIds, nBuckets)
+
+  /** Same contract over a pre-read edges relation — the serving loop
+    * reads the layout ONCE and filters it per round, so schema
+    * inference/footer listing is not re-paid every round. */
+  def frontierEdges(edges: DataFrame, srcIds: Seq[Long],
+      nBuckets: Int): DataFrame =
+    edges
       .filter(col("src_bucket").isin(srcIds.map(_ % nBuckets).distinct: _*)
         && col("src").isin(srcIds: _*))
 
@@ -168,51 +212,144 @@ object NeighborGraph {
   def beamSearch(spark: SparkSession, path: String, queries: DataFrame,
       corpus: DataFrame, k: Int, beamWidth: Int, rounds: Int,
       nBuckets: Int, nEntries: Int = 1): DataFrame = {
-    import spark.implicits._
-    val q = queries.select(col("vec_id").as("query_id"),
-      asDouble(col("embedding")).as("q_emb"),
-      l2Norm(col("embedding")).as("q_nrm"))
-    val embN = corpus.select(col("vec_id"),
-      asDouble(col("embedding")).as("n_emb"),
-      l2Norm(col("embedding")).as("n_nrm"))
-    // Score (query, node) pairs: predicate-pushdown corpus read of just
-    // the candidate ids, broadcast pair list + broadcast queries.
-    def score(pairs: Seq[(Long, Long)]): Array[(Long, Long, Double)] = {
-      if (pairs.isEmpty) return Array.empty
-      val ids = pairs.map(_._2).distinct.sorted
-      val pdf = pairs.toDF("query_id", "node")
-      embN.filter(col("vec_id").isin(ids: _*))
-        .join(broadcast(pdf), col("vec_id") === col("node"))
-        .join(broadcast(q), "query_id")
-        .select(col("query_id"), col("node"),
-          round(dotProduct(col("q_emb"), col("n_emb"))
-            / (col("q_nrm") * col("n_nrm")), 6).as("sim"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // Serving-loop conf scope: each round's plan embeds fresh literal IN
+    // lists, so whole-stage codegen recompiles per round (~100ms) to
+    // execute over ≤ beam·m rows, and AQE re-plans a query whose every
+    // exchange is a broadcast — both are pure overhead at probe
+    // cardinality. Interpreted eval is exact (DotProductExpr.nullSafeEval
+    // is the same double arithmetic), so results are unchanged.
+    val confKeys = Seq("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confKeys.map { case (key, _) => key -> spark.conf.getOption(key) }
+    confKeys.foreach { case (key, v) => spark.conf.set(key, v) }
+    try beamSearchImpl(spark, path, queries, corpus, k, beamWidth, rounds,
+      nBuckets, nEntries)
+    finally prev.foreach {
+      case (key, Some(v)) => spark.conf.set(key, v)
+      case (key, None) => spark.conf.unset(key)
     }
-    val entries = entryNodes(spark, path, nEntries)
-    val queryIds = q.select(col("query_id")).collect().map(_.getLong(0))
-    // visited: (query, node) -> sim. Bounded by queries·rounds·beam·m.
-    var visited: Map[(Long, Long), Double] =
-      score(for (qi <- queryIds.toSeq; e <- entries) yield qi -> e)
-        .map { case (qi, n, s) => (qi, n) -> s }.toMap
+  }
+
+  private def beamSearchImpl(spark: SparkSession, path: String,
+      queries: DataFrame, corpus: DataFrame, k: Int, beamWidth: Int,
+      rounds: Int, nBuckets: Int, nEntries: Int): DataFrame = {
+    import spark.implicits._
+    val prof = sys.env.contains("GRAFT_NNG_PROF")
+    def t[T](name: String)(f: => T): T =
+      if (!prof) f else {
+        val t0 = System.nanoTime(); val res = f
+        System.err.println(
+          f"[nng] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        res
+      }
+    // Materialize the queries ONCE (bounded by the probe-batch contract).
+    val qRows: Array[(Long, Array[Double], Double)] = t("qCollect") { queries
+      .select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("q_emb"),
+        l2Norm(col("embedding")).as("q_nrm"))
+      .collect()
+      .map(x => (x.getLong(0), x.getSeq[Double](1).toArray, x.getDouble(2))) }
+    // The layout is read ONCE per search; rounds filter this relation
+    // (planning-time pruning still applies — the filters are literal).
+    val edges = t("readEdges")(spark.read.parquet(s"$path/edges"))
+    val entries = t("entryNodes")(entryNodes(spark, path, nEntries))
+
+    // Scoring happens on the DRIVER over the collected candidate vectors
+    // (bounded by frontier·m rows — the same rows a join-side plan would
+    // collect as triples, just with their stored vectors attached), so a
+    // round is ONE pure partition-pruned scan: no broadcast exchanges, no
+    // join, no per-round codegen. The arithmetic replicates the engine's
+    // exactly: dot is DotProductDouble.nullSafeEval's left-to-right loop
+    // over the min length; round is Round's DoubleType path
+    // (BigDecimal(d).setScale(6, HALF_UP)) — bit-identical results, which
+    // the unchanged DuckDB oracles re-verify end to end.
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    // (dst, dst_emb, dst_nrm) rows; src = -1 marks entry-vector rows
+    // (scored against every query), real src marks frontier-edge rows.
+    val ENTRY = -1L
+    val entVecs = corpus.filter(col("vec_id").isin(entries: _*))
+      .select(lit(ENTRY).as("src"), col("vec_id").as("dst"),
+        asDouble(col("embedding")).as("dst_emb"),
+        l2Norm(col("embedding")).as("dst_nrm"))
+    def edgeVecs(srcIds: Seq[Long]): DataFrame =
+      frontierEdges(edges, srcIds, nBuckets)
+        .select(col("src"), col("dst"), col("dst_emb"), col("dst_nrm"))
+    def drain(df: DataFrame): Array[(Long, Long, Array[Double], Double)] =
+      t("drain")(df.collect().map(x =>
+        (x.getLong(0), x.getLong(1), x.getSeq[Double](2).toArray,
+          x.getDouble(3))))
     def beamOf(v: Map[(Long, Long), Double]): Seq[(Long, Long)] =
       v.toSeq.groupBy(_._1._1).toSeq.flatMap { case (_, entries) =>
         entries.sortBy { case ((_, node), sim) => (-sim, node) }
           .take(beamWidth).map(_._1)
       }
+    // visited: (query, node) -> sim. Bounded by queries·rounds·beam·m.
+    var visited = Map.empty[(Long, Long), Double]
+    // Driver adjacency cache: each src's out-edges are READ once however
+    // many queries' beams pass through it; later rounds score from the
+    // cache (bounded by the same rounds·beam·m budget as `visited`).
+    var adj = Map.empty[Long, Array[(Long, Array[Double], Double)]]
+    val qv = qRows.map(x => x._1 -> ((x._2, x._3))).toMap
+    def score(qid: Long, dst: Long, e: Array[Double], n: Double): Unit =
+      if (!visited.contains((qid, dst))) {
+        val (qe, qn) = qv(qid)
+        visited += (qid, dst) -> round6(dot(qe, e) / (qn * n))
+      }
+    def fetch(srcIds: Seq[Long], withEntryVecs: Boolean): Unit = {
+      val need = srcIds.distinct.filterNot(adj.contains).sorted
+      val rows =
+        if (withEntryVecs && need.nonEmpty)
+          drain(entVecs.unionByName(edgeVecs(need)))
+        else if (withEntryVecs) drain(entVecs)
+        else if (need.nonEmpty) drain(edgeVecs(need))
+        else Array.empty[(Long, Long, Array[Double], Double)]
+      adj ++= rows.filter(_._1 != ENTRY).groupBy(_._1)
+        .view.mapValues(_.map(x => (x._2, x._3, x._4))).toMap
+      // a read src with zero surviving rows must still memoize as empty
+      adj ++= need.filterNot(adj.contains)
+        .map(_ -> Array.empty[(Long, Array[Double], Double)])
+      if (withEntryVecs)
+        for ((qid, _, _) <- qRows; (_, dst, e, n) <- rows.filter(_._1 == ENTRY))
+          score(qid, dst, e, n)
+    }
+    def expand(frontier: Seq[(Long, Long)]): Int = {
+      val before = visited.size
+      for ((qid, src) <- frontier; (dst, e, n) <- adj.getOrElse(src,
+          Array.empty[(Long, Array[Double], Double)]))
+        score(qid, dst, e, n)
+      visited.size - before
+    }
     var r = 0
-    var frontier = beamOf(visited)
-    while (r < rounds && frontier.nonEmpty) {
-      val srcIds = frontier.map(_._2).distinct.sorted
-      val beamDf = frontier.toDF("query_id", "src")
-      // partition-pruned + literal-IN edge expansion of the frontier
-      val expanded = frontierEdges(spark, path, srcIds, nBuckets)
-        .join(broadcast(beamDf), "src")
-        .select(col("query_id"), col("dst"))
-        .distinct()
-        .collect().map(x => (x.getLong(0), x.getLong(1)))
-      val fresh = expanded.filter(p => !visited.contains(p)).toSeq
-      visited ++= score(fresh).map { case (qi, n, s) => (qi, n) -> s }
+    var frontier: Seq[(Long, Long)] = Seq.empty
+    if (nEntries <= beamWidth) {
+      // Round 1's frontier is ALL entries for every query regardless of
+      // their scores (nEntries ≤ beamWidth ⇒ the beam over the entry set
+      // cannot prune) — so entry vectors and the first expansion are
+      // fetched by ONE unioned job instead of two.
+      frontier = for ((qi, _, _) <- qRows.toSeq; e <- entries) yield qi -> e
+      fetch(entries, withEntryVecs = true)
+      expand(frontier)
+      frontier = beamOf(visited)
+      r = 1
+    } else {
+      fetch(Seq.empty, withEntryVecs = true)
+      frontier = beamOf(visited)
+    }
+    var fixpoint = false
+    while (r < rounds && frontier.nonEmpty && !fixpoint) {
+      fetch(frontier.map(_._2), withEntryVecs = false)
+      // a round that adds no score leaves the beam — hence every later
+      // round — unchanged: stop early instead of re-walking the fixpoint
+      fixpoint = expand(frontier) == 0
       frontier = beamOf(visited)
       r += 1
     }

@@ -2968,6 +2968,114 @@ object Vectors {
       |FROM ts CROSS JOIN st CROSS JOIN dg
       |ORDER BY threshold_ppm""".stripMargin
 
+  // --- q353/q354: graph compaction (audit + serve) --------------------------
+  // The verb q351's decision rule prices: build without the 2% holdout,
+  // append it (leaving rank-0 back-links and over-cap degrees), then
+  // COMPACT — re-cut every pending src (degree > 12 or holding a rank-0
+  // sentinel) to its top-12 by (sim DESC, dst ASC) with ranks renumbered,
+  // rewriting ONLY the buckets that hold one (crash-atomic swap; the
+  // file-listing proof that untouched buckets stay closed is
+  // NeighborGraphSpec's). q353 fingerprints the compacted relation
+  // (counts, zero back-links, degree cap, dense ranks, sim/key
+  // checksums — the oracle re-derives the WHOLE compacted edge set:
+  // base CTEs + insertion search + the same pending-bucket re-cut);
+  // q354 proves the compacted graph SERVES (8-probe search, oracle =
+  // the unrolled walk over the re-derived compacted relation).
+  private def nngCpt(s: SparkSession, d: String): java.nio.file.Path =
+    graft.Stage.derived("nng_cpt_6x5_m12_v", d) { p =>
+      val emb = Tables.embeddings(s, d)
+      graft.sources.NeighborGraph.build(emb.filter(col("vec_id") % 50 =!= 7),
+        p.toString, m = 12, numTables = 6, planesPerTable = 5, nBuckets = 16)
+      graft.sources.NeighborGraph.append(s, p.toString,
+        emb.filter(col("vec_id") % 50 === 7), emb, m = 12, beamWidth = 16,
+        rounds = 5, nBuckets = 16, nEntries = 8)
+      graft.sources.NeighborGraph.compact(s, p.toString, m = 12, nBuckets = 16)
+      ()
+    }
+
+  /** The compacted edge relation, re-derived: appended layout (`lay`,
+    * the q351 CTE with sim/rank kept) → pending buckets (a src over the
+    * cap or carrying a rank-0 sentinel) → per-src top-12 re-cut inside
+    * them, verbatim rows outside. */
+  private val nngCptCtes: String =
+    s"""${nngEdgeCtesW("vec_id % 50 <> 7")},
+      |${nngSearchCtesW("a", "vec_id % 50 = 7", "edges")},
+      |afwd AS MATERIALIZED (
+      |  SELECT query_id AS src, node AS dst, sim, rank FROM (
+      |    SELECT query_id, node, sim,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rank
+      |    FROM av5)
+      |  WHERE rank <= 12),
+      |lay AS MATERIALIZED (
+      |  SELECT src, dst, sim, rank FROM edges
+      |  UNION ALL SELECT src, dst, sim, rank FROM afwd
+      |  UNION ALL SELECT dst, src, sim, 0 FROM afwd),
+      |tb AS (
+      |  SELECT DISTINCT src % 16 AS b FROM lay GROUP BY src
+      |  HAVING COUNT(*) > 12 OR SUM(CASE WHEN rank = 0 THEN 1 ELSE 0 END) > 0),
+      |cedges AS MATERIALIZED (
+      |  SELECT src, dst, sim, rank FROM lay
+      |  WHERE src % 16 NOT IN (SELECT b FROM tb)
+      |  UNION ALL
+      |  SELECT src, dst, sim, rk AS rank FROM (
+      |    SELECT src, dst, sim,
+      |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
+      |    FROM lay WHERE src % 16 IN (SELECT b FROM tb))
+      |  WHERE rk <= 12)""".stripMargin
+
+  def q353(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = s.read.parquet(s"${nngCpt(s, d)}/edges")
+    val degStats = edges.groupBy($"src")
+      .agg(count(lit(1)).as("dg"), max($"rank").as("mx"), min($"rank").as("mn"))
+      .agg(max($"dg").as("max_degree"),
+        sum(when($"mx" =!= $"dg" || $"mn" =!= 1, 1L).otherwise(0L))
+          .as("n_nondense_srcs"))
+    edges.agg(count(lit(1)).as("n_edges"),
+        countDistinct($"src").as("n_srcs"),
+        sum(when($"rank" === 0, 1L).otherwise(0L)).as("n_back_links"),
+        sum(round($"sim" * 1e6).cast("long")).as("sum_sim_e6"),
+        sum($"src" * 100003L + $"dst").as("sum_key"))
+      .crossJoin(broadcast(degStats))
+  }
+  val q353Sql: String =
+    s"""WITH $nngCptCtes,
+      |deg AS (
+      |  SELECT src, CAST(COUNT(*) AS BIGINT) AS dg,
+      |    MAX(rank) AS mx, MIN(rank) AS mn
+      |  FROM cedges GROUP BY src),
+      |ds AS (
+      |  SELECT MAX(dg) AS max_degree,
+      |    CAST(SUM(CASE WHEN mx <> dg OR mn <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_nondense_srcs
+      |  FROM deg)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+      |  CAST(COUNT(DISTINCT src) AS BIGINT) AS n_srcs,
+      |  CAST(SUM(CASE WHEN rank = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_back_links,
+      |  CAST(SUM(CAST(ROUND(sim * 1e6) AS BIGINT)) AS BIGINT) AS sum_sim_e6,
+      |  CAST(SUM(src * 100003 + dst) AS BIGINT) AS sum_key,
+      |  max_degree, n_nondense_srcs
+      |FROM cedges CROSS JOIN ds
+      |GROUP BY max_degree, n_nondense_srcs""".stripMargin
+
+  def q354(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    graft.sources.NeighborGraph.beamSearch(s, nngCpt(s, d).toString,
+        emb.filter($"vec_id" < 8), emb, k = 5, beamWidth = 16, rounds = 5,
+        nBuckets = 16, nEntries = 8)
+      .orderBy($"query_id", $"rank")
+  }
+  val q354Sql: String =
+    s"""WITH $nngCptCtes,
+      |${nngSearchCtesW("p", "vec_id < 8", "cedges")}
+      |SELECT query_id, neighbor_id, rank, sim FROM (
+      |  SELECT query_id, node AS neighbor_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rank
+      |  FROM pv5 WHERE node <> query_id)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q341_nng_build", q341 _, Some(q341Sql)),
     ("q342_nng_search", q342 _, Some(q342Sql)),
@@ -2977,6 +3085,8 @@ object Vectors {
     ("q347_nng_delete_audit", q347 _, Some(q347Sql)),
     ("q348_nng_delete_probe", q348 _, Some(q348Sql)),
     ("q351_nng_maintenance", q351 _, Some(q351Sql)),
+    ("q353_nng_compact_audit", q353 _, Some(q353Sql)),
+    ("q354_nng_compact_probe", q354 _, Some(q354Sql)),
     ("q271_pca_power_iteration", q271 _, Some(q271Sql)),
     ("q320_matryoshka_recall", q320 _, Some(q320Sql)),
     ("q321_cluster_quality", q321 _, Some(q321Sql)),

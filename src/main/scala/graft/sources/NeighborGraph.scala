@@ -166,6 +166,50 @@ object NeighborGraph {
     AtomicSwap.recover(java.nio.file.Paths.get(path),
       tag => java.nio.file.Paths.get(s"$path/edges/src_bucket=$tag"))
 
+  /** Compaction — the maintenance verb [[append]] prices via the rank-0
+    * sentinel (the q351 decision's "compact" branch): appends leave
+    * back-links that overflow node degrees past the build cap and carry
+    * rank 0 ("pending re-rank"), degrading the top-m pruning contract.
+    * Compact restores it by re-cutting each PENDING node — one whose
+    * degree exceeds `m` or that holds a rank-0 edge — to its top-m
+    * out-edges by (sim DESC, dst ASC) with ranks renumbered 1..m.
+    *
+    * Like [[delete]], the rewrite is partition-scoped: one aggregate
+    * scan finds the buckets holding a pending src (a src's out-edges all
+    * live in bucket src % nBuckets, so per-src degree is bucket-local),
+    * and ONLY those buckets are rewritten (crash-atomically, via
+    * [[AtomicSwap]]); within a rewritten bucket every src is re-cut
+    * (within-cap srcs keep their full edge set — the re-cut only
+    * renumbers their ranks on the same (sim DESC, dst ASC) order the
+    * build used). Untouched buckets' files are never opened: the cost is
+    * the append-churned fraction of the graph, not its size — at 100 TB
+    * this is what lets the maintenance loop run as a periodic bounded
+    * job instead of a rebuild. */
+  def compact(spark: SparkSession, path: String, m: Int,
+      nBuckets: Int): Unit = {
+    recoverSwaps(path)
+    val edges = spark.read.parquet(s"$path/edges")
+    val touched = edges.groupBy(col("src")).agg(count(lit(1)).as("d"),
+        sum(when(col("rank") === 0, 1L).otherwise(0L)).as("z"))
+      .filter(col("d") > m || col("z") > 0)
+      .select((col("src") % nBuckets).as("b")).distinct()
+      .collect().map(_.getAs[Number](0).longValue).sorted
+    touched.foreach { b =>
+      val dir = java.nio.file.Paths.get(s"$path/edges/src_bucket=$b")
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val recut = spark.read.parquet(dir.toString)
+          .withColumn("rank", row_number().over(Window.partitionBy("src")
+            .orderBy(col("sim").desc, col("dst").asc)))
+          .filter(col("rank") <= m)
+          .select(col("src"), col("dst"), col("sim"), col("rank"),
+            col("dst_emb"), col("dst_nrm"))
+        AtomicSwap.swap(java.nio.file.Paths.get(path), b.toString, dir) {
+          tmp => recut.write.mode("overwrite").parquet(tmp.toString)
+        }
+      }
+    }
+  }
+
   /** Deterministic entry points: the `n` smallest node ids in the graph.
     * Multiple entries are the standard navigability fix for a flat k-NN
     * graph (no hierarchy, no long-range links): ids are uncorrelated

@@ -106,6 +106,79 @@ class NeighborGraphSpec extends AnyFunSuite {
     assert(after == base, "append∘delete must be the identity on the base graph")
   }
 
+  private def listing(p: String, b: Long): Seq[String] = {
+    val dir = java.nio.file.Paths.get(s"$p/edges/src_bucket=$b")
+    val s = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(f => s"${f.getFileName}|" +
+        java.nio.file.Files.getLastModifiedTime(f).toMillis).toSeq.sorted
+    } finally s.close()
+  }
+
+  test("compact restores the degree cap and rewrites only pending buckets") {
+    import spark.implicits._
+    val p = TempDirs.fresh("graft_nngcpt")
+    NeighborGraph.build(emb.filter($"vec_id" =!= 7), p.toString,
+      m = 4, numTables = 6, planesPerTable = 5, nBuckets = 8)
+    // a single-node batch: fwd edges land in one bucket, rank-0
+    // back-links in at most m more — a strict subset of the 8 buckets,
+    // so the untouched remainder can prove the rewrite is scoped
+    NeighborGraph.append(spark, p.toString, emb.filter($"vec_id" === 7),
+      emb, m = 4, beamWidth = 8, rounds = 3, nBuckets = 8, nEntries = 4)
+    val pre = spark.read.parquet(s"$p/edges")
+    // pending = over-cap degree or rank-0 sentinel; their buckets get
+    // rewritten, every other bucket must keep its exact file listing
+    val pendingBuckets = pre.groupBy($"src")
+      .agg(count(lit(1)).as("d"),
+        sum(when($"rank" === 0, 1L).otherwise(0L)).as("z"))
+      .filter($"d" > 4 || $"z" > 0)
+      .select(($"src" % 8).as("b")).distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSet
+    assert(pendingBuckets.nonEmpty && pendingBuckets.size < 8,
+      s"need a partial pending set to prove scoping, got $pendingBuckets")
+    val untouched = (0L until 8L).filterNot(pendingBuckets)
+    val before = untouched.map(b => b -> listing(p.toString, b)).toMap
+    // within-cap srcs' edge SETS must survive the re-cut untouched
+    val keepSets = pre.groupBy($"src").agg(count(lit(1)).as("d"))
+      .filter($"d" <= 4).select($"src").collect().map(_.getLong(0)).toSet
+    val preKept = pre.filter($"src".isin(keepSets.toSeq: _*))
+      .select($"src", $"dst", $"sim").collect().toSet
+    NeighborGraph.compact(spark, p.toString, m = 4, nBuckets = 8)
+    untouched.foreach { b =>
+      assert(listing(p.toString, b) == before(b), s"untouched bucket $b rewritten")
+    }
+    val post = spark.read.parquet(s"$p/edges")
+    val deg = post.groupBy($"src").agg(count(lit(1)).as("d"),
+      max($"rank").as("mx"), min($"rank").as("mn"))
+    assert(deg.agg(max($"d")).head.getLong(0) <= 4, "degree cap not restored")
+    assert(post.filter($"rank" === 0).count() == 0, "rank-0 sentinels survived")
+    assert(deg.filter($"mx" =!= $"d" || $"mn" =!= 1).count() == 0,
+      "ranks not dense 1..deg after compaction")
+    assert(post.filter($"src".isin(keepSets.toSeq: _*))
+      .select($"src", $"dst", $"sim").collect().toSet == preKept,
+      "a within-cap src lost or changed an edge")
+  }
+
+  test("compact of a clean build is a no-op and serving is unchanged") {
+    import spark.implicits._
+    val p = TempDirs.fresh("graft_nngcpt_noop")
+    NeighborGraph.build(emb, p.toString, m = 4, numTables = 6,
+      planesPerTable = 5, nBuckets = 8)
+    val before = (0L until 8L).map(b => b -> listing(p.toString, b)).toMap
+    val queries = emb.filter($"vec_id" < 3)
+    def serve() = NeighborGraph.beamSearch(spark, p.toString, queries, emb,
+        k = 3, beamWidth = 8, rounds = 3, nBuckets = 8, nEntries = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val preServe = serve()
+    NeighborGraph.compact(spark, p.toString, m = 4, nBuckets = 8)
+    (0L until 8L).foreach { b =>
+      assert(listing(p.toString, b) == before(b),
+        s"clean bucket $b rewritten by a no-op compaction")
+    }
+    assert(serve() == preServe, "no-op compaction changed serving results")
+  }
+
   test("beam search is deterministic and finds brute-force top-k when the beam covers the corpus") {
     import spark.implicits._
     val queries = emb.filter($"vec_id" < 3)

@@ -2610,39 +2610,80 @@ object Vectors {
     * `corpusWhere` restricts which vectors are graph members (the
     * incremental-build split in q345/q346). */
   private def nngEdgeCtesW(corpusWhere: String): String =
-    s"""comps AS MATERIALIZED (
+    nngEdgeCtesP("", corpusWhere)
+
+  /** [[nngEdgeCtesW]] with a NAME PREFIX so several edge relations (the
+    * two layers of a hierarchical build, a refined-vs-base chain) can
+    * coexist in one statement; the relation lands in `${p}edges`. */
+  private def nngEdgeCtesP(p: String, corpusWhere: String): String =
+    s"""${p}comps AS MATERIALIZED (
       |  SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
       |         unnest(embedding::DOUBLE[]) AS v
       |  FROM embeddings WHERE $corpusWhere
-      |), dots AS MATERIALIZED (
+      |), ${p}dots AS MATERIALIZED (
       |  SELECT vec_id, p,
       |    SUM(CAST(FLOOR(v * ((pos * 7919 + p * 1000003) * 2654435761 % 2049 - 1024) * 1e9)
       |        AS BIGINT)) AS d
-      |  FROM comps, (SELECT unnest(range(0, 30)) AS p) pl
+      |  FROM ${p}comps, (SELECT unnest(range(0, 30)) AS p) pl
       |  GROUP BY vec_id, p
-      |), buckets AS MATERIALIZED (
+      |), ${p}buckets AS MATERIALIZED (
       |  SELECT vec_id, p // 5 AS table_id,
       |    CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << (p % 5)) ELSE 0 END) AS BIGINT) AS bucket
-      |  FROM dots GROUP BY vec_id, p // 5
-      |), candn AS MATERIALIZED (
+      |  FROM ${p}dots GROUP BY vec_id, p // 5
+      |), ${p}candn AS MATERIALIZED (
       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-      |  FROM buckets a JOIN buckets b
+      |  FROM ${p}buckets a JOIN ${p}buckets b
       |    ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-      |), scn AS MATERIALIZED (
+      |), ${p}scn AS MATERIALIZED (
       |  SELECT c.vec_a, c.vec_b,
       |    ROUND(${cosSql("ea.embedding::DOUBLE[]", "eb.embedding::DOUBLE[]")}, 6) AS sim
-      |  FROM candn c
+      |  FROM ${p}candn c
       |  JOIN embeddings ea ON ea.vec_id = c.vec_a
       |  JOIN embeddings eb ON eb.vec_id = c.vec_b
-      |), bothn AS (
-      |  SELECT vec_a AS src, vec_b AS dst, sim FROM scn
+      |), ${p}bothn AS (
+      |  SELECT vec_a AS src, vec_b AS dst, sim FROM ${p}scn
       |  UNION ALL
-      |  SELECT vec_b, vec_a, sim FROM scn
-      |), edges AS MATERIALIZED (
+      |  SELECT vec_b, vec_a, sim FROM ${p}scn
+      |), ${p}edges AS MATERIALIZED (
       |  SELECT src, dst, sim, rk AS rank FROM (
       |    SELECT src, dst, sim,
       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
-      |    FROM bothn)
+      |    FROM ${p}bothn)
+      |  WHERE rk <= 12)""".stripMargin
+
+  /** One NN-descent refinement restated (NeighborGraph.build's
+    * refineRounds = 1): each node's undirected neighborhood (out ∪
+    * reverse edges, capped at 2m = 24 by (sim DESC, dst ASC)) proposes
+    * all sibling pairs, candidates = those ∪ current edges, exact-rerank,
+    * re-cut to top-12. Consumes `$baseEdges`, lands in `${p}edges`. */
+  private def nngRefineCtes(p: String, baseEdges: String): String =
+    s"""${p}und AS MATERIALIZED (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst, sim,
+      |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS ur
+      |    FROM (SELECT DISTINCT src, dst, sim FROM (
+      |      SELECT src, dst, sim FROM $baseEdges
+      |      UNION ALL SELECT dst, src, sim FROM $baseEdges)))
+      |  WHERE ur <= 24
+      |), ${p}rcand AS MATERIALIZED (
+      |  SELECT DISTINCT vec_a, vec_b FROM (
+      |    SELECT e1.dst AS vec_a, e2.dst AS vec_b
+      |    FROM ${p}und e1 JOIN ${p}und e2
+      |      ON e1.src = e2.src AND e1.dst < e2.dst
+      |    UNION ALL
+      |    SELECT LEAST(src, dst), GREATEST(src, dst) FROM ${p}und)
+      |), ${p}rsc AS MATERIALIZED (
+      |  SELECT c.vec_a, c.vec_b,
+      |    ROUND(${cosSql("ea.embedding::DOUBLE[]", "eb.embedding::DOUBLE[]")}, 6) AS sim
+      |  FROM ${p}rcand c
+      |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+      |  JOIN embeddings eb ON eb.vec_id = c.vec_b
+      |), ${p}edges AS MATERIALIZED (
+      |  SELECT src, dst, sim, rk AS rank FROM (
+      |    SELECT src, dst, sim,
+      |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
+      |    FROM (SELECT vec_a AS src, vec_b AS dst, sim FROM ${p}rsc
+      |          UNION ALL SELECT vec_b, vec_a, sim FROM ${p}rsc))
       |  WHERE rk <= 12)""".stripMargin
   private val nngEdgeCtes: String = nngEdgeCtesW("TRUE")
   val q341Sql: String =
@@ -2656,8 +2697,15 @@ object Vectors {
     * `qsWhere` selects the query vectors; `edgesRel` names the edge
     * relation to walk (the base `edges` or an augmented union). */
   private def nngSearchCtesW(p: String, qsWhere: String,
-      edgesRel: String): String = {
-    val rounds = (1 to 5).map { r =>
+      edgesRel: String): String =
+    nngSearchCtesP(p, qsWhere, edgesRel, rounds = 5, beam = 16, nEntries = 8)
+
+  /** Rounds `1..rounds` of the unrolled walk at `beam`, reading queries
+    * from `$qsRel` — shared by the fresh-search and continuation
+    * builders. Expects `${p}b0`/`${p}v0` to exist. */
+  private def nngRoundCtes(p: String, qsRel: String, edgesRel: String,
+      rounds: Int, beam: Int): String =
+    (1 to rounds).map { r =>
       s"""${p}e$r AS (
         |  SELECT DISTINCT b.query_id, ed.dst AS node
         |  FROM ${p}b${r - 1} b JOIN $edgesRel ed ON ed.src = b.node
@@ -2665,7 +2713,7 @@ object Vectors {
         |  SELECT en.query_id, en.node,
         |    ROUND(${cosSql("q.qe", "ne.embedding::DOUBLE[]")}, 6) AS sim
         |  FROM ${p}e$r en
-        |  JOIN ${p}qs q ON q.query_id = en.query_id
+        |  JOIN $qsRel q ON q.query_id = en.query_id
         |  JOIN embeddings ne ON ne.vec_id = en.node
         |  WHERE NOT EXISTS (SELECT 1 FROM ${p}v${r - 1} v
         |    WHERE v.query_id = en.query_id AND v.node = en.node)
@@ -2676,13 +2724,19 @@ object Vectors {
         |    SELECT query_id, node, sim,
         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rk
         |    FROM ${p}v$r)
-        |  WHERE rk <= 16)""".stripMargin
+        |  WHERE rk <= $beam)""".stripMargin
     }.mkString(",\n")
+
+  /** Parametrized unrolled search over `$edgesRel` — entry scoring at
+    * `$nEntries` smallest srcs, then `rounds` rounds at `beam`; visited
+    * set lands in `${p}v$rounds`. */
+  private def nngSearchCtesP(p: String, qsWhere: String, edgesRel: String,
+      rounds: Int, beam: Int, nEntries: Int): String =
     s"""${p}qs AS (
       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
       |  FROM embeddings WHERE $qsWhere
       |), ${p}ent AS (
-      |  SELECT src AS e FROM (SELECT DISTINCT src FROM $edgesRel ORDER BY src LIMIT 8)
+      |  SELECT src AS e FROM (SELECT DISTINCT src FROM $edgesRel ORDER BY src LIMIT $nEntries)
       |), ${p}v0 AS MATERIALIZED (
       |  SELECT q.query_id, ent.e AS node,
       |    ROUND(${cosSql("q.qe", "ne.embedding::DOUBLE[]")}, 6) AS sim
@@ -2693,9 +2747,23 @@ object Vectors {
       |    SELECT query_id, node, sim,
       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rk
       |    FROM ${p}v0)
-      |  WHERE rk <= 16),
-      |$rounds""".stripMargin
-  }
+      |  WHERE rk <= $beam),
+      |${nngRoundCtes(p, s"${p}qs", edgesRel, rounds, beam)}""".stripMargin
+
+  /** Continuation walk — the hierarchy descent: rounds over `$edgesRel`
+    * whose round-0 visited set IS `$v0Rel` (the previous phase's final
+    * visited), reading queries from `$qsRel`. No entry scoring. */
+  private def nngContCtes(p: String, qsRel: String, v0Rel: String,
+      edgesRel: String, rounds: Int, beam: Int): String =
+    s"""${p}v0 AS MATERIALIZED (
+      |  SELECT query_id, node, sim FROM $v0Rel
+      |), ${p}b0 AS (
+      |  SELECT query_id, node, sim FROM (
+      |    SELECT query_id, node, sim,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rk
+      |    FROM ${p}v0)
+      |  WHERE rk <= $beam),
+      |${nngRoundCtes(p, qsRel, edgesRel, rounds, beam)}""".stripMargin
   private val nngSearchCtes: String = nngSearchCtesW("", "vec_id < 8", "edges")
 
   def q342(s: SparkSession, d: String): DataFrame = {
@@ -3076,6 +3144,118 @@ object Vectors {
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  // --- q355/q356: hierarchical (HNSW-shaped) graph ANN -----------------------
+  // The two refinements the flat q341 graph lacks, both build-side:
+  //  - NN-DESCENT (refineRounds = 1): each node's undirected neighborhood
+  //    (out ∪ reverse, capped 2m) proposes sibling pairs, exact-reranked,
+  //    re-cut — n·(2m)² work, never all-pairs.
+  //  - HIERARCHY (l1Mod = 8): a deterministically id-sampled coarse layer,
+  //    built with the same machinery, walked FIRST so the base walk's
+  //    entries land near the query (the HNSW descent).
+  // q355 hash-gates the full two-phase trajectory (8 probes: coarse walk
+  // beam 8 × 3 rounds, base continuation beam 16 × 5 rounds; the oracle
+  // restates BOTH layers' builds — LSH seed + refinement round — then
+  // both walks, the continuation's round-0 visited set being the coarse
+  // walk's final one). q356 gates the budget→recall CURVE on the refined
+  // base graph: mean recall@5 vs brute force at three visit budgets in
+  // one result. MEASURED (sf0.1, PLANS.md round 14): the corpus is
+  // ISOTROPIC random (cross-label mean cosine 0.0003, within-label
+  // -0.0017, max pairwise ~0.45) — no manifold for a graph walk to
+  // exploit, so recall at the serving budget is structurally capped
+  // (~0.65-0.80) and rises with budget (≥ 0.85 at beam 64; 1.0 by beam
+  // 128): exactly the budget↔recall trade the curve records. On a
+  // clustered corpus the same machinery shows the standard HNSW profile.
+  private def nngRef(s: SparkSession, d: String): java.nio.file.Path =
+    graft.Stage.derived("nng_hier_r1_6x5_m12_v", d) { p =>
+      graft.sources.NeighborGraph.buildHier(Tables.embeddings(s, d),
+        p.toString, m = 12, numTables = 6, planesPerTable = 5, nBuckets = 16,
+        refineRounds = 1, l1Mod = 8)
+    }
+
+  /** Refined-edge chains: LSH seed (prefix `${p}z`) + one NN-descent
+    * round → `${p}edges`. */
+  private def nngRefEdges(p: String, corpusWhere: String): String =
+    s"""${nngEdgeCtesP(s"${p}z", corpusWhere)},
+      |${nngRefineCtes(p, s"${p}zedges")}""".stripMargin
+
+  def q355(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    graft.sources.NeighborGraph.beamSearchHier(s, nngRef(s, d).toString,
+        emb.filter($"vec_id" < 8), emb, k = 5, l1Beam = 8, l1Rounds = 3,
+        beamWidth = 16, rounds = 5, nBuckets = 16, nEntries = 8)
+      .orderBy($"query_id", $"rank")
+  }
+  val q355Sql: String =
+    s"""WITH ${nngRefEdges("h", "vec_id % 8 = 0")},
+      |${nngRefEdges("g", "TRUE")},
+      |${nngSearchCtesP("a", "vec_id < 8", "hedges", rounds = 3, beam = 8,
+        nEntries = 8)},
+      |${nngContCtes("p", "aqs", "av3", "gedges", rounds = 5, beam = 16)}
+      |SELECT query_id, neighbor_id, rank, sim FROM (
+      |  SELECT query_id, node AS neighbor_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rank
+      |  FROM pv5 WHERE node <> query_id)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  def q356(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter($"vec_id" < 8)
+    val path = nngRef(s, d).toString // base layer = the refined flat graph
+    val bf = Similarity.bruteForceTopK(queries, emb, k = 5, queryCountHint = 8)
+      .select($"query_id", $"neighbor_id")
+    val bfTotal = bf.agg(count(lit(1)).as("k_total"))
+    Seq((16, 5), (32, 6), (64, 8)).map { case (bw, ro) =>
+      val ng = graft.sources.NeighborGraph.beamSearch(s, path, queries, emb,
+          k = 5, beamWidth = bw, rounds = ro, nBuckets = 16, nEntries = 8)
+        .select($"query_id", $"neighbor_id")
+      bf.join(ng, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(bw).as("beam"), lit(ro).as("rounds"), $"n_hits")
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(bfTotal))
+      .select($"beam", $"rounds", $"n_hits", $"k_total",
+        ($"n_hits".cast("double") / $"k_total").as("mean_recall"))
+      .orderBy($"beam")
+  }
+  val q356Sql: String = {
+    val searches = Seq(("u1", 16, 5), ("u2", 32, 6), ("u3", 64, 8))
+    val walkCtes = searches.map { case (p, bw, ro) =>
+      nngSearchCtesP(p, "vec_id < 8", "gedges", rounds = ro, beam = bw,
+        nEntries = 8)
+    }.mkString(",\n")
+    val arms = searches.map { case (p, bw, ro) =>
+      s"""SELECT $bw AS beam, $ro AS rounds, (
+        |  SELECT CAST(COUNT(*) AS BIGINT) FROM bf
+        |  WHERE EXISTS (SELECT 1 FROM (
+        |      SELECT query_id, node AS neighbor_id FROM (
+        |        SELECT query_id, node, sim,
+        |          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rank
+        |        FROM ${p}v$ro WHERE node <> query_id)
+        |      WHERE rank <= 5) a
+        |    WHERE a.query_id = bf.query_id AND a.neighbor_id = bf.neighbor_id)
+        |  ) AS n_hits""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${nngRefEdges("g", "TRUE")},
+      |$walkCtes,
+      |bf AS MATERIALIZED (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        ROUND(${cosSql("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")}, 6) DESC,
+      |        c.vec_id) AS rank
+      |    FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+      |  WHERE rank <= 5),
+      |kt AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_total FROM bf),
+      |arms AS ($arms)
+      |SELECT beam, rounds, n_hits, k_total,
+      |  CAST(n_hits AS DOUBLE) / k_total AS mean_recall
+      |FROM arms CROSS JOIN kt
+      |ORDER BY beam""".stripMargin
+  }
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q341_nng_build", q341 _, Some(q341Sql)),
     ("q342_nng_search", q342 _, Some(q342Sql)),
@@ -3087,6 +3267,8 @@ object Vectors {
     ("q351_nng_maintenance", q351 _, Some(q351Sql)),
     ("q353_nng_compact_audit", q353 _, Some(q353Sql)),
     ("q354_nng_compact_probe", q354 _, Some(q354Sql)),
+    ("q355_nng_hier_probe", q355 _, Some(q355Sql)),
+    ("q356_nng_budget_recall", q356 _, Some(q356Sql)),
     ("q271_pca_power_iteration", q271 _, Some(q271Sql)),
     ("q320_matryoshka_recall", q320 _, Some(q320Sql)),
     ("q321_cluster_quality", q321 _, Some(q321Sql)),

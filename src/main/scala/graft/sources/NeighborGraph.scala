@@ -50,20 +50,62 @@ object NeighborGraph {
     * exact; parquet round-trips doubles bit-identically), so fused
     * search scoring matches a corpus-read restatement verbatim. */
   def build(emb: DataFrame, path: String, m: Int, numTables: Int,
-      planesPerTable: Int, nBuckets: Int): Unit = {
+      planesPerTable: Int, nBuckets: Int, refineRounds: Int = 0): Unit = {
     // threshold -1.0 keeps every bucket-collision pair: a navigable graph
     // wants its long-range links, and the top-m cut below bounds degree.
     val pairs = Similarity.lshSimilarPairs(emb, threshold = -1.0,
       numTables = numTables, planesPerTable = planesPerTable,
       eagerSkewProbe = true)
-    val both = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"),
-        col("sim"))
-      .unionByName(pairs.select(col("vec_b").as("src"),
-        col("vec_a").as("dst"), col("sim")))
-    val cut = both
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)))
-      .filter(col("rank") <= m)
+    def topM(undirected: DataFrame): DataFrame = {
+      val both = undirected.select(col("vec_a").as("src"),
+          col("vec_b").as("dst"), col("sim"))
+        .unionByName(undirected.select(col("vec_b").as("src"),
+          col("vec_a").as("dst"), col("sim")))
+      both
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)))
+        .filter(col("rank") <= m)
+    }
+    var cut = topM(pairs)
+    // NN-descent refinement (Dong et al. 2011): per round, each node's
+    // UNDIRECTED neighborhood — out-edges plus reverse edges, capped at
+    // 2m by (sim DESC, dst ASC) so hub in-degree cannot blow the
+    // generator up — proposes all pairs within it (the sibling rule:
+    // two nodes sharing a neighbor are likely neighbors; this covers
+    // in-out, out-out, and in-in pairs, which a one-direction two-hop
+    // walk misses). Candidates = those sibling pairs ∪ current edges,
+    // exact-reranked, re-cut to top-m. Work is n·(2m)² pairs per round —
+    // linear in corpus, shuffled on the pivot node, never all-pairs.
+    val embN = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"),
+      l2Norm(col("embedding")).as("n"))
+    for (_ <- 1 to refineRounds) {
+      val e = cut.select(col("src"), col("dst"), col("sim"))
+      val und = e
+        .unionByName(e.select(col("dst").as("src"), col("src").as("dst"),
+          col("sim")))
+        .dropDuplicates("src", "dst") // both-direction survivors: same sim
+        .withColumn("ur", row_number().over(Window.partitionBy("src")
+          .orderBy(col("sim").desc, col("dst").asc)))
+        .filter(col("ur") <= 2 * m)
+        .select(col("src"), col("dst"))
+        .persist()
+      val siblings = und.as("e1").join(und.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+        .select(col("e1.dst").as("vec_a"), col("e2.dst").as("vec_b"))
+      val cand = siblings
+        .unionByName(und.select(least(col("src"), col("dst")).as("vec_a"),
+          greatest(col("src"), col("dst")).as("vec_b")))
+        .distinct()
+      val rescored = cand
+        .join(embN.select(col("vec_id").as("vec_a"), col("e").as("e_a"),
+          col("n").as("n_a")), "vec_a")
+        .join(embN.select(col("vec_id").as("vec_b"), col("e").as("e_b"),
+          col("n").as("n_b")), "vec_b")
+        .select(col("vec_a"), col("vec_b"),
+          round(dotProduct(col("e_a"), col("e_b"))
+            / (col("n_a") * col("n_b")), 6).as("sim"))
+      cut = topM(rescored)
+    }
     cut
       .join(emb.select(col("vec_id").as("dst"),
         asDouble(col("embedding")).as("dst_emb"),
@@ -262,21 +304,66 @@ object NeighborGraph {
     // exchange is a broadcast — both are pure overhead at probe
     // cardinality. Interpreted eval is exact (DotProductExpr.nullSafeEval
     // is the same double arithmetic), so results are unchanged.
+    val entries = entryNodes(spark, path, nEntries)
+    inSearchConfScope(spark) {
+      beamSearchPhases(spark, queries, corpus, k,
+        Seq(SearchPhase(s"$path/edges", beamWidth, rounds, nBuckets)), entries)
+    }
+  }
+
+  /** A search phase: walk the staged edge relation at `edgesPath` for
+    * `rounds` rounds at `beamWidth`. Chained phases share one visited
+    * set — the HNSW descent shape (coarse layer seeds the base layer). */
+  case class SearchPhase(edgesPath: String, beamWidth: Int, rounds: Int,
+      nBuckets: Int)
+
+  /** Hierarchical (two-layer) build: the base graph at `path` plus a
+    * deterministically id-sampled coarse layer (`vec_id % l1Mod = 0` —
+    * ids are uncorrelated with embedding position, so this is uniform
+    * sampling any SQL engine restates) at `path/l1`, each built with the
+    * same LSH-seeded machinery. Searching walks the coarse layer first,
+    * which lands the base walk's entry points NEAR the query — the HNSW
+    * hierarchy fix for greedy-walk locality on a flat graph. */
+  def buildHier(emb: DataFrame, path: String, m: Int, numTables: Int,
+      planesPerTable: Int, nBuckets: Int, refineRounds: Int,
+      l1Mod: Int): Unit = {
+    build(emb, path, m, numTables, planesPerTable, nBuckets, refineRounds)
+    build(emb.filter(col("vec_id") % l1Mod === 0), s"$path/l1", m,
+      numTables, planesPerTable, nBuckets, refineRounds)
+  }
+
+  /** Two-phase search over a [[buildHier]] layout: a short coarse-layer
+    * walk (l1Beam/l1Rounds over `path/l1`) seeds the visited set, then
+    * the base walk continues from its best hits instead of from global
+    * entry points. Same exact arithmetic and tie-breaks as [[beamSearch]];
+    * every coarse visit carries into the answer (an L1 node IS a corpus
+    * node), so the budget the two walks spend is the total visited set. */
+  def beamSearchHier(spark: SparkSession, path: String, queries: DataFrame,
+      corpus: DataFrame, k: Int, l1Beam: Int, l1Rounds: Int, beamWidth: Int,
+      rounds: Int, nBuckets: Int, nEntries: Int): DataFrame = {
+    val entries = entryNodes(spark, s"$path/l1", nEntries)
+    inSearchConfScope(spark) {
+      beamSearchPhases(spark, queries, corpus, k,
+        Seq(SearchPhase(s"$path/l1/edges", l1Beam, l1Rounds, nBuckets),
+          SearchPhase(s"$path/edges", beamWidth, rounds, nBuckets)), entries)
+    }
+  }
+
+  private def inSearchConfScope[T](spark: SparkSession)(body: => T): T = {
     val confKeys = Seq("spark.sql.codegen.wholeStage" -> "false",
       "spark.sql.adaptive.enabled" -> "false")
     val prev = confKeys.map { case (key, _) => key -> spark.conf.getOption(key) }
     confKeys.foreach { case (key, v) => spark.conf.set(key, v) }
-    try beamSearchImpl(spark, path, queries, corpus, k, beamWidth, rounds,
-      nBuckets, nEntries)
+    try body
     finally prev.foreach {
       case (key, Some(v)) => spark.conf.set(key, v)
       case (key, None) => spark.conf.unset(key)
     }
   }
 
-  private def beamSearchImpl(spark: SparkSession, path: String,
-      queries: DataFrame, corpus: DataFrame, k: Int, beamWidth: Int,
-      rounds: Int, nBuckets: Int, nEntries: Int): DataFrame = {
+  private def beamSearchPhases(spark: SparkSession, queries: DataFrame,
+      corpus: DataFrame, k: Int, phases: Seq[SearchPhase],
+      entries: Seq[Long]): DataFrame = {
     import spark.implicits._
     val prof = sys.env.contains("GRAFT_NNG_PROF")
     def t[T](name: String)(f: => T): T =
@@ -293,10 +380,6 @@ object NeighborGraph {
         l2Norm(col("embedding")).as("q_nrm"))
       .collect()
       .map(x => (x.getLong(0), x.getSeq[Double](1).toArray, x.getDouble(2))) }
-    // The layout is read ONCE per search; rounds filter this relation
-    // (planning-time pruning still applies — the filters are literal).
-    val edges = t("readEdges")(spark.read.parquet(s"$path/edges"))
-    val entries = t("entryNodes")(entryNodes(spark, path, nEntries))
 
     // Scoring happens on the DRIVER over the collected candidate vectors
     // (bounded by frontier·m rows — the same rows a join-side plan would
@@ -324,79 +407,91 @@ object NeighborGraph {
       .select(lit(ENTRY).as("src"), col("vec_id").as("dst"),
         asDouble(col("embedding")).as("dst_emb"),
         l2Norm(col("embedding")).as("dst_nrm"))
-    def edgeVecs(srcIds: Seq[Long]): DataFrame =
-      frontierEdges(edges, srcIds, nBuckets)
-        .select(col("src"), col("dst"), col("dst_emb"), col("dst_nrm"))
-    def drain(df: DataFrame): Array[(Long, Long, Array[Double], Double)] =
-      t("drain")(df.collect().map(x =>
-        (x.getLong(0), x.getLong(1), x.getSeq[Double](2).toArray,
-          x.getDouble(3))))
-    def beamOf(v: Map[(Long, Long), Double]): Seq[(Long, Long)] =
-      v.toSeq.groupBy(_._1._1).toSeq.flatMap { case (_, entries) =>
-        entries.sortBy { case ((_, node), sim) => (-sim, node) }
-          .take(beamWidth).map(_._1)
-      }
-    // visited: (query, node) -> sim. Bounded by queries·rounds·beam·m.
+    // visited: (query, node) -> sim. Bounded by queries·rounds·beam·m;
+    // shared across phases (a coarse-layer visit is a real corpus visit).
     var visited = Map.empty[(Long, Long), Double]
-    // Driver adjacency cache: each src's out-edges are READ once however
-    // many queries' beams pass through it; later rounds score from the
-    // cache (bounded by the same rounds·beam·m budget as `visited`).
-    var adj = Map.empty[Long, Array[(Long, Array[Double], Double)]]
     val qv = qRows.map(x => x._1 -> ((x._2, x._3))).toMap
     def score(qid: Long, dst: Long, e: Array[Double], n: Double): Unit =
       if (!visited.contains((qid, dst))) {
         val (qe, qn) = qv(qid)
         visited += (qid, dst) -> round6(dot(qe, e) / (qn * n))
       }
-    def fetch(srcIds: Seq[Long], withEntryVecs: Boolean): Unit = {
-      val need = srcIds.distinct.filterNot(adj.contains).sorted
-      val rows =
-        if (withEntryVecs && need.nonEmpty)
-          drain(entVecs.unionByName(edgeVecs(need)))
-        else if (withEntryVecs) drain(entVecs)
-        else if (need.nonEmpty) drain(edgeVecs(need))
-        else Array.empty[(Long, Long, Array[Double], Double)]
-      adj ++= rows.filter(_._1 != ENTRY).groupBy(_._1)
-        .view.mapValues(_.map(x => (x._2, x._3, x._4))).toMap
-      // a read src with zero surviving rows must still memoize as empty
-      adj ++= need.filterNot(adj.contains)
-        .map(_ -> Array.empty[(Long, Array[Double], Double)])
-      if (withEntryVecs)
-        for ((qid, _, _) <- qRows; (_, dst, e, n) <- rows.filter(_._1 == ENTRY))
+    def drain(df: DataFrame): Array[(Long, Long, Array[Double], Double)] =
+      t("drain")(df.collect().map(x =>
+        (x.getLong(0), x.getLong(1), x.getSeq[Double](2).toArray,
+          x.getDouble(3))))
+    def beamOf(beamWidth: Int): Seq[(Long, Long)] =
+      visited.toSeq.groupBy(_._1._1).toSeq.flatMap { case (_, ent) =>
+        ent.sortBy { case ((_, node), sim) => (-sim, node) }
+          .take(beamWidth).map(_._1)
+      }
+    phases.zipWithIndex.foreach { case (ph, phaseIdx) =>
+      // The layout is read ONCE per phase; rounds filter this relation
+      // (planning-time pruning still applies — the filters are literal).
+      val edges = t("readEdges")(spark.read.parquet(ph.edgesPath))
+      // Driver adjacency cache (per phase — relations differ): each src's
+      // out-edges are READ once however many queries' beams pass through
+      // it; later rounds score from the cache (bounded by the same
+      // rounds·beam·m budget as `visited`).
+      var adj = Map.empty[Long, Array[(Long, Array[Double], Double)]]
+      def edgeVecs(srcIds: Seq[Long]): DataFrame =
+        frontierEdges(edges, srcIds, ph.nBuckets)
+          .select(col("src"), col("dst"), col("dst_emb"), col("dst_nrm"))
+      def fetch(srcIds: Seq[Long], withEntryVecs: Boolean): Unit = {
+        val need = srcIds.distinct.filterNot(adj.contains).sorted
+        val rows =
+          if (withEntryVecs && need.nonEmpty)
+            drain(entVecs.unionByName(edgeVecs(need)))
+          else if (withEntryVecs) drain(entVecs)
+          else if (need.nonEmpty) drain(edgeVecs(need))
+          else Array.empty[(Long, Long, Array[Double], Double)]
+        adj ++= rows.filter(_._1 != ENTRY).groupBy(_._1)
+          .view.mapValues(_.map(x => (x._2, x._3, x._4))).toMap
+        // a read src with zero surviving rows must still memoize as empty
+        adj ++= need.filterNot(adj.contains)
+          .map(_ -> Array.empty[(Long, Array[Double], Double)])
+        if (withEntryVecs)
+          for ((qid, _, _) <- qRows; (_, dst, e, n) <- rows.filter(_._1 == ENTRY))
+            score(qid, dst, e, n)
+      }
+      def expand(frontier: Seq[(Long, Long)]): Int = {
+        val before = visited.size
+        for ((qid, src) <- frontier; (dst, e, n) <- adj.getOrElse(src,
+            Array.empty[(Long, Array[Double], Double)]))
           score(qid, dst, e, n)
+        visited.size - before
+      }
+      var r = 0
+      var frontier: Seq[(Long, Long)] = Seq.empty
+      if (phaseIdx == 0 && entries.size <= ph.beamWidth) {
+        // Round 1's frontier is ALL entries for every query regardless of
+        // their scores (nEntries ≤ beamWidth ⇒ the beam over the entry
+        // set cannot prune) — so entry vectors and the first expansion
+        // are fetched by ONE unioned job instead of two.
+        frontier = for ((qi, _, _) <- qRows.toSeq; e <- entries) yield qi -> e
+        fetch(entries, withEntryVecs = true)
+        expand(frontier)
+        frontier = beamOf(ph.beamWidth)
+        r = 1
+      } else if (phaseIdx == 0) {
+        fetch(Seq.empty, withEntryVecs = true)
+        frontier = beamOf(ph.beamWidth)
+      } else {
+        // later phases start from the visited set the previous phase
+        // built — the hierarchy descent (no entry scoring)
+        frontier = beamOf(ph.beamWidth)
+      }
+      var fixpoint = false
+      while (r < ph.rounds && frontier.nonEmpty && !fixpoint) {
+        fetch(frontier.map(_._2), withEntryVecs = false)
+        // a round that adds no score leaves the beam — hence every later
+        // round — unchanged: stop early instead of re-walking the fixpoint
+        fixpoint = expand(frontier) == 0
+        frontier = beamOf(ph.beamWidth)
+        r += 1
+      }
     }
-    def expand(frontier: Seq[(Long, Long)]): Int = {
-      val before = visited.size
-      for ((qid, src) <- frontier; (dst, e, n) <- adj.getOrElse(src,
-          Array.empty[(Long, Array[Double], Double)]))
-        score(qid, dst, e, n)
-      visited.size - before
-    }
-    var r = 0
-    var frontier: Seq[(Long, Long)] = Seq.empty
-    if (nEntries <= beamWidth) {
-      // Round 1's frontier is ALL entries for every query regardless of
-      // their scores (nEntries ≤ beamWidth ⇒ the beam over the entry set
-      // cannot prune) — so entry vectors and the first expansion are
-      // fetched by ONE unioned job instead of two.
-      frontier = for ((qi, _, _) <- qRows.toSeq; e <- entries) yield qi -> e
-      fetch(entries, withEntryVecs = true)
-      expand(frontier)
-      frontier = beamOf(visited)
-      r = 1
-    } else {
-      fetch(Seq.empty, withEntryVecs = true)
-      frontier = beamOf(visited)
-    }
-    var fixpoint = false
-    while (r < rounds && frontier.nonEmpty && !fixpoint) {
-      fetch(frontier.map(_._2), withEntryVecs = false)
-      // a round that adds no score leaves the beam — hence every later
-      // round — unchanged: stop early instead of re-walking the fixpoint
-      fixpoint = expand(frontier) == 0
-      frontier = beamOf(visited)
-      r += 1
-    }
+    if (prof) System.err.println(s"[nng] visited total: ${visited.size}")
     val answer = visited.toSeq
       .filter { case ((qi, node), _) => qi != node }
       .groupBy(_._1._1).toSeq.flatMap { case (qi, entries) =>

@@ -179,6 +179,53 @@ class NeighborGraphSpec extends AnyFunSuite {
     assert(serve() == preServe, "no-op compaction changed serving results")
   }
 
+  test("NN-descent refine keeps the degree cap and never worsens a node's best edge") {
+    import spark.implicits._
+    val p0 = TempDirs.fresh("graft_nngrefine0")
+    val p1 = TempDirs.fresh("graft_nngrefine1")
+    NeighborGraph.build(emb, p0.toString, m = 4, numTables = 6,
+      planesPerTable = 5, nBuckets = 8)
+    NeighborGraph.build(emb, p1.toString, m = 4, numTables = 6,
+      planesPerTable = 5, nBuckets = 8, refineRounds = 1)
+    val base = spark.read.parquet(s"$p0/edges")
+    val ref = spark.read.parquet(s"$p1/edges")
+    assert(ref.groupBy($"src").count().agg(max($"count")).head.getLong(0) <= 4)
+    // a node's best out-edge always survives its own und cap, so the
+    // refined top-1 sim can only match or improve
+    val t1 = base.groupBy($"src").agg(max($"sim").as("b1"))
+      .join(ref.groupBy($"src").agg(max($"sim").as("r1")), "src")
+    assert(t1.filter($"r1" < $"b1").count() == 0,
+      "refine worsened some node's best edge")
+    // refinement must add edge mass on this corpus (it fixes LSH misses)
+    val bSum = base.agg(sum($"sim")).head.getDouble(0)
+    val rSum = ref.agg(sum($"sim")).head.getDouble(0)
+    assert(rSum > bSum, f"refined sim mass $rSum%.3f <= base $bSum%.3f")
+  }
+
+  test("hierarchical search is deterministic and walks the coarse layer first") {
+    import spark.implicits._
+    val p = TempDirs.fresh("graft_nnghier")
+    NeighborGraph.buildHier(emb, p.toString, m = 4, numTables = 6,
+      planesPerTable = 5, nBuckets = 8, refineRounds = 1, l1Mod = 4)
+    // the coarse layer holds only sampled ids
+    val l1Srcs = spark.read.parquet(s"$p/l1/edges")
+      .select($"src").distinct().collect().map(_.getLong(0))
+    assert(l1Srcs.nonEmpty && l1Srcs.forall(_ % 4 == 0),
+      "coarse layer contains non-sampled nodes")
+    val queries = emb.filter($"vec_id" < 3)
+    def run() = NeighborGraph.beamSearchHier(spark, p.toString, queries, emb,
+        k = 3, l1Beam = 4, l1Rounds = 2, beamWidth = 8, rounds = 3,
+        nBuckets = 8, nEntries = 4)
+      .orderBy($"query_id", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val a = run()
+    assert(a.sameElements(run()), "two identical hierarchical searches diverged")
+    a.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1 to rows.length))
+      assert(!rows.exists(_._2 == qid), s"query $qid returned itself")
+    }
+  }
+
   test("beam search is deterministic and finds brute-force top-k when the beam covers the corpus") {
     import spark.implicits._
     val queries = emb.filter($"vec_id" < 3)

@@ -3256,6 +3256,25 @@ object Vectors {
       |ORDER BY beam""".stripMargin
   }
 
+  // --- q357: distributed bulk k-NN join over the graph ----------------------
+  // The corpus-scale form of the q342 probe (every document probes the
+  // graph — the semantic-dedup self-improvement loop): walk state is a
+  // DataFrame (window beam → src-keyed edge join → anti-join visited →
+  // score in-plan, localCheckpoint per round) instead of a driver map,
+  // so the batch size is cluster-bounded, not driver-bounded
+  // (ScaleStress runs the 10⁴-query batches the driver form cannot).
+  // Identical arithmetic and tie-breaks by construction — the gate is
+  // hash equality on the SAME oracle text as q342's driver-form search.
+  def q357(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    graft.sources.NeighborGraph.beamSearchBulk(s, nngIdx(s, d).toString,
+        emb.filter($"vec_id" < 8), emb, k = 5, beamWidth = 16, rounds = 5,
+        nBuckets = 16, nEntries = 8)
+      .orderBy($"query_id", $"rank")
+  }
+  val q357Sql: String = q342Sql
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q341_nng_build", q341 _, Some(q341Sql)),
     ("q342_nng_search", q342 _, Some(q342Sql)),
@@ -3269,6 +3288,7 @@ object Vectors {
     ("q354_nng_compact_probe", q354 _, Some(q354Sql)),
     ("q355_nng_hier_probe", q355 _, Some(q355Sql)),
     ("q356_nng_budget_recall", q356 _, Some(q356Sql)),
+    ("q357_nng_bulk_knn", q357 _, Some(q357Sql)),
     ("q271_pca_power_iteration", q271 _, Some(q271Sql)),
     ("q320_matryoshka_recall", q320 _, Some(q320Sql)),
     ("q321_cluster_quality", q321 _, Some(q321Sql)),

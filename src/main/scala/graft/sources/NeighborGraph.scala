@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -347,6 +347,73 @@ object NeighborGraph {
         Seq(SearchPhase(s"$path/l1/edges", l1Beam, l1Rounds, nBuckets),
           SearchPhase(s"$path/edges", beamWidth, rounds, nBuckets)), entries)
     }
+  }
+
+  /** Distributed bulk k-NN join — [[beamSearch]] for CORPUS-SCALE query
+    * batches (the self-improvement loop of semantic dedup: every document
+    * probes the graph). The per-probe form holds (query, node, sim)
+    * triples and the adjacency cache on the driver — right for bounded
+    * probe batches, a ceiling for 10⁴+ queries. Here the walk state is a
+    * DataFrame: per round one window top-`beamWidth` per query (the
+    * beam), one src-keyed shuffle join against the staged edges (which
+    * carry their dst vectors — no corpus join), an anti-join against the
+    * visited set, and scoring inside the same plan; the visited relation
+    * is eagerly localCheckpointed per round (the [[graft.operators.Graph]]
+    * frontier-algorithm lineage rule) and the loop exits at the score
+    * fixpoint. Identical arithmetic, tie-breaks, and round structure to
+    * the driver form — q357 hash-gates the equivalence on the shared
+    * oracle; ScaleStress runs the batch sizes the driver map cannot. */
+  def beamSearchBulk(spark: SparkSession, path: String, queries: DataFrame,
+      corpus: DataFrame, k: Int, beamWidth: Int, rounds: Int,
+      nBuckets: Int, nEntries: Int = 1): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("q_emb"),
+      l2Norm(col("embedding")).as("q_nrm"))
+    val edges = spark.read.parquet(s"$path/edges")
+    val entries = entryNodes(spark, path, nEntries)
+    val entVecs = corpus.filter(col("vec_id").isin(entries: _*))
+      .select(col("vec_id").as("node"),
+        asDouble(col("embedding")).as("n_emb"),
+        l2Norm(col("embedding")).as("n_nrm"))
+    def simCol(e: Column, n: Column): Column =
+      round(dotProduct(col("q_emb"), e) / (col("q_nrm") * n), 6)
+    var visited = q.crossJoin(broadcast(entVecs))
+      .select(col("query_id"), col("node"),
+        simCol(col("n_emb"), col("n_nrm")).as("sim"))
+      .localCheckpoint(true)
+    var r = 0
+    var fixpoint = false
+    while (r < rounds && !fixpoint) {
+      val beam = visited
+        .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("node").asc)))
+        .filter(col("rk") <= beamWidth)
+        .select(col("query_id"), col("node").as("src"))
+      // one src-keyed join fans the beam out along stored edges; dedupe
+      // (query, dst) before scoring (copies carry identical vectors)
+      val fresh = beam.join(edges, "src")
+        .select(col("query_id"), col("dst"), col("dst_emb"), col("dst_nrm"))
+        .dropDuplicates("query_id", "dst")
+        .join(visited.select(col("query_id"), col("node").as("dst")),
+          Seq("query_id", "dst"), "left_anti")
+        .join(q, "query_id")
+        .select(col("query_id"), col("dst").as("node"),
+          simCol(col("dst_emb"), col("dst_nrm")).as("sim"))
+      val freshCk = fresh.localCheckpoint(true)
+      // an empty round leaves the beam — hence every later round —
+      // unchanged: the early exit cannot change the result
+      fixpoint = freshCk.isEmpty
+      if (!fixpoint)
+        visited = visited.unionByName(freshCk).localCheckpoint(true)
+      r += 1
+    }
+    visited
+      .filter(col("query_id") =!= col("node"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("node").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("node").as("neighbor_id"),
+        col("rank"), col("sim"))
   }
 
   private def inSearchConfScope[T](spark: SparkSession)(body: => T): T = {

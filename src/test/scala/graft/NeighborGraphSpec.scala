@@ -226,6 +226,23 @@ class NeighborGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("bulk k-NN join equals the per-probe beam search on a full-corpus batch") {
+    import spark.implicits._
+    // every corpus vector as a query — the batch shape the bulk form
+    // exists for; the driver form still holds it at this SF, so the two
+    // must agree row-for-row (same arithmetic, same tie-breaks)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id", $"rank", $"sim")
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val perProbe = norm(NeighborGraph.beamSearch(spark, graphPath, emb, emb,
+      k = 3, beamWidth = 8, rounds = 3, nBuckets = 8, nEntries = 4))
+    val bulk = norm(NeighborGraph.beamSearchBulk(spark, graphPath, emb, emb,
+      k = 3, beamWidth = 8, rounds = 3, nBuckets = 8, nEntries = 4))
+    assert(bulk == perProbe,
+      s"bulk/per-probe divergence: ${(bulk diff perProbe).take(5)} vs ${(perProbe diff bulk).take(5)}")
+  }
+
   test("beam search is deterministic and finds brute-force top-k when the beam covers the corpus") {
     import spark.implicits._
     val queries = emb.filter($"vec_id" < 3)

@@ -113,7 +113,22 @@ object ScaleStress {
           numTables = 6, planesPerTable = 5, eagerSkewProbe = true).count()),
         "dedup_clusters" -> (() => Dedup.clusterPairs(
           Dedup.nearDuplicatePairs(docs, "doc_id", "text",
-            k = 3, threshold = 0.6, eagerSkewProbe = true)).count()))
+            k = 3, threshold = 0.6, eagerSkewProbe = true)).count()),
+        // bulk k-NN join: graph over the base replica, EVERY replica
+        // vector as a query — the batch sizes (r·2k queries at sf0.1)
+        // the driver-map beamSearch cannot hold (its visited map is
+        // queries·(beam + rounds·beam·m) entries on one heap; at 2·10⁴
+        // queries that is ~2·10⁷ boxed map entries, while the bulk form
+        // keeps the walk state in checkpointed DataFrames)
+        "nng_bulk_knn" -> (() => {
+          val p = s"$out/nng_r$r"
+          val base = emb.filter(col("vec_id") < 1000000L)
+          graft.sources.NeighborGraph.build(base, p, m = 12,
+            numTables = 6, planesPerTable = 5, nBuckets = 16)
+          graft.sources.NeighborGraph.beamSearchBulk(spark, p, emb, base,
+            k = 5, beamWidth = 16, rounds = 5, nBuckets = 16, nEntries = 8)
+            .count()
+        }))
       val ops =
         if (opsSel == "all") all
         else all.filter { case (n, _) => opsSel.split(",").contains(n) }

@@ -315,13 +315,23 @@ object Bench {
     // other processes), then run the whole sweep again. Bounded retries;
     // every discarded attempt is summarized IN the JSON so the final
     // record carries its own correction trail instead of a footnote.
-    def waitForQuiet(threshold: Double, maxWaitMs: Long): Long = {
+    // The 1-min loadavg right after a 32-core sweep mostly measures the
+    // bench's OWN load decaying, so a fixed threshold both over-waits
+    // (first minutes) and under-scales (other cpu configs). Scale the
+    // threshold with the configured cores and require TWO consecutive
+    // 5-second samples below it — by then the decay has flushed through
+    // and what remains is other processes.
+    def waitForQuiet(maxWaitMs: Long): Long = {
+      val threshold = math.max(4.0, cpusInt.getOrElse(32) / 8.0)
       val t0 = System.currentTimeMillis()
+      var below = 0
       var l = loadavg()
-      while (l >= 0 && l > threshold &&
+      if (l >= 0 && l <= threshold) below = 1
+      while (l >= 0 && below < 2 &&
           System.currentTimeMillis() - t0 < maxWaitMs) {
-        Thread.sleep(20000L)
+        Thread.sleep(5000L)
         l = loadavg()
+        below = if (l <= threshold) below + 1 else 0
       }
       (System.currentTimeMillis() - t0) / 1000
     }
@@ -339,7 +349,7 @@ object Bench {
           s"${sweepRec.loads.map(v => f"$v%.2f").mkString("/")}) — " +
           "discarding, waiting for quiet host, requeueing full sweep")
       System.gc()
-      val waited = waitForQuiet(threshold = 4.0, maxWaitMs = 15 * 60 * 1000L)
+      val waited = waitForQuiet(maxWaitMs = 15 * 60 * 1000L)
       def arr(xs: Seq[Double]) =
         xs.map(v => if (v < 0) "-1" else f"$v%.3f").mkString("[", ",", "]")
       val total0 = sweepRec.results.map(_._2).filter(_ >= 0).sum

@@ -135,28 +135,45 @@ object NeighborGraph {
     *         sim) the append linked, for observability/gating */
   def append(spark: SparkSession, path: String, newEmb: DataFrame,
       corpus: DataFrame, m: Int, beamWidth: Int, rounds: Int,
-      nBuckets: Int, nEntries: Int): DataFrame = {
-    val found = beamSearch(spark, path, newEmb, corpus, k = m,
-      beamWidth = beamWidth, rounds = rounds, nBuckets = nBuckets,
-      nEntries = nEntries)
+      nBuckets: Int, nEntries: Int, bulkThreshold: Int = 1024): DataFrame = {
+    // Route the insertion search by batch size: the driver-map probe
+    // form is fastest for bounded batches, but its state (and the
+    // literal-IN vector attach below) grows with |batch| — past
+    // `bulkThreshold` the batch goes through [[beamSearchBulk]], whose
+    // walk state is checkpointed DataFrames (row-for-row equivalent,
+    // NeighborGraphSpec-proven), so one append call absorbs an ingest
+    // batch of any size.
+    val isBulk = newEmb.limit(bulkThreshold + 1).count() > bulkThreshold
+    val found =
+      if (isBulk) beamSearchBulk(spark, path, newEmb, corpus, k = m,
+        beamWidth = beamWidth, rounds = rounds, nBuckets = nBuckets,
+        nEntries = nEntries)
+      else beamSearch(spark, path, newEmb, corpus, k = m,
+        beamWidth = beamWidth, rounds = rounds, nBuckets = nBuckets,
+        nEntries = nEntries)
     // Attach the stored-vector columns: forward edges carry the FOUND
-    // neighbor's vector (bounded literal-IN corpus read — ≤ |batch|·m
-    // ids), back-links carry the NEW vector's (already in the batch).
-    val foundIds = found.select(col("neighbor_id")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    val nbrEmb = corpus.filter(col("vec_id").isin(foundIds: _*))
-      .select(col("vec_id").as("dst"),
-        asDouble(col("embedding")).as("dst_emb"),
-        l2Norm(col("embedding")).as("dst_nrm"))
+    // neighbor's vector (bounded probe batch: literal-IN corpus read of
+    // ≤ |batch|·m ids; bulk batch: a distributed semi-join instead),
+    // back-links carry the NEW vector's (already in the batch).
+    val nbrEmbAll = corpus.select(col("vec_id").as("dst"),
+      asDouble(col("embedding")).as("dst_emb"),
+      l2Norm(col("embedding")).as("dst_nrm"))
+    val fwdBare = found.select(col("query_id").as("src"),
+      col("neighbor_id").as("dst"), col("sim"), col("rank"))
+    val fwd =
+      if (isBulk) fwdBare.join(nbrEmbAll, "dst")
+      else {
+        val foundIds = found.select(col("neighbor_id")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        fwdBare.join(broadcast(
+          nbrEmbAll.filter(col("dst").isin(foundIds: _*))), "dst")
+      }
     val newVec = newEmb.select(col("vec_id").as("dst"),
       asDouble(col("embedding")).as("dst_emb"),
       l2Norm(col("embedding")).as("dst_nrm"))
-    val fwd = found.select(col("query_id").as("src"),
-        col("neighbor_id").as("dst"), col("sim"), col("rank"))
-      .join(broadcast(nbrEmb), "dst")
     val back = found.select(col("neighbor_id").as("src"),
         col("query_id").as("dst"), col("sim"), lit(0).as("rank"))
-      .join(broadcast(newVec), "dst")
+      .join(if (isBulk) newVec else broadcast(newVec), "dst")
     fwd.unionByName(back)
       .select(col("src"), col("dst"), col("sim"), col("rank"),
         col("dst_emb"), col("dst_nrm"))

@@ -226,6 +226,25 @@ class NeighborGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("bulk-routed append writes the same edge relation as the probe-routed one") {
+    import spark.implicits._
+    def appended(threshold: Int): Set[(Long, Long, Double, Int)] = {
+      val p = TempDirs.fresh(s"graft_nngappbulk$threshold")
+      NeighborGraph.build(emb.filter($"vec_id" % 50 =!= 7), p.toString,
+        m = 4, numTables = 6, planesPerTable = 5, nBuckets = 8)
+      NeighborGraph.append(spark, p.toString, emb.filter($"vec_id" % 50 === 7),
+        emb, m = 4, beamWidth = 8, rounds = 3, nBuckets = 8, nEntries = 4,
+        bulkThreshold = threshold)
+      spark.read.parquet(s"$p/edges")
+        .select($"src", $"dst", $"sim", $"rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    }
+    // threshold 0 forces the bulk route; the default keeps the probe route
+    assert(appended(0) == appended(1024),
+      "bulk- and probe-routed appends diverged")
+  }
+
   test("bulk k-NN join equals the per-probe beam search on a full-corpus batch") {
     import spark.implicits._
     // every corpus vector as a query — the batch shape the bulk form

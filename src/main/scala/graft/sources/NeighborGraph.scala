@@ -67,6 +67,7 @@ object NeighborGraph {
         .filter(col("rank") <= m)
     }
     var cut = topM(pairs)
+    import graft.CacheLifecycle.TrackedPersistOps
     // NN-descent refinement (Dong et al. 2011): per round, each node's
     // UNDIRECTED neighborhood — out-edges plus reverse edges, capped at
     // 2m by (sim DESC, dst ASC) so hub in-degree cannot blow the
@@ -88,7 +89,7 @@ object NeighborGraph {
           .orderBy(col("sim").desc, col("dst").asc)))
         .filter(col("ur") <= 2 * m)
         .select(col("src"), col("dst"))
-        .persist()
+        .persistTracked() // read twice by the sibling self-join
       val siblings = und.as("e1").join(und.as("e2"),
           col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
         .select(col("e1.dst").as("vec_a"), col("e2.dst").as("vec_b"))

@@ -281,6 +281,10 @@ object NeighborGraph {
     * repeated serving probes of an immutable staged graph skip the scan,
     * while any append/delete changes the listing and invalidates. */
   def entryNodes(spark: SparkSession, path: String, n: Int): Seq[Long] = {
+    // bound the memo: each append/delete mints a new fingerprint, so a
+    // long ingest stream would otherwise grow it one (tiny) entry per
+    // batch — clearing wholesale is fine, entries are one scan to rebuild
+    if (entryMemo.size > 1024) entryMemo.clear()
     val key = (path, n, graft.Stage.fingerprint(s"$path/edges"))
     entryMemo.computeIfAbsent(key, _ =>
       spark.read.parquet(s"$path/edges").select(col("src")).distinct()

@@ -158,6 +158,14 @@ class NeighborGraphSpec extends AnyFunSuite {
     assert(post.filter($"src".isin(keepSets.toSeq: _*))
       .select($"src", $"dst", $"sim").collect().toSet == preKept,
       "a within-cap src lost or changed an edge")
+    // idempotence: the compacted graph has no pending srcs left, so a
+    // second compaction must not open a single bucket
+    val allAfter = (0L until 8L).map(b => b -> listing(p.toString, b)).toMap
+    NeighborGraph.compact(spark, p.toString, m = 4, nBuckets = 8)
+    (0L until 8L).foreach { b =>
+      assert(listing(p.toString, b) == allAfter(b),
+        s"second compaction rewrote bucket $b")
+    }
   }
 
   test("compact of a clean build is a no-op and serving is unchanged") {

@@ -248,14 +248,17 @@ object Bench {
     // temporally-separated samples, all 7x inflated, sentinel clean)
     // defeats every one of them. A fresh process AFTER the sweep is a
     // fifth, later sample with its own JVM. Flagged: anything still above
-    // max(3×median, 2s), plus anything >3× its previous-round record
-    // (BENCH_PREV env or the latest BENCH_r*.json in cwd) — capped at 12
+    // max(3×median, 2s), plus anything >2.2× its previous-round record
+    // (BENCH_PREV env or the latest BENCH_r*.json in cwd) — capped at 14
     // queries by cost. min() only — the child can only improve a number.
+    // (The prior-ratio guard was 3×/0.5s through round 14, which let a
+    // real 2.3×/0.3s regression — q345 — ride ungraded into the record;
+    // 2.2×/0.2s closes that class while the cap bounds recheck cost.)
     val flagged = if (child) Seq.empty else inProc.collect {
       case (name, _, t) if t > 0 && (t > math.max(3 * med, 2.0) ||
-        prior.get(short(name)).exists(p => p > 0 && t > 3 * p && t > 0.5)) =>
+        prior.get(short(name)).exists(p => p > 0 && t > 2.2 * p && t > 0.2)) =>
         (name, t)
-    }.sortBy(-_._2).take(12)
+    }.sortBy(-_._2).take(14)
     val childTimes: Map[String, Double] =
       if (flagged.isEmpty) Map.empty
       else try {

@@ -2857,7 +2857,8 @@ object Vectors {
         p.toString, m = 12, numTables = 6, planesPerTable = 5, nBuckets = 16)
       graft.sources.NeighborGraph.append(s, p.toString,
         emb.filter(col("vec_id") % 50 === 7), emb, m = 12, beamWidth = 16,
-        rounds = 5, nBuckets = 16, nEntries = 8)
+        rounds = 5, nBuckets = 16, nEntries = 8,
+        bulkHint = Some(false)) // the 2% holdout is a known-bounded batch
       ()
     }
 
@@ -2930,7 +2931,8 @@ object Vectors {
         p.toString, m = 12, numTables = 6, planesPerTable = 5, nBuckets = 16)
       graft.sources.NeighborGraph.append(s, p.toString,
         emb.filter(col("vec_id") % 50 === 7), emb, m = 12, beamWidth = 16,
-        rounds = 5, nBuckets = 16, nEntries = 8)
+        rounds = 5, nBuckets = 16, nEntries = 8,
+        bulkHint = Some(false)) // the 2% holdout is a known-bounded batch
       val ids = emb.filter(col("vec_id") % 50 === 7)
         .select(col("vec_id")).collect().map(_.getLong(0)).toSeq.sorted
       graft.sources.NeighborGraph.delete(s, p.toString, ids, nBuckets = 16)
@@ -3056,7 +3058,8 @@ object Vectors {
         p.toString, m = 12, numTables = 6, planesPerTable = 5, nBuckets = 16)
       graft.sources.NeighborGraph.append(s, p.toString,
         emb.filter(col("vec_id") % 50 === 7), emb, m = 12, beamWidth = 16,
-        rounds = 5, nBuckets = 16, nEntries = 8)
+        rounds = 5, nBuckets = 16, nEntries = 8,
+        bulkHint = Some(false)) // the 2% holdout is a known-bounded batch
       graft.sources.NeighborGraph.compact(s, p.toString, m = 12, nBuckets = 16)
       ()
     }

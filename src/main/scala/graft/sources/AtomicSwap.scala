@@ -31,6 +31,17 @@ import java.util.Comparator
   * call on the same index, with no separate repair tool. Scratch
   * siblings are dot-prefixed so directory-level parquet readers of the
   * live layout never see in-flight content.
+  *
+  * Guarantee scope: PROCESS-crash atomicity (kill -9 at any step, what
+  * AtomicSwapSpec simulates). The marker is created without fsyncing
+  * tmp's files or the parent directory, so under power loss / OS crash
+  * the marker could become durable before tmp's data and recovery would
+  * roll forward onto incomplete content — callers needing power-loss
+  * safety must fsync tmp's tree (and the scratch directory) before the
+  * write callback returns, or rebuild the bucket from source on media-
+  * level doubt. The staged layouts this protocol serves are DERIVED
+  * artifacts (rebuildable from the corpus), which is why the cheaper
+  * guarantee is the designed trade.
   */
 object AtomicSwap {
   private val NEW = ".swapnew_"

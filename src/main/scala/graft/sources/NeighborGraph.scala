@@ -114,6 +114,11 @@ object NeighborGraph {
       .select(col("src"), col("dst"), col("sim"), col("rank"),
         col("dst_emb"), col("dst_nrm")) // one field order across all files
       .withColumn("src_bucket", col("src") % nBuckets)
+      // co-locate each bucket's rows before the partitioned write: ONE
+      // file per bucket instead of (upstream tasks × buckets) shards —
+      // the serving read's cost is footer count, not bytes, and a graph
+      // sized for 100 TB sizes nBuckets up so file-per-bucket holds there
+      .repartition(col("src_bucket"))
       .write.mode("overwrite").partitionBy("src_bucket")
       .parquet(s"$path/edges")
   }
@@ -136,15 +141,21 @@ object NeighborGraph {
     *         sim) the append linked, for observability/gating */
   def append(spark: SparkSession, path: String, newEmb: DataFrame,
       corpus: DataFrame, m: Int, beamWidth: Int, rounds: Int,
-      nBuckets: Int, nEntries: Int, bulkThreshold: Int = 1024): DataFrame = {
+      nBuckets: Int, nEntries: Int, bulkThreshold: Int = 1024,
+      bulkHint: Option[Boolean] = None): DataFrame = {
     // Route the insertion search by batch size: the driver-map probe
     // form is fastest for bounded batches, but its state (and the
     // literal-IN vector attach below) grows with |batch| — past
     // `bulkThreshold` the batch goes through [[beamSearchBulk]], whose
     // walk state is checkpointed DataFrames (row-for-row equivalent,
     // NeighborGraphSpec-proven), so one append call absorbs an ingest
-    // batch of any size.
-    val isBulk = newEmb.limit(bulkThreshold + 1).count() > bulkThreshold
+    // batch of any size. Callers that KNOW their batch's side of the
+    // threshold pass `bulkHint` and skip the routing probe — the probe
+    // is one extra Spark job (~0.15-0.2s at local[32] regardless of
+    // data), a real tax on the small-batch ingest path it was never
+    // meant to affect.
+    val isBulk = bulkHint.getOrElse(
+      newEmb.limit(bulkThreshold + 1).count() > bulkThreshold)
     val found =
       if (isBulk) beamSearchBulk(spark, path, newEmb, corpus, k = m,
         beamWidth = beamWidth, rounds = rounds, nBuckets = nBuckets,
@@ -161,11 +172,32 @@ object NeighborGraph {
       l2Norm(col("embedding")).as("dst_nrm"))
     val fwdBare = found.select(col("query_id").as("src"),
       col("neighbor_id").as("dst"), col("sim"), col("rank"))
+    // Buckets this append will write (fwd srcs = new nodes, back srcs =
+    // found neighbors) — recorded in the pending manifest BEFORE the
+    // edges land so [[compact]]'s discovery scan is churn-proportional
+    // (manifest-scoped, partition-pruned) instead of a full-graph pass.
+    // A crash between manifest and edges leaves a superset manifest:
+    // the next compact scans those buckets, finds nothing pending, and
+    // consumes the entry — conservative, never silent.
+    // bounded probe batch: ≤ |batch|·m rows — ONE collect serves both
+    // the bucket manifest and the literal-IN vector attach (empty for
+    // the bulk route, which derives both distributively)
+    val pairs: Array[(Long, Long)] =
+      if (isBulk) Array.empty
+      else found.select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val touchedBuckets: Seq[Long] =
+      if (isBulk)
+        // bulk batch: one tiny distinct job, bounded by nBuckets
+        found.select(explode(array(col("query_id") % nBuckets,
+            col("neighbor_id") % nBuckets)).as("b"))
+          .distinct().collect().map(_.getAs[Number](0).longValue).sorted.toSeq
+      else pairs.flatMap(p => Seq(p._1 % nBuckets, p._2 % nBuckets))
+        .distinct.sorted.toSeq
     val fwd =
       if (isBulk) fwdBare.join(nbrEmbAll, "dst")
       else {
-        val foundIds = found.select(col("neighbor_id")).distinct()
-          .collect().map(_.getLong(0)).sorted
+        val foundIds = pairs.map(_._2).distinct.sorted
         fwdBare.join(broadcast(
           nbrEmbAll.filter(col("dst").isin(foundIds: _*))), "dst")
       }
@@ -175,10 +207,17 @@ object NeighborGraph {
     val back = found.select(col("neighbor_id").as("src"),
         col("query_id").as("dst"), col("sim"), lit(0).as("rank"))
       .join(if (isBulk) newVec else broadcast(newVec), "dst")
+    writePendingManifest(path, touchedBuckets)
     fwd.unionByName(back)
       .select(col("src"), col("dst"), col("sim"), col("rank"),
         col("dst_emb"), col("dst_nrm"))
       .withColumn("src_bucket", col("src") % nBuckets)
+      // one appended file per touched bucket, not (tasks × buckets):
+      // serving reads pay per-FILE footer cost, and an ingest cadence of
+      // many small appends would otherwise shard the layout into
+      // hundreds of tiny files between compactions (the round-14 q345
+      // regression — 455 files at sf0.1 — was exactly this)
+      .repartition(col("src_bucket"))
       .write.mode("append").partitionBy("src_bucket")
       .parquet(s"$path/edges")
     found
@@ -196,15 +235,29 @@ object NeighborGraph {
     * After deletion the graph serves exactly as if the nodes had never
     * been inserted: append(batch) followed by delete(batch) restores the
     * base edge relation verbatim (appended edges all touch the batch),
-    * which is what q347/q348 hash-gate. */
+    * which is what q347/q348 hash-gate. A [[buildHier]] layout's coarse
+    * layer (`path/l1`) is a full copy of the sampled nodes' adjacency
+    * (plus dst_emb vector copies), and coarse-layer visits carry into
+    * [[beamSearchHier]]'s answer — so the RTBF contract requires the
+    * same bucket-scoped rewrite THERE too; delete recurses into the l1
+    * layout when present.
+    *
+    * @return the ids of SURVIVING nodes that lost an out-edge (their dst
+    *         was deleted) — the blast radius [[repair]] takes to restore
+    *         those nodes' degree without a graph-wide scan */
   def delete(spark: SparkSession, path: String, ids: Seq[Long],
-      nBuckets: Int): Unit = {
-    if (ids.isEmpty) return
+      nBuckets: Int): Seq[Long] = {
+    if (ids.isEmpty) return Seq.empty
     recoverSwaps(path) // heal any interrupted prior rewrite before reading
     val edges = spark.read.parquet(s"$path/edges")
-    val backBuckets = edges.filter(col("dst").isin(ids: _*))
-      .select(col("src_bucket")).distinct()
-      .collect().map(_.getAs[Number](0).longValue)
+    // ONE dst-pushdown scan yields both the back-link buckets to rewrite
+    // and the survivors whose out-degree the delete reduces
+    val backRows = edges.filter(col("dst").isin(ids: _*))
+      .select(col("src_bucket"), col("src")).distinct()
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getLong(1)))
+    val backBuckets = backRows.map(_._1).distinct
+    val idSet = ids.toSet
+    val affected = backRows.map(_._2).distinct.filterNot(idSet).sorted.toSeq
     val touched = (ids.map(_ % nBuckets) ++ backBuckets).distinct.sorted
     touched.foreach { b =>
       val dir = java.nio.file.Paths.get(s"$path/edges/src_bucket=$b")
@@ -218,13 +271,170 @@ object NeighborGraph {
         }
       }
     }
+    // hierarchical layout: the coarse layer stores sampled nodes'
+    // adjacency + vectors — scrub it with the same bucket-scoped protocol
+    if (java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$path/l1/edges")))
+      delete(spark, s"$path/l1", ids, nBuckets)
+    affected
   }
 
-  /** Heal interrupted bucket rewrites (delete/compact) — invoked at the
-    * entry of every maintenance verb; see [[AtomicSwap]]. */
-  def recoverSwaps(path: String): Unit =
+  /** Delete-repair — restore navigability after RTBF churn: [[delete]]
+    * removes every edge touching a deleted node but never re-links the
+    * survivors that lost out-edges, so nodes whose neighbor lists pointed
+    * at deleted vectors keep permanently reduced degree ([[compact]] only
+    * re-CUTS, it never ADDS). Repair is the HNSW fix: for each candidate
+    * src whose current degree fell below `m`, re-run the insertion search
+    * over the REMAINING graph (the node's own vector as the query — the
+    * exact [[append]] machinery), merge the found neighbors with the
+    * node's surviving out-edges, re-cut to top-m by (sim DESC, dst ASC),
+    * and rewrite ONLY the deficient srcs' buckets (crash-atomic,
+    * [[AtomicSwap]]). Candidates come from [[delete]]'s return value —
+    * the blast radius — so repair's cost is churn-proportional: |deficient|
+    * bounded searches plus touched-fraction I/O, never a graph scan.
+    * Forward-only re-link (no rank-0 back-links): repair restores OUT-
+    * degree, which is what greedy navigation consumes; it never creates
+    * pending state, so repair∘compact stays the identity.
+    *
+    * @return the repaired srcs' new edge rows (src, dst, sim, rank) for
+    *         observability/gating */
+  def repair(spark: SparkSession, path: String, candidates: Seq[Long],
+      corpus: DataFrame, m: Int, beamWidth: Int, rounds: Int,
+      nBuckets: Int, nEntries: Int): DataFrame = {
+    import spark.implicits._
+    recoverSwaps(path)
+    val empty = Seq.empty[(Long, Long, Double, Int)]
+      .toDF("src", "dst", "sim", "rank")
+    if (candidates.isEmpty) return empty
+    // deficient = candidates whose CURRENT degree < m; a src's out-edges
+    // all live in bucket src % nBuckets, so this is a partition-pruned
+    // scan of the candidates' buckets only (the frontierEdges contract)
+    val edges = spark.read.parquet(s"$path/edges")
+    val present = frontierEdges(edges, candidates, nBuckets)
+      .groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= m).select(col("src"))
+      .collect().map(_.getLong(0)).toSet
+    val deficient = candidates.filterNot(present).sorted
+    if (deficient.isEmpty) return empty
+    // insertion search for the deficient nodes over the remaining graph —
+    // the append routing: driver form for bounded batches, DataFrame walk
+    // past the threshold
+    val queries = corpus.filter(col("vec_id").isin(deficient: _*))
+    val found =
+      if (deficient.size > 1024)
+        beamSearchBulk(spark, path, queries, corpus, k = m,
+          beamWidth = beamWidth, rounds = rounds, nBuckets = nBuckets,
+          nEntries = nEntries)
+      else beamSearch(spark, path, queries, corpus, k = m,
+        beamWidth = beamWidth, rounds = rounds, nBuckets = nBuckets,
+        nEntries = nEntries)
+    // merge: surviving out-edges ∪ found candidates, dedup on (src, dst)
+    // (a found neighbor may already be linked — identical sim by shared
+    // arithmetic), re-cut to top-m
+    val kept = frontierEdges(edges, deficient, nBuckets)
+      .select(col("src"), col("dst"), col("sim"), col("dst_emb"),
+        col("dst_nrm"))
+    val foundIds = found.select(col("neighbor_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val foundVec = corpus.filter(col("vec_id").isin(foundIds: _*))
+      .select(col("vec_id").as("dst"),
+        asDouble(col("embedding")).as("dst_emb"),
+        l2Norm(col("embedding")).as("dst_nrm"))
+    val merged = found.select(col("query_id").as("src"),
+        col("neighbor_id").as("dst"), col("sim"))
+      .join(broadcast(foundVec), "dst")
+      .select(col("src"), col("dst"), col("sim"), col("dst_emb"),
+        col("dst_nrm"))
+      .unionByName(kept)
+      .dropDuplicates("src", "dst")
+      .withColumn("rank", row_number().over(Window.partitionBy("src")
+        .orderBy(col("sim").desc, col("dst").asc)))
+      .filter(col("rank") <= m)
+      .select(col("src"), col("dst"), col("sim"), col("rank"),
+        col("dst_emb"), col("dst_nrm"))
+      .withColumn("src_bucket", col("src") % nBuckets)
+    import graft.CacheLifecycle.TrackedPersistOps
+    val mergedP = merged.persistTracked() // read once per touched bucket
+    deficient.map(_ % nBuckets).distinct.sorted.foreach { b =>
+      val dir = java.nio.file.Paths.get(s"$path/edges/src_bucket=$b")
+      val mine = mergedP.filter(col("src_bucket") === b).drop("src_bucket")
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val others = spark.read.parquet(dir.toString)
+          .filter(!col("src").isin(deficient: _*))
+          .select(col("src"), col("dst"), col("sim"), col("rank"),
+            col("dst_emb"), col("dst_nrm"))
+        AtomicSwap.swap(java.nio.file.Paths.get(path), b.toString, dir) {
+          tmp => mine.unionByName(others)
+            .write.mode("overwrite").parquet(tmp.toString)
+        }
+      } else
+        // the whole bucket was deleted out from under its srcs — nothing
+        // to preserve, the repaired edges re-create the directory
+        mine.write.mode("overwrite").parquet(dir.toString)
+    }
+    mergedP.select(col("src"), col("dst"), col("sim"), col("rank"))
+  }
+
+  /** Heal interrupted bucket rewrites (delete/compact/repair) — invoked
+    * at the entry of every maintenance verb AND every serving/read verb
+    * (recovery is one directory listing when there is nothing to heal;
+    * without it a crash in the post-commit window would leave a bucket
+    * directory missing and a restarted server silently serving a graph
+    * missing that bucket until the next maintenance call); see
+    * [[AtomicSwap]]. Heals the coarse layer of a [[buildHier]] layout
+    * too when one exists. */
+  def recoverSwaps(path: String): Unit = {
     AtomicSwap.recover(java.nio.file.Paths.get(path),
       tag => java.nio.file.Paths.get(s"$path/edges/src_bucket=$tag"))
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/l1")))
+      AtomicSwap.recover(java.nio.file.Paths.get(s"$path/l1"),
+        tag => java.nio.file.Paths.get(s"$path/l1/edges/src_bucket=$tag"))
+  }
+
+  /** The pending-bucket manifest: [[append]] records which src_buckets it
+    * wrote (one tiny text sidecar per append under `$path/pending/`, each
+    * written to a dot-prefixed temp and atomically moved in), so
+    * [[compact]]'s pending-src discovery scans ONLY the appended-to
+    * buckets — churn-proportional maintenance instead of a full-index
+    * pass. Manifest entries are consumed (deleted) by the compact that
+    * read them; a crash between the bucket swaps and the consume leaves
+    * the entries behind, and the next compact re-scans those buckets,
+    * finds nothing pending, and consumes them — idempotent. */
+  private def writePendingManifest(path: String, buckets: Seq[Long]): Unit = {
+    if (buckets.isEmpty) return
+    val dir = java.nio.file.Paths.get(s"$path/pending")
+    java.nio.file.Files.createDirectories(dir)
+    val name = s"append_${java.util.UUID.randomUUID().toString}.txt"
+    val tmp = dir.resolve(s".$name")
+    java.nio.file.Files.write(tmp,
+      buckets.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, dir.resolve(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** Read (without consuming) the pending manifest: `Some(buckets)` when
+    * a manifest directory exists — possibly empty after full consumption
+    * — `None` when the layout predates the manifest discipline (compact
+    * then falls back to full-graph discovery). Also returns the manifest
+    * file paths so the consuming compact can delete exactly what it
+    * read. */
+  private[sources] def readPendingManifest(
+      path: String): Option[(Seq[Long], Seq[java.nio.file.Path])] = {
+    val dir = java.nio.file.Paths.get(s"$path/pending")
+    if (!java.nio.file.Files.isDirectory(dir)) return None
+    val s = java.nio.file.Files.list(dir)
+    val files = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.getFileName.toString.endsWith(".txt"))
+        .filterNot(_.getFileName.toString.startsWith(".")).toSeq
+    } finally s.close()
+    val buckets = files.flatMap { f =>
+      new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).map(_.toLong)
+    }.distinct.sorted
+    Some((buckets, files))
+  }
 
   /** Compaction — the maintenance verb [[append]] prices via the rank-0
     * sentinel (the q351 decision's "compact" branch): appends leave
@@ -234,22 +444,35 @@ object NeighborGraph {
     * degree exceeds `m` or that holds a rank-0 edge — to its top-m
     * out-edges by (sim DESC, dst ASC) with ranks renumbered 1..m.
     *
-    * Like [[delete]], the rewrite is partition-scoped: one aggregate
-    * scan finds the buckets holding a pending src (a src's out-edges all
-    * live in bucket src % nBuckets, so per-src degree is bucket-local),
-    * and ONLY those buckets are rewritten (crash-atomically, via
-    * [[AtomicSwap]]); within a rewritten bucket every src is re-cut
-    * (within-cap srcs keep their full edge set — the re-cut only
-    * renumbers their ranks on the same (sim DESC, dst ASC) order the
-    * build used). Untouched buckets' files are never opened: the cost is
-    * the append-churned fraction of the graph, not its size — at 100 TB
-    * this is what lets the maintenance loop run as a periodic bounded
-    * job instead of a rebuild. */
+    * Like [[delete]], the rewrite is partition-scoped: the discovery
+    * aggregate finds the buckets holding a pending src (a src's
+    * out-edges all live in bucket src % nBuckets, so per-src degree is
+    * bucket-local), and ONLY those buckets are rewritten
+    * (crash-atomically, via [[AtomicSwap]]); within a rewritten bucket
+    * every src is re-cut (within-cap srcs keep their full edge set — the
+    * re-cut only renumbers their ranks on the same (sim DESC, dst ASC)
+    * order the build used). Discovery itself is MANIFEST-SCOPED: append
+    * records its touched buckets in `$path/pending` sidecars, so the
+    * aggregate is a partition-pruned scan of only the appended-to
+    * buckets (full-graph fallback for layouts that predate the
+    * manifest); the entries are consumed on completion. Untouched
+    * buckets' files are never opened: the cost is the append-churned
+    * fraction of the graph, not its size — at 100 TB this is what lets
+    * the maintenance loop run as a periodic bounded job instead of a
+    * rebuild. */
   def compact(spark: SparkSession, path: String, m: Int,
       nBuckets: Int): Unit = {
     recoverSwaps(path)
     val edges = spark.read.parquet(s"$path/edges")
-    val touched = edges.groupBy(col("src")).agg(count(lit(1)).as("d"),
+    val manifest = readPendingManifest(path)
+    // discovery scan: pruned to the manifest's buckets when one exists
+    val scanned = manifest match {
+      case Some((bs, _)) =>
+        if (bs.isEmpty) return // nothing appended since the last compact
+        edges.filter(col("src_bucket").isin(bs: _*))
+      case None => edges
+    }
+    val touched = scanned.groupBy(col("src")).agg(count(lit(1)).as("d"),
         sum(when(col("rank") === 0, 1L).otherwise(0L)).as("z"))
       .filter(col("d") > m || col("z") > 0)
       .select((col("src") % nBuckets).as("b")).distinct()
@@ -268,6 +491,11 @@ object NeighborGraph {
         }
       }
     }
+    // consume the manifest entries this compact serviced; a crash before
+    // this point re-scans (and re-finds nothing in) them next time
+    manifest.foreach { case (_, files) =>
+      files.foreach(java.nio.file.Files.deleteIfExists)
+    }
   }
 
   /** Deterministic entry points: the `n` smallest node ids in the graph.
@@ -281,6 +509,11 @@ object NeighborGraph {
     * repeated serving probes of an immutable staged graph skip the scan,
     * while any append/delete changes the listing and invalidates. */
   def entryNodes(spark: SparkSession, path: String, n: Int): Seq[Long] = {
+    // serving verbs heal interrupted rewrites too (one directory listing
+    // when clean) — a crash mid-delete/compact must not leave a restarted
+    // server silently reading a layout with a missing bucket. Recovery
+    // runs BEFORE fingerprinting so the healed listing keys the memo.
+    recoverSwaps(path.stripSuffix("/l1"))
     // bound the memo: each append/delete mints a new fingerprint, so a
     // long ingest stream would otherwise grow it one (tiny) entry per
     // batch — clearing wholesale is fine, entries are one scan to rebuild
@@ -388,6 +621,7 @@ object NeighborGraph {
   def beamSearchBulk(spark: SparkSession, path: String, queries: DataFrame,
       corpus: DataFrame, k: Int, beamWidth: Int, rounds: Int,
       nBuckets: Int, nEntries: Int = 1): DataFrame = {
+    recoverSwaps(path) // serving heals interrupted rewrites before reading
     val q = queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("q_emb"),
       l2Norm(col("embedding")).as("q_nrm"))

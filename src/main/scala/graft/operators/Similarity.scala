@@ -545,41 +545,10 @@ object Similarity {
       numTables: Int = 8, planesPerTable: Int = 4,
       skewMaxBucket: Int = 4096, skewChunk: Int = 1024,
       eagerSkewProbe: Boolean = false): DataFrame = {
-    val planes = numTables * planesPerTable
-    // Plane dot products via posexplode + `planes` SUM agg columns: one
-    // codegen'd hash aggregation instead of nested array-lambda folds
-    // (which evaluate interpreted and re-derive plane components per dim).
-    // Plane component (p, dim) is an integer Weyl-style mixer in
-    // [-1024, 1024] — exact integer arithmetic any SQL engine reproduces,
-    // so the DuckDB oracle can restate the buckets verbatim; executors need
-    // no plane-matrix broadcast. Each per-plane term is scaled to a 1e-9
-    // grid and floored to a long BEFORE summation: the sum is then exact
-    // integer arithmetic — order-independent (double summation order varies
-    // across engines and runs, and a sign flip on a near-zero dot product
-    // would change a bucket) and long-backed (a decimal(28,12) route is
-    // BigDecimal-boxed and ~3x slower in the hash aggregate).
-    val comps = corpus.select(col("vec_id"),
-      posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
-    val dotCols = (0 until planes).map { p =>
-      val comp = ((col("pos") * 7919 + lit(p * 1000003)) * lit(2654435761L) % 2049L
-        - 1024L).cast("double")
-      sum(floor(col("v") * comp * 1e9).cast("long")).as(s"d$p")
-    }
-    val sigs = comps.groupBy("vec_id").agg(dotCols.head, dotCols.tail: _*)
-
-    val tableCols = (0 until numTables).map { t =>
-      val bucket = (0 until planesPerTable).map { i =>
-        when(col(s"d${t * planesPerTable + i}") > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_.bitwiseOR(_))
-      struct(lit(t).as("table_id"), bucket.as("bucket"))
-    }
     // No persist here: hybridBucketPairs persists these rows itself, and
     // that cache is what every downstream consumer (the hot-bucket probe,
     // both self-join sides, the skew branch) reads.
-    val tables = sigs
-      .select(col("vec_id"), explode(array(tableCols: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.table_id").as("table_id"),
-        col("tb.bucket").as("bucket"))
+    val tables = lshBucketTable(corpus, numTables, planesPerTable)
 
     // No pre-rerank distinct: deduping 1M candidates costs a full shuffle
     // to save re-scoring ~20% duplicate collisions — cheaper to rerank the
@@ -602,5 +571,46 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("sim"))
       .dropDuplicates("vec_a", "vec_b")
+  }
+
+  /** The hyperplane-LSH bucket relation (vec_id, table_id, bucket) —
+    * [[lshSimilarPairs]]'s candidate-generation half, exposed so scoped
+    * consumers (e.g. NeighborGraph.repair, which needs ONE node subset's
+    * collisions against the corpus) can reuse the exact bucket
+    * arithmetic without paying the full self-join.
+    *
+    * Plane dot products via posexplode + `planes` SUM agg columns: one
+    * codegen'd hash aggregation instead of nested array-lambda folds
+    * (which evaluate interpreted and re-derive plane components per dim).
+    * Plane component (p, dim) is an integer Weyl-style mixer in
+    * [-1024, 1024] — exact integer arithmetic any SQL engine reproduces,
+    * so the DuckDB oracle can restate the buckets verbatim; executors need
+    * no plane-matrix broadcast. Each per-plane term is scaled to a 1e-9
+    * grid and floored to a long BEFORE summation: the sum is then exact
+    * integer arithmetic — order-independent (double summation order varies
+    * across engines and runs, and a sign flip on a near-zero dot product
+    * would change a bucket) and long-backed (a decimal(28,12) route is
+    * BigDecimal-boxed and ~3x slower in the hash aggregate). */
+  def lshBucketTable(corpus: DataFrame, numTables: Int,
+      planesPerTable: Int): DataFrame = {
+    val planes = numTables * planesPerTable
+    val comps = corpus.select(col("vec_id"),
+      posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
+    val dotCols = (0 until planes).map { p =>
+      val comp = ((col("pos") * 7919 + lit(p * 1000003)) * lit(2654435761L) % 2049L
+        - 1024L).cast("double")
+      sum(floor(col("v") * comp * 1e9).cast("long")).as(s"d$p")
+    }
+    val sigs = comps.groupBy("vec_id").agg(dotCols.head, dotCols.tail: _*)
+    val tableCols = (0 until numTables).map { t =>
+      val bucket = (0 until planesPerTable).map { i =>
+        when(col(s"d${t * planesPerTable + i}") > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+      struct(lit(t).as("table_id"), bucket.as("bucket"))
+    }
+    sigs
+      .select(col("vec_id"), explode(array(tableCols: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.table_id").as("table_id"),
+        col("tb.bucket").as("bucket"))
   }
 }

@@ -270,6 +270,164 @@ class NeighborGraphSpec extends AnyFunSuite {
       s"bulk/per-probe divergence: ${(bulk diff perProbe).take(5)} vs ${(perProbe diff bulk).take(5)}")
   }
 
+  test("append records a pending manifest and compact discovery is manifest-scoped") {
+    import spark.implicits._
+    val p = TempDirs.fresh("graft_nngmanifest")
+    NeighborGraph.build(emb.filter($"vec_id" =!= 7), p.toString,
+      m = 4, numTables = 6, planesPerTable = 5, nBuckets = 8)
+    assert(NeighborGraph.readPendingManifest(p.toString).isEmpty,
+      "a fresh build must not leave a manifest")
+    NeighborGraph.append(spark, p.toString, emb.filter($"vec_id" === 7),
+      emb, m = 4, beamWidth = 8, rounds = 3, nBuckets = 8, nEntries = 4,
+      bulkHint = Some(false))
+    // the manifest must name exactly the buckets the append wrote
+    val written = spark.read.parquet(s"$p/edges")
+      .filter($"src" === 7 || $"dst" === 7 || $"rank" === 0)
+      .select(($"src" % 8).as("b")).distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSet
+    val Some((manifest, files)) = NeighborGraph.readPendingManifest(p.toString)
+    assert(files.nonEmpty, "append must write a manifest sidecar")
+    assert(manifest.toSet == written,
+      s"manifest $manifest != appended buckets $written")
+    NeighborGraph.compact(spark, p.toString, m = 4, nBuckets = 8)
+    val Some((after, filesAfter)) = NeighborGraph.readPendingManifest(p.toString)
+    assert(after.isEmpty && filesAfter.isEmpty,
+      "compact must consume the manifest entries it serviced")
+    // a second compact with an empty manifest is an early no-op: no
+    // bucket listing may change
+    val all = (0L until 8L).map(b => b -> listing(p.toString, b)).toMap
+    NeighborGraph.compact(spark, p.toString, m = 4, nBuckets = 8)
+    (0L until 8L).foreach { b =>
+      assert(listing(p.toString, b) == all(b),
+        s"empty-manifest compact touched bucket $b")
+    }
+  }
+
+  test("serving heals an interrupted rewrite instead of missing a bucket") {
+    import spark.implicits._
+    val p = TempDirs.fresh("graft_nngservheal")
+    NeighborGraph.build(emb, p.toString, m = 4, numTables = 6,
+      planesPerTable = 5, nBuckets = 8)
+    val queries = emb.filter($"vec_id" < 3)
+    def serve() = NeighborGraph.beamSearch(spark, p.toString, queries, emb,
+        k = 3, beamWidth = 8, rounds = 3, nBuckets = 8, nEntries = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val healthy = serve()
+    // simulate the post-commit lost-bucket window: bucket 0 moved aside,
+    // its replacement complete in scratch, marker present — the state a
+    // crash between AtomicSwap's two moves leaves behind
+    val root = java.nio.file.Paths.get(p.toString)
+    val target = root.resolve("edges/src_bucket=0")
+    java.nio.file.Files.move(target, root.resolve(".swapold_0"))
+    java.nio.file.Files.createDirectory(root.resolve(".swapnew_0"))
+    val s0 = java.nio.file.Files.list(root.resolve(".swapold_0"))
+    try {
+      import scala.jdk.CollectionConverters._
+      s0.iterator().asScala.foreach { f =>
+        java.nio.file.Files.copy(f,
+          root.resolve(".swapnew_0").resolve(f.getFileName))
+      }
+    } finally s0.close()
+    java.nio.file.Files.createFile(root.resolve(".swapcommit_0"))
+    assert(!java.nio.file.Files.exists(target), "setup: bucket must be gone")
+    // a bare serving call must heal and answer as if nothing happened
+    assert(serve() == healthy,
+      "serving over the interrupted layout diverged from the healthy answer")
+    assert(java.nio.file.Files.isDirectory(target),
+      "serving did not restore the missing bucket")
+  }
+
+  test("delete on a hierarchical layout scrubs the coarse layer too") {
+    import spark.implicits._
+    val p = TempDirs.fresh("graft_nnghierdel")
+    NeighborGraph.buildHier(emb, p.toString, m = 4, numTables = 6,
+      planesPerTable = 5, nBuckets = 8, refineRounds = 0, l1Mod = 4)
+    // delete an l1 MEMBER (id % 4 == 0) that the coarse layer stores
+    val victim = spark.read.parquet(s"$p/l1/edges")
+      .select($"src").distinct().orderBy($"src").head.getLong(0)
+    NeighborGraph.delete(spark, p.toString, Seq(victim), nBuckets = 8)
+    Seq(s"$p/edges", s"$p/l1/edges").foreach { layer =>
+      val residual = spark.read.parquet(layer)
+        .filter($"src" === victim || $"dst" === victim).count()
+      assert(residual == 0, s"$residual residual edges for $victim in $layer")
+    }
+    val served = NeighborGraph.beamSearchHier(spark, p.toString,
+        emb.filter($"vec_id" < 3), emb, k = 3, l1Beam = 4, l1Rounds = 2,
+        beamWidth = 8, rounds = 3, nBuckets = 8, nEntries = 4)
+      .filter($"neighbor_id" === victim).count()
+    assert(served == 0, "hierarchical search returned a deleted node")
+  }
+
+  test("repair after heavy deletion restores degree and recall to rebuild parity") {
+    import spark.implicits._
+    val p = TempDirs.fresh("graft_nngrepair")
+    NeighborGraph.build(emb, p.toString, m = 4, numTables = 6,
+      planesPerTable = 5, nBuckets = 8)
+    // delete 25% of the corpus including the biggest hub — heavy RTBF churn
+    val hub = spark.read.parquet(s"$p/edges")
+      .groupBy($"dst").count().orderBy($"count".desc, $"dst")
+      .head.getLong(0)
+    val ids = (emb.filter($"vec_id" % 4 === 1).select($"vec_id")
+      .collect().map(_.getLong(0)).toSeq :+ hub).distinct.sorted
+    val affected = NeighborGraph.delete(spark, p.toString, ids, nBuckets = 8)
+    assert(affected.nonEmpty && affected.forall(a => !ids.contains(a)))
+    val survivors = emb.filter(!$"vec_id".isin(ids: _*))
+    def recallVs(path: String): Double = {
+      val queries = survivors.filter($"vec_id" % 7 === 0)
+      val bf = graft.operators.Similarity.bruteForceTopK(queries, survivors,
+          k = 3, queryCountHint = 200)
+        .select($"query_id", $"neighbor_id")
+      val got = NeighborGraph.beamSearch(spark, path, queries, survivors,
+          k = 3, beamWidth = 16, rounds = 5, nBuckets = 8, nEntries = 4)
+        .select($"query_id", $"neighbor_id")
+      val hits = bf.join(got, Seq("query_id", "neighbor_id"), "left_semi").count()
+      hits.toDouble / bf.count()
+    }
+    // per-src edge quality before repair (deficient nodes' best edge)
+    val preTop1 = spark.read.parquet(s"$p/edges")
+      .filter($"src".isin(affected: _*))
+      .groupBy($"src").agg(max($"sim").as("t1"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val repaired = NeighborGraph.repair(spark, p.toString, affected, survivors,
+      m = 4, numTables = 6, planesPerTable = 5, nBuckets = 8)
+    assert(repaired.count() > 0, "heavy deletion must leave nodes to repair")
+    // every repaired node is back at the degree cap (enough survivors
+    // exist), ranked densely, no deleted dst re-linked
+    val post = spark.read.parquet(s"$p/edges")
+    assert(post.filter($"dst".isin(ids: _*) || $"src".isin(ids: _*))
+      .count() == 0, "repair re-linked a deleted node")
+    val affDeg = post.filter($"src".isin(affected: _*))
+      .groupBy($"src").agg(count(lit(1)).as("d"))
+    assert(affDeg.filter($"d" < 4).count() == 0,
+      "an affected node is still below the degree cap after repair")
+    // a repaired node's edge set is top-m of (survivors ∪ found): its
+    // best edge can only match or improve
+    val postTop1 = post.filter($"src".isin(affected: _*))
+      .groupBy($"src").agg(max($"sim").as("t1"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    preTop1.foreach { case (src, t1) =>
+      assert(postTop1.getOrElse(src, Double.NegativeInfinity) >= t1,
+        s"repair worsened node $src's best edge")
+    }
+    // end-to-end: repaired-graph recall reaches rebuild parity (recall on
+    // this isotropic corpus is budget-bound — the parity CLAIM, not an
+    // absolute level, is the repair contract)
+    val p2 = TempDirs.fresh("graft_nngrepair_rebuild")
+    NeighborGraph.build(survivors, p2.toString, m = 4, numTables = 6,
+      planesPerTable = 5, nBuckets = 8)
+    val postRepair = recallVs(p.toString)
+    val rebuilt = recallVs(p2.toString)
+    assert(postRepair >= rebuilt - 1e-9,
+      f"repaired recall $postRepair%.3f below rebuild parity $rebuilt%.3f")
+    // the strong form: the repaired EDGE RELATION equals the rebuild's
+    // verbatim (LSH-scoped repair regenerates exactly the rebuild's
+    // candidates for deficient srcs; unaffected srcs already hold theirs)
+    def rel(path: String) = spark.read.parquet(s"$path/edges")
+      .select($"src", $"dst", $"sim", $"rank").collect().toSet
+    assert(rel(p.toString) == rel(p2.toString),
+      "repaired edge relation diverged from a fresh build over survivors")
+  }
+
   test("beam search is deterministic and finds brute-force top-k when the beam covers the corpus") {
     import spark.implicits._
     val queries = emb.filter($"vec_id" < 3)

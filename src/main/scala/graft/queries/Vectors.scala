@@ -3278,6 +3278,149 @@ object Vectors {
   }
   val q357Sql: String = q342Sql
 
+  // --- q360: delete-repair, then serve (RTBF churn recovery) ---------------
+  // The lifecycle verb q347/q348 leave open: delete removes every edge
+  // touching a deleted node but never re-links the survivors that lost
+  // out-edges, so heavy RTBF churn permanently degrades navigability
+  // around deleted hubs. NeighborGraph.repair closes it with the build's
+  // own LSH candidate generation SCOPED to the blast radius (delete's
+  // returned affected set): a deficient node's scoped collisions over
+  // the survivors are exactly its rebuild candidates, so repair restores
+  // the edge relation a never-deleted build over the survivors would
+  // produce VERBATIM (NeighborGraphSpec proves set-equality). The gate:
+  // build on the FULL corpus, delete the 2% slice, repair, serve 8
+  // probes - and the oracle is q348's never-deleted restatement
+  // unchanged. Same oracle, third lifecycle path (q348: build-partial +
+  // append + delete; q360: build-full + delete + repair).
+  private def nngRepaired(s: SparkSession, d: String): java.nio.file.Path =
+    graft.Stage.derived("nng_repair_6x5_m12_v", d) { p =>
+      val emb = Tables.embeddings(s, d)
+      graft.sources.NeighborGraph.build(emb, p.toString, m = 12,
+        numTables = 6, planesPerTable = 5, nBuckets = 16)
+      val ids = emb.filter(col("vec_id") % 50 === 7)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq.sorted
+      val affected = graft.sources.NeighborGraph.delete(s, p.toString, ids,
+        nBuckets = 16)
+      graft.sources.NeighborGraph.repair(s, p.toString, affected,
+        emb.filter(col("vec_id") % 50 =!= 7), m = 12, numTables = 6,
+        planesPerTable = 5, nBuckets = 16)
+      ()
+    }
+
+  def q360(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    graft.sources.NeighborGraph.beamSearch(s, nngRepaired(s, d).toString,
+        emb.filter($"vec_id" < 8), emb, k = 5, beamWidth = 16, rounds = 5,
+        nBuckets = 16, nEntries = 8)
+      .orderBy($"query_id", $"rank")
+  }
+  val q360Sql: String = q348Sql
+
+  // --- q358: metadata-filtered graph ANN search ----------------------------
+  // The most common real vector-store operation: top-k among vectors
+  // whose metadata matches a predicate. Post-filtering the unfiltered
+  // top-k under-returns (k rows in, k*selectivity out — the spec proves
+  // the gap); the correct form is filtered expansion: the WALK stays
+  // unfiltered (navigation routes through non-matching nodes, or a
+  // selective predicate disconnects the graph), and the ANSWER ranks the
+  // whole visited set restricted to the predicate. Two arms gate both
+  // regimes in one query: 'sel' (label = 3 AND odd id, ~5% selectivity)
+  // and 'broad' (label <> 3, ~90%). The oracle shares ONE unrolled walk
+  // (the filter cannot touch the trajectory) and applies each predicate
+  // at the final ranking - a search that filtered too early or too late
+  // hash-misses.
+  def q358(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter($"vec_id" < 8)
+    def arm(name: String, pred: org.apache.spark.sql.Column) =
+      graft.sources.NeighborGraph.beamSearchWhere(s, nngIdx(s, d).toString,
+          queries, emb, allowed = emb.filter(pred).select($"vec_id"),
+          k = 5, beamWidth = 16, rounds = 5, nBuckets = 16, nEntries = 8)
+        .withColumn("arm", lit(name))
+    arm("sel", $"label" === 3 && $"vec_id" % 2 === 1)
+      .unionByName(arm("broad", $"label" =!= 3))
+      .select($"arm", $"query_id", $"neighbor_id", $"rank", $"sim")
+      .orderBy($"arm", $"query_id", $"rank")
+  }
+  val q358Sql: String = {
+    def armSql(arm: String, pred: String): String =
+      s"""SELECT arm, query_id, neighbor_id, rank, sim FROM (
+        |  SELECT '$arm' AS arm, v.query_id, v.node AS neighbor_id, v.sim,
+        |    ROW_NUMBER() OVER (PARTITION BY v.query_id
+        |      ORDER BY v.sim DESC, v.node) AS rank
+        |  FROM v5 v JOIN embeddings me ON me.vec_id = v.node
+        |  WHERE v.node <> v.query_id AND ($pred))
+        |WHERE rank <= 5""".stripMargin
+    s"""WITH $nngEdgeCtes,
+      |$nngSearchCtes
+      |${armSql("sel", "me.label = 3 AND me.vec_id % 2 = 1")}
+      |UNION ALL
+      |${armSql("broad", "me.label <> 3")}
+      |ORDER BY arm, query_id, rank""".stripMargin
+  }
+
+  // --- q359: metadata-filtered IVF-PQ ADC probe -----------------------------
+  // q358's contract on the OTHER index family: the predicate gates the
+  // probed cells' codes BEFORE ADC scoring (a semi-join against the
+  // metadata scan), so the ranking sees every admissible candidate in
+  // the probed cells instead of filtering k already-ranked rows.
+  // Partition pruning is untouched - cells come from the query. Same two
+  // arms; the oracle is the q141 restatement with the predicate joined
+  // into the candidate set.
+  def q359(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter($"vec_id" < 8)
+    def arm(name: String, pred: org.apache.spark.sql.Column) =
+      graft.sources.VectorIndex.probeTopKWhere(s, vecIdx(s, d).toString,
+          queries, m = 4, k = 5, nprobe = 3,
+          allowed = Some(emb.filter(pred).select($"vec_id")))
+        .withColumn("arm", lit(name))
+    arm("sel", $"label" === 3 && $"vec_id" % 2 === 1)
+      .unionByName(arm("broad", $"label" =!= 3))
+      .select($"arm", $"query_id", $"neighbor_id", $"rank", $"adist")
+      .orderBy($"arm", $"query_id", $"rank")
+  }
+  val q359Sql: String = {
+    def armSql(arm: String, pred: String): String =
+      s"""SELECT arm, query_id, neighbor_id, rank, adist FROM (
+        |  SELECT '$arm' AS arm, query_id, neighbor_id, adist,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY adist ASC, neighbor_id) AS rank
+        |  FROM (
+        |    SELECT p.query_id, k.vec_id AS neighbor_id,
+        |      CAST(SUM(CAST(l.dist AS DECIMAL(18,6))) AS DOUBLE) AS adist
+        |    FROM codes k
+        |    JOIN cells ce ON k.vec_id = ce.vec_id
+        |    JOIN probes p ON ce.cell = p.cell
+        |    JOIN lut l ON l.query_id = p.query_id AND l.sub = k.sub AND l.cw = k.cw
+        |    JOIN embeddings fm ON fm.vec_id = k.vec_id
+        |    WHERE k.vec_id <> p.query_id AND ($pred)
+        |    GROUP BY 1, 2))
+        |WHERE rank <= 5""".stripMargin
+    s"""WITH emb AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e, len(embedding) AS d FROM embeddings
+      |), kc0 AS (SELECT vec_id AS cell, e AS c FROM emb ORDER BY vec_id LIMIT 8),
+      |ka0 AS (${kmAssign("kc0")}),
+      |kc1 AS (${kmUpdate("ka0")}),
+      |cells AS (SELECT vec_id, cell FROM (${kmAssign("kc1")}) t),
+      |$pqCtes,
+      |probes AS (
+      |  SELECT query_id, cell FROM (
+      |    SELECT q.vec_id AS query_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        ${sqd("q.e", "c.c")} ASC, c.cell ASC) AS crank
+      |    FROM emb q CROSS JOIN kc1 c WHERE q.vec_id < 8)
+      |  WHERE crank <= 3
+      |)
+      |${armSql("sel", "fm.label = 3 AND fm.vec_id % 2 = 1")}
+      |UNION ALL
+      |${armSql("broad", "fm.label <> 3")}
+      |ORDER BY arm, query_id, rank""".stripMargin
+  }
+
   def pack: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q341_nng_build", q341 _, Some(q341Sql)),
     ("q342_nng_search", q342 _, Some(q342Sql)),
@@ -3292,6 +3435,9 @@ object Vectors {
     ("q355_nng_hier_probe", q355 _, Some(q355Sql)),
     ("q356_nng_budget_recall", q356 _, Some(q356Sql)),
     ("q357_nng_bulk_knn", q357 _, Some(q357Sql)),
+    ("q358_nng_filtered_search", q358 _, Some(q358Sql)),
+    ("q359_ivfpq_filtered_probe", q359 _, Some(q359Sql)),
+    ("q360_nng_repair_probe", q360 _, Some(q360Sql)),
     ("q271_pca_power_iteration", q271 _, Some(q271Sql)),
     ("q320_matryoshka_recall", q320 _, Some(q320Sql)),
     ("q321_cluster_quality", q321 _, Some(q321Sql)),

@@ -573,6 +573,31 @@ object NeighborGraph {
     }
   }
 
+  /** Metadata-filtered beam search — the filtered-expansion form (the
+    * most common real vector-store operation: top-k among vectors whose
+    * label/source/date matches a predicate). The WALK is unfiltered —
+    * navigation must route through non-matching nodes or the graph loses
+    * connectivity under selective predicates (the ACORN observation) —
+    * and the ANSWER is the top-k of the visited set restricted to
+    * `allowed` (a one-column vec_id relation, i.e. the predicate pushed
+    * into a metadata scan). This under-returns strictly less than
+    * post-filtering the unfiltered top-k: the filter sees the WHOLE
+    * visited set (queries·rounds·beam·m candidates), not k rows —
+    * NeighborGraphSpec proves the gap on a selective predicate.
+    * Membership is resolved by ONE semi-join of the bounded visited-node
+    * list against `allowed` (predicate + vec_id pushdown reach the
+    * metadata scan), never by collecting `allowed`. */
+  def beamSearchWhere(spark: SparkSession, path: String, queries: DataFrame,
+      corpus: DataFrame, allowed: DataFrame, k: Int, beamWidth: Int,
+      rounds: Int, nBuckets: Int, nEntries: Int = 1): DataFrame = {
+    val entries = entryNodes(spark, path, nEntries)
+    inSearchConfScope(spark) {
+      beamSearchPhases(spark, queries, corpus, k,
+        Seq(SearchPhase(s"$path/edges", beamWidth, rounds, nBuckets)),
+        entries, allowed = Some(allowed))
+    }
+  }
+
   /** A search phase: walk the staged edge relation at `edgesPath` for
     * `rounds` rounds at `beamWidth`. Chained phases share one visited
     * set — the HNSW descent shape (coarse layer seeds the base layer). */
@@ -627,7 +652,8 @@ object NeighborGraph {
     * oracle; ScaleStress runs the batch sizes the driver map cannot. */
   def beamSearchBulk(spark: SparkSession, path: String, queries: DataFrame,
       corpus: DataFrame, k: Int, beamWidth: Int, rounds: Int,
-      nBuckets: Int, nEntries: Int = 1): DataFrame = {
+      nBuckets: Int, nEntries: Int = 1,
+      allowed: Option[DataFrame] = None): DataFrame = {
     recoverSwaps(path) // serving heals interrupted rewrites before reading
     val q = queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("q_emb"),
@@ -670,7 +696,14 @@ object NeighborGraph {
         visited = visited.unionByName(freshCk).localCheckpoint(true)
       r += 1
     }
-    visited
+    // filtered answer (the beamSearchWhere contract, DataFrame form):
+    // the walk stayed unfiltered; the top-k ranks only allowed members
+    val admissible = allowed match {
+      case Some(a) => visited.join(a.select(col("vec_id").as("node")),
+        Seq("node"), "left_semi")
+      case None => visited
+    }
+    admissible
       .filter(col("query_id") =!= col("node"))
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("sim").desc, col("node").asc)))
@@ -693,7 +726,7 @@ object NeighborGraph {
 
   private def beamSearchPhases(spark: SparkSession, queries: DataFrame,
       corpus: DataFrame, k: Int, phases: Seq[SearchPhase],
-      entries: Seq[Long]): DataFrame = {
+      entries: Seq[Long], allowed: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val prof = sys.env.contains("GRAFT_NNG_PROF")
     def t[T](name: String)(f: => T): T =
@@ -822,8 +855,18 @@ object NeighborGraph {
       }
     }
     if (prof) System.err.println(s"[nng] visited total: ${visited.size}")
+    // filtered answer: restrict the visited set to `allowed` members via
+    // one semi-join — the visited-node list is bounded (literal IN
+    // pushdown into the metadata scan), the allowed relation is not
+    val allowedSet: Option[Set[Long]] = allowed.map { a =>
+      val nodes = visited.keysIterator.map(_._2).toSeq.distinct.sorted
+      if (nodes.isEmpty) Set.empty[Long]
+      else a.filter(col("vec_id").isin(nodes: _*)).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSet
+    }
     val answer = visited.toSeq
-      .filter { case ((qi, node), _) => qi != node }
+      .filter { case ((qi, node), _) =>
+        qi != node && allowedSet.forall(_.contains(node)) }
       .groupBy(_._1._1).toSeq.flatMap { case (qi, entries) =>
         entries.sortBy { case ((_, node), sim) => (-sim, node) }
           .take(k).zipWithIndex

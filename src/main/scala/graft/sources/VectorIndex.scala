@@ -165,7 +165,21 @@ object VectorIndex {
     * @return (query_id, neighbor_id, rank, adist) — `Similarity.pqTopK`
     *         semantics within probed cells */
   def probeTopK(spark: SparkSession, path: String, queries: DataFrame,
-      m: Int, k: Int, nprobe: Int): DataFrame = {
+      m: Int, k: Int, nprobe: Int): DataFrame =
+    probeTopKWhere(spark, path, queries, m, k, nprobe, allowed = None)
+
+  /** Metadata-filtered ADC probe — [[probeTopK]] with the predicate
+    * applied DURING the scan, not after the top-k (post-filtering
+    * under-returns: k survivors of a filter over k rows is k·selectivity,
+    * not k). `allowed` is a one-column vec_id relation — the predicate
+    * pushed into a metadata scan — semi-joined against the probed cells'
+    * codes BEFORE the LUT scoring, so non-matching vectors cost nothing
+    * past the join and the ranking sees every admissible candidate in the
+    * probed cells. Partition pruning is unchanged (cells come from the
+    * query, not the predicate); at 100 TB the filter relation is
+    * metadata-sized next to the codes it gates. */
+  def probeTopKWhere(spark: SparkSession, path: String, queries: DataFrame,
+      m: Int, k: Int, nprobe: Int, allowed: Option[DataFrame]): DataFrame = {
     val cent = spark.read.parquet(s"$path/centroids")
     val cb = spark.read.parquet(s"$path/codebooks")
     val q = queries.select(col("vec_id").as("query_id"),
@@ -187,8 +201,14 @@ object VectorIndex {
       .join(broadcast(cb.select(col("sub"), col("cw"), col("centroid"))), "sub")
       .select(col("query_id"), col("sub"), col("cw"),
         Similarity.sqDistRounded(col("se"), col("centroid")).as("dist"))
-    val cand = spark.read.parquet(s"$path/codes")
+    val pruned = spark.read.parquet(s"$path/codes")
       .filter(col("cell").isin(probedCells: _*))
+    val admissible = allowed match {
+      case Some(a) => pruned.join(a.select(col("vec_id")),
+        Seq("vec_id"), "left_semi")
+      case None => pruned
+    }
+    val cand = admissible
       .join(broadcast(probes), "cell")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

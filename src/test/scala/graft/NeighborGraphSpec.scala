@@ -428,6 +428,47 @@ class NeighborGraphSpec extends AnyFunSuite {
       "repaired edge relation diverged from a fresh build over survivors")
   }
 
+  test("filtered search strictly beats post-filtering the unfiltered top-k") {
+    import spark.implicits._
+    // selective predicate (~10% of the corpus): the unfiltered top-k
+    // rarely contains a match, so post-filtering starves
+    val allowed = emb.filter($"label" === 3).select($"vec_id")
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    val queries = emb.filter($"vec_id" < 8)
+    val filtered = NeighborGraph.beamSearchWhere(spark, graphPath, queries,
+        emb, allowed, k = 3, beamWidth = 8, rounds = 3, nBuckets = 8,
+        nEntries = 4)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(filtered.nonEmpty && filtered.forall(x => allowedSet(x._2)),
+      "filtered search returned a non-matching node")
+    val postFiltered = NeighborGraph.beamSearch(spark, graphPath, queries,
+        emb, k = 3, beamWidth = 8, rounds = 3, nBuckets = 8, nEntries = 4)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(x => allowedSet(x._2))
+    assert(filtered.length > postFiltered.length,
+      s"filtered search (${filtered.length} answers) must under-return " +
+        s"strictly less than post-filtering (${postFiltered.length})")
+    // the filtered IVF probe honors the same contract
+    val ivfPath = TempDirs.fresh("graft_vidx_filter")
+    graft.sources.VectorIndex.build(emb, ivfPath.toString, kCells = 8,
+      cellIters = 1, m = 4, kCw = 4, pqIters = 1)
+    val ivfFiltered = graft.sources.VectorIndex.probeTopKWhere(spark,
+        ivfPath.toString, queries, m = 4, k = 3, nprobe = 3,
+        allowed = Some(allowed))
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ivfPost = graft.sources.VectorIndex.probeTopK(spark,
+        ivfPath.toString, queries, m = 4, k = 3, nprobe = 3)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(x => allowedSet(x._2))
+    assert(ivfFiltered.nonEmpty && ivfFiltered.forall(x => allowedSet(x._2)))
+    assert(ivfFiltered.length > ivfPost.length,
+      s"IVF filtered (${ivfFiltered.length}) vs post-filter (${ivfPost.length})")
+  }
+
   test("beam search is deterministic and finds brute-force top-k when the beam covers the corpus") {
     import spark.implicits._
     val queries = emb.filter($"vec_id" < 3)

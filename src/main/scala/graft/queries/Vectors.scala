@@ -2615,11 +2615,12 @@ object Vectors {
   /** [[nngEdgeCtesW]] with a NAME PREFIX so several edge relations (the
     * two layers of a hierarchical build, a refined-vs-base chain) can
     * coexist in one statement; the relation lands in `${p}edges`. */
-  private def nngEdgeCtesP(p: String, corpusWhere: String): String =
+  private def nngEdgeCtesP(p: String, corpusWhere: String,
+      tbl: String = "embeddings"): String =
     s"""${p}comps AS MATERIALIZED (
       |  SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
       |         unnest(embedding::DOUBLE[]) AS v
-      |  FROM embeddings WHERE $corpusWhere
+      |  FROM $tbl WHERE $corpusWhere
       |), ${p}dots AS MATERIALIZED (
       |  SELECT vec_id, p,
       |    SUM(CAST(FLOOR(v * ((pos * 7919 + p * 1000003) * 2654435761 % 2049 - 1024) * 1e9)
@@ -2638,8 +2639,8 @@ object Vectors {
       |  SELECT c.vec_a, c.vec_b,
       |    ROUND(${cosSql("ea.embedding::DOUBLE[]", "eb.embedding::DOUBLE[]")}, 6) AS sim
       |  FROM ${p}candn c
-      |  JOIN embeddings ea ON ea.vec_id = c.vec_a
-      |  JOIN embeddings eb ON eb.vec_id = c.vec_b
+      |  JOIN $tbl ea ON ea.vec_id = c.vec_a
+      |  JOIN $tbl eb ON eb.vec_id = c.vec_b
       |), ${p}bothn AS (
       |  SELECT vec_a AS src, vec_b AS dst, sim FROM ${p}scn
       |  UNION ALL
@@ -2704,7 +2705,7 @@ object Vectors {
     * from `$qsRel` — shared by the fresh-search and continuation
     * builders. Expects `${p}b0`/`${p}v0` to exist. */
   private def nngRoundCtes(p: String, qsRel: String, edgesRel: String,
-      rounds: Int, beam: Int): String =
+      rounds: Int, beam: Int, tbl: String = "embeddings"): String =
     (1 to rounds).map { r =>
       s"""${p}e$r AS (
         |  SELECT DISTINCT b.query_id, ed.dst AS node
@@ -2714,7 +2715,7 @@ object Vectors {
         |    ROUND(${cosSql("q.qe", "ne.embedding::DOUBLE[]")}, 6) AS sim
         |  FROM ${p}e$r en
         |  JOIN $qsRel q ON q.query_id = en.query_id
-        |  JOIN embeddings ne ON ne.vec_id = en.node
+        |  JOIN $tbl ne ON ne.vec_id = en.node
         |  WHERE NOT EXISTS (SELECT 1 FROM ${p}v${r - 1} v
         |    WHERE v.query_id = en.query_id AND v.node = en.node)
         |), ${p}v$r AS MATERIALIZED (
@@ -2731,24 +2732,25 @@ object Vectors {
     * `$nEntries` smallest srcs, then `rounds` rounds at `beam`; visited
     * set lands in `${p}v$rounds`. */
   private def nngSearchCtesP(p: String, qsWhere: String, edgesRel: String,
-      rounds: Int, beam: Int, nEntries: Int): String =
+      rounds: Int, beam: Int, nEntries: Int,
+      tbl: String = "embeddings"): String =
     s"""${p}qs AS (
       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
-      |  FROM embeddings WHERE $qsWhere
+      |  FROM $tbl WHERE $qsWhere
       |), ${p}ent AS (
       |  SELECT src AS e FROM (SELECT DISTINCT src FROM $edgesRel ORDER BY src LIMIT $nEntries)
       |), ${p}v0 AS MATERIALIZED (
       |  SELECT q.query_id, ent.e AS node,
       |    ROUND(${cosSql("q.qe", "ne.embedding::DOUBLE[]")}, 6) AS sim
       |  FROM ${p}qs q CROSS JOIN ${p}ent ent
-      |  JOIN embeddings ne ON ne.vec_id = ent.e
+      |  JOIN $tbl ne ON ne.vec_id = ent.e
       |), ${p}b0 AS (
       |  SELECT query_id, node, sim FROM (
       |    SELECT query_id, node, sim,
       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rk
       |    FROM ${p}v0)
       |  WHERE rk <= $beam),
-      |${nngRoundCtes(p, s"${p}qs", edgesRel, rounds, beam)}""".stripMargin
+      |${nngRoundCtes(p, s"${p}qs", edgesRel, rounds, beam, tbl)}""".stripMargin
 
   /** Continuation walk — the hierarchy descent: rounds over `$edgesRel`
     * whose round-0 visited set IS `$v0Rel` (the previous phase's final
@@ -3317,6 +3319,194 @@ object Vectors {
   }
   val q360Sql: String = q348Sql
 
+  // --- q362: clustered-corpus recall gate -----------------------------------
+  // The isotropy finding (round 14) showed recall on the synthetic
+  // embeddings is budget-bound - the regime where navigable graphs SHINE
+  // (clustered data) had spec-level invariants only. This gate stages a
+  // deterministic clustered corpus both engines derive identically from
+  // the embeddings table (400 vectors pulled toward 8 integer-mixer
+  // cluster centers, 0.05 of the original vector as jitter - all exact
+  // double arithmetic, snapped at 1e-6), builds the standard graph on
+  // it, and hash-gates recall@5 at beam 16 INCLUDING the meets_target
+  // boolean: the HNSW-regime payoff, oracle-checked. The fixture is
+  // intentionally fixed-size across SFs (a property gate, not a scale
+  // gate - ids 0..399 exist at every SF, so the oracle is SF-invariant).
+  private def clusteredEmbCol: org.apache.spark.sql.Column =
+    transform(col("embedding"), (v, i) =>
+      round((((col("vec_id") % 8) * 37 + i * 11) % 13 - 6).cast("double")
+        / 6.0 + v.cast("double") * 0.05, 6))
+  private def clusteredEmb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < 400)
+      .select(col("vec_id"), clusteredEmbCol.as("embedding"))
+  private val cembCte: String =
+    """cemb AS MATERIALIZED (
+      |  SELECT vec_id, list(cv ORDER BY pos) AS embedding FROM (
+      |    SELECT vec_id, pos,
+      |      ROUND(CAST(((vec_id % 8) * 37 + pos * 11) % 13 - 6 AS DOUBLE)
+      |        / 6.0 + v * 0.05, 6) AS cv
+      |    FROM (SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+      |                 unnest(embedding::DOUBLE[]) AS v
+      |          FROM embeddings WHERE vec_id < 400))
+      |  GROUP BY vec_id)""".stripMargin
+
+  private def nngClustered(s: SparkSession, d: String): java.nio.file.Path =
+    graft.Stage.derived("nng_clustered_v", d) { p =>
+      graft.sources.NeighborGraph.build(clusteredEmb(s, d), p.toString,
+        m = 12, numTables = 6, planesPerTable = 5, nBuckets = 8)
+    }
+
+  def q362(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cemb = clusteredEmb(s, d)
+    val queries = cemb.filter($"vec_id" < 8) // ids 0..7 = one per cluster
+    val bf = Similarity.bruteForceTopK(queries, cemb, k = 5,
+        queryCountHint = 8)
+      .select($"query_id", $"neighbor_id")
+    val ng = graft.sources.NeighborGraph.beamSearch(s,
+        nngClustered(s, d).toString, queries, cemb, k = 5, beamWidth = 16,
+        rounds = 5, nBuckets = 8, nEntries = 8)
+      .select($"query_id", $"neighbor_id")
+    val hits = bf.join(ng, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
+    val per = bf.groupBy($"query_id").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select($"query_id", $"k",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        (coalesce($"n_hits", lit(0L)).cast("double") / $"k").as("recall"))
+    val mean = per.agg(sum($"n_hits").as("sh"), sum($"k").as("sk"))
+      .select(($"sh".cast("double") / $"sk").as("mean_recall"))
+    per.crossJoin(broadcast(mean))
+      .withColumn("meets_target", $"mean_recall" >= 0.9)
+      .orderBy($"query_id")
+  }
+  val q362Sql: String =
+    s"""WITH $cembCte,
+      |${nngEdgeCtesP("", "TRUE", "cemb")},
+      |${nngSearchCtesP("", "vec_id < 8", "edges", rounds = 5, beam = 16,
+         nEntries = 8, tbl = "cemb")},
+      |bf AS MATERIALIZED (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        ROUND(${cosSql("q.embedding", "c.embedding")}, 6) DESC,
+      |        c.vec_id) AS rank
+      |    FROM cemb q JOIN cemb c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+      |  WHERE rank <= 5),
+      |gr AS (
+      |  SELECT query_id, node AS neighbor_id FROM (
+      |    SELECT query_id, node, sim,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rank
+      |    FROM v5 WHERE node <> query_id)
+      |  WHERE rank <= 5),
+      |hits AS (
+      |  SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |  FROM bf b JOIN gr g
+      |    ON b.query_id = g.query_id AND b.neighbor_id = g.neighbor_id
+      |  GROUP BY 1),
+      |per AS (
+      |  SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS k,
+      |    CAST(COALESCE(MAX(h.n_hits), 0) AS BIGINT) AS n_hits
+      |  FROM bf b LEFT JOIN hits h ON b.query_id = h.query_id
+      |  GROUP BY 1),
+      |m AS (SELECT CAST(SUM(n_hits) AS DOUBLE) / SUM(k) AS mean_recall FROM per)
+      |SELECT query_id, k, n_hits,
+      |  CAST(n_hits AS DOUBLE) / k AS recall, mean_recall,
+      |  mean_recall >= 0.9 AS meets_target
+      |FROM per CROSS JOIN m
+      |ORDER BY query_id""".stripMargin
+
+  // --- q361: streaming neighbor-graph ingest (append per micro-batch) ------
+  // q201's contract for the GRAPH index: the 2% holdout arrives as a
+  // TWO-file backlog drained with maxFilesPerTrigger=1 (mtimes stamped
+  // two minutes apart - the file source drains oldest-first, so the
+  // batch order is deterministic), and each micro-batch is absorbed by
+  // NeighborGraph.append through a checkpointed foreachBatch. Unlike the
+  // IVF twin, batch ORDER is semantic here: batch B's insertion search
+  // walks the edges batch A appended (HNSW insertion is sequential by
+  // nature), so the oracle chains THREE unrolled searches - insertion A
+  // over the base edges, insertion B over base + A's links, then the
+  // 8-probe serve over the fully augmented relation. A boundary that
+  // reordered, merged, or dropped a batch hash-misses.
+  private def nngStreamIngest(s: SparkSession, d: String): java.nio.file.Path =
+    graft.Stage.derived("nng_stream_ingest_v", d) { p =>
+      val emb = Tables.embeddings(s, d)
+      graft.sources.NeighborGraph.build(emb.filter(col("vec_id") % 50 =!= 7),
+        s"$p/graph", m = 12, numTables = 6, planesPerTable = 5, nBuckets = 16)
+      def listDelta(): Set[java.nio.file.Path] = {
+        val dir = java.nio.file.Paths.get(s"$p/delta")
+        val st = java.nio.file.Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(
+            _.getFileName.toString.endsWith(".parquet")).toSet
+        } finally st.close()
+      }
+      def stamp(files: Set[java.nio.file.Path], epochMs: Long): Unit =
+        files.foreach(f => java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(epochMs)))
+      val t0 = System.currentTimeMillis() - 600000
+      emb.filter(col("vec_id") % 100 === 7).coalesce(1)
+        .write.mode("append").parquet(s"$p/delta")
+      val batchA = listDelta()
+      stamp(batchA, t0)
+      emb.filter(col("vec_id") % 100 === 57).coalesce(1)
+        .write.mode("append").parquet(s"$p/delta")
+      stamp(listDelta() -- batchA, t0 + 120000)
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$p/delta")
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$p/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.sources.NeighborGraph.append(s, s"$p/graph", batch, emb,
+            m = 12, beamWidth = 16, rounds = 5, nBuckets = 16, nEntries = 8,
+            bulkHint = Some(false)) // micro-batches are bounded by source
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+  def q361(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    graft.sources.NeighborGraph.beamSearch(s,
+        s"${nngStreamIngest(s, d)}/graph",
+        emb.filter($"vec_id" < 8), emb, k = 5, beamWidth = 16, rounds = 5,
+        nBuckets = 16, nEntries = 8)
+      .orderBy($"query_id", $"rank")
+  }
+  val q361Sql: String = {
+    def fwd(p: String): String =
+      s"""SELECT query_id AS src, node AS dst, sim FROM (
+        |    SELECT query_id, node, sim,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rank
+        |    FROM ${p}v5)
+        |  WHERE rank <= 12""".stripMargin
+    s"""WITH ${nngEdgeCtesW("vec_id % 50 <> 7")},
+      |${nngSearchCtesW("a", "vec_id % 100 = 7", "edges")},
+      |afwd AS MATERIALIZED (
+      |  ${fwd("a")}),
+      |aug1 AS MATERIALIZED (
+      |  SELECT src, dst, sim FROM edges
+      |  UNION ALL SELECT src, dst, sim FROM afwd
+      |  UNION ALL SELECT dst, src, sim FROM afwd),
+      |${nngSearchCtesW("b", "vec_id % 100 = 57", "aug1")},
+      |bfwd AS MATERIALIZED (
+      |  ${fwd("b")}),
+      |aug2 AS MATERIALIZED (
+      |  SELECT src, dst, sim FROM aug1
+      |  UNION ALL SELECT src, dst, sim FROM bfwd
+      |  UNION ALL SELECT dst, src, sim FROM bfwd),
+      |${nngSearchCtesW("p", "vec_id < 8", "aug2")}
+      |SELECT query_id, neighbor_id, rank, sim FROM (
+      |  SELECT query_id, node AS neighbor_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rank
+      |  FROM pv5 WHERE node <> query_id)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   // --- q358: metadata-filtered graph ANN search ----------------------------
   // The most common real vector-store operation: top-k among vectors
   // whose metadata matches a predicate. Post-filtering the unfiltered
@@ -3438,6 +3628,8 @@ object Vectors {
     ("q358_nng_filtered_search", q358 _, Some(q358Sql)),
     ("q359_ivfpq_filtered_probe", q359 _, Some(q359Sql)),
     ("q360_nng_repair_probe", q360 _, Some(q360Sql)),
+    ("q361_nng_stream_ingest", q361 _, Some(q361Sql)),
+    ("q362_nng_clustered_recall", q362 _, Some(q362Sql)),
     ("q271_pca_power_iteration", q271 _, Some(q271Sql)),
     ("q320_matryoshka_recall", q320 _, Some(q320Sql)),
     ("q321_cluster_quality", q321 _, Some(q321Sql)),

@@ -72,6 +72,43 @@ class BiServeSpec extends AnyFunSuite {
     }
   }
 
+  test("the row-pattern funnel operator serves through the BI endpoint") {
+    // The reference's Metabase entry point (README.md:98-106) must be
+    // able to reach the SeqPattern operator: its output is exposed as a
+    // global temp view (the standard BI serving pattern for operator
+    // results a SQL text cannot express), and the wire results over the
+    // stock Hive JDBC driver must equal the in-process DataFrame's.
+    import spark.implicits._
+    import graft.operators.SeqPattern
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sf)
+    val funnel = SeqPattern.funnel(ev, "user_id", "ts", Seq(
+      SeqPattern.Step("1_signup", $"event_type" === "signup"),
+      SeqPattern.Step("2_view_after_signup", $"event_type" === "view"),
+      SeqPattern.Step("3_purchase_after_view", $"event_type" === "purchase")))
+    funnel.createOrReplaceGlobalTempView("funnel_bi")
+    val endpoint = BiServe.start(spark)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val conn = DriverManager.getConnection(endpoint.jdbcUrl, "", "")
+      try {
+        val sql = "SELECT step, n_users FROM global_temp.funnel_bi ORDER BY step"
+        val rs = conn.createStatement().executeQuery(sql)
+        val viaJdbc = Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (r.getString(1), r.getLong(2))).toVector
+        val inProcess = funnel
+          .select($"step", $"n_users").orderBy($"step").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toVector
+        assert(viaJdbc == inProcess,
+          s"BI wire results diverge: $viaJdbc vs $inProcess")
+        assert(viaJdbc.length == 3, s"expected 3 funnel steps: $viaJdbc")
+        // funnel counts are monotone non-increasing by construction
+        assert(viaJdbc(0)._2 >= viaJdbc(1)._2 && viaJdbc(1)._2 >= viaJdbc(2)._2,
+          s"funnel not monotone over the wire: $viaJdbc")
+      } finally conn.close()
+    } finally endpoint.stop()
+  }
+
   test("two simultaneous JDBC connections get isolated session state") {
     // The reference's Metabase entry point is inherently multi-client
     // (README.md:98-106). Each Thrift connection must get its own child

@@ -220,6 +220,20 @@ object NeighborGraph {
       .repartition(col("src_bucket"))
       .write.mode("append").partitionBy("src_bucket")
       .parquet(s"$path/edges")
+    // hierarchical layout: batch members the sampling rule selects must
+    // enter the coarse layer too (HNSW assigns insert levels; here the
+    // level rule is the deterministic id modulus), or the hierarchy
+    // serves stale entry points as the corpus grows. One limit(1) probe
+    // decides emptiness; flat layouts skip on a file check alone.
+    l1ModOf(path).foreach { mod =>
+      val sampled = newEmb.filter(col("vec_id") % mod === 0)
+      if (sampled.limit(1).count() > 0) {
+        append(spark, s"$path/l1", sampled,
+          corpus.filter(col("vec_id") % mod === 0), m, beamWidth, rounds,
+          nBuckets, nEntries, bulkThreshold, bulkHint)
+        ()
+      }
+    }
     found
   }
 
@@ -272,11 +286,15 @@ object NeighborGraph {
       }
     }
     // hierarchical layout: the coarse layer stores sampled nodes'
-    // adjacency + vectors — scrub it with the same bucket-scoped protocol
-    if (java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get(s"$path/l1/edges")))
-      delete(spark, s"$path/l1", ids, nBuckets)
-    affected
+    // adjacency + vectors — scrub it with the same bucket-scoped
+    // protocol, and surface ITS blast radius too (an l1 edge to a victim
+    // may have no base twin, so the union is what repair needs)
+    val l1Affected =
+      if (java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(s"$path/l1/edges")))
+        delete(spark, s"$path/l1", ids, nBuckets)
+      else Seq.empty
+    (affected ++ l1Affected).distinct.sorted
   }
 
   /** Delete-repair — restore navigability after RTBF churn: [[delete]]
@@ -378,6 +396,18 @@ object NeighborGraph {
         // the whole bucket was deleted out from under its srcs — nothing
         // to preserve, the repaired edges re-create the directory
         mine.write.mode("overwrite").parquet(dir.toString)
+    }
+    // hierarchical layout: re-link the coarse layer's deficient members
+    // with the same scoped pass over the SAMPLED survivor corpus — the
+    // per-layer degree check inside the recursion scopes the work
+    l1ModOf(path).foreach { mod =>
+      val l1Cand = candidates.filter(_ % mod == 0)
+      if (l1Cand.nonEmpty) {
+        repair(spark, s"$path/l1", l1Cand,
+          corpus.filter(col("vec_id") % mod === 0), m, numTables,
+          planesPerTable, nBuckets)
+        ()
+      }
     }
     mergedP.select(col("src"), col("dst"), col("sim"), col("rank"))
   }
@@ -617,6 +647,23 @@ object NeighborGraph {
     build(emb, path, m, numTables, planesPerTable, nBuckets, refineRounds)
     build(emb.filter(col("vec_id") % l1Mod === 0), s"$path/l1", m,
       numTables, planesPerTable, nBuckets, refineRounds)
+    // record the sampling modulus IN the layout: the maintenance verbs
+    // (append/delete/repair) need it to keep the coarse layer in sync
+    // without the caller re-supplying build-time parameters
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/l1/_L1MOD"),
+      l1Mod.toString.getBytes("UTF-8"))
+    ()
+  }
+
+  /** The coarse layer's sampling modulus, read back from the layout —
+    * None for flat layouts or pre-modulus hierarchical ones (whose
+    * coarse layer then stays maintenance-frozen, as before). */
+  private def l1ModOf(path: String): Option[Long] = {
+    val f = java.nio.file.Paths.get(s"$path/l1/_L1MOD")
+    if (!java.nio.file.Files.exists(f)) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      .trim.toLong)
   }
 
   /** Two-phase search over a [[buildHier]] layout: a short coarse-layer

@@ -428,6 +428,59 @@ class NeighborGraphSpec extends AnyFunSuite {
       "repaired edge relation diverged from a fresh build over survivors")
   }
 
+  test("append maintains the coarse layer of a hierarchical layout") {
+    import spark.implicits._
+    val p = TempDirs.fresh("graft_nnghierapp")
+    // hold out one sampled id (8 % 4 == 0) and one unsampled (7)
+    NeighborGraph.buildHier(emb.filter($"vec_id" =!= 7 && $"vec_id" =!= 8),
+      p.toString, m = 4, numTables = 6, planesPerTable = 5, nBuckets = 8,
+      refineRounds = 0, l1Mod = 4)
+    NeighborGraph.append(spark, p.toString,
+      emb.filter($"vec_id" === 7 || $"vec_id" === 8), emb, m = 4,
+      beamWidth = 8, rounds = 3, nBuckets = 8, nEntries = 4,
+      bulkHint = Some(false))
+    val l1 = spark.read.parquet(s"$p/l1/edges")
+    assert(l1.filter($"src" === 8).count() > 0,
+      "sampled appended node missing from the coarse layer")
+    assert(l1.filter($"src" === 7 || $"dst" === 7).count() == 0,
+      "unsampled node leaked into the coarse layer")
+    val base = spark.read.parquet(s"$p/edges")
+    assert(base.filter($"src" === 7).count() > 0 &&
+      base.filter($"src" === 8).count() > 0,
+      "appended nodes missing from the base layer")
+    // the maintained hierarchy serves: both nodes reachable as answers
+    val got = NeighborGraph.beamSearchHier(spark, p.toString,
+        emb.filter($"vec_id" < 3), emb, k = 8, l1Beam = 4, l1Rounds = 2,
+        beamWidth = 8, rounds = 3, nBuckets = 8, nEntries = 4)
+      .select($"neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty, "hierarchical search returned nothing")
+  }
+
+  test("repair restores the coarse layer to rebuild parity too") {
+    import spark.implicits._
+    val p = TempDirs.fresh("graft_nnghierrep")
+    NeighborGraph.buildHier(emb, p.toString, m = 4, numTables = 6,
+      planesPerTable = 5, nBuckets = 8, refineRounds = 0, l1Mod = 4)
+    // victims = multiples of 4 but not 8: all coarse-layer members, so
+    // BOTH layers lose edges and both need repair
+    val ids = emb.filter($"vec_id" % 8 === 4).select($"vec_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val affected = NeighborGraph.delete(spark, p.toString, ids, nBuckets = 8)
+    val survivors = emb.filter(!$"vec_id".isin(ids: _*))
+    NeighborGraph.repair(spark, p.toString, affected, survivors,
+      m = 4, numTables = 6, planesPerTable = 5, nBuckets = 8)
+    // both layers must equal a never-deleted build over the survivors
+    val p2 = TempDirs.fresh("graft_nnghierrep_rebuild")
+    NeighborGraph.buildHier(survivors, p2.toString, m = 4, numTables = 6,
+      planesPerTable = 5, nBuckets = 8, refineRounds = 0, l1Mod = 4)
+    def rel(path: String) = spark.read.parquet(path)
+      .select($"src", $"dst", $"sim", $"rank").collect().toSet
+    assert(rel(s"$p/edges") == rel(s"$p2/edges"),
+      "repaired base layer diverged from the survivor rebuild")
+    assert(rel(s"$p/l1/edges") == rel(s"$p2/l1/edges"),
+      "repaired coarse layer diverged from the survivor rebuild")
+  }
+
   test("filtered search strictly beats post-filtering the unfiltered top-k") {
     import spark.implicits._
     // selective predicate (~10% of the corpus): the unfiltered top-k

@@ -3524,13 +3524,13 @@ object Vectors {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter($"vec_id" < 8)
-    def arm(name: String, pred: org.apache.spark.sql.Column) =
-      graft.sources.NeighborGraph.beamSearchWhere(s, nngIdx(s, d).toString,
-          queries, emb, allowed = emb.filter(pred).select($"vec_id"),
-          k = 5, beamWidth = 16, rounds = 5, nBuckets = 16, nEntries = 8)
-        .withColumn("arm", lit(name))
-    arm("sel", $"label" === 3 && $"vec_id" % 2 === 1)
-      .unionByName(arm("broad", $"label" =!= 3))
+    // both arms share ONE walk (the filter cannot touch the trajectory)
+    graft.sources.NeighborGraph.beamSearchWhereArms(s, nngIdx(s, d).toString,
+        queries, emb, Seq(
+          ("sel", emb.filter($"label" === 3 && $"vec_id" % 2 === 1)
+            .select($"vec_id")),
+          ("broad", emb.filter($"label" =!= 3).select($"vec_id"))),
+        k = 5, beamWidth = 16, rounds = 5, nBuckets = 16, nEntries = 8)
       .select($"arm", $"query_id", $"neighbor_id", $"rank", $"sim")
       .orderBy($"arm", $"query_id", $"rank")
   }
@@ -3563,13 +3563,12 @@ object Vectors {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter($"vec_id" < 8)
-    def arm(name: String, pred: org.apache.spark.sql.Column) =
-      graft.sources.VectorIndex.probeTopKWhere(s, vecIdx(s, d).toString,
-          queries, m = 4, k = 5, nprobe = 3,
-          allowed = Some(emb.filter(pred).select($"vec_id")))
-        .withColumn("arm", lit(name))
-    arm("sel", $"label" === 3 && $"vec_id" % 2 === 1)
-      .unionByName(arm("broad", $"label" =!= 3))
+    // both arms share one layout read / probe-cell selection / ADC LUT
+    graft.sources.VectorIndex.probeTopKArms(s, vecIdx(s, d).toString,
+        queries, m = 4, k = 5, nprobe = 3, arms = Seq(
+          ("sel", Some(emb.filter($"label" === 3 && $"vec_id" % 2 === 1)
+            .select($"vec_id"))),
+          ("broad", Some(emb.filter($"label" =!= 3).select($"vec_id")))))
       .select($"arm", $"query_id", $"neighbor_id", $"rank", $"adist")
       .orderBy($"arm", $"query_id", $"rank")
   }

@@ -619,12 +619,27 @@ object NeighborGraph {
     * metadata scan), never by collecting `allowed`. */
   def beamSearchWhere(spark: SparkSession, path: String, queries: DataFrame,
       corpus: DataFrame, allowed: DataFrame, k: Int, beamWidth: Int,
-      rounds: Int, nBuckets: Int, nEntries: Int = 1): DataFrame = {
+      rounds: Int, nBuckets: Int, nEntries: Int = 1): DataFrame =
+    beamSearchWhereArms(spark, path, queries, corpus,
+      Seq(("only", allowed)), k, beamWidth, rounds, nBuckets, nEntries)
+      .drop("arm")
+
+  /** [[beamSearchWhere]] for SEVERAL predicates at once: the walk — the
+    * expensive stage, and identical under every answer filter — runs
+    * ONCE, and each named `arms` relation ranks its own filtered answer
+    * from the shared visited set (one membership job total). The
+    * serving shape for a store answering the same query under many
+    * tenant/label filters.
+    * @return (arm, query_id, neighbor_id, rank, sim) */
+  def beamSearchWhereArms(spark: SparkSession, path: String,
+      queries: DataFrame, corpus: DataFrame, arms: Seq[(String, DataFrame)],
+      k: Int, beamWidth: Int, rounds: Int, nBuckets: Int,
+      nEntries: Int = 1): DataFrame = {
     val entries = entryNodes(spark, path, nEntries)
     inSearchConfScope(spark) {
       beamSearchPhases(spark, queries, corpus, k,
         Seq(SearchPhase(s"$path/edges", beamWidth, rounds, nBuckets)),
-        entries, allowed = Some(allowed))
+        entries, arms = Some(arms))
     }
   }
 
@@ -773,7 +788,8 @@ object NeighborGraph {
 
   private def beamSearchPhases(spark: SparkSession, queries: DataFrame,
       corpus: DataFrame, k: Int, phases: Seq[SearchPhase],
-      entries: Seq[Long], allowed: Option[DataFrame] = None): DataFrame = {
+      entries: Seq[Long],
+      arms: Option[Seq[(String, DataFrame)]] = None): DataFrame = {
     import spark.implicits._
     val prof = sys.env.contains("GRAFT_NNG_PROF")
     def t[T](name: String)(f: => T): T =
@@ -902,23 +918,36 @@ object NeighborGraph {
       }
     }
     if (prof) System.err.println(s"[nng] visited total: ${visited.size}")
-    // filtered answer: restrict the visited set to `allowed` members via
-    // one semi-join — the visited-node list is bounded (literal IN
-    // pushdown into the metadata scan), the allowed relation is not
-    val allowedSet: Option[Set[Long]] = allowed.map { a =>
-      val nodes = visited.keysIterator.map(_._2).toSeq.distinct.sorted
-      if (nodes.isEmpty) Set.empty[Long]
-      else a.filter(col("vec_id").isin(nodes: _*)).select(col("vec_id"))
-        .collect().map(_.getLong(0)).toSet
+    def topK(admit: Long => Boolean): Seq[(Long, Long, Int, Double)] =
+      visited.toSeq
+        .filter { case ((qi, node), _) => qi != node && admit(node) }
+        .groupBy(_._1._1).toSeq.flatMap { case (qi, ent) =>
+          ent.sortBy { case ((_, node), sim) => (-sim, node) }
+            .take(k).zipWithIndex
+            .map { case (((_, node), sim), i) => (qi, node, i + 1, sim) }
+        }
+    arms match {
+      case None => topK(_ => true)
+        .toDF("query_id", "neighbor_id", "rank", "sim")
+      case Some(as) =>
+        // filtered answers: restrict the visited set to each arm's
+        // members via ONE unioned semi-join job — the visited-node list
+        // is bounded (literal IN pushdown into the metadata scan), the
+        // arm relations are not; the expensive walk above was shared
+        val nodes = visited.keysIterator.map(_._2).toSeq.distinct.sorted
+        val sets: Map[String, Set[Long]] =
+          if (nodes.isEmpty) as.map(_._1 -> Set.empty[Long]).toMap
+          else as.map { case (name, a) =>
+              a.filter(col("vec_id").isin(nodes: _*))
+                .select(lit(name).as("arm"), col("vec_id"))
+            }.reduce(_ unionByName _)
+            .collect().map(r => (r.getString(0), r.getLong(1)))
+            .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        as.flatMap { case (name, _) =>
+          val set = sets.getOrElse(name, Set.empty)
+          topK(set.contains).map { case (qi, node, rk, sim) =>
+            (name, qi, node, rk, sim) }
+        }.toDF("arm", "query_id", "neighbor_id", "rank", "sim")
     }
-    val answer = visited.toSeq
-      .filter { case ((qi, node), _) =>
-        qi != node && allowedSet.forall(_.contains(node)) }
-      .groupBy(_._1._1).toSeq.flatMap { case (qi, entries) =>
-        entries.sortBy { case ((_, node), sim) => (-sim, node) }
-          .take(k).zipWithIndex
-          .map { case (((_, node), sim), i) => (qi, node, i + 1, sim) }
-      }
-    answer.toDF("query_id", "neighbor_id", "rank", "sim")
   }
 }

@@ -179,7 +179,20 @@ object VectorIndex {
     * query, not the predicate); at 100 TB the filter relation is
     * metadata-sized next to the codes it gates. */
   def probeTopKWhere(spark: SparkSession, path: String, queries: DataFrame,
-      m: Int, k: Int, nprobe: Int, allowed: Option[DataFrame]): DataFrame = {
+      m: Int, k: Int, nprobe: Int, allowed: Option[DataFrame]): DataFrame =
+    probeTopKArms(spark, path, queries, m, k, nprobe,
+      Seq(("only", allowed))).drop("arm")
+
+  /** [[probeTopKWhere]] for SEVERAL predicates at once: the layout reads,
+    * probe-cell selection, LUT build, and partition-pruned codes scan —
+    * everything except the final admit-and-rank — run ONCE and each
+    * named arm ranks its own filtered answer. An arm with `None` ranks
+    * unfiltered. The serving shape for answering one query batch under
+    * many tenant/label filters.
+    * @return (arm, query_id, neighbor_id, rank, adist) */
+  def probeTopKArms(spark: SparkSession, path: String, queries: DataFrame,
+      m: Int, k: Int, nprobe: Int,
+      arms: Seq[(String, Option[DataFrame])]): DataFrame = {
     val cent = spark.read.parquet(s"$path/centroids")
     val cb = spark.read.parquet(s"$path/codebooks")
     val q = queries.select(col("vec_id").as("query_id"),
@@ -203,22 +216,26 @@ object VectorIndex {
         Similarity.sqDistRounded(col("se"), col("centroid")).as("dist"))
     val pruned = spark.read.parquet(s"$path/codes")
       .filter(col("cell").isin(probedCells: _*))
-    val admissible = allowed match {
-      case Some(a) => pruned.join(a.select(col("vec_id")),
-        Seq("vec_id"), "left_semi")
-      case None => pruned
-    }
-    val cand = admissible
-      .join(broadcast(probes), "cell")
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        posexplode(col("codes")).as(Seq("sub", "cw")))
-    val scored = cand.join(broadcast(lut), Seq("query_id", "sub", "cw"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("dist").cast("decimal(18,6)")).cast("double").as("adist"))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
+    arms.map { case (name, allowed) =>
+      val admissible = allowed match {
+        case Some(a) => pruned.join(a.select(col("vec_id")),
+          Seq("vec_id"), "left_semi")
+        case None => pruned
+      }
+      val cand = admissible
+        .join(broadcast(probes), "cell")
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          posexplode(col("codes")).as(Seq("sub", "cw")))
+      val scored = cand.join(broadcast(lut), Seq("query_id", "sub", "cw"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(sum(col("dist").cast("decimal(18,6)")).cast("double").as("adist"))
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("adist").asc, col("neighbor_id"))))
+        .filter(col("rank") <= k)
+        .select(lit(name).as("arm"), col("query_id"), col("neighbor_id"),
+          col("rank"), col("adist"))
+    }.reduce(_ unionByName _)
   }
 }

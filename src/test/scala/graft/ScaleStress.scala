@@ -128,6 +128,35 @@ object ScaleStress {
           graft.sources.NeighborGraph.beamSearchBulk(spark, p, emb, base,
             k = 5, beamWidth = 16, rounds = 5, nBuckets = 16, nEntries = 8)
             .count()
+        }),
+        // filtered bulk k-NN: the corpus-scale query batch under a ~10%
+        // metadata predicate — the answer-side semi-join must stay a
+        // DataFrame op (no driver membership set at these batch sizes)
+        "nng_bulk_filtered" -> (() => {
+          val p = s"$out/nngf_r$r"
+          val base = emb.filter(col("vec_id") < 1000000L)
+          graft.sources.NeighborGraph.build(base, p, m = 12,
+            numTables = 6, planesPerTable = 5, nBuckets = 16)
+          graft.sources.NeighborGraph.beamSearchBulk(spark, p, emb, base,
+            k = 5, beamWidth = 16, rounds = 5, nBuckets = 16, nEntries = 8,
+            allowed = Some(base.filter(col("label") === 3)
+              .select(col("vec_id"))))
+            .count()
+        }),
+        // RTBF churn at scale: delete 2% of the graph's nodes, repair the
+        // blast radius — cost must track the churned fraction (one linear
+        // corpus hashing pass + touched-bucket writes), not corpus size
+        "nng_churn_repair" -> (() => {
+          val p = s"$out/nngr_r$r"
+          graft.sources.NeighborGraph.build(emb, p, m = 12,
+            numTables = 6, planesPerTable = 5, nBuckets = 16)
+          val ids = emb.filter(col("vec_id") % 50 === 7)
+            .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+          val affected = graft.sources.NeighborGraph.delete(spark, p, ids,
+            nBuckets = 16)
+          graft.sources.NeighborGraph.repair(spark, p, affected,
+            emb.filter(col("vec_id") % 50 =!= 7), m = 12, numTables = 6,
+            planesPerTable = 5, nBuckets = 16).count()
         }))
       val ops =
         if (opsSel == "all") all

@@ -37,13 +37,19 @@ case class DotProductDouble(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, not fixed names: two dot products in one codegen stage
+      // would otherwise redefine the locals — a CompileException that makes
+      // the WHOLE stage fall back to interpreted execution
+      val n = ctx.freshName("dotN")
+      val s = ctx.freshName("dotS")
+      val i = ctx.freshName("dotI")
       s"""
-         |int graft_n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double graft_s = 0.0;
-         |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
-         |  graft_s += $a.getDouble(graft_i) * $b.getDouble(graft_i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = graft_s;
+         |${ev.value} = $s;
        """.stripMargin
     })
 

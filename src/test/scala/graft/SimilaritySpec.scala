@@ -474,4 +474,49 @@ class SimilaritySpec extends AnyFunSuite {
     val pos = got.map(_._2).indexOf(2L)
     assert(pos == -1 || pos > 1, s"duplicate outranked diversity: ${got.toSeq}")
   }
+
+  test("dot-product codegen locals are fresh per instance") {
+    // Regression guard: DotProductDouble once emitted FIXED Java local
+    // names (graft_n/s/i). Two instances whose code lands in the same
+    // method scope (non-nullable children skip the scoping null-guard
+    // braces) then threw "Redefinition of local variable" and the WHOLE
+    // stage silently fell back to interpreted eval — correctness
+    // unchanged, so only sweep-log CompileExceptions betrayed it.
+    // Generate both instances against ONE CodegenContext and require
+    // their declared locals to be disjoint.
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.plans.DotProductDouble
+    val t = ArrayType(DoubleType, containsNull = false)
+    def ref(i: Int) = BoundReference(i, t, nullable = false)
+    val ctx = new CodegenContext
+    ctx.INPUT_ROW = "i"
+    val c1 = DotProductDouble(ref(0), ref(1)).genCode(ctx).code.toString
+    val c2 = DotProductDouble(ref(2), ref(3)).genCode(ctx).code.toString
+    val decl = "(?:int|double)\\s+(\\w+)\\s*=".r
+    def locals(c: String) = decl.findAllMatchIn(c).map(_.group(1)).toSet
+    val shared = locals(c1) intersect locals(c2)
+    assert(shared.isEmpty,
+      s"two dot products declare the same Java locals $shared — " +
+        "in one method scope this is a compile error and the stage " +
+        "falls back to interpreted execution")
+
+    // and the arithmetic the generated loop implements stays correct
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorFunctions.asDouble
+    import graft.plans.VectorExpressions.dot
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (2L, Array(0.5f, 0.0f, -1.0f), Array(2.0f, 3.0f, 4.0f))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"),
+        (dot(asDouble(col("a")), asDouble(col("a")))
+          - dot(asDouble(col("a")), asDouble(col("b"))) * 2.0
+          + dot(asDouble(col("b")), asDouble(col("b")))).as("sqd"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((1L, 27.0), (2L, 36.25)),
+      s"squared distance wrong: ${out.toSeq}")
+  }
 }

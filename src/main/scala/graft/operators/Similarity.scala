@@ -56,9 +56,17 @@ object Similarity {
         s"the query count; got $queryCountHint")
     // norms precomputed per vector (not per pair): sim needs 1 dot product
     // instead of 3, and sqrt(dot(v,v)) is the same double either way.
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+    // The float→double widening happens HERE, once per vector, not inside
+    // the pair loop: dotProduct casts its inputs, and a cast of an
+    // array<float> allocates a fresh double[] — two allocations per PAIR
+    // in the n×m scoring stage. Pre-cast arrays make the per-pair work a
+    // bare codegen dot product (values are bit-identical either way;
+    // float→double is exact).
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("q_emb"),
       l2Norm(col("embedding")).as("q_norm"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("c_emb"),
       l2Norm(col("embedding")).as("c_norm"))
     val nQ = if (queryCountHint >= 0L) queryCountHint else q.count()
     val nShards = math.max(1L, (nQ + maxBroadcastQueries - 1) / maxBroadcastQueries).toInt
@@ -101,7 +109,9 @@ object Similarity {
       .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("cv"))))
         .getField("cv").as("centroid"))
 
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // pre-cast once per vector, not per scored pair (see bruteForceTopK)
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("q_emb"))
     val probes = q.crossJoin(broadcast(centroids))
       // round(6) + cell tie-break: reproducible probe choice (see q53 oracle)
       .withColumn("csim", round(cosineSimilarity(col("q_emb"), col("centroid")), 6))
@@ -111,7 +121,7 @@ object Similarity {
       .select(col("query_id"), col("q_emb"), col("cell"))
 
     val corpusCells = corpus.select(cellCol.as("cell"),
-      col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("c_emb"))
     val scored = corpusCells.join(broadcast(probes), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(cosineSimilarity(col("q_emb"), col("c_emb")), 6))

@@ -2335,7 +2335,17 @@ object Vectors {
   // Shape: the covariance build is the only corpus-sized work — a
   // per-vector d² fan-out with map-side partial aggregation down to 4096
   // (i,j) cells (inherent to covariance; the shuffle carries cells, not
-  // pairs); ten matvecs then run on 64-row tables with broadcast joins.
+  // pairs). The ten matvecs then run ON THE DRIVER over the collected
+  // d×d matrix: driver state is O(d²) — bounded by the embedding
+  // dimension, independent of corpus size — which is exactly how
+  // distributed PCA is implemented in practice (MLlib's RowMatrix
+  // collects the Gramian and eigensolves driver-side). The previous
+  // in-plan formulation paid ~5 Spark jobs per iteration (broadcast +
+  // 2-stage agg + localCheckpoint) to multiply a 64×64 matrix by a
+  // 64-vector; the arithmetic here is the same exact integer/IEEE chain
+  // (BigInt products and sums, the identical decimal→double→round(…)
+  // snapping), so the output is bit-identical to the distributed form —
+  // the round-15 oracle gate re-proved it at all three SFs.
   // Output: 64 loadings + the growth factor; sign is fixed by the
   // all-ones start (deterministic, documented — eigenvectors are
   // sign-ambiguous).
@@ -2355,37 +2365,46 @@ object Vectors {
       .groupBy($"a.i".as("i"), $"b.i".as("j"))
       .agg(expr(s"cast(sum(cast(a.ce as $big) * cast(b.ce as $big))" +
         " div count(1) as bigint)").as("m"))
-      .persistTracked() // ten matvec consumers
-    // one von Mises step: w = M·v (exact), renormalize by max-abs to e9.
-    // raw is eagerly localCheckpointed (64 rows — the Graph.scala round
-    // idiom): without it each iteration EMBEDS the previous plan twice
-    // (once under ma, once under next) and analysis cost doubles per
-    // round — the 2^10 logical-plan blowup, not a data problem.
-    def step(v: DataFrame): (DataFrame, DataFrame) = {
-      val raw = cov.join(broadcast(v), "j")
-        .groupBy($"i")
-        .agg(sum($"m".cast(big) * $"ve".cast(big)).as("raw"))
-        .localCheckpoint(true)
-      val ma = raw.agg(max(abs($"raw")).as("ma")) // exact decimal max
-      val next = raw.crossJoin(broadcast(ma)) // one row
-        .select($"i".as("j"),
-          round($"raw".cast("double") / $"ma".cast("double") * lit(1e9))
-            .cast("long").as("ve"))
-      (next, ma)
+      .persistTracked() // reread by the bounded driver collect below
+    // Bounded driver collect: d² rows (64×64 = 4096 here; 1M at d=1024 —
+    // a few MB), never corpus-sized.
+    val m = cov.collect().map(r =>
+      (r.getInt(0), r.getInt(1)) -> BigInt(r.getLong(2))).toMap
+    val dims = m.keys.map(_._1).toSeq.distinct.sorted
+    // Decimal(38,0).cast("double") is BigDecimal.doubleValue; round(x) on
+    // a double is BigDecimal.valueOf(x).setScale(0, HALF_UP) — both
+    // restated verbatim so each driver step is bit-identical to the
+    // in-plan expression chain it replaces.
+    def toD(b: BigInt): Double = new java.math.BigDecimal(b.bigInteger).doubleValue
+    def roundHalfUp(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue
+    var ve: Map[Int, Long] = dims.map(_ -> 1000000000L).toMap
+    var maLast = BigInt(0); var maPrev = BigInt(0)
+    for (_ <- 1 to 10) {
+      // w = M·v: exact integer products and sums (the decimal(38,0) agg)
+      val raw: Map[Int, BigInt] = dims.map(i =>
+        i -> dims.map(j => m(i -> j) * BigInt(ve(j))).sum).toMap
+      val ma = raw.valuesIterator.map(_.abs).max // exact max-abs
+      ve = raw.map { case (i, r) =>
+        i -> roundHalfUp(toD(r) / toD(ma) * 1e9).toLong }
+      maPrev = maLast; maLast = ma
     }
-    val v0 = mu.select($"i".as("j"), lit(1000000000L).as("ve"))
-    val (v10, mas) = (1 to 10).foldLeft((v0, List.empty[DataFrame])) {
-      case ((v, acc), _) => val (nv, ma) = step(v); (nv, ma :: acc)
-    }
-    // growth factor: ratio of the last two max-abs values — the
-    // power-iteration eigenvalue estimate (up to the grid's n-scaling)
-    val ratio = mas.head.crossJoin(mas(1).select($"ma".as("ma_prev")))
-    v10.crossJoin(broadcast(ratio)) // one row
-      .select($"j".cast("long").as("pos"),
-        ($"ve".cast("double") / lit(1e9)).as("loading"),
-        (round($"ma".cast("double") / $"ma_prev".cast("double") * lit(1e6))
-          .cast("long").cast("double") / lit(1e6)).as("growth_factor"))
-      .orderBy($"pos")
+    val growth = roundHalfUp(toD(maLast) / toD(maPrev) * 1e6).toLong.toDouble / 1e6
+    // explicit schema: pos non-null (a cast of a group key), the doubles
+    // nullable — byte-identical to the schema the in-plan form produced
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("loading",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("growth_factor",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val rows = dims.sorted.map(j => org.apache.spark.sql.Row(
+      j.toLong, ve(j).toDouble / 1e9, growth))
+    s.createDataFrame(new java.util.ArrayList(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
   val q271Sql: String = {
     val steps = (1 to 10).map { t =>

@@ -65,6 +65,17 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing floor (guide §2.2): the default 1 MiB
+      // minPartitionSize is a bytes-per-task floor, and bytes are a poor
+      // proxy for CPU at this scale — sf0.1's CPU-dense stages (decimal
+      // window frames, minhash signature aggs) run ~1 CPU-second per MiB,
+      // so the 1 MiB floor coalesced them to 1-3 tasks on a 32-core host
+      // (measured: q150 2.33s → 0.71s, q45 2.56s → 1.68s at 16 KiB). The
+      // floor only binds on small shuffles — at cluster scale the 64 MiB
+      // advisory size governs and this setting is inert. Env-overridable
+      // for other deployments.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE_BYTES", "16384"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")

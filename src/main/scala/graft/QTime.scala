@@ -8,6 +8,8 @@ object QTime {
     java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE_BYTES", "16384"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -118,6 +120,50 @@ object QTime {
           println(s"  batch ${p.batchId}: total=${p.batchDuration}ms " +
             s"durations=${p.durationMs}")
         }
+      }
+    } else if (args.headOption.contains("-q339dbg")) {
+      import graft.CacheLifecycle.TrackedPersistOps
+      val pairs = operators.Similarity.lshSimilarPairs(Tables.embeddings(spark, d),
+          threshold = 0.3, numTables = 6, planesPerTable = 5,
+          eagerSkewProbe = true)
+        .persistTracked()
+      time("pairs count (build cache)")(println("pairs=" + pairs.count()))
+      time("pairs count again")(pairs.count())
+      val ts = Seq(0.3, 0.4, 0.5)
+      ts.foreach(t => time(s"count >= $t")(
+        println(s"  t=$t n=" + pairs.filter(col("sim") >= t).count())))
+      val keyed = ts.zipWithIndex.map { case (t, i) =>
+        pairs.filter(col("sim") >= t)
+          .select((col("vec_a") * 4 + i).as("doc_a"), (col("vec_b") * 4 + i).as("doc_b"))
+      }.reduce(_ unionByName _)
+      time("keyed count")(println("keyed=" + keyed.count()))
+      time("clusterPairs")(
+        println("cc rows=" + operators.Dedup.clusterPairs(keyed).count()))
+      time("clusterPairs again")(
+        println("cc rows=" + operators.Dedup.clusterPairs(keyed).count()))
+      time("clusterPairs coalesce32")(println("cc rows=" +
+        operators.Dedup.clusterPairs(keyed.coalesce(32)).count()))
+      time("clusterPairs coalesce8")(println("cc rows=" +
+        operators.Dedup.clusterPairs(keyed.coalesce(8)).count()))
+      time("clusterPairs coalesce8 again")(println("cc rows=" +
+        operators.Dedup.clusterPairs(keyed.coalesce(8)).count()))
+    } else if (args.headOption.contains("-mpb")) {
+      // Split-size sensitivity: time each query under
+      // files.maxPartitionBytes 128m (default) vs 4m (warm, best of 2).
+      spark.range(100000).count()
+      args.drop(1).foreach { name =>
+        for (mps <- Seq("true", "false")) {
+          CacheLifecycle.releaseAll(spark); spark.catalog.clearCache(); System.gc()
+          spark.conf.set("spark.sql.codegen.wholeStage", mps)
+          SparkEntry.queries(name)(spark, d).count()
+          val times = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, d).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"MPB $name wholeStageCodegen=$mps best=${times.min}%.3f")
+        }
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
       }
     } else if (args.headOption.contains("-conf")) {
       // Config sensitivity: run each query under AQE on/off × shuffle

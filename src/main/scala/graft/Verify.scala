@@ -16,6 +16,12 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // config parity with Bench: correctness is verified under the same
+      // AQE coalescing floor the bench times (results are partitioning-
+      // independent by the repo's determinism conventions; this gate is
+      // what re-proves that each round)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE_BYTES", "16384"))
       .config("spark.sql.session.timeZone", "UTC")
       // The custom optimizer rules must be live in the oracle-checked path,
       // not only in their specs — the queries are verified WITH them on.

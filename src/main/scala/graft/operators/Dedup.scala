@@ -586,9 +586,26 @@ object Dedup {
       .toDF("node", "rep0")
       .localCheckpoint(true)
 
+    // Size the contraction width from the measured edge count (~1M edge
+    // tuples ≈ 16 MB of longs per union-find task — inside the per-task
+    // state budget the scaladoc promises) instead of inheriting the
+    // upstream width: a pair graph arriving in many near-empty partitions
+    // (e.g. a filtered union) would otherwise pay one fixed task cost per
+    // partition per round AND produce more cross-partition residual edges
+    // (each extra partition seeing a node links another rep). The coalesce
+    // is narrow — the upstream pipeline already materialized at full
+    // parallelism via the checkpoint — and at large edge counts the width
+    // is unchanged. Components are partitioning-invariant (the min-label
+    // invariant), so the result is identical at any width.
+    val raw = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .localCheckpoint(true)
+    val parentWidth = raw.rdd.getNumPartitions
+    val width = math.max(1L, math.min(parentWidth.toLong,
+      raw.count() / 1000000L + 1)).toInt
     // Round 0 over the raw pairs: stars = (endpoint, partition-local rep).
-    val stars0 = contract(pairs
-      .select(col("doc_a").cast("long"), col("doc_b").cast("long")))
+    val stars0 = contract(
+      if (width < parentWidth) raw.coalesce(width) else raw)
     // labels: original node -> current best-known rep.
     var labels = stars0.groupBy("node").agg(min(col("rep0")).as("rep"))
       .withColumnRenamed("node", "doc_id")

@@ -236,7 +236,11 @@ object Graph {
       rounds: Int): FixpointResult = {
     import graft.CacheLifecycle.TrackedPersistOps
     require(rounds >= 0, s"rounds must be >= 0; got $rounds")
-    val e = edges.persistTracked()
+    // pre-partitioned + sorted on the per-round join key — see
+    // [[bfsHopsWithStatus]]: each relaxation round reads the edge side of
+    // its join exchange-free and sort-free from the cache
+    val e = edges.repartition(col("src")).sortWithinPartitions(col("src"))
+      .persistTracked()
     var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint(true)
     var round = 0
     var changed = true
@@ -295,8 +299,15 @@ object Graph {
     // every round joins the frontier against the FULL edge table — persist
     // it once or each round re-runs the caller's whole edge-building plan
     // (measured: the un-persisted form re-ran a 1.2M-row pair self-join
-    // per hop, 4x the query cost)
-    val e = edges.persistTracked()
+    // per hop, 4x the query cost). Persist it PRE-PARTITIONED AND SORTED
+    // on the join key: InMemoryTableScan preserves the cached plan's
+    // partitioning/ordering, so every hop's sort-merge join reads the
+    // edge side exchange-free and sort-free — the edge table crosses the
+    // wire once per QUERY, not once per hop (guide-§2.4 "shuffle once,
+    // reuse", the in-session form of a bucketed table; measured round 15:
+    // the per-hop form re-shuffled 48 MB over 3 hops at sf0.1).
+    val e = edges.repartition(col("src")).sortWithinPartitions(col("src"))
+      .persistTracked()
     var reached = seeds.select(col("node"), lit(0).as("hop")).localCheckpoint(true)
     var h = 0
     var frontierNonEmpty = true
